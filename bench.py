@@ -1,0 +1,78 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints one
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Headline set: the TPC-H-shaped queries (scan/join/agg/window/TopK paths)
+plus the inference flagship — the plans whose physical shape matters at
+100 TB (shuffle count, broadcast choice, pushdown).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q4_order_priority",
+    "q5_local_supplier_volume",
+    "q6_revenue_forecast",
+    "q10_returned_items",
+    "q14_promo_revenue",
+    "q18_large_volume_customer",
+    "q19_disjunctive_predicates",
+    "win_running_sum",
+    "agg_distinct_count",
+    "fn_time_bucket",
+    "argmax_embeddings",
+    "torch_inference_classes",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else 0.0
+
+    from torchfusion_spark.plans import REGISTRY
+    from torchfusion_spark.session import session
+
+    spark = session(app_name="torchfusion_bench")
+
+    # warm the JVM + parquet footers once so timings measure the queries
+    from torchfusion_spark.sources import load_tables
+
+    load_tables(spark, sf_dir)
+    spark.table("lineitem").count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        q = REGISTRY[name]
+        t0 = time.perf_counter()
+        df = q.builder(spark, sf_dir)
+        n = df.count()  # full materialization without driver collect
+        timings[name] = round(time.perf_counter() - t0, 4)
+        assert n >= 0
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,59 @@
+"""Front-door dispatch + config namespace tests (reference src/config.rs
+validation semantics and information_schema.df_settings emulation)."""
+
+from __future__ import annotations
+
+import pytest
+
+from torchfusion_spark.config import TorchConfigError, validate
+
+
+def test_set_and_read_back(engine):
+    engine.sql("SET torchfusion.batch_size = 16")
+    assert engine.spark.conf.get("torchfusion.batch_size") == "16"
+
+
+def test_df_settings_query(engine):
+    rows = engine.sql(
+        "SELECT name, value, description FROM information_schema.df_settings "
+        "WHERE name LIKE 'torch%' ORDER BY name"
+    ).collect()
+    names = [r.name for r in rows]
+    assert names == ["torchfusion.batch_size", "torchfusion.cuda_device", "torchfusion.device"]
+    assert all(r.description for r in rows)
+
+
+def test_invalid_device_rejected(engine):
+    # parse_device gates on availability (src/config.rs:82-92); no GPU here
+    with pytest.raises(TorchConfigError, match="not supported"):
+        engine.sql("SET torchfusion.device = tpu")
+
+
+def test_unknown_key_rejected():
+    with pytest.raises(TorchConfigError, match="No configuration key"):
+        validate("torchfusion.bogus", "1")
+
+
+def test_bad_batch_size_rejected():
+    with pytest.raises(TorchConfigError, match="batch size not correct"):
+        validate("torchfusion.batch_size", "zero")
+    with pytest.raises(TorchConfigError, match="Cuda device id"):
+        validate("torchfusion.cuda_device", "minus one")
+
+
+def test_plain_sql_falls_through(engine, tables):
+    n = engine.sql("SELECT COUNT(*) AS n FROM nation").collect()[0].n
+    assert n == 25
+
+
+def test_plain_set_falls_through(engine):
+    engine.sql("SET spark.sql.shuffle.partitions = 8")
+    assert engine.spark.conf.get("spark.sql.shuffle.partitions") == "8"
+
+
+def test_like_filter_on_settings(engine):
+    # reference demo query shape (examples/torchfusion.rs:19)
+    rows = engine.sql(
+        "SELECT name FROM information_schema.df_settings WHERE name LIKE 'torchfusion.b%'"
+    ).collect()
+    assert [r.name for r in rows] == ["torchfusion.batch_size"]

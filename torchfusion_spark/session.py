@@ -1,0 +1,68 @@
+"""Session factory — the Spark analogue of the reference's
+``configure_context()`` (reference src/lib.rs:118-137): information_schema
+on, config extension registered, default engine features, function factory
+installed, ``argmax`` pre-registered.
+
+Designed for cluster scale even though tests run local: AQE (runtime
+re-planning + skew-join), Arrow-batched Python exchange, UTC session time,
+shuffle parallelism sized from the environment instead of the 200 default.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+from torchfusion_spark import config as tf_config
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+
+
+def session(
+    app_name: str = "torchfusion_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) the SparkSession with engine defaults applied."""
+    cpus = default_parallelism()
+    master = master or f"local[{cpus}]"
+    shuffle_partitions = shuffle_partitions or cpus
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    configure(spark)
+    return spark
+
+
+def configure(spark: SparkSession) -> SparkSession:
+    """Apply engine setup to an existing session (e.g. the driver's).
+
+    Equivalent of the tail of ``configure_context`` (reference
+    src/lib.rs:121-134): seed the ``torchfusion.*`` namespace and register
+    the function library (argmax & friends).
+    """
+    from torchfusion_spark.functions import register_all
+
+    tf_config.seed_defaults(spark)
+    register_all(spark)
+    return spark

@@ -1,0 +1,80 @@
+"""Sources: table registration over the driver-generated parquet layout,
+plus object-store (S3A) session wiring.
+
+The reference registers tables via ``CREATE EXTERNAL TABLE ... STORED AS
+PARQUET LOCATION ...`` (src/lib.rs:148-150) and object stores via the
+runtime env (src/lib.rs:203-216). Spark-side: ``spark.read.parquet`` +
+temp views, and Hadoop S3A confs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# The driver's parquet stores timestamps as INT64 TIMESTAMP(NANOS), which
+# Spark's vectorized reader rejects. We read nanos as long
+# (spark.sql.legacy.parquet.nanosAsLong) and rebuild microsecond
+# timestamps — the same ns→µs truncation DuckDB applies, keeping the
+# oracle comparison exact.
+_NANOS_TS_COLUMNS = {
+    "lineitem": ("l_shipdate",),
+    "orders": ("o_orderdate",),
+    "events": ("ts",),
+}
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    for c in _NANOS_TS_COLUMNS.get(name, ()):
+        if c in df.columns and dict(df.dtypes)[c] == "bigint":
+            # integer div: double division would lose precision on ~1e18 ns values
+            df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = TABLES) -> None:
+    """Register each parquet table as a temp view named after the table.
+
+    Views are lazy — registering all of them costs only file-footer reads;
+    Catalyst prunes columns/filters per query, so this is scale-safe.
+    Also pins the session to UTC so timestamp results are stable across
+    environments (duckdb-oracle comparison requirement).
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    for name in tables:
+        read_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def configure_s3(
+    spark: SparkSession,
+    endpoint: str | None = None,
+    access_key: str | None = None,
+    secret_key: str | None = None,
+    path_style: bool = True,
+) -> None:
+    """Wire S3A so ``s3a://bucket/...`` table paths resolve — the analogue of
+    the reference's object-store registration test (src/lib.rs:203-216).
+    Requires the hadoop-aws jars on the classpath at deploy time."""
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    if endpoint:
+        conf.set("fs.s3a.endpoint", endpoint)
+    if access_key:
+        conf.set("fs.s3a.access.key", access_key)
+    if secret_key:
+        conf.set("fs.s3a.secret.key", secret_key)
+    conf.set("fs.s3a.path.style.access", "true" if path_style else "false")
