@@ -1,0 +1,158 @@
+"""Semantic tests for the extension operators: LSH actually finds the
+planted near-duplicates, top-k matches numpy brute force, text stats match
+Python recomputation, multimodal features match byte math, as-of join
+matches a pandas merge_asof."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+def _docs(spark, n=200):
+    return (
+        spark.table("documents").orderBy("doc_id").limit(n).toPandas().set_index("doc_id")
+    )
+
+
+def _shingles(text: str, n=3) -> set[str]:
+    toks = text.lower().split(" ")
+    return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+
+def test_minhash_lsh_finds_planted_near_dups(spark, tables):
+    from torchfusion_spark.operators.dedup import minhash_lsh_sql
+
+    got = {
+        (r.id_a, r.id_b): r.jaccard for r in spark.sql(minhash_lsh_sql("spark")).collect()
+    }
+    # brute-force ground truth over a slice of the corpus
+    docs = _docs(spark, 200)
+    sh = {i: _shingles(t) for i, t in docs["text"].items()}
+    ids = sorted(sh)
+    strong = {
+        (a, b): len(sh[a] & sh[b]) / len(sh[a] | sh[b])
+        for ai, a in enumerate(ids)
+        for b in ids[ai + 1 :]
+        if len(sh[a] | sh[b]) and len(sh[a] & sh[b]) / len(sh[a] | sh[b]) >= 0.8
+    }
+    assert strong, "corpus should contain planted near-duplicates"
+    missed = [p for p in strong if p not in got]
+    assert not missed, f"LSH missed high-jaccard pairs: {missed}"
+    # no false positives below the report threshold
+    for (a, b), j in got.items():
+        if a in sh and b in sh:
+            true_j = len(sh[a] & sh[b]) / len(sh[a] | sh[b])
+            assert abs(true_j - j) < 1e-4
+            assert true_j >= 0.6
+
+
+def test_cosine_topk_matches_numpy(spark, tables):
+    from torchfusion_spark.operators.similarity import cosine_topk_sql
+
+    rows = spark.sql(cosine_topk_sql("spark")).collect()
+    emb = spark.table("embeddings").orderBy("vec_id").toPandas()
+    mat = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    ids = emb["vec_id"].to_numpy()
+    norms = np.linalg.norm(mat, axis=1)
+    for q_id in range(8):
+        qi = np.where(ids == q_id)[0][0]
+        sims = (mat @ mat[qi]) / (norms * norms[qi])
+        sims[qi] = -np.inf
+        expect = sorted(
+            ((round(s, 6), int(i)) for s, i in zip(sims, ids) if i != q_id),
+            key=lambda t: (-t[0], t[1]),
+        )[:10]
+        got = [(r.cosine, r.cand_id) for r in rows if r.q_id == q_id]
+        assert [(pytest.approx(s, abs=2e-6), i) for s, i in expect] == got
+
+
+def test_text_stats_match_python(spark, tables):
+    from torchfusion_spark.operators.textstats import token_count_sql
+
+    rows = {r.doc_id: r for r in spark.sql(token_count_sql("spark")).collect()}
+    docs = _docs(spark, 50)
+    import re
+
+    for doc_id, text in docs["text"].items():
+        assert rows[doc_id].ws_tokens == len(text.split(" "))
+        assert rows[doc_id].bpe_tokens == len(re.findall(r"[a-z0-9]+|[^a-z0-9 ]", text))
+
+
+def test_multimodal_features_match_byte_math(spark, tables):
+    from torchfusion_spark.operators.multimodal import features_query
+
+    rows = {r.doc_id: r for r in features_query(spark).limit(50).collect()}
+    docs = _docs(spark, 50)
+    for doc_id, text in docs["text"].items():
+        b = text.encode("utf-8")
+        r = rows[doc_id]
+        assert (r.n_bytes, r.first_byte, r.last_byte, r.checksum16) == (
+            len(b),
+            b[0],
+            b[-1],
+            sum(b[:16]) % 256,
+        )
+
+
+def test_multimodal_real_decode_is_explicit_stub():
+    from torchfusion_spark.operators.multimodal import _decode_real
+
+    with pytest.raises(NotImplementedError, match="codec"):
+        _decode_real(b"xx", "image/png")
+
+
+def test_asof_join_matches_merge_asof(spark, tables):
+    from torchfusion_spark.operators.events_ops import asof_join
+
+    got = asof_join(spark).toPandas()
+    ev = spark.table("events").toPandas()
+    clicks = (
+        ev[ev.event_type == "click"].groupby(["user_id", "ts"], as_index=False)
+        .agg(click_id=("event_id", "max")).sort_values("ts")
+    )
+    purchases = ev[ev.event_type == "purchase"].sort_values("ts")
+    expect = pd.merge_asof(
+        purchases, clicks, on="ts", by="user_id", direction="backward"
+    )
+    expect_map = dict(zip(expect["event_id"], expect["click_id"]))
+    got_clicks = dict(zip(got["purchase_id"], got["prev_click_ts"]))
+    assert set(got["purchase_id"]) == set(expect["event_id"])
+    # merge_asof gives the click row; compare via its ts
+    click_ts = dict(zip(clicks["click_id"], clicks["ts"]))
+    for pid, cid in expect_map.items():
+        want = click_ts.get(cid) if pd.notna(cid) else None
+        have = got_clicks.get(pid)
+        assert (pd.isna(have) and want is None) or have == want
+
+
+def test_sessionize_gap_semantics(spark, tables):
+    from torchfusion_spark.operators.events_ops import SESSION_GAP_S, sessionize_sql
+
+    df = spark.sql(sessionize_sql("spark")).toPandas()
+    # sessions of one user reconstructed in pandas
+    ev = spark.table("events").toPandas()
+    u = df.user_id.iloc[0]
+    ts = sorted(ev[ev.user_id == u]["ts"])
+    n_sessions = 1 + sum(
+        1 for a, b in zip(ts, ts[1:]) if (b - a).total_seconds() > SESSION_GAP_S
+    )
+    assert len(df[df.user_id == u]) == n_sessions
+
+
+def test_streaming_windowed_counts_match_batch(spark, tables):
+    from torchfusion_spark import streaming
+    from pyspark.sql import functions as F
+
+    got = streaming.windowed_counts(spark, tables).toPandas()
+    batch = (
+        spark.table("events")
+        .groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n")
+        .toPandas()
+    )
+    g = got.sort_values(["window_start", "event_type"]).reset_index(drop=True)
+    b = batch.sort_values(["window_start", "event_type"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(g, b, check_dtype=False)

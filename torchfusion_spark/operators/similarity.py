@@ -1,0 +1,98 @@
+"""Embedding similarity search (SURVEY §2-D): exact cosine near-dup /
+top-k (the baseline) and sign-LSH bucketed variants (the scale path).
+
+All dot products are computed in DOUBLE with an explicit left-to-right
+fold so Spark (aggregate+zip_with, JVM codegen) and the DuckDB oracle
+(list_reduce) produce bit-identical sums; similarities are rounded to 6
+decimals before thresholding/ranking so last-ulp noise can't flip a
+comparison.
+
+Scale design: brute force is O(Q×N) with the query side broadcast —
+right for small Q or as a per-bucket verifier. The LSH variant buckets
+rows by 8 hyperplane sign bits (fixed, seeded planes shared with the
+oracle) so the self-join only touches same-bucket pairs: at 100 TB the
+shuffle key is the bucket id and the quadratic term is divided by ~2^8
+(more planes / multi-probe as N grows).
+"""
+
+from __future__ import annotations
+
+from torchfusion_spark.operators import sqlgen as G
+
+
+def _vec(d: str, col: str = "embedding") -> str:
+    return f"CAST({col} AS ARRAY<DOUBLE>)" if d == "spark" else f"CAST({col} AS DOUBLE[])"
+
+
+def _dot(a: str, b: str, d: str) -> str:
+    """Left-fold dot product — identical accumulation order on both engines."""
+    if d == "spark":
+        return f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"
+    prods = f"list_transform(range(1, {G.EMB_DIM} + 1), i -> {a}[i] * {b}[i])"
+    return f"list_reduce(list_prepend(0.0, {prods}), (acc, x) -> acc + x)"
+
+
+def _norm(v: str, d: str) -> str:
+    return f"sqrt({_dot(v, v, d)})"
+
+
+def cosine_topk_sql(d: str, k: int = 10, n_queries: int = 8) -> str:
+    """Exact top-k cosine neighbors for each query vector (brute force).
+
+    Spark plan: tiny query side → broadcast nested-loop against the full
+    table, then per-query TopK window. No shuffle of the big side.
+    """
+    return f"""
+    WITH v AS (SELECT vec_id, {_vec(d)} AS v FROM embeddings),
+    n AS (SELECT vec_id, v, {_norm('v', d)} AS nrm FROM v),
+    q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM n WHERE vec_id < {n_queries}),
+    sims AS (
+        SELECT q.q_id, c.vec_id AS cand_id,
+               ROUND({_dot('q.qv', 'c.v', d)} / (q.qn * c.nrm), 6) AS cosine
+        FROM q JOIN n c ON c.vec_id <> q.q_id)
+    SELECT q_id, cand_id, cosine FROM (
+        SELECT q_id, cand_id, cosine,
+               ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, cand_id) AS rn
+        FROM sims)
+    WHERE rn <= {k}
+    ORDER BY q_id, cosine DESC, cand_id
+    """
+
+
+def cosine_near_dup_sql(d: str, threshold: float = 0.42) -> str:
+    """All pairs above a cosine threshold — exact O(N²/2) baseline."""
+    return f"""
+    WITH v AS (SELECT vec_id, {_vec(d)} AS v FROM embeddings),
+    n AS (SELECT vec_id, v, {_norm('v', d)} AS nrm FROM v)
+    SELECT id_a, id_b, cosine FROM (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               ROUND({_dot('a.v', 'b.v', d)} / (a.nrm * b.nrm), 6) AS cosine
+        FROM n a JOIN n b ON a.vec_id < b.vec_id)
+    WHERE cosine >= {threshold}
+    ORDER BY id_a, id_b
+    """
+
+
+def lsh_bucket_expr(v: str, d: str) -> str:
+    """Bucket id = 8 sign bits of dot(v, plane_p), fixed seeded planes."""
+    terms = []
+    for p, plane in enumerate(G.PLANES):
+        lit = G.array_lit(plane, d)
+        terms.append(f"(CASE WHEN {_dot(v, lit, d)} > 0 THEN {1 << p} ELSE 0 END)")
+    return " + ".join(terms)
+
+
+def cosine_near_dup_lsh_sql(d: str, threshold: float = 0.30) -> str:
+    """Near-dup pairs restricted to equal LSH bucket (the scale path);
+    same planes on both dialects, so identical candidate sets."""
+    return f"""
+    WITH v AS (SELECT vec_id, {_vec(d)} AS v FROM embeddings),
+    n AS (SELECT vec_id, v, {_norm('v', d)} AS nrm,
+                 {lsh_bucket_expr('v', d)} AS bucket FROM v)
+    SELECT id_a, id_b, bucket, cosine FROM (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.bucket AS bucket,
+               ROUND({_dot('a.v', 'b.v', d)} / (a.nrm * b.nrm), 6) AS cosine
+        FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+    WHERE cosine >= {threshold}
+    ORDER BY id_a, id_b
+    """

@@ -1,0 +1,154 @@
+"""Dialect-parameterized SQL fragments.
+
+The extension operators (dedup, similarity, text stats) must produce
+bit-identical results on Spark and on the DuckDB oracle. The only way to
+guarantee that for hash-based pipelines is to share one SQL generator and
+swap dialect spellings: same hash (md5-hex → int56), same arithmetic,
+same thresholds.
+
+Spark's builtin ``hash``/``xxhash64`` do NOT exist in DuckDB, hence the
+portable hash: first 14 hex chars of md5 → 56-bit int (fits BIGINT with
+headroom for the (a*x+b) mod p minhash arithmetic below).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+# minhash universe: p prime > 2^32; x reduced mod p (< 2^33) times a < 2^20
+# keeps a*x+b < 2^53 — no bigint overflow on either engine (Spark ANSI
+# mode would error on overflow; DuckDB wraps — staying small avoids both).
+MINHASH_P = 4294967311
+_K = 16  # permutations
+_BANDS = 8  # bands of R = K/BANDS = 2 rows each
+
+_rng = np.random.default_rng(42)
+MINHASH_A = [int(a) for a in _rng.integers(1, 1 << 20, size=_K)]
+MINHASH_B = [int(b) for b in _rng.integers(0, MINHASH_P, size=_K)]
+
+# hyperplanes for sign-LSH over 64-dim embeddings (8 planes → 256 buckets)
+N_PLANES = 8
+EMB_DIM = 64
+PLANES = np.round(np.random.default_rng(7).standard_normal((N_PLANES, EMB_DIM)), 6).tolist()
+
+
+def hash56(expr: str, d: str) -> str:
+    """Portable 56-bit string hash: md5 hex prefix as integer."""
+    if d == "spark":
+        return f"CAST(conv(substr(md5({expr}), 1, 14), 16, 10) AS BIGINT)"
+    return f"CAST(('0x' || substr(md5({expr}), 1, 14)) AS BIGINT)"
+
+
+def split_ws(expr: str, d: str) -> str:
+    return f"split({expr}, ' ')" if d == "spark" else f"string_split({expr}, ' ')"
+
+
+def arr_join(arr: str, sep: str, d: str) -> str:
+    return f"concat_ws('{sep}', {arr})" if d == "spark" else f"array_to_string({arr}, '{sep}')"
+
+
+def arr_slice(arr: str, start: str, length: int, d: str) -> str:
+    if d == "spark":
+        return f"slice({arr}, {start}, {length})"
+    return f"list_slice({arr}, {start}, {start} + {length - 1})"
+
+
+def seq(lo: str, hi: str, d: str) -> str:
+    """[lo..hi] inclusive; empty when hi < lo (guarded — Spark's sequence
+    would count *down*)."""
+    if d == "spark":
+        return f"CASE WHEN {hi} >= {lo} THEN sequence(CAST({lo} AS INT), CAST({hi} AS INT)) ELSE array() END"
+    return f"range(CAST({lo} AS BIGINT), CAST({hi} AS BIGINT) + 1)"
+
+
+def transform(arr: str, lam: str, d: str) -> str:
+    fn = "transform" if d == "spark" else "list_transform"
+    return f"{fn}({arr}, {lam})"
+
+
+def afilter(arr: str, lam: str, d: str) -> str:
+    fn = "filter" if d == "spark" else "list_filter"
+    return f"{fn}({arr}, {lam})"
+
+
+def arr_min(arr: str, d: str) -> str:
+    return f"array_min({arr})" if d == "spark" else f"list_aggregate({arr}, 'min')"
+
+
+def arr_distinct(arr: str, d: str) -> str:
+    fn = "array_distinct" if d == "spark" else "list_distinct"
+    return f"{fn}({arr})"
+
+
+def arr_size(arr: str, d: str) -> str:
+    return f"size({arr})" if d == "spark" else f"len({arr})"
+
+
+def arr_intersect_size(a: str, b: str, d: str) -> str:
+    if d == "spark":
+        return f"size(array_intersect({a}, {b}))"
+    return f"len(list_intersect({a}, {b}))"
+
+
+def arr_union_size(a: str, b: str, d: str) -> str:
+    if d == "spark":
+        return f"size(array_distinct(concat({a}, {b})))"
+    return f"len(list_distinct(list_concat({a}, {b})))"
+
+
+def xor(a: str, b: str, d: str) -> str:
+    return f"({a} ^ {b})" if d == "spark" else f"xor({a}, {b})"
+
+
+def shr(x: str, n: str, d: str) -> str:
+    return f"shiftright({x}, {n})" if d == "spark" else f"({x} >> ({n}))"
+
+
+def array_lit(vals: list, d: str) -> str:
+    body = ", ".join(str(v) for v in vals)
+    return f"array({body})" if d == "spark" else f"[{body}]"
+
+
+def elem(arr: str, i: int, d: str) -> str:
+    """1-based element access."""
+    return f"element_at({arr}, {i})" if d == "spark" else f"{arr}[{i}]"
+
+
+def regex_count(expr: str, pattern: str, d: str) -> str:
+    if d == "spark":
+        return f"size(regexp_extract_all({expr}, '{pattern}', 0))"
+    return f"len(regexp_extract_all({expr}, '{pattern}'))"
+
+
+def word_shingles(text_expr: str, n: int, d: str) -> str:
+    """Distinct word n-gram shingles of lowercased text."""
+    toks = split_ws(f"lower({text_expr})", d)
+    n_sh = f"greatest({arr_size(toks, d)} - {n - 1}, 0)"
+    gram = arr_join(arr_slice(toks, "i", n, d), " ", d)
+    return arr_distinct(transform(seq("1", n_sh, d), f"i -> {gram}", d), d)
+
+
+def char_shingles(text_expr: str, n: int, d: str) -> str:
+    """Distinct character n-gram shingles of lowercased text."""
+    s = f"lower({text_expr})"
+    n_sh = f"greatest(length({s}) - {n - 1}, 0)"
+    return arr_distinct(transform(seq("1", n_sh, d), f"i -> substr({s}, i, {n})", d), d)
+
+
+def minhash_sig_cols(shingles_expr: str, d: str) -> list[str]:
+    """One min-hash per permutation k: min over shingles of (a_k*x+b_k) mod p."""
+    cols = []
+    for k in range(_K):
+        a, b = MINHASH_A[k], MINHASH_B[k]
+        h = f"({a} * ({hash56('s', d)} % {MINHASH_P}) + {b}) % {MINHASH_P}"
+        cols.append(arr_min(transform(shingles_expr, f"s -> {h}", d), d))
+    return cols
+
+
+def band_exprs(sig_cols: list[str]) -> list[str]:
+    """Band keys: concat of R=2 adjacent signature mins."""
+    r = _K // _BANDS
+    return [
+        "concat_ws('-', " + ", ".join(f"CAST({c} AS STRING)" for c in sig_cols[i * r : (i + 1) * r]) + ")"
+        for i in range(_BANDS)
+    ]

@@ -1,0 +1,112 @@
+"""Text analysis operators (SURVEY §2-D): quality scoring, n-gram-style
+language ID, tokenizer-aware token counting, document fingerprinting.
+Pure column expressions — no Python in the pipeline; one scan, no shuffle
+(fingerprint grouping shuffles once on the fingerprint).
+"""
+
+from __future__ import annotations
+
+from torchfusion_spark.operators import sqlgen as G
+
+# tiny stopword marker sets for the language-ID heuristic
+_LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "a"],
+    "de": ["der", "und", "die", "das", "ist"],
+    "fr": ["le", "la", "et", "les", "des"],
+    "es": ["el", "la", "que", "de", "los"],
+    "zh": ["de", "shi", "le", "bu", "wo"],
+}
+
+
+def text_quality_sql(d: str) -> str:
+    """Length/punctuation/stopword/digit ratios + a composite quality score."""
+    toks = G.split_ws("lower(text)", d)
+    n_toks = G.arr_size("toks", d)
+    stop_lit = G.array_lit([f"'{w}'" for w in _LANG_MARKERS["en"]], d)
+    n_stop = G.arr_size(G.afilter("toks", f"t -> array_contains({stop_lit}, t)", d), d) \
+        if d == "spark" else G.arr_size(G.afilter("toks", f"t -> list_contains({stop_lit}, t)", d), d)
+    punct = G.regex_count("text", "[.,!?;:]", d)
+    digits = G.regex_count("text", "[0-9]", d)
+    return f"""
+    WITH t AS (SELECT doc_id, text, length(text) AS n_char, {toks} AS toks FROM documents),
+    m AS (
+        SELECT doc_id, n_char,
+               {n_toks} AS n_tokens,
+               ROUND(CAST(n_char AS DOUBLE) / greatest({n_toks}, 1), 6) AS avg_token_len,
+               ROUND(CAST({punct} AS DOUBLE) / greatest(n_char, 1), 6) AS punct_ratio,
+               ROUND(CAST({digits} AS DOUBLE) / greatest(n_char, 1), 6) AS digit_ratio,
+               ROUND(CAST({n_stop} AS DOUBLE) / greatest({n_toks}, 1), 6) AS stopword_ratio
+        FROM t)
+    SELECT doc_id, n_char, n_tokens, avg_token_len, punct_ratio, digit_ratio, stopword_ratio,
+           ROUND(
+             (CASE WHEN n_tokens BETWEEN 10 AND 100000 THEN 0.4 ELSE 0.0 END)
+             + (CASE WHEN avg_token_len BETWEEN 3 AND 12 THEN 0.3 ELSE 0.0 END)
+             + (CASE WHEN punct_ratio < 0.1 THEN 0.15 ELSE 0.0 END)
+             + least(stopword_ratio * 3, 0.15), 6) AS quality_score
+    FROM m ORDER BY doc_id
+    """
+
+
+def lang_id_sql(d: str) -> str:
+    """Marker-word language ID; deterministic tie-break by fixed language
+    order. Emits predicted vs labeled language."""
+    toks = G.arr_distinct(G.split_ws("lower(text)", d), d)
+    contains = "array_contains" if d == "spark" else "list_contains"
+    scores = {
+        lang: G.arr_size(
+            G.afilter(
+                "toks",
+                f"t -> {contains}({G.array_lit([repr(w) for w in words], d)}, t)",
+                d,
+            ),
+            d,
+        )
+        for lang, words in _LANG_MARKERS.items()
+    }
+    score_sel = ", ".join(f"{e} AS s_{lang}" for lang, e in scores.items())
+    langs = list(_LANG_MARKERS)
+    cases = []
+    for i, lang in enumerate(langs):
+        conds = [f"s_{lang} >= s_{other}" for other in langs[i + 1 :]] + [
+            f"s_{lang} > s_{other}" for other in langs[:i]
+        ]
+        cases.append(f"WHEN {' AND '.join(conds) if conds else 'TRUE'} THEN '{lang}'")
+    predicted = "CASE " + " ".join(cases) + " ELSE 'und' END"
+    return f"""
+    WITH t AS (SELECT doc_id, lang, {toks} AS toks FROM documents),
+    s AS (SELECT doc_id, lang, {score_sel} FROM t)
+    SELECT doc_id, lang AS labeled_lang, {predicted} AS predicted_lang,
+           s_en, s_de, s_fr, s_es, s_zh
+    FROM s ORDER BY doc_id
+    """
+
+
+def token_count_sql(d: str) -> str:
+    """Whitespace tokens vs BPE-ish regex tokens (word pieces + standalone
+    punctuation) — the token-budget estimator."""
+    ws = G.arr_size(G.split_ws("text", d), d)
+    bpe = G.regex_count("text", "[a-z0-9]+|[^a-z0-9 ]", d)
+    return f"""
+    SELECT doc_id,
+           {ws} AS ws_tokens,
+           {bpe} AS bpe_tokens,
+           ROUND(CAST({bpe} AS DOUBLE) / greatest({ws}, 1), 6) AS expansion
+    FROM documents ORDER BY doc_id
+    """
+
+
+def fingerprint_sql(d: str) -> str:
+    """Normalized-content fingerprint (56-bit) + duplicate-group sizes."""
+    # duckdb regexp_replace is first-match-only without the 'g' flag
+    norm = (
+        "trim(regexp_replace(lower(text), '[^a-z0-9 ]', ''))"
+        if d == "spark"
+        else "trim(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'))"
+    )
+    fp = G.hash56(norm, d)
+    return f"""
+    WITH f AS (SELECT doc_id, {fp} AS fingerprint FROM documents)
+    SELECT fingerprint, COUNT(*) AS group_size, MIN(doc_id) AS canonical_doc
+    FROM f GROUP BY fingerprint
+    ORDER BY canonical_doc
+    """

@@ -13,5 +13,6 @@ from torchfusion_spark.plans.registry import REGISTRY, Query, query
 from torchfusion_spark.plans import relational  # noqa: E402,F401
 from torchfusion_spark.plans import functions_sweep  # noqa: E402,F401
 from torchfusion_spark.plans import inference  # noqa: E402,F401
+from torchfusion_spark.plans import extensions  # noqa: E402,F401
 
 __all__ = ["REGISTRY", "Query", "query"]

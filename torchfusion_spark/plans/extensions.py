@@ -1,0 +1,118 @@
+"""Registry entries for the extension operators (SURVEY §2-D): dedup,
+similarity search, text analysis, sessionization, as-of join. The Spark
+plan and the DuckDB oracle come from the same dialect-parameterized
+generator, so the gate verifies algorithmic equivalence, not just both
+sides being plausible."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from torchfusion_spark.operators import dedup, events_ops, multimodal, similarity, textstats
+from torchfusion_spark.plans.registry import query
+
+
+def _sql_pair(name: str, gen, doc: str) -> None:
+    @query(name, gen("duck"), doc=doc)
+    def _run(spark: SparkSession, sf_dir: str, _gen=gen) -> DataFrame:
+        return spark.sql(_gen("spark"))
+
+    _run.__name__ = name
+
+
+_sql_pair(
+    "dedup_exact",
+    dedup.exact_dedup_sql,
+    "exact dedup: one shuffle on content hash, deterministic winner per group",
+)
+_sql_pair(
+    "dedup_minhash_lsh",
+    dedup.minhash_lsh_sql,
+    "MinHash(16 perms)+LSH(8 bands) near-dup pairs with exact Jaccard verify",
+)
+_sql_pair(
+    "dedup_simhash",
+    dedup.simhash_sql,
+    "32-bit SimHash signatures; banded candidates + Hamming<=2 pairs",
+)
+_sql_pair(
+    "dedup_ngram_jaccard",
+    dedup.ngram_jaccard_sql,
+    "char-5-gram Jaccard near-dup within (lang, length-bucket) blocks",
+)
+_sql_pair(
+    "sim_cosine_topk",
+    similarity.cosine_topk_sql,
+    "exact top-k cosine ANN baseline: broadcast queries, per-query TopK window",
+)
+_sql_pair(
+    "sim_cosine_near_dup",
+    similarity.cosine_near_dup_sql,
+    "exact all-pairs cosine near-dup (embedding-space dedup baseline)",
+)
+_sql_pair(
+    "sim_cosine_near_dup_lsh",
+    similarity.cosine_near_dup_lsh_sql,
+    "sign-LSH (8 hyperplanes) bucketed cosine near-dup — the 100TB path",
+)
+_sql_pair(
+    "text_quality_stats",
+    textstats.text_quality_sql,
+    "length/punct/stopword/digit ratios + composite quality score",
+)
+_sql_pair(
+    "text_lang_id",
+    textstats.lang_id_sql,
+    "marker-word language ID with deterministic tie-break",
+)
+_sql_pair(
+    "text_token_count",
+    textstats.token_count_sql,
+    "whitespace vs BPE-ish regex token counts",
+)
+_sql_pair(
+    "text_fingerprint",
+    textstats.fingerprint_sql,
+    "normalized-content 56-bit fingerprint + duplicate groups",
+)
+_sql_pair(
+    "events_sessionize",
+    events_ops.sessionize_sql,
+    "sessionization: lag-gap + running-sum window, 30-min inactivity",
+)
+
+
+@query(
+    "multimodal_features",
+    multimodal.FEATURES_ORACLE,
+    doc="binary payload + typed metadata; byte-level feature extraction via "
+    "Arrow-batched mapInPandas (real decode stubbed: no codec libs in env)",
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return multimodal.features_query(spark)
+
+
+@query(
+    "stream_windowed_counts",
+    """
+    SELECT make_timestamp((epoch_us(ts) // 600000000) * 600000000) AS window_start,
+           event_type, COUNT(*) AS n
+    FROM events GROUP BY 1, 2 ORDER BY window_start, event_type
+    """,
+    doc="Structured Streaming tumbling-window counts (watermark + window agg, "
+    "availableNow over the bounded source); oracle = the batch equivalent",
+)
+def stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from torchfusion_spark import streaming
+
+    return streaming.windowed_counts(spark, sf_dir)
+
+
+@query(
+    "events_asof_join",
+    events_ops.ASOF_ORACLE,
+    doc="as-of join (most recent click <= purchase ts per user): union-tag + "
+    "last(ignoreNulls) window on Spark; DuckDB's native ASOF JOIN as oracle",
+)
+def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return events_ops.asof_join(spark)
