@@ -32,6 +32,12 @@ HEADLINE = [
     "fn_time_bucket",
     "argmax_embeddings",
     "torch_inference_classes",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "sim_cosine_topk",
+    "sim_cosine_near_dup_lsh",
+    "text_quality_stats",
+    "events_sessionize",
 ]
 
 

@@ -37,10 +37,11 @@ def _shingle_cte(d: str, n: int = 3) -> str:
     return f"SELECT doc_id, {sh} AS shingles FROM documents"
 
 
-def minhash_lsh_sql(d: str, threshold: float = 0.6) -> str:
-    """Near-duplicate pairs via MinHash signatures + banded LSH + exact
-    Jaccard verification. Same permutations/bands on both dialects."""
-    sig_cols = G.minhash_sig_cols("shingles", d)
+def minhash_body_sql(d: str, sh_rel: str, threshold: float) -> str:
+    """The pipeline downstream of the shingle relation ``sh_rel(doc_id,
+    shingles)``: hash-once → 16 min-hashes → 8 band keys exploded → bucket
+    self-join candidates → exact-Jaccard verification."""
+    sig_cols = G.minhash_sig_cols("hx", d)
     sig_select = ", ".join(f"{c} AS s{k}" for k, c in enumerate(sig_cols))
     bands = G.band_exprs([f"s{k}" for k in range(len(sig_cols))])
     if d == "spark":
@@ -60,8 +61,9 @@ def minhash_lsh_sql(d: str, threshold: float = 0.6) -> str:
     inter = G.arr_intersect_size("x.shingles", "y.shingles", d)
     union = G.arr_union_size("x.shingles", "y.shingles", d)
     return f"""
-    WITH sh AS ({_shingle_cte(d)}),
-    sig AS (SELECT doc_id, {sig_select} FROM sh WHERE {G.arr_size('shingles', d)} > 0),
+    WITH hs AS (SELECT doc_id, {G.shingle_hashes('shingles', d)} AS hx FROM {sh_rel}
+           WHERE {G.arr_size('shingles', d)} > 0),
+    sig AS (SELECT doc_id, {sig_select} FROM hs),
     bands AS ({band_rel}),
     cand AS (
         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
@@ -72,11 +74,32 @@ def minhash_lsh_sql(d: str, threshold: float = 0.6) -> str:
         SELECT id_a, id_b,
                ROUND(CAST({inter} AS DOUBLE) / {union}, 6) AS jaccard
         FROM cand
-        JOIN sh x ON x.doc_id = id_a
-        JOIN sh y ON y.doc_id = id_b)
+        JOIN {sh_rel} x ON x.doc_id = id_a
+        JOIN {sh_rel} y ON y.doc_id = id_b)
     WHERE jaccard >= {threshold}
     ORDER BY id_a, id_b
     """
+
+
+def minhash_lsh_sql(d: str, threshold: float = 0.6) -> str:
+    """Single-statement form (the DuckDB oracle; also a valid Spark plan).
+
+    Note for Spark execution prefer :func:`minhash_lsh` below — the shingle
+    CTE is referenced 4× (two band sides + two verify sides) and Catalyst
+    inlines CTEs, recomputing it each time; the staged builder caches it.
+    """
+    body = minhash_body_sql(d, "sh", threshold)
+    # splice the shingle CTE into the body's WITH list
+    return body.replace("WITH hs AS", f"WITH sh AS ({_shingle_cte(d)}),\n    hs AS", 1)
+
+
+def minhash_lsh(spark, threshold: float = 0.6):
+    """Spark-side staged execution: materialize the shingle relation once
+    (it is ~1% of the input; at 100 TB this is persist-to-disk or a
+    checkpoint), then run the band/verify pipeline over the cached view."""
+    sh = spark.sql(_shingle_cte("spark")).cache()
+    sh.createOrReplaceTempView("__minhash_sh")
+    return spark.sql(minhash_body_sql("spark", "__minhash_sh", threshold))
 
 
 def simhash_sql(d: str, bits: int = 32, max_hamming: int = 2) -> str:

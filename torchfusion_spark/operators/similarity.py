@@ -47,9 +47,9 @@ def cosine_topk_sql(d: str, k: int = 10, n_queries: int = 8) -> str:
     n AS (SELECT vec_id, v, {_norm('v', d)} AS nrm FROM v),
     q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM n WHERE vec_id < {n_queries}),
     sims AS (
-        SELECT q.q_id, c.vec_id AS cand_id,
+        SELECT {"/*+ BROADCAST(q) */" if d == "spark" else ""} q.q_id, c.vec_id AS cand_id,
                ROUND({_dot('q.qv', 'c.v', d)} / (q.qn * c.nrm), 6) AS cosine
-        FROM q JOIN n c ON c.vec_id <> q.q_id)
+        FROM n c JOIN q ON c.vec_id <> q.q_id)
     SELECT q_id, cand_id, cosine FROM (
         SELECT q_id, cand_id, cosine,
                ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, cand_id) AS rn

@@ -135,13 +135,19 @@ def char_shingles(text_expr: str, n: int, d: str) -> str:
     return arr_distinct(transform(seq("1", n_sh, d), f"i -> substr({s}, i, {n})", d), d)
 
 
-def minhash_sig_cols(shingles_expr: str, d: str) -> list[str]:
-    """One min-hash per permutation k: min over shingles of (a_k*x+b_k) mod p."""
+def shingle_hashes(shingles_expr: str, d: str) -> str:
+    """Hash each shingle once (md5 is the expensive part — never per-perm)."""
+    return transform(shingles_expr, f"s -> {hash56('s', d)} % {MINHASH_P}", d)
+
+
+def minhash_sig_cols(hashed_expr: str, d: str) -> list[str]:
+    """One min-hash per permutation k over pre-hashed shingles:
+    min of (a_k*x+b_k) mod p — pure int arithmetic, 16 passes over ints."""
     cols = []
     for k in range(_K):
         a, b = MINHASH_A[k], MINHASH_B[k]
-        h = f"({a} * ({hash56('s', d)} % {MINHASH_P}) + {b}) % {MINHASH_P}"
-        cols.append(arr_min(transform(shingles_expr, f"s -> {h}", d), d))
+        h = f"({a} * x + {b}) % {MINHASH_P}"
+        cols.append(arr_min(transform(hashed_expr, f"x -> {h}", d), d))
     return cols
 
 

@@ -25,11 +25,15 @@ _sql_pair(
     dedup.exact_dedup_sql,
     "exact dedup: one shuffle on content hash, deterministic winner per group",
 )
-_sql_pair(
+@query(
     "dedup_minhash_lsh",
-    dedup.minhash_lsh_sql,
-    "MinHash(16 perms)+LSH(8 bands) near-dup pairs with exact Jaccard verify",
+    dedup.minhash_lsh_sql("duck"),
+    doc="MinHash(16 perms)+LSH(8 bands) near-dup pairs with exact Jaccard "
+    "verify; Spark side stages the shingle relation through cache() since "
+    "the plan references it 4×",
 )
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.minhash_lsh(spark)
 _sql_pair(
     "dedup_simhash",
     dedup.simhash_sql,
