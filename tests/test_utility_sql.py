@@ -1,0 +1,105 @@
+"""Utility/DDL surface (SURVEY §2-C utility row): EXPLAIN, SHOW TABLES,
+DESCRIBE, CREATE VIEW / CTAS, DROP, INSERT INTO, COPY-TO-style writers
+with read-back for parquet/csv/json/orc, partitioned writes."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_explain(engine, tables):
+    plan = engine.sql("EXPLAIN SELECT count(*) FROM lineitem").collect()[0][0]
+    assert "Aggregate" in plan or "Scan" in plan
+
+
+def test_explain_pushdown_visible(engine, tables):
+    plan = engine.sql(
+        "EXPLAIN SELECT l_orderkey FROM lineitem WHERE l_quantity > 49"
+    ).collect()[0][0]
+    assert "PushedFilters" in plan or "GreaterThan" in plan
+
+
+def test_show_tables_and_describe(engine, tables):
+    names = {r.tableName for r in engine.sql("SHOW TABLES").collect()}
+    assert {"lineitem", "orders", "customer"} <= names
+    cols = {r.col_name for r in engine.sql("DESCRIBE lineitem").collect()}
+    assert {"l_orderkey", "l_shipdate"} <= cols
+
+
+def test_create_view_and_drop(engine, tables):
+    engine.sql("CREATE OR REPLACE TEMPORARY VIEW big_orders AS SELECT * FROM orders WHERE o_totalprice > 300000")
+    n = engine.sql("SELECT count(*) AS n FROM big_orders").collect()[0].n
+    assert n > 0
+    engine.sql("DROP VIEW big_orders")
+    with pytest.raises(Exception):
+        engine.sql("SELECT * FROM big_orders").collect()
+
+
+def test_ctas_insert_roundtrip(engine, tables, tmp_path):
+    spark = engine.spark
+    loc = tmp_path / "nation_copy"
+    engine.sql(
+        f"CREATE TABLE nation_copy USING parquet LOCATION '{loc}' AS SELECT * FROM nation"
+    )
+    try:
+        assert engine.sql("SELECT count(*) AS n FROM nation_copy").collect()[0].n == 25
+        engine.sql("INSERT INTO nation_copy VALUES (99, 'ATLANTIS', 0)")
+        assert engine.sql("SELECT count(*) AS n FROM nation_copy").collect()[0].n == 26
+        got = engine.sql("SELECT n_name FROM nation_copy WHERE n_nationkey = 99").collect()
+        assert [r.n_name for r in got] == ["ATLANTIS"]
+    finally:
+        engine.sql("DROP TABLE IF EXISTS nation_copy")
+
+
+@pytest.mark.parametrize("fmt", ["parquet", "orc", "json", "csv"])
+def test_copy_to_roundtrip(spark, tables, tmp_path, fmt):
+    from torchfusion_spark.sources.sinks import copy_to, read_back
+
+    df = spark.table("region")
+    path = str(tmp_path / f"region_{fmt}")
+    opts = {"header": "true"} if fmt == "csv" else {}
+    copy_to(df, path, fmt=fmt, **opts)
+    back = read_back(
+        spark, path, fmt=fmt,
+        schema="r_regionkey int, r_name string" if fmt in ("csv", "json") else None,
+        **opts,
+    )
+    assert sorted(r.r_name for r in back.collect()) == sorted(r.r_name for r in df.collect())
+
+
+def test_partitioned_write_prunes(spark, tables, tmp_path):
+    from torchfusion_spark.sources.sinks import copy_to
+
+    path = str(tmp_path / "orders_by_status")
+    copy_to(spark.table("orders"), path, partition_by=["o_orderstatus"])
+    back = spark.read.parquet(path).filter(F.col("o_orderstatus") == "F")
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(o_orderstatus" in plan
+    assert back.count() == spark.table("orders").filter("o_orderstatus = 'F'").count()
+
+
+def test_approx_aggregates_accuracy(spark, tables):
+    exact = (
+        spark.table("lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("exact_parts"),
+            F.expr("percentile(l_extendedprice, 0.5)").alias("exact_median"),
+        )
+        .collect()
+    )
+    approx = {
+        r.l_returnflag: r
+        for r in spark.table("lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_partkey").alias("approx_parts"),
+            F.percentile_approx("l_extendedprice", 0.5, 1000).alias("approx_median"),
+        )
+        .collect()
+    }
+    for r in exact:
+        a = approx[r.l_returnflag]
+        assert abs(a.approx_parts - r.exact_parts) / r.exact_parts < 0.1
+        assert abs(a.approx_median - r.exact_median) / r.exact_median < 0.05

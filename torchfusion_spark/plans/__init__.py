@@ -11,6 +11,7 @@ Import side effect: importing this package populates ``REGISTRY``.
 from torchfusion_spark.plans.registry import REGISTRY, Query, query
 
 from torchfusion_spark.plans import relational  # noqa: E402,F401
+from torchfusion_spark.plans import relational2  # noqa: E402,F401
 from torchfusion_spark.plans import functions_sweep  # noqa: E402,F401
 from torchfusion_spark.plans import inference  # noqa: E402,F401
 from torchfusion_spark.plans import extensions  # noqa: E402,F401

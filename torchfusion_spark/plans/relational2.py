@@ -1,0 +1,302 @@
+"""Second relational coverage batch: recursive CTE, min_by/max_by,
+LIKE/ILIKE/regex predicates, date formatting, collect_set, linear
+regression aggregates, percent_rank/cume_dist, unpivot, JOIN USING,
+lateral subquery, approximate aggregates (rows-only), distinct."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from torchfusion_spark.plans.registry import query
+
+
+@query(
+    "cte_recursive",
+    """
+    WITH RECURSIVE r(n, fact) AS (
+        SELECT 1, CAST(1 AS BIGINT)
+        UNION ALL
+        SELECT n + 1, fact * (n + 1) FROM r WHERE n < 12
+    )
+    SELECT n, fact FROM r ORDER BY n
+    """,
+    doc="recursive CTE (DataFusion 45 ships it; Spark 4.0 added WITH RECURSIVE)",
+)
+def cte_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.sql(
+        """
+        WITH RECURSIVE r(n, fact) AS (
+            SELECT 1, CAST(1 AS BIGINT)
+            UNION ALL
+            SELECT n + 1, fact * (n + 1) FROM r WHERE n < 12
+        )
+        SELECT n, fact FROM r ORDER BY n
+        """
+    )
+
+
+@query(
+    "agg_min_max_by",
+    """
+    SELECT c_nationkey,
+           MAX_BY(c_name, c_acctbal) AS richest,
+           MIN_BY(c_name, c_acctbal) AS poorest,
+           CAST(MAX(c_acctbal) AS DOUBLE) AS top_bal
+    FROM customer GROUP BY c_nationkey ORDER BY c_nationkey
+    """,
+    doc="argmax-style aggregates (min_by/max_by ↔ DataFusion first_value family)",
+)
+def agg_min_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        spark.table("customer")
+        .groupBy("c_nationkey")
+        .agg(
+            F.max_by("c_name", "c_acctbal").alias("richest"),
+            F.min_by("c_name", "c_acctbal").alias("poorest"),
+            F.max("c_acctbal").cast("double").alias("top_bal"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+@query(
+    "filter_like_family",
+    """
+    SELECT p_partkey, p_name, p_brand
+    FROM part
+    WHERE p_name LIKE '%widget%'
+      AND p_name NOT LIKE 'small%'
+      AND p_brand ILIKE 'brand#1%'
+      AND regexp_matches(p_name, '^[a-z]+ [a-z]+$')
+    ORDER BY p_partkey
+    """,
+    doc="LIKE / NOT LIKE / ILIKE / regex predicate pushdown family",
+)
+def filter_like_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = spark.table("part")
+    return (
+        p.filter(
+            F.col("p_name").like("%widget%")
+            & ~F.col("p_name").like("small%")
+            & F.col("p_brand").ilike("brand#1%")
+            & F.col("p_name").rlike("^[a-z]+ [a-z]+$")
+        )
+        .select("p_partkey", "p_name", "p_brand")
+        .orderBy("p_partkey")
+    )
+
+
+@query(
+    "fn_datetime_format",
+    """
+    SELECT o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS iso_day,
+           strftime(o_orderdate, '%Y/%m') AS ym,
+           CAST(extract(doy FROM o_orderdate) AS INT) AS doy,
+           last_day(CAST(o_orderdate AS DATE)) AS month_end,
+           make_date(CAST(extract(year FROM o_orderdate) AS INT), 1, 1) AS year_start,
+           CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s
+    FROM orders ORDER BY o_orderkey LIMIT 300
+    """,
+    doc="date formatting / construction: date_format↔strftime, last_day, "
+    "make_date, unix_timestamp↔epoch",
+)
+def fn_datetime_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = spark.table("orders")
+    return (
+        o.select(
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("iso_day"),
+            F.date_format("o_orderdate", "yyyy/MM").alias("ym"),
+            F.dayofyear("o_orderdate").cast("int").alias("doy"),
+            F.last_day("o_orderdate").alias("month_end"),
+            F.make_date(F.year("o_orderdate"), F.lit(1), F.lit(1)).alias("year_start"),
+            F.unix_timestamp("o_orderdate").cast("bigint").alias("epoch_s"),
+        )
+        .orderBy("o_orderkey")
+        .limit(300)
+    )
+
+
+@query(
+    "agg_collect_set",
+    """
+    SELECT l_returnflag,
+           list_sort(list(DISTINCT l_linestatus)) AS statuses,
+           len(list(DISTINCT l_linestatus)) AS n_statuses
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    doc="collect_set (distinct array agg), sorted for determinism",
+)
+def agg_collect_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        spark.table("lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.array_sort(F.collect_set("l_linestatus")).alias("statuses"),
+            F.size(F.collect_set("l_linestatus")).cast("bigint").alias("n_statuses"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "agg_regression",
+    """
+    SELECT l_returnflag,
+           ROUND(REGR_SLOPE(l_extendedprice, l_quantity), 4) AS slope,
+           ROUND(REGR_INTERCEPT(l_extendedprice, l_quantity), 4) AS intercept,
+           ROUND(REGR_R2(l_extendedprice, l_quantity), 6) AS r2,
+           CAST(REGR_COUNT(l_extendedprice, l_quantity) AS BIGINT) AS n
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    doc="linear-regression aggregates (regr_* family); rounded (merge order)",
+)
+def agg_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        spark.table("lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.regr_slope("l_extendedprice", "l_quantity"), 4).alias("slope"),
+            F.round(F.regr_intercept("l_extendedprice", "l_quantity"), 4).alias("intercept"),
+            F.round(F.regr_r2("l_extendedprice", "l_quantity"), 6).alias("r2"),
+            F.regr_count("l_extendedprice", "l_quantity").cast("bigint").alias("n"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "win_percent_cume",
+    """
+    SELECT o_orderkey,
+           ROUND(PERCENT_RANK() OVER w, 6) AS pr,
+           ROUND(CUME_DIST() OVER w, 6) AS cd
+    FROM orders
+    WINDOW w AS (ORDER BY o_totalprice, o_orderkey)
+    ORDER BY o_orderkey LIMIT 500
+    """,
+    doc="percent_rank / cume_dist over a global window",
+)
+def win_percent_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = W.orderBy("o_totalprice", "o_orderkey")
+    return (
+        spark.table("orders")
+        .select(
+            "o_orderkey",
+            F.round(F.percent_rank().over(w), 6).alias("pr"),
+            F.round(F.cume_dist().over(w), 6).alias("cd"),
+        )
+        .orderBy("o_orderkey")
+        .limit(500)
+    )
+
+
+@query(
+    "unpivot_stack",
+    """
+    SELECT l_orderkey, l_linenumber, metric, CAST(val AS DOUBLE) AS val FROM (
+        SELECT l_orderkey, l_linenumber, 'quantity' AS metric, l_quantity AS val FROM lineitem
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'discount', l_discount FROM lineitem
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'tax', l_tax FROM lineitem)
+    WHERE l_orderkey < 50
+    ORDER BY l_orderkey, l_linenumber, metric
+    """,
+    doc="unpivot via stack() (oracle: UNION ALL equivalent)",
+)
+def unpivot_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = spark.table("lineitem").filter(F.col("l_orderkey") < 50)
+    return (
+        l.selectExpr(
+            "l_orderkey",
+            "l_linenumber",
+            "stack(3, 'quantity', l_quantity, 'discount', l_discount, 'tax', l_tax) AS (metric, val)",
+        )
+        .select("l_orderkey", "l_linenumber", "metric", F.col("val").cast("double").alias("val"))
+        .orderBy("l_orderkey", "l_linenumber", "metric")
+    )
+
+
+@query(
+    "join_using",
+    """
+    SELECT n_nationkey, n_name, r_name
+    FROM (SELECT n_nationkey, n_name, n_regionkey AS rk FROM nation) n
+    JOIN (SELECT r_regionkey AS rk, r_name FROM region) r USING (rk)
+    ORDER BY n_nationkey
+    """,
+    doc="JOIN USING (shared-column equi join)",
+)
+def join_using(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.sql(
+        """
+        SELECT n_nationkey, n_name, r_name
+        FROM (SELECT n_nationkey, n_name, n_regionkey AS rk FROM nation) n
+        JOIN (SELECT r_regionkey AS rk, r_name FROM region) r USING (rk)
+        ORDER BY n_nationkey
+        """
+    )
+
+
+@query(
+    "lateral_subquery",
+    """
+    SELECT c_custkey, top_price
+    FROM customer,
+         LATERAL (SELECT CAST(MAX(o_totalprice) AS DOUBLE) AS top_price
+                  FROM orders WHERE o_custkey = c_custkey)
+    ORDER BY c_custkey
+    """,
+    doc="LATERAL correlated subquery join",
+)
+def lateral_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.sql(
+        """
+        SELECT c_custkey, top_price
+        FROM customer,
+             LATERAL (SELECT CAST(MAX(o_totalprice) AS DOUBLE) AS top_price
+                      FROM orders WHERE o_custkey = c_custkey)
+        ORDER BY c_custkey
+        """
+    )
+
+
+@query(
+    "select_distinct",
+    """
+    SELECT DISTINCT c_nationkey, c_mktsegment FROM customer
+    ORDER BY c_nationkey, c_mktsegment
+    """,
+)
+def select_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        spark.table("customer")
+        .select("c_nationkey", "c_mktsegment")
+        .distinct()
+        .orderBy("c_nationkey", "c_mktsegment")
+    )
+
+
+@query(
+    "agg_approx",
+    None,  # approximate by construction (HLL / KLL sketches differ across
+    # engines) — rows-only here; accuracy vs exact counts is pinned in
+    # tests/test_relational2.py
+    doc="approx_count_distinct (HLL) + approx percentile sketches — the "
+    "approx_distinct/approx_percentile_cont surface (SURVEY §2-C aggregates)",
+)
+def agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        spark.table("lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_partkey").alias("approx_parts"),
+            F.percentile_approx("l_extendedprice", 0.5, 1000).alias("approx_median_price"),
+            F.percentile_approx("l_quantity", [0.25, 0.75], 1000).alias("qty_quartiles"),
+        )
+        .orderBy("l_returnflag")
+    )
