@@ -32,18 +32,28 @@ def exact_dedup_sql(d: str) -> str:
     """
 
 
-def _shingle_cte(d: str, n: int = 3) -> str:
+def _shingle_cte(d: str, n: int = 3, rel: str = "documents") -> str:
     sh = G.word_shingles("text", n, d)
-    return f"SELECT doc_id, {sh} AS shingles FROM documents"
+    return f"SELECT doc_id, {sh} AS shingles FROM {rel}"
 
 
-def minhash_body_sql(d: str, sh_rel: str, threshold: float) -> str:
-    """The pipeline downstream of the shingle relation ``sh_rel(doc_id,
-    shingles)``: hash-once → 16 min-hashes → 8 band keys exploded → bucket
-    self-join candidates → exact-Jaccard verification."""
-    sig_cols = G.minhash_sig_cols("hx", d)
-    sig_select = ", ".join(f"{c} AS s{k}" for k, c in enumerate(sig_cols))
-    bands = G.band_exprs([f"s{k}" for k in range(len(sig_cols))])
+def hashed_shingle_sql(d: str, rel: str = "documents") -> str:
+    """(doc_id, hx): distinct word-3-gram shingles hashed to int56 — the
+    one expensive pass (string building + md5); everything downstream is
+    integer arithmetic."""
+    return f"""
+    SELECT doc_id, {G.shingle_hashes('shingles', d)} AS hx FROM ({_shingle_cte(d, rel=rel)})
+    WHERE {G.arr_size('shingles', d)} > 0
+    """
+
+
+def minhash_body_sql(d: str, hs_rel: str, threshold: float) -> str:
+    """The pipeline downstream of the hashed-shingle relation
+    ``hs_rel(doc_id, hx)``: 16 min-hashes → 8 band keys exploded → bucket
+    self-join candidates → Jaccard verification over the hashed shingle
+    sets (identical on the oracle; hash collisions are ~2^-56)."""
+    sig_select = f"{G.minhash_sig_array('hx', d)} AS sig"
+    bands = G.band_exprs("sig", d)
     if d == "spark":
         structs = ", ".join(
             f"named_struct('band', {i}, 'bkey', {b})" for i, b in enumerate(bands)
@@ -58,12 +68,10 @@ def minhash_body_sql(d: str, sh_rel: str, threshold: float) -> str:
             f"SELECT doc_id, UNNEST(bl, recursive := true) "
             f"FROM (SELECT doc_id, [{structs}] AS bl FROM sig)"
         )
-    inter = G.arr_intersect_size("x.shingles", "y.shingles", d)
-    union = G.arr_union_size("x.shingles", "y.shingles", d)
+    inter = G.arr_intersect_size("x.hx", "y.hx", d)
+    union = G.arr_union_size("x.hx", "y.hx", d)
     return f"""
-    WITH hs AS (SELECT doc_id, {G.shingle_hashes('shingles', d)} AS hx FROM {sh_rel}
-           WHERE {G.arr_size('shingles', d)} > 0),
-    sig AS (SELECT doc_id, {sig_select} FROM hs),
+    WITH sig AS (SELECT doc_id, {sig_select} FROM {hs_rel}),
     bands AS ({band_rel}),
     cand AS (
         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
@@ -74,8 +82,8 @@ def minhash_body_sql(d: str, sh_rel: str, threshold: float) -> str:
         SELECT id_a, id_b,
                ROUND(CAST({inter} AS DOUBLE) / {union}, 6) AS jaccard
         FROM cand
-        JOIN {sh_rel} x ON x.doc_id = id_a
-        JOIN {sh_rel} y ON y.doc_id = id_b)
+        JOIN {hs_rel} x ON x.doc_id = id_a
+        JOIN {hs_rel} y ON y.doc_id = id_b)
     WHERE jaccard >= {threshold}
     ORDER BY id_a, id_b
     """
@@ -84,22 +92,32 @@ def minhash_body_sql(d: str, sh_rel: str, threshold: float) -> str:
 def minhash_lsh_sql(d: str, threshold: float = 0.6) -> str:
     """Single-statement form (the DuckDB oracle; also a valid Spark plan).
 
-    Note for Spark execution prefer :func:`minhash_lsh` below — the shingle
-    CTE is referenced 4× (two band sides + two verify sides) and Catalyst
-    inlines CTEs, recomputing it each time; the staged builder caches it.
+    Note for Spark execution prefer :func:`minhash_lsh` below — the
+    hashed-shingle CTE is referenced 4× (two band sides + two verify
+    sides) and Catalyst inlines CTEs, recomputing it each time; the
+    staged builder caches it.
     """
-    body = minhash_body_sql(d, "sh", threshold)
-    # splice the shingle CTE into the body's WITH list
-    return body.replace("WITH hs AS", f"WITH sh AS ({_shingle_cte(d)}),\n    hs AS", 1)
+    body = minhash_body_sql(d, "hs", threshold)
+    return body.replace("WITH sig AS", f"WITH hs AS ({hashed_shingle_sql(d)}),\n    sig AS", 1)
 
 
 def minhash_lsh(spark, threshold: float = 0.6):
-    """Spark-side staged execution: materialize the shingle relation once
-    (it is ~1% of the input; at 100 TB this is persist-to-disk or a
-    checkpoint), then run the band/verify pipeline over the cached view."""
-    sh = spark.sql(_shingle_cte("spark")).cache()
-    sh.createOrReplaceTempView("__minhash_sh")
-    return spark.sql(minhash_body_sql("spark", "__minhash_sh", threshold))
+    """Spark-side staged execution: materialize the hashed-shingle relation
+    once (it is ~1% of the input; at 100 TB this is persist-to-disk or a
+    checkpoint), then run the band/verify pipeline over the cached view.
+
+    The input is repartitioned first: a single small parquet file arrives
+    as ONE partition and shingling is CPU-bound — without the fan-out the
+    whole stage runs on one core (at cluster scale the input already has
+    enough splits; the repartition is then a no-op-sized shuffle)."""
+    from torchfusion_spark.session import default_parallelism
+
+    docs = spark.table("documents").repartition(default_parallelism())
+    docs.createOrReplaceTempView("__minhash_docs")
+    hs = spark.sql(hashed_shingle_sql("spark", rel="__minhash_docs")).cache()
+    hs.count()  # materialize before the self-join races both sides into the fill
+    hs.createOrReplaceTempView("__minhash_hs")
+    return spark.sql(minhash_body_sql("spark", "__minhash_hs", threshold))
 
 
 def simhash_sql(d: str, bits: int = 32, max_hamming: int = 2) -> str:

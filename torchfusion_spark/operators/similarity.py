@@ -36,15 +36,38 @@ def _norm(v: str, d: str) -> str:
     return f"sqrt({_dot(v, v, d)})"
 
 
-def cosine_topk_sql(d: str, k: int = 10, n_queries: int = 8) -> str:
+def norm_cte(d: str, rel: str = "embeddings") -> str:
+    """The shared normalized-vector relation (vec_id, v double[], nrm)."""
+    return (
+        f"SELECT vec_id, v, {_norm('v', d)} AS nrm FROM "
+        f"(SELECT vec_id, {_vec(d)} AS v FROM {rel})"
+    )
+
+
+def _staged_norms(spark):
+    """Materialize norms once for Spark execution: the relation is used on
+    both sides of every similarity join, and the source parquet is a
+    single split — repartition for CPU parallelism, cache for reuse."""
+    from torchfusion_spark.session import default_parallelism
+
+    spark.table("embeddings").repartition(default_parallelism()).createOrReplaceTempView(
+        "__sim_emb"
+    )
+    n = spark.sql(norm_cte("spark", "__sim_emb")).cache()
+    n.count()  # materialize before multi-sided reuse
+    n.createOrReplaceTempView("__sim_norms")
+    return "__sim_norms"
+
+
+def cosine_topk_sql(d: str, k: int = 10, n_queries: int = 8, rel: str | None = None) -> str:
     """Exact top-k cosine neighbors for each query vector (brute force).
 
     Spark plan: tiny query side → broadcast nested-loop against the full
     table, then per-query TopK window. No shuffle of the big side.
     """
+    n_rel = rel or f"(SELECT * FROM ({norm_cte(d)}))"
     return f"""
-    WITH v AS (SELECT vec_id, {_vec(d)} AS v FROM embeddings),
-    n AS (SELECT vec_id, v, {_norm('v', d)} AS nrm FROM v),
+    WITH n AS (SELECT * FROM {n_rel}),
     q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM n WHERE vec_id < {n_queries}),
     sims AS (
         SELECT {"/*+ BROADCAST(q) */" if d == "spark" else ""} q.q_id, c.vec_id AS cand_id,
@@ -59,11 +82,11 @@ def cosine_topk_sql(d: str, k: int = 10, n_queries: int = 8) -> str:
     """
 
 
-def cosine_near_dup_sql(d: str, threshold: float = 0.42) -> str:
+def cosine_near_dup_sql(d: str, threshold: float = 0.42, rel: str | None = None) -> str:
     """All pairs above a cosine threshold — exact O(N²/2) baseline."""
+    n_rel = rel or f"(SELECT * FROM ({norm_cte(d)}))"
     return f"""
-    WITH v AS (SELECT vec_id, {_vec(d)} AS v FROM embeddings),
-    n AS (SELECT vec_id, v, {_norm('v', d)} AS nrm FROM v)
+    WITH n AS (SELECT * FROM {n_rel})
     SELECT id_a, id_b, cosine FROM (
         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                ROUND({_dot('a.v', 'b.v', d)} / (a.nrm * b.nrm), 6) AS cosine
@@ -82,13 +105,22 @@ def lsh_bucket_expr(v: str, d: str) -> str:
     return " + ".join(terms)
 
 
-def cosine_near_dup_lsh_sql(d: str, threshold: float = 0.30) -> str:
+def cosine_near_dup_lsh_sql(d: str, threshold: float = 0.30, rel: str | None = None) -> str:
     """Near-dup pairs restricted to equal LSH bucket (the scale path);
-    same planes on both dialects, so identical candidate sets."""
+    same planes on both dialects, so identical candidate sets.
+
+    When ``rel`` is given it must already provide (vec_id, v, nrm, bucket)
+    — the staged Spark path materializes buckets once instead of
+    recomputing the 8 plane dots on both sides of the self-join."""
+    if rel:
+        n_rel = f"SELECT * FROM {rel}"
+    else:
+        n_rel = (
+            f"SELECT vec_id, v, nrm, {lsh_bucket_expr('v', d)} AS bucket "
+            f"FROM (SELECT * FROM ({norm_cte(d)}))"
+        )
     return f"""
-    WITH v AS (SELECT vec_id, {_vec(d)} AS v FROM embeddings),
-    n AS (SELECT vec_id, v, {_norm('v', d)} AS nrm,
-                 {lsh_bucket_expr('v', d)} AS bucket FROM v)
+    WITH n AS ({n_rel})
     SELECT id_a, id_b, bucket, cosine FROM (
         SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.bucket AS bucket,
                ROUND({_dot('a.v', 'b.v', d)} / (a.nrm * b.nrm), 6) AS cosine
@@ -96,3 +128,24 @@ def cosine_near_dup_lsh_sql(d: str, threshold: float = 0.30) -> str:
     WHERE cosine >= {threshold}
     ORDER BY id_a, id_b
     """
+
+
+# -- staged Spark builders (cache the shared relation once) ----------------
+
+
+def cosine_topk(spark, k: int = 10, n_queries: int = 8):
+    return spark.sql(cosine_topk_sql("spark", k, n_queries, rel=_staged_norms(spark)))
+
+
+def cosine_near_dup(spark, threshold: float = 0.42):
+    return spark.sql(cosine_near_dup_sql("spark", threshold, rel=_staged_norms(spark)))
+
+
+def cosine_near_dup_lsh(spark, threshold: float = 0.30):
+    _staged_norms(spark)
+    b = spark.sql(
+        f"SELECT vec_id, v, nrm, {lsh_bucket_expr('v', 'spark')} AS bucket FROM __sim_norms"
+    ).cache()
+    b.count()
+    b.createOrReplaceTempView("__sim_buckets")
+    return spark.sql(cosine_near_dup_lsh_sql("spark", threshold, rel="__sim_buckets"))

@@ -140,21 +140,36 @@ def shingle_hashes(shingles_expr: str, d: str) -> str:
     return transform(shingles_expr, f"s -> {hash56('s', d)} % {MINHASH_P}", d)
 
 
-def minhash_sig_cols(hashed_expr: str, d: str) -> list[str]:
-    """One min-hash per permutation k over pre-hashed shingles:
-    min of (a_k*x+b_k) mod p — pure int arithmetic, 16 passes over ints."""
-    cols = []
-    for k in range(_K):
-        a, b = MINHASH_A[k], MINHASH_B[k]
-        h = f"({a} * x + {b}) % {MINHASH_P}"
-        cols.append(arr_min(transform(hashed_expr, f"x -> {h}", d), d))
-    return cols
+def minhash_sig_array(hashed_expr: str, d: str) -> str:
+    """The K-element signature as ONE array expression.
+
+    Spark: a single ``aggregate`` fold keeping the elementwise min of the
+    K permuted hashes — compact codegen (the K-separate-columns form
+    generated a method so large the first-run JIT dominated wall-clock).
+    DuckDB (interpreted; oracle only): K passes of list_min, same values.
+    """
+    A = array_lit(MINHASH_A, d)
+    B = array_lit(MINHASH_B, d)
+    if d == "spark":
+        init = f"array_repeat(CAST({MINHASH_P} AS BIGINT), {_K})"
+        step = (
+            f"(acc, x) -> transform(acc, (m, k) -> "
+            f"least(m, (element_at({A}, k + 1) * x + element_at({B}, k + 1)) % {MINHASH_P}))"
+        )
+        return f"aggregate({hashed_expr}, {init}, {step})"
+    inner = f"list_transform({hashed_expr}, x -> ({A}[k] * x + {B}[k]) % {MINHASH_P})"
+    return f"list_transform(range(1, {_K} + 1), k -> list_aggregate({inner}, 'min'))"
 
 
-def band_exprs(sig_cols: list[str]) -> list[str]:
-    """Band keys: concat of R=2 adjacent signature mins."""
+def band_exprs(sig_expr: str, d: str) -> list[str]:
+    """Band keys: concat of R=2 adjacent signature mins (1-based element
+    access into the signature array)."""
     r = _K // _BANDS
     return [
-        "concat_ws('-', " + ", ".join(f"CAST({c} AS STRING)" for c in sig_cols[i * r : (i + 1) * r]) + ")"
+        "concat_ws('-', "
+        + ", ".join(
+            f"CAST({elem(sig_expr, i * r + j + 1, d)} AS STRING)" for j in range(r)
+        )
+        + ")"
         for i in range(_BANDS)
     ]

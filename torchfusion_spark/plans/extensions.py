@@ -44,21 +44,33 @@ _sql_pair(
     dedup.ngram_jaccard_sql,
     "char-5-gram Jaccard near-dup within (lang, length-bucket) blocks",
 )
-_sql_pair(
+@query(
     "sim_cosine_topk",
-    similarity.cosine_topk_sql,
-    "exact top-k cosine ANN baseline: broadcast queries, per-query TopK window",
+    similarity.cosine_topk_sql("duck"),
+    doc="exact top-k cosine ANN baseline: broadcast queries, per-query TopK "
+    "window; Spark side stages/caches the norm relation",
 )
-_sql_pair(
+def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.cosine_topk(spark)
+
+
+@query(
     "sim_cosine_near_dup",
-    similarity.cosine_near_dup_sql,
-    "exact all-pairs cosine near-dup (embedding-space dedup baseline)",
+    similarity.cosine_near_dup_sql("duck"),
+    doc="exact all-pairs cosine near-dup (embedding-space dedup baseline)",
 )
-_sql_pair(
+def sim_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.cosine_near_dup(spark)
+
+
+@query(
     "sim_cosine_near_dup_lsh",
-    similarity.cosine_near_dup_lsh_sql,
-    "sign-LSH (8 hyperplanes) bucketed cosine near-dup — the 100TB path",
+    similarity.cosine_near_dup_lsh_sql("duck"),
+    doc="sign-LSH (8 hyperplanes) bucketed cosine near-dup — the 100TB path; "
+    "Spark side materializes buckets once (self-join would recompute them 2×)",
 )
+def sim_cosine_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.cosine_near_dup_lsh(spark)
 _sql_pair(
     "text_quality_stats",
     textstats.text_quality_sql,
@@ -110,6 +122,68 @@ def stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from torchfusion_spark import streaming
 
     return streaming.windowed_counts(spark, sf_dir)
+
+
+@query(
+    "skew_salted_agg",
+    """
+    SELECT l_returnflag,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price,
+           COUNT(*) AS n
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    doc="salted two-phase aggregation over a hot key; oracle is the direct "
+    "aggregate — salting must be result-invariant",
+)
+def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from torchfusion_spark.operators.skew import salted_aggregate
+
+    out = salted_aggregate(
+        spark.table("lineitem"),
+        ["l_returnflag"],
+        {
+            "total_price_dec": F.sum(F.col("l_extendedprice").cast("decimal(12,2)")),
+            "n": F.count(F.lit(1)),
+        },
+        n_salts=16,
+    )
+    return out.select(
+        "l_returnflag",
+        F.col("total_price_dec").cast("double").alias("total_price"),
+        F.col("n").cast("bigint").alias("n"),
+    ).orderBy("l_returnflag")
+
+
+@query(
+    "skew_salted_join",
+    """
+    SELECT o_orderpriority,
+           COUNT(*) AS n_items,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS total_qty
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    doc="salted equi-join (big side salted, small side replicated x8); "
+    "oracle is the plain join — fan-out must be result-invariant",
+)
+def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from torchfusion_spark.operators.skew import salted_join
+
+    l = spark.table("lineitem").withColumnRenamed("l_orderkey", "okey")
+    o = spark.table("orders").withColumnRenamed("o_orderkey", "okey")
+    return (
+        salted_join(l, o, "okey", n_salts=8)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(F.col("l_quantity").cast("decimal(12,2)")).cast("double").alias("total_qty"),
+        )
+        .orderBy("o_orderpriority")
+    )
 
 
 @query(

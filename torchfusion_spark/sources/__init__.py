@@ -54,10 +54,18 @@ def load_tables(spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = TABL
     Catalyst prunes columns/filters per query, so this is scale-safe.
     Also pins the session to UTC so timestamp results are stable across
     environments (duckdb-oracle comparison requirement).
+
+    Memoized per (session, dir): every registry query calls this, and
+    re-registering identical views each time re-reads footers and
+    invalidates cached plans for nothing.
     """
+    key = (sf_dir, tables)
+    if getattr(spark, "_tf_tables_loaded", None) == key:
+        return
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     for name in tables:
         read_table(spark, sf_dir, name).createOrReplaceTempView(name)
+    spark._tf_tables_loaded = key
 
 
 def configure_s3(

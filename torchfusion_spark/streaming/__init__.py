@@ -60,6 +60,56 @@ def windowed_counts(spark: SparkSession, sf_dir: str, window: str = "10 minutes"
     return spark.table(name).orderBy("window_start", "event_type")
 
 
+def stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: per-user
+    running (n_events, total_value) maintained in explicit state — the
+    template for operators Spark's built-in aggs can't express (counters
+    with custom merge/expiry logic)."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        import pandas as pd
+
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 2)]})
+
+    out = (
+        _event_stream(spark, sf_dir)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType="user_id bigint, n_events bigint, total_value double",
+            stateStructType="n bigint, total double",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    name = "tf_stream_user_stats"
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # in update mode the memory sink may hold several emissions per key;
+    # the final state per user is the row with the max n_events
+    latest = spark.table(name)
+    from pyspark.sql import Window as W
+
+    rn = F.row_number().over(
+        W.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    )
+    return (
+        latest.withColumn("_rn", rn).filter(F.col("_rn") == 1).drop("_rn").orderBy("user_id")
+    )
+
+
 def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming exact-dedup on event_id within the watermark
     (dropDuplicatesWithinWatermark) — the streaming arm of the dedup
