@@ -48,6 +48,49 @@ def sessionize_sql(d: str) -> str:
     """
 
 
+def session_window_agg(spark: SparkSession) -> DataFrame:
+    """Per-user sessions via Spark's native ``session_window`` (the same
+    machinery Structured Streaming uses for streaming sessionization,
+    applied in batch). Window end = last event ts + gap, per Spark's
+    session-window semantics; the gaps-and-islands oracle reproduces
+    exactly that (new session when the gap is >= 30 min — session_window
+    merges windows that strictly overlap)."""
+    return (
+        spark.table("events")
+        .groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
+SESSION_WINDOW_ORACLE = f"""
+WITH gaps AS (
+    SELECT user_id, ts,
+           CASE WHEN lag(ts) OVER w IS NULL
+                     OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= {SESSION_GAP_S} * 1000000
+                THEN 1 ELSE 0 END AS new_session
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+sess AS (
+    SELECT user_id, ts,
+           SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+    FROM gaps)
+SELECT user_id, MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+       COUNT(*) AS n_events
+FROM sess GROUP BY user_id, sid
+ORDER BY user_id, session_start
+"""
+
+
 def asof_join(spark: SparkSession) -> DataFrame:
     """For each purchase event: the most recent click (ts <= purchase ts)
     by the same user. Union-tag + last(ignoreNulls) running window."""

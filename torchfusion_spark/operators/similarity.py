@@ -130,6 +130,66 @@ def cosine_near_dup_lsh_sql(d: str, threshold: float = 0.30, rel: str | None = N
     """
 
 
+def ivf_topk_sql(
+    d: str,
+    k: int = 10,
+    n_queries: int = 4,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    rel: str | None = None,
+) -> str:
+    """IVF-style approximate top-k: partition vectors into inverted lists
+    by nearest centroid, probe only the ``n_probe`` closest lists per
+    query — the scale path where brute force is O(Q×N) but IVF is
+    O(Q×N×n_probe/n_centroids).
+
+    "Training" is deterministic (centroids = the first ``n_centroids``
+    vectors) so Spark and the oracle build identical lists; at real scale
+    the centroids come from a k-means sample and the same SQL applies.
+    Similarities are rounded to 6dp with vec_id tie-breaks before every
+    ranking, so both engines pick identical lists and neighbors.
+
+    Scale shape: centroid table is tiny → both the assignment pass and the
+    probe pass are broadcast joins; the candidate join shuffles on the
+    centroid id (the inverted-list key), never all-pairs.
+    """
+    n_rel = rel or f"(SELECT * FROM ({norm_cte(d)}))"
+    hint = "/*+ BROADCAST(c) */" if d == "spark" else ""
+    qhint = "/*+ BROADCAST(q, p) */" if d == "spark" else ""
+    return f"""
+    WITH n AS (SELECT * FROM {n_rel}),
+    c AS (SELECT vec_id AS c_id, v AS cv, nrm AS cn FROM n WHERE vec_id < {n_centroids}),
+    assign AS (
+        SELECT vec_id, v, nrm, c_id FROM (
+            SELECT {hint} n.vec_id, n.v, n.nrm, c.c_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY n.vec_id
+                       ORDER BY ROUND({_dot('n.v', 'c.cv', d)} / (n.nrm * c.cn), 6) DESC, c.c_id
+                   ) AS rn
+            FROM n CROSS JOIN c) WHERE rn = 1),
+    q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM n WHERE vec_id < {n_queries}),
+    probe AS (
+        SELECT q_id, c_id FROM (
+            SELECT {hint} q.q_id, c.c_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.q_id
+                       ORDER BY ROUND({_dot('q.qv', 'c.cv', d)} / (q.qn * c.cn), 6) DESC, c.c_id
+                   ) AS rn
+            FROM q CROSS JOIN c) WHERE rn <= {n_probe}),
+    sims AS (
+        SELECT {qhint} q.q_id, a.vec_id AS cand_id,
+               ROUND({_dot('q.qv', 'a.v', d)} / (q.qn * a.nrm), 6) AS cosine
+        FROM q JOIN probe p ON q.q_id = p.q_id
+               JOIN assign a ON a.c_id = p.c_id
+        WHERE a.vec_id <> q.q_id)
+    SELECT q_id, cand_id, cosine FROM (
+        SELECT q_id, cand_id, cosine,
+               ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, cand_id) AS rk
+        FROM sims) WHERE rk <= {k}
+    ORDER BY q_id, cosine DESC, cand_id
+    """
+
+
 # -- staged Spark builders (cache the shared relation once) ----------------
 
 
@@ -139,6 +199,10 @@ def cosine_topk(spark, k: int = 10, n_queries: int = 8):
 
 def cosine_near_dup(spark, threshold: float = 0.42):
     return spark.sql(cosine_near_dup_sql("spark", threshold, rel=_staged_norms(spark)))
+
+
+def ivf_topk(spark, k: int = 10, n_queries: int = 4):
+    return spark.sql(ivf_topk_sql("spark", k, n_queries, rel=_staged_norms(spark)))
 
 
 def cosine_near_dup_lsh(spark, threshold: float = 0.30):

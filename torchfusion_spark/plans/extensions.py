@@ -71,6 +71,17 @@ def sim_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def sim_cosine_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_near_dup_lsh(spark)
+
+
+@query(
+    "sim_ivf_topk",
+    similarity.ivf_topk_sql("duck"),
+    doc="IVF-style ANN: deterministic centroids → inverted lists → probe 4 "
+    "of 16 lists per query; broadcast centroid joins, inverted-list-key "
+    "shuffle — the sub-brute-force scale path",
+)
+def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.ivf_topk(spark)
 _sql_pair(
     "text_quality_stats",
     textstats.text_quality_sql,
@@ -122,6 +133,46 @@ def stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from torchfusion_spark import streaming
 
     return streaming.windowed_counts(spark, sf_dir)
+
+
+@query(
+    "stream_dedup_counts",
+    """
+    SELECT event_type, COUNT(*) AS n
+    FROM (SELECT DISTINCT event_id, event_type FROM events)
+    GROUP BY event_type ORDER BY event_type
+    """,
+    doc="streaming exact-dedup (dropDuplicatesWithinWatermark on event_id) "
+    "then counts per type; oracle = batch distinct-then-count",
+)
+def stream_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from torchfusion_spark import streaming
+
+    return streaming.stream_dedup(spark, sf_dir)
+
+
+@query(
+    "stream_stateful_user_stats",
+    None,  # custom state machine (applyInPandasWithState) — float totals
+    # accumulate in python-visit order, not SQL-expressible bit-exactly;
+    # batch parity (with tolerance) is pinned in tests/test_streaming.py
+    doc="custom stateful streaming operator via applyInPandasWithState: "
+    "per-user running (n_events, total_value) in explicit group state",
+)
+def stream_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from torchfusion_spark import streaming
+
+    return streaming.stateful_user_stats(spark, sf_dir)
+
+
+@query(
+    "events_session_window",
+    events_ops.SESSION_WINDOW_ORACLE,
+    doc="native session_window(ts, 30 min) batch aggregation — the same "
+    "operator streaming sessionization uses; oracle = gaps-and-islands",
+)
+def events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return events_ops.session_window_agg(spark)
 
 
 @query(

@@ -434,3 +434,40 @@ def fn_struct_map(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("o_orderkey")
         .limit(200)
     )
+
+
+@query(
+    "fn_bitwise",
+    """
+    SELECT l_orderkey, l_linenumber,
+           l_partkey & l_suppkey AS b_and,
+           l_partkey | l_suppkey AS b_or,
+           xor(l_partkey, l_suppkey) AS b_xor,
+           ~l_partkey AS b_not,
+           CAST(bit_count(l_partkey) AS INTEGER) AS pop,
+           l_linenumber << 3 AS shl,
+           l_partkey >> 2 AS shr
+    FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 200
+    """,
+    doc="bitwise scalar family: & | ^(xor) ~ bit_count shiftleft/shiftright "
+    "(dialect note: DuckDB spells xor as a function; shifts are operators "
+    "there and shiftleft/shiftright functions in Spark)",
+)
+def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = spark.table("lineitem")
+    pk, sk, ln = F.col("l_partkey"), F.col("l_suppkey"), F.col("l_linenumber")
+    return (
+        li.select(
+            "l_orderkey",
+            "l_linenumber",
+            pk.bitwiseAND(sk).alias("b_and"),
+            pk.bitwiseOR(sk).alias("b_or"),
+            pk.bitwiseXOR(sk).alias("b_xor"),
+            F.expr("~l_partkey").alias("b_not"),
+            F.bit_count(pk).alias("pop"),
+            F.shiftleft(ln, 3).alias("shl"),
+            F.shiftright(pk, 2).alias("shr"),
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+        .limit(200)
+    )

@@ -300,3 +300,53 @@ def agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@query(
+    "agg_bitwise",
+    """
+    SELECT l_returnflag,
+           CAST(bit_and(l_linenumber) AS BIGINT) AS lines_and,
+           CAST(bit_or(l_linenumber) AS BIGINT) AS lines_or,
+           CAST(bit_xor(l_partkey) AS BIGINT) AS parts_xor
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    doc="bitwise aggregates bit_and/bit_or/bit_xor (SURVEY §2-C aggregate "
+    "family) — decomposable, so partial/final two-phase applies as usual",
+)
+def agg_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        spark.table("lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.bit_and("l_linenumber").cast("bigint").alias("lines_and"),
+            F.bit_or("l_linenumber").cast("bigint").alias("lines_or"),
+            F.bit_xor("l_partkey").cast("bigint").alias("parts_xor"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "agg_any_count_if",
+    """
+    SELECT o_orderpriority,
+           CAST(count_if(o_totalprice > 100000) AS BIGINT) AS n_big,
+           CAST(count_if(o_orderstatus = 'F') AS BIGINT) AS n_finished,
+           any_value(substr(o_orderpriority, 1, 1)) AS prio_digit
+    FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    doc="count_if + any_value (deterministic here: the any_value argument "
+    "is constant within each group, the only scale-safe way to use it)",
+)
+def agg_any_count_if(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = spark.table("orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.count_if(F.col("o_totalprice") > 100000).cast("bigint").alias("n_big"),
+            F.count_if(F.col("o_orderstatus") == "F").cast("bigint").alias("n_finished"),
+            F.any_value(F.substring("o_orderpriority", 1, 1)).alias("prio_digit"),
+        )
+        .orderBy("o_orderpriority")
+    )
