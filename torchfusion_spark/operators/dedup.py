@@ -33,18 +33,29 @@ def exact_dedup_sql(d: str) -> str:
 
 
 def _shingle_cte(d: str, n: int = 3, rel: str = "documents") -> str:
-    sh = G.word_shingles("text", n, d)
-    return f"SELECT doc_id, {sh} AS shingles FROM {rel}"
+    """(doc_id, shingles) for docs with >= n words.
+
+    The empty-doc guard is on the TOKEN count, not on the shingle array:
+    ``size(shingles) > 0`` would be pushed below the projection with the
+    full shingle expression substituted in, running the whole shingling
+    pass a second time (and, after a repartition, on the unfanned side of
+    the exchange). ``size(toks) >= n`` is equivalent and pushes a cheap
+    split() instead — measured 10× on the shingle stage."""
+    toks = G.split_ws("lower(text)", d)
+    sh = G.shingles_from_tokens("toks", n, d)
+    return (
+        f"SELECT doc_id, {sh} AS shingles "
+        f"FROM (SELECT doc_id, {toks} AS toks FROM {rel}) "
+        f"WHERE {G.arr_size('toks', d)} >= {n}"
+    )
 
 
 def hashed_shingle_sql(d: str, rel: str = "documents") -> str:
     """(doc_id, hx): distinct word-3-gram shingles hashed to int56 — the
     one expensive pass (string building + md5); everything downstream is
-    integer arithmetic."""
-    return f"""
-    SELECT doc_id, {G.shingle_hashes('shingles', d)} AS hx FROM ({_shingle_cte(d, rel=rel)})
-    WHERE {G.arr_size('shingles', d)} > 0
-    """
+    integer arithmetic. The empty-doc guard lives in the shingle CTE (see
+    its docstring for why it must not test the shingle array)."""
+    return f"SELECT doc_id, {G.shingle_hashes('shingles', d)} AS hx FROM ({_shingle_cte(d, rel=rel)})"
 
 
 def minhash_body_sql(d: str, hs_rel: str, threshold: float) -> str:
@@ -69,7 +80,6 @@ def minhash_body_sql(d: str, hs_rel: str, threshold: float) -> str:
             f"FROM (SELECT doc_id, [{structs}] AS bl FROM sig)"
         )
     inter = G.arr_intersect_size("x.hx", "y.hx", d)
-    union = G.arr_union_size("x.hx", "y.hx", d)
     return f"""
     WITH sig AS (SELECT doc_id, {sig_select} FROM {hs_rel}),
     bands AS ({band_rel}),
@@ -79,11 +89,13 @@ def minhash_body_sql(d: str, hs_rel: str, threshold: float) -> str:
           ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
     )
     SELECT id_a, id_b, jaccard FROM (
-        SELECT id_a, id_b,
-               ROUND(CAST({inter} AS DOUBLE) / {union}, 6) AS jaccard
-        FROM cand
-        JOIN {hs_rel} x ON x.doc_id = id_a
-        JOIN {hs_rel} y ON y.doc_id = id_b)
+        SELECT id_a, id_b, ROUND(CAST(ins AS DOUBLE) / (nx + ny - ins), 6) AS jaccard
+        FROM (
+            SELECT id_a, id_b, {inter} AS ins,
+                   {G.arr_size('x.hx', d)} AS nx, {G.arr_size('y.hx', d)} AS ny
+            FROM cand
+            JOIN {hs_rel} x ON x.doc_id = id_a
+            JOIN {hs_rel} y ON y.doc_id = id_b))
     WHERE jaccard >= {threshold}
     ORDER BY id_a, id_b
     """
@@ -120,9 +132,21 @@ def minhash_lsh(spark, threshold: float = 0.6):
     return spark.sql(minhash_body_sql("spark", "__minhash_hs", threshold))
 
 
-def simhash_sql(d: str, bits: int = 32, max_hamming: int = 2) -> str:
-    """32-bit SimHash per doc + near-dup pairs via 8-bit band collision
-    and Hamming verification."""
+def _staged_docs(spark):
+    """Fan the documents table out to full parallelism once; a single
+    small parquet file arrives as ONE split and every dedup signature
+    pass is CPU-bound (at cluster scale the input already has enough
+    splits and this shuffle is a no-op-sized rebalance)."""
+    from torchfusion_spark.session import default_parallelism
+
+    spark.table("documents").repartition(default_parallelism()).createOrReplaceTempView(
+        "__dedup_docs"
+    )
+    return "__dedup_docs"
+
+
+def simhash_sig_sql(d: str, rel: str = "documents", bits: int = 32) -> str:
+    """s(doc_id, simhash): majority-vote sign bits over per-token hashes."""
     toks = G.arr_distinct(G.split_ws("lower(text)", d), d)
     hashes = G.transform("toks", f"t -> {G.hash56('t', d)}", d)
     bit_terms = []
@@ -130,39 +154,102 @@ def simhash_sql(d: str, bits: int = 32, max_hamming: int = 2) -> str:
         ones = G.arr_size(G.afilter("hashes", f"h -> ({G.shr('h', str(b), d)} & 1) = 1", d), d)
         bit_terms.append(f"(CASE WHEN 2 * {ones} > n THEN CAST({1 << b} AS BIGINT) ELSE 0 END)")
     simhash = " + ".join(bit_terms)
+    return f"""
+    SELECT doc_id, {simhash} AS simhash FROM (
+        SELECT doc_id, {hashes} AS hashes, {G.arr_size('toks', d)} AS n
+        FROM (SELECT doc_id, {toks} AS toks FROM {rel}))
+    WHERE n > 0
+    """
+
+
+def simhash_body_sql(d: str, s_rel: str, bits: int = 32, max_hamming: int = 2) -> str:
+    """Near-dup pairs from the signature relation: 8-bit band collision
+    candidates, Hamming-distance verification."""
     ham = f"bit_count({G.xor('a.simhash', 'b.simhash', d)})"
     band_match = " OR ".join(
         f"(({G.shr('a.simhash', str(8 * i), d)} & 255) = ({G.shr('b.simhash', str(8 * i), d)} & 255))"
         for i in range(bits // 8)
     )
     return f"""
-    WITH t AS (SELECT doc_id, {toks} AS toks FROM documents),
-    h AS (SELECT doc_id, {hashes} AS hashes, {G.arr_size('toks', d)} AS n FROM t),
-    s AS (SELECT doc_id, {simhash} AS simhash FROM h WHERE n > 0)
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
            CAST({ham} AS INT) AS hamming
-    FROM s a JOIN s b ON a.doc_id < b.doc_id AND ({band_match})
+    FROM {s_rel} a JOIN {s_rel} b ON a.doc_id < b.doc_id AND ({band_match})
     WHERE {ham} <= {max_hamming}
+    ORDER BY id_a, id_b
+    """
+
+
+def simhash_sql(d: str, bits: int = 32, max_hamming: int = 2) -> str:
+    """Single-statement form (the DuckDB oracle; also a valid Spark plan —
+    but prefer :func:`simhash` below: the signature CTE sits on both sides
+    of the self-join and Catalyst recomputes inlined CTEs)."""
+    return (
+        f"WITH s AS ({simhash_sig_sql(d, bits=bits)})\n"
+        + simhash_body_sql(d, "s", bits, max_hamming)
+    )
+
+
+def simhash(spark, bits: int = 32, max_hamming: int = 2):
+    """Staged Spark execution: signatures computed once over the fanned-out
+    input (the CPU-heavy pass), cached, then the banded self-join runs
+    over the 12-byte-per-doc signature relation."""
+    s = spark.sql(simhash_sig_sql("spark", rel=_staged_docs(spark), bits=bits)).cache()
+    s.count()
+    s.createOrReplaceTempView("__simhash_sig")
+    return spark.sql(simhash_body_sql("spark", "__simhash_sig", bits, max_hamming))
+
+
+def ngram_blocks_sql(d: str, rel: str = "documents", n: int = 5) -> str:
+    """g(doc_id, lang, len_bucket, gs): char-n-gram shingle sets with the
+    (lang, length-bucket) blocking keys that bound the quadratic join.
+
+    Shingles are hashed to int56 (same portable md5 prefix as minhash):
+    the O(pairs × set-size) intersect/union verify compares 8-byte ints
+    instead of 5-char strings, and both dialects hash identically so the
+    oracle still matches exactly (collisions ~2^-56)."""
+    gs = G.shingle_hashes(G.char_shingles_from("s", n, d), d)
+    idiv = "div" if d == "spark" else "//"
+    return f"""
+    SELECT doc_id, lang, n_chars {idiv} 64 AS len_bucket, {gs} AS gs
+    FROM (SELECT doc_id, lang, n_chars, lower(text) AS s FROM {rel})
+    """
+
+
+def ngram_body_sql(d: str, g_rel: str, threshold: float) -> str:
+    """Verify join, with two prunings that don't change the result:
+
+    * size-ratio prefilter: J(A,B) <= min|A|,|B| / max|A|,|B| for distinct
+      sets, so pairs whose set sizes differ by more than the threshold
+      ratio can't pass — evaluated on two ints BEFORE the O(set-size)
+      intersect, killing most of the quadratic block;
+    * |union| = |a| + |b| - |inter| — one hash-set build per pair, not
+      two, and the intersect is computed once in the inner select."""
+    inter = G.arr_intersect_size("a.gs", "b.gs", d)
+    return f"""
+    WITH gn AS (SELECT doc_id, lang, len_bucket, gs, {G.arr_size('gs', d)} AS n FROM {g_rel})
+    SELECT id_a, id_b, jaccard FROM (
+        SELECT id_a, id_b, ROUND(CAST(ins AS DOUBLE) / (na + nb - ins), 6) AS jaccard FROM (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, {inter} AS ins,
+                   a.n AS na, b.n AS nb
+            FROM gn a JOIN gn b
+              ON a.lang = b.lang AND a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id
+             AND least(a.n, b.n) >= {threshold} * greatest(a.n, b.n)))
+    WHERE jaccard >= {threshold}
     ORDER BY id_a, id_b
     """
 
 
 def ngram_jaccard_sql(d: str, n: int = 5, threshold: float = 0.7) -> str:
     """Character-n-gram Jaccard near-dup within (lang, length-bucket)
-    blocks — the bounded quadratic verifier."""
-    gs = G.char_shingles("text", n, d)
-    idiv = "div" if d == "spark" else "//"
-    inter = G.arr_intersect_size("a.gs", "b.gs", d)
-    union = G.arr_union_size("a.gs", "b.gs", d)
-    return f"""
-    WITH g AS (
-        SELECT doc_id, lang, n_chars {idiv} 64 AS len_bucket, {gs} AS gs
-        FROM documents)
-    SELECT id_a, id_b, jaccard FROM (
-        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-               ROUND(CAST({inter} AS DOUBLE) / {union}, 6) AS jaccard
-        FROM g a JOIN g b
-          ON a.lang = b.lang AND a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id)
-    WHERE jaccard >= {threshold}
-    ORDER BY id_a, id_b
-    """
+    blocks — the bounded quadratic verifier. Single-statement form; for
+    Spark prefer :func:`ngram_jaccard` (shingle sets cached once, not
+    recomputed per join side)."""
+    body = ngram_body_sql(d, "g", threshold)
+    return body.replace("WITH gn AS", f"WITH g AS ({ngram_blocks_sql(d, n=n)}),\n    gn AS", 1)
+
+
+def ngram_jaccard(spark, n: int = 5, threshold: float = 0.7):
+    g = spark.sql(ngram_blocks_sql("spark", rel=_staged_docs(spark), n=n)).cache()
+    g.count()
+    g.createOrReplaceTempView("__ngram_blocks")
+    return spark.sql(ngram_body_sql("spark", "__ngram_blocks", threshold))

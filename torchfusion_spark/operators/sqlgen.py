@@ -120,19 +120,22 @@ def regex_count(expr: str, pattern: str, d: str) -> str:
     return f"len(regexp_extract_all({expr}, '{pattern}'))"
 
 
-def word_shingles(text_expr: str, n: int, d: str) -> str:
-    """Distinct word n-gram shingles of lowercased text."""
-    toks = split_ws(f"lower({text_expr})", d)
-    n_sh = f"greatest({arr_size(toks, d)} - {n - 1}, 0)"
-    gram = arr_join(arr_slice(toks, "i", n, d), " ", d)
+def shingles_from_tokens(toks_col: str, n: int, d: str) -> str:
+    """Distinct word n-gram shingles over a PRE-STAGED token-array column.
+
+    The token array must be hoisted into its own projection by the caller:
+    an inline ``split(...)`` here would sit inside the transform lambda and
+    be re-evaluated once per shingle position — O(words²) per document."""
+    n_sh = f"greatest({arr_size(toks_col, d)} - {n - 1}, 0)"
+    gram = arr_join(arr_slice(toks_col, "i", n, d), " ", d)
     return arr_distinct(transform(seq("1", n_sh, d), f"i -> {gram}", d), d)
 
 
-def char_shingles(text_expr: str, n: int, d: str) -> str:
-    """Distinct character n-gram shingles of lowercased text."""
-    s = f"lower({text_expr})"
-    n_sh = f"greatest(length({s}) - {n - 1}, 0)"
-    return arr_distinct(transform(seq("1", n_sh, d), f"i -> substr({s}, i, {n})", d), d)
+def char_shingles_from(s_col: str, n: int, d: str) -> str:
+    """Distinct character n-gram shingles over a PRE-STAGED lowercased
+    string column (hoisted for the same per-lambda-element reason)."""
+    n_sh = f"greatest(length({s_col}) - {n - 1}, 0)"
+    return arr_distinct(transform(seq("1", n_sh, d), f"i -> substr({s_col}, i, {n})", d), d)
 
 
 def shingle_hashes(shingles_expr: str, d: str) -> str:

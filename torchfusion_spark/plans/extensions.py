@@ -34,16 +34,24 @@ _sql_pair(
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_lsh(spark)
-_sql_pair(
+@query(
     "dedup_simhash",
-    dedup.simhash_sql,
-    "32-bit SimHash signatures; banded candidates + Hamming<=2 pairs",
+    dedup.simhash_sql("duck"),
+    doc="32-bit SimHash signatures; banded candidates + Hamming<=2 pairs; "
+    "Spark side caches the signature relation across the self-join",
 )
-_sql_pair(
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash(spark)
+
+
+@query(
     "dedup_ngram_jaccard",
-    dedup.ngram_jaccard_sql,
-    "char-5-gram Jaccard near-dup within (lang, length-bucket) blocks",
+    dedup.ngram_jaccard_sql("duck"),
+    doc="char-5-gram Jaccard near-dup within (lang, length-bucket) blocks; "
+    "Spark side caches the shingle-set relation across the self-join",
 )
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.ngram_jaccard(spark)
 @query(
     "sim_cosine_topk",
     similarity.cosine_topk_sql("duck"),
