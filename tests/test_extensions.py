@@ -156,3 +156,13 @@ def test_streaming_windowed_counts_match_batch(spark, tables):
     g = got.sort_values(["window_start", "event_type"]).reset_index(drop=True)
     b = batch.sort_values(["window_start", "event_type"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(g, b, check_dtype=False)
+
+
+def test_connected_components_known_graph(spark):
+    from torchfusion_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6), (8, 9), (9, 10), (3, 4)], "id_a bigint, id_b bigint"
+    )
+    got = {r.doc_id: r.component for r in connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 5, 8: 8, 9: 8, 10: 8}

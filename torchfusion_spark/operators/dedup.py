@@ -253,3 +253,77 @@ def ngram_jaccard(spark, n: int = 5, threshold: float = 0.7):
     g.count()
     g.createOrReplaceTempView("__ngram_blocks")
     return spark.sql(ngram_body_sql("spark", "__ngram_blocks", threshold))
+
+
+# -- duplicate clusters: connected components over near-dup pairs ----------
+
+
+def connected_components(pairs, max_iter: int = 25):
+    """(id_a, id_b) near-dup pairs → (doc_id, component) where component
+    is the minimum doc_id reachable through the pair graph.
+
+    Iterative min-label propagation on DataFrames: each round joins the
+    current labels across the (symmetrized) edge set and keeps the
+    elementwise min. Rounds needed = graph diameter (near-dup clusters
+    are shallow; 25 caps pathological chains). ``localCheckpoint``
+    truncates the lineage each round — without it the plan doubles per
+    iteration and Catalyst re-analysis dominates at ~10 rounds. At
+    cluster scale swap for ``checkpoint`` on durable storage and the
+    large-star/small-star variant if components get deep.
+    """
+    from pyspark.sql import functions as F
+
+    fwd = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    edges = fwd.union(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    edges = edges.distinct().localCheckpoint()
+    labels = (
+        edges.select(F.col("src").alias("node")).distinct().withColumn("comp", F.col("node"))
+    ).localCheckpoint()
+    for _ in range(max_iter):
+        nbr = (
+            edges.join(
+                labels.select(F.col("node").alias("dst"), F.col("comp").alias("dcomp")), "dst"
+            )
+            .groupBy("src")
+            .agg(F.min("dcomp").alias("ncomp"))
+            .select(F.col("src").alias("node"), "ncomp")
+        )
+        new_labels = labels.join(nbr, "node", "left").select(
+            "node", F.least(F.col("comp"), F.coalesce(F.col("ncomp"), F.col("comp"))).alias("comp")
+        ).localCheckpoint()
+        changed = (
+            new_labels.select(F.col("node"), F.col("comp").alias("ncomp2"))
+            .join(labels, "node")
+            .filter(F.col("ncomp2") != F.col("comp"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias("doc_id"), F.col("comp").alias("component")).orderBy(
+        "doc_id"
+    )
+
+
+def minhash_clusters(spark, threshold: float = 0.6):
+    """MinHash-LSH pairs → duplicate clusters (the canonical corpus-dedup
+    output: keep one doc per component)."""
+    return connected_components(minhash_lsh(spark, threshold))
+
+
+def minhash_clusters_oracle_sql(d_unused: str = "duck", threshold: float = 0.6) -> str:
+    """DuckDB oracle: transitive closure via recursive CTE (min reachable
+    label per node) over the same pair relation."""
+    return f"""
+    WITH RECURSIVE pairs AS ({minhash_lsh_sql("duck", threshold)}),
+    edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION
+        SELECT id_b, id_a FROM pairs),
+    reach(node, lab) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.src, r.lab FROM edges e JOIN reach r ON e.dst = r.node)
+    SELECT node AS doc_id, MIN(lab) AS component FROM reach
+    GROUP BY node ORDER BY doc_id
+    """

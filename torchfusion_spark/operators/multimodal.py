@@ -75,6 +75,95 @@ def features_query(spark: SparkSession) -> DataFrame:
     return extract_features(attach_payload(spark)).orderBy("doc_id")
 
 
+FRAME_SCHEMA = "doc_id bigint, frame_idx int, frame_offset int, frame_sum int"
+FRAME_BYTES = 32
+FRAME_EVERY = 4  # sample every 4th frame
+
+
+def sample_frames(df: DataFrame) -> DataFrame:
+    """Frame-sampling plumbing (video stand-in): the payload is a stream
+    of fixed-size frames; emit every ``FRAME_EVERY``-th frame's metadata.
+    One input row fans out to N output rows — the mapInPandas shape real
+    video frame extraction uses (decoder would replace the byte slicing)."""
+    step = FRAME_BYTES * FRAME_EVERY
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {k: [] for k in ("doc_id", "frame_idx", "frame_offset", "frame_sum")}
+            for did, b in zip(pdf["doc_id"], pdf["payload"]):
+                for idx, off in enumerate(range(0, len(b), step)):
+                    rows["doc_id"].append(did)
+                    rows["frame_idx"].append(idx)
+                    rows["frame_offset"].append(off)
+                    rows["frame_sum"].append(sum(b[off : off + FRAME_BYTES]) % 65536)
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(op, schema=FRAME_SCHEMA)
+
+
+def frames_query(spark: SparkSession) -> DataFrame:
+    return sample_frames(attach_payload(spark)).orderBy("doc_id", "frame_idx")
+
+
+# Oracle: same frame slicing straight off the text (ASCII ⇒ byte == char code).
+FRAMES_ORACLE = f"""
+WITH f AS (
+    SELECT doc_id, text, length(text) AS n,
+           unnest(range(0, (length(text) + {FRAME_BYTES * FRAME_EVERY} - 1) // {FRAME_BYTES * FRAME_EVERY})) AS i
+    FROM documents)
+SELECT doc_id, CAST(i AS INT) AS frame_idx,
+       CAST(i * {FRAME_BYTES * FRAME_EVERY} AS INT) AS frame_offset,
+       CAST(list_reduce(
+           list_prepend(CAST(0 AS BIGINT),
+               list_transform(
+                   range(i * {FRAME_BYTES * FRAME_EVERY} + 1,
+                         least(i * {FRAME_BYTES * FRAME_EVERY} + {FRAME_BYTES}, n) + 1),
+                   j -> CAST(unicode(substr(text, CAST(j AS INT), 1)) AS BIGINT))),
+           (a, x) -> a + x) % 65536 AS INT) AS frame_sum
+FROM f ORDER BY doc_id, frame_idx
+"""
+
+
+THUMB_WIDTH = 16
+RESIZE_SCHEMA = "doc_id bigint, thumb array<int>"
+
+
+def byte_thumbnail(df: DataFrame) -> DataFrame:
+    """Resize plumbing (image stand-in): downsample the payload to a
+    fixed-width vector by stride sampling — the decode→resize→features
+    UDF shape with the codec call stubbed to byte arithmetic."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            thumbs = []
+            for b in pdf["payload"]:
+                n = len(b)
+                if n == 0:
+                    thumbs.append([])
+                    continue
+                stride = -(-n // THUMB_WIDTH)
+                thumbs.append([b[j * stride] for j in range(THUMB_WIDTH) if j * stride < n])
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "thumb": thumbs})
+
+    return df.mapInPandas(op, schema=RESIZE_SCHEMA)
+
+
+def thumbnail_query(spark: SparkSession) -> DataFrame:
+    return byte_thumbnail(attach_payload(spark)).orderBy("doc_id")
+
+
+RESIZE_ORACLE = f"""
+SELECT doc_id,
+       list_transform(
+           list_filter(range(0, {THUMB_WIDTH}),
+                       j -> j * ((length(text) + {THUMB_WIDTH - 1}) // {THUMB_WIDTH}) < length(text)),
+           j -> CAST(unicode(substr(text,
+                    CAST(j * ((length(text) + {THUMB_WIDTH - 1}) // {THUMB_WIDTH}) + 1 AS INT),
+                    1)) AS INT)) AS thumb
+FROM documents ORDER BY doc_id
+"""
+
+
 # DuckDB oracle: reproduces the byte-level features straight from the text
 # (payload is its utf-8 encoding; the corpus is ASCII so char code = byte).
 FEATURES_ORACLE = """

@@ -128,6 +128,26 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_frame_sample",
+    multimodal.FRAMES_ORACLE,
+    doc="frame sampling over binary payloads: 1→N fan-out mapInPandas (the "
+    "video frame-extraction shape; decoder stubbed to byte slicing)",
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return multimodal.frames_query(spark)
+
+
+@query(
+    "multimodal_resize",
+    multimodal.RESIZE_ORACLE,
+    doc="decode→resize stub: stride-downsample payload to a fixed-width "
+    "int vector via mapInPandas (image thumbnail shape, codec stubbed)",
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return multimodal.thumbnail_query(spark)
+
+
+@query(
     "stream_windowed_counts",
     """
     SELECT make_timestamp((epoch_us(ts) // 600000000) * 600000000) AS window_start,
@@ -157,6 +177,38 @@ def stream_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from torchfusion_spark import streaming
 
     return streaming.stream_dedup(spark, sf_dir)
+
+
+@query(
+    "stream_sliding_counts",
+    """
+    WITH w AS (
+        SELECT event_type,
+               unnest([(epoch_us(ts) // 300000000) * 300000000,
+                       (epoch_us(ts) // 300000000) * 300000000 - 300000000]) AS ws
+        FROM events)
+    SELECT make_timestamp(ws) AS window_start, event_type, COUNT(*) AS n
+    FROM w GROUP BY 1, 2 ORDER BY window_start, event_type
+    """,
+    doc="Structured Streaming sliding-window counts (10 min window / 5 min "
+    "slide — each event in 2 windows); oracle enumerates both window "
+    "starts per event",
+)
+def stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from torchfusion_spark import streaming
+
+    return streaming.sliding_counts(spark, sf_dir)
+
+
+@query(
+    "dedup_minhash_clusters",
+    dedup.minhash_clusters_oracle_sql(),
+    doc="near-dup pairs → duplicate clusters: iterative min-label "
+    "propagation (connected components) on DataFrames with per-round "
+    "lineage checkpoints; oracle = recursive-CTE transitive closure",
+)
+def dedup_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.minhash_clusters(spark)
 
 
 @query(

@@ -60,6 +60,30 @@ def windowed_counts(spark: SparkSession, sf_dir: str, window: str = "10 minutes"
     return spark.table(name).orderBy("window_start", "event_type")
 
 
+def sliding_counts(
+    spark: SparkSession, sf_dir: str, window: str = "10 minutes", slide: str = "5 minutes"
+) -> DataFrame:
+    """Sliding-window counts (each event lands in window/slide = 2
+    overlapping windows) — the hopping-window streaming aggregation."""
+    agg = (
+        _event_stream(spark, sf_dir)
+        .withWatermark("ts", "30 minutes")
+        .groupBy(F.window("ts", window, slide).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n")
+    )
+    name = "tf_stream_sliding_counts"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).orderBy("window_start", "event_type")
+
+
 def stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful operator via applyInPandasWithState: per-user
     running (n_events, total_value) maintained in explicit state — the
