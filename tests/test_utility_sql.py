@@ -103,3 +103,24 @@ def test_approx_aggregates_accuracy(spark, tables):
         a = approx[r.l_returnflag]
         assert abs(a.approx_parts - r.exact_parts) / r.exact_parts < 0.1
         assert abs(a.approx_median - r.exact_median) / r.exact_median < 0.05
+
+
+def test_plan_shape_broadcast_and_pruning(spark, tables):
+    """The 100TB plan-shape contract on a TPC-H join: dimension sides
+    broadcast (no fact shuffle before aggregation) and the fact scan
+    reads only referenced columns."""
+    from torchfusion_spark.plans import REGISTRY
+
+    import io
+    from contextlib import redirect_stdout
+
+    df = REGISTRY["q5_local_supplier_volume"].builder(spark, tables)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan  # at this SF every dim fits the threshold
+    # column pruning: no scan reads columns the query never references
+    scan_lines = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert scan_lines and all("l_tax" not in l for l in scan_lines)
