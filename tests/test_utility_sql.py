@@ -124,3 +124,48 @@ def test_plan_shape_broadcast_and_pruning(spark, tables):
     # column pruning: no scan reads columns the query never references
     scan_lines = [l for l in plan.splitlines() if "ReadSchema" in l]
     assert scan_lines and all("l_tax" not in l for l in scan_lines)
+
+
+def test_bucketed_join_colocated_no_shuffle(spark, tables):
+    """Bucketing contract for the 100TB co-located join: two tables
+    bucketed on the join key sort-merge-join with NO Exchange on either
+    side (broadcast disabled to force the merge path)."""
+    import io
+    from contextlib import redirect_stdout
+
+    spark.sql("DROP TABLE IF EXISTS li_bucketed")
+    spark.sql("DROP TABLE IF EXISTS o_bucketed")
+    (
+        spark.table("lineitem")
+        .select("l_orderkey", "l_quantity")
+        .write.bucketBy(8, "l_orderkey")
+        .sortBy("l_orderkey")
+        .mode("overwrite")
+        .saveAsTable("li_bucketed")
+    )
+    (
+        spark.table("orders")
+        .select("o_orderkey", "o_orderpriority")
+        .write.bucketBy(8, "o_orderkey")
+        .sortBy("o_orderkey")
+        .mode("overwrite")
+        .saveAsTable("o_bucketed")
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        j = spark.table("li_bucketed").join(
+            spark.table("o_bucketed"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            j.explain("formatted")
+        plan = buf.getvalue()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan
+        assert j.count() == spark.table("lineitem").count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS li_bucketed")
+        spark.sql("DROP TABLE IF EXISTS o_bucketed")

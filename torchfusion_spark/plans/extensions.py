@@ -305,3 +305,20 @@ def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events_ops.asof_join(spark)
+
+
+@query(
+    "stream_static_join",
+    """
+    SELECT c_mktsegment, event_type, COUNT(*) AS n
+    FROM events JOIN customer ON user_id = c_custkey
+    GROUP BY c_mktsegment, event_type ORDER BY c_mktsegment, event_type
+    """,
+    doc="stream-static join: event stream enriched against the customer "
+    "dimension per micro-batch, then windowless global agg; oracle = "
+    "the batch join",
+)
+def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from torchfusion_spark import streaming
+
+    return streaming.enriched_counts(spark, sf_dir)

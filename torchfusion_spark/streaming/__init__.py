@@ -155,3 +155,29 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(name).orderBy("event_type")
+
+
+def enriched_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: the event stream enriched against the static
+    customer dimension (the canonical streaming-enrichment shape — the
+    static side is re-read per micro-batch and broadcast by Catalyst),
+    then aggregated per (segment, event_type)."""
+    dim = spark.table("customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    agg = (
+        _event_stream(spark, sf_dir)
+        .join(dim, "user_id")
+        .groupBy("c_mktsegment", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    name = "tf_stream_enriched_counts"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).orderBy("c_mktsegment", "event_type")
