@@ -30,8 +30,15 @@ def attach_payload(spark: SparkSession) -> DataFrame:
     """documents → (doc_id, payload binary, meta struct<mime, n_bytes>).
 
     The multimodal table shape: payload is an opaque binary column (here
-    utf-8 bytes standing in for image/audio), metadata is typed."""
-    d = spark.table("documents")
+    utf-8 bytes standing in for image/audio), metadata is typed.
+
+    Fanned out to full parallelism first: the local documents parquet is
+    one split, and every downstream op here is per-row Python work — the
+    one case where a single-partition input serializes the whole job (at
+    cluster scale the input has enough splits; this becomes a rebalance)."""
+    from torchfusion_spark.session import default_parallelism
+
+    d = spark.table("documents").repartition(default_parallelism())
     payload = F.encode(F.col("text"), "utf-8")
     return d.select(
         "doc_id",

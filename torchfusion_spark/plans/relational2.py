@@ -350,3 +350,22 @@ def agg_any_count_if(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@query(
+    "join_right_outer",
+    """
+    SELECT o_orderkey, c_name
+    FROM orders RIGHT JOIN customer ON o_custkey = c_custkey AND o_totalprice > 400000
+    ORDER BY c_name, o_orderkey NULLS LAST
+    """,
+    doc="right outer join (with a join-side residual predicate) preserving "
+    "customers without qualifying orders",
+)
+def join_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o, c = spark.table("orders"), spark.table("customer")
+    return (
+        o.join(c, (o.o_custkey == c.c_custkey) & (o.o_totalprice > 400000), "right")
+        .select("o_orderkey", "c_name")
+        .orderBy(F.col("c_name"), F.col("o_orderkey").asc_nulls_last())
+    )
