@@ -50,11 +50,23 @@ def main() -> None:
 
     spark = session(app_name="torchfusion_bench")
 
-    # warm the JVM + parquet footers once so timings measure the queries
+    # Warm the JVM once so timings measure the queries, not first-query
+    # JIT: parquet footers, then one tiny query through each hot codegen
+    # path (decimal aggregate, broadcast join, window) over LIMITed rows.
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
     from torchfusion_spark.sources import load_tables
 
     load_tables(spark, sf_dir)
-    spark.table("lineitem").count()
+    li = spark.table("lineitem").limit(10_000)
+    (
+        li.join(spark.table("orders").limit(1_000), F.expr("l_orderkey = o_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(F.sum(F.col("l_extendedprice").cast("decimal(12,2)")).alias("s"))
+        .withColumn("r", F.row_number().over(Window.orderBy("l_returnflag")))
+        .count()
+    )
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -57,3 +57,15 @@ def test_like_filter_on_settings(engine):
         "SELECT name FROM information_schema.df_settings WHERE name LIKE 'torchfusion.b%'"
     ).collect()
     assert [r.name for r in rows] == ["torchfusion.batch_size"]
+
+
+def test_external_table_ddl_reference_form(engine):
+    """The reference's exact table DDL (src/lib.rs:148-150) runs through
+    the front door on Hive-less Spark."""
+    engine.sql(
+        "CREATE EXTERNAL TABLE ext_emb STORED AS PARQUET "
+        "LOCATION '/root/testdata/sf0.001/embeddings.parquet'"
+    )
+    n = engine.sql("SELECT count(*) AS n FROM ext_emb").collect()[0].n
+    assert n > 0
+    engine.spark.catalog.dropTempView("ext_emb")

@@ -50,6 +50,15 @@ _SET_TORCH_RE = re.compile(
     re.IGNORECASE,
 )
 
+# The reference's table DDL (src/lib.rs:148-150, README.md:42). Spark
+# without Hive support rejects STORED AS; translate to USING <format>.
+_EXTERNAL_TABLE_RE = re.compile(
+    r"^\s*CREATE\s+(?:OR\s+REPLACE\s+)?EXTERNAL\s+TABLE\s+(?P<name>[A-Za-z_]\w*)\s+"
+    r"STORED\s+AS\s+(?P<fmt>\w+)\s+"
+    r"LOCATION\s+(?P<loc>'[^']*')\s*;?\s*$",
+    re.IGNORECASE,
+)
+
 _DF_SETTINGS_RE = re.compile(r"information_schema\.df_settings", re.IGNORECASE)
 
 
@@ -131,6 +140,12 @@ class Engine:
         m = _SET_TORCH_RE.match(text)
         if m:
             return self._set_torch_option(m)
+        m = _EXTERNAL_TABLE_RE.match(text)
+        if m:
+            return self.spark.sql(
+                f"CREATE OR REPLACE TEMPORARY VIEW {m.group('name')} "
+                f"USING {m.group('fmt').lower()} OPTIONS (path {m.group('loc')})"
+            )
         if _DF_SETTINGS_RE.search(text):
             self.settings().createOrReplaceTempView("df_settings")
             text = _DF_SETTINGS_RE.sub("df_settings", text)

@@ -58,31 +58,37 @@ def hashed_shingle_sql(d: str, rel: str = "documents") -> str:
     return f"SELECT doc_id, {G.shingle_hashes('shingles', d)} AS hx FROM ({_shingle_cte(d, rel=rel)})"
 
 
-def minhash_body_sql(d: str, hs_rel: str, threshold: float) -> str:
-    """The pipeline downstream of the hashed-shingle relation
-    ``hs_rel(doc_id, hx)``: 16 min-hashes → 8 band keys exploded → bucket
+def sig_rel_sql(d: str, hs_rel: str) -> str:
+    """(doc_id, hx, sig): hashed shingles plus the 16-perm MinHash
+    signature in one relation — signature fold computed exactly once
+    when this relation is materialized (the band self-join references it
+    on both sides, which would otherwise inline and recompute the fold)."""
+    return f"SELECT doc_id, hx, {G.minhash_sig_array('hx', d)} AS sig FROM {hs_rel}"
+
+
+def minhash_body_sql(d: str, sig_rel: str, threshold: float) -> str:
+    """The pipeline downstream of the signature relation
+    ``sig_rel(doc_id, hx, sig)``: 8 band keys exploded → bucket
     self-join candidates → Jaccard verification over the hashed shingle
     sets (identical on the oracle; hash collisions are ~2^-56)."""
-    sig_select = f"{G.minhash_sig_array('hx', d)} AS sig"
     bands = G.band_exprs("sig", d)
     if d == "spark":
         structs = ", ".join(
             f"named_struct('band', {i}, 'bkey', {b})" for i, b in enumerate(bands)
         )
         band_rel = (
-            f"SELECT doc_id, band, bkey FROM sig "
+            f"SELECT doc_id, band, bkey FROM {sig_rel} "
             f"LATERAL VIEW inline(array({structs})) AS band, bkey"
         )
     else:
         structs = ", ".join("{'band': %d, 'bkey': %s}" % (i, b) for i, b in enumerate(bands))
         band_rel = (
             f"SELECT doc_id, UNNEST(bl, recursive := true) "
-            f"FROM (SELECT doc_id, [{structs}] AS bl FROM sig)"
+            f"FROM (SELECT doc_id, [{structs}] AS bl FROM {sig_rel})"
         )
     inter = G.arr_intersect_size("x.hx", "y.hx", d)
     return f"""
-    WITH sig AS (SELECT doc_id, {sig_select} FROM {hs_rel}),
-    bands AS ({band_rel}),
+    WITH bands AS ({band_rel}),
     cand AS (
         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
         FROM bands a JOIN bands b
@@ -94,8 +100,8 @@ def minhash_body_sql(d: str, hs_rel: str, threshold: float) -> str:
             SELECT id_a, id_b, {inter} AS ins,
                    {G.arr_size('x.hx', d)} AS nx, {G.arr_size('y.hx', d)} AS ny
             FROM cand
-            JOIN {hs_rel} x ON x.doc_id = id_a
-            JOIN {hs_rel} y ON y.doc_id = id_b))
+            JOIN {sig_rel} x ON x.doc_id = id_a
+            JOIN {sig_rel} y ON y.doc_id = id_b))
     WHERE jaccard >= {threshold}
     ORDER BY id_a, id_b
     """
@@ -105,18 +111,25 @@ def minhash_lsh_sql(d: str, threshold: float = 0.6) -> str:
     """Single-statement form (the DuckDB oracle; also a valid Spark plan).
 
     Note for Spark execution prefer :func:`minhash_lsh` below — the
-    hashed-shingle CTE is referenced 4× (two band sides + two verify
-    sides) and Catalyst inlines CTEs, recomputing it each time; the
-    staged builder caches it.
-    """
-    body = minhash_body_sql(d, "hs", threshold)
-    return body.replace("WITH sig AS", f"WITH hs AS ({hashed_shingle_sql(d)}),\n    sig AS", 1)
+    signature CTE is referenced on both band sides and both verify sides,
+    and Catalyst inlines CTEs, recomputing it each time; the staged
+    builder caches it."""
+    body = minhash_body_sql(d, "s", threshold)
+    return body.replace(
+        "WITH bands AS",
+        f"WITH hs AS ({hashed_shingle_sql(d)}),\n"
+        f"    s AS ({sig_rel_sql(d, 'hs')}),\n    bands AS",
+        1,
+    )
 
 
 def minhash_lsh(spark, threshold: float = 0.6):
-    """Spark-side staged execution: materialize the hashed-shingle relation
-    once (it is ~1% of the input; at 100 TB this is persist-to-disk or a
-    checkpoint), then run the band/verify pipeline over the cached view.
+    """Spark-side staged execution: materialize the signature relation
+    (doc_id, hx, sig) ONCE (it is ~1% of the input; at 100 TB this is
+    persist-to-disk or a checkpoint), then run the band/verify pipeline
+    over the cached view — the shingle pass, the md5 pass and the 16-perm
+    fold each run exactly once regardless of how many times the self-join
+    references the relation.
 
     The input is repartitioned first: a single small parquet file arrives
     as ONE partition and shingling is CPU-bound — without the fan-out the
@@ -126,10 +139,12 @@ def minhash_lsh(spark, threshold: float = 0.6):
 
     docs = spark.table("documents").repartition(default_parallelism())
     docs.createOrReplaceTempView("__minhash_docs")
-    hs = spark.sql(hashed_shingle_sql("spark", rel="__minhash_docs")).cache()
-    hs.count()  # materialize before the self-join races both sides into the fill
-    hs.createOrReplaceTempView("__minhash_hs")
-    return spark.sql(minhash_body_sql("spark", "__minhash_hs", threshold))
+    sig = spark.sql(
+        sig_rel_sql("spark", f"({hashed_shingle_sql('spark', rel='__minhash_docs')})")
+    ).cache()
+    sig.count()  # materialize before the self-join races both sides into the fill
+    sig.createOrReplaceTempView("__minhash_sig")
+    return spark.sql(minhash_body_sql("spark", "__minhash_sig", threshold))
 
 
 def _staged_docs(spark):
