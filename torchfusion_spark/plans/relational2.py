@@ -369,3 +369,206 @@ def join_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_orderkey", "c_name")
         .orderBy(F.col("c_name"), F.col("o_orderkey").asc_nulls_last())
     )
+
+
+@query(
+    "q2_min_cost_supplier",
+    """
+    WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+    SELECT p_partkey, s_name, CAST(s_acctbal AS DOUBLE) AS s_acctbal
+    FROM part, ps, supplier, nation, region
+    WHERE p_partkey = ps.l_partkey AND s_suppkey = ps.l_suppkey
+      AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      AND r_name = 'EUROPE' AND p_size = 15
+      AND s_acctbal = (
+          SELECT MIN(s2.s_acctbal)
+          FROM ps ps2, supplier s2, nation n2, region r2
+          WHERE ps2.l_partkey = p_partkey AND s2.s_suppkey = ps2.l_suppkey
+            AND s2.s_nationkey = n2.n_nationkey AND n2.n_regionkey = r2.r_regionkey
+            AND r2.r_name = 'EUROPE')
+    ORDER BY p_partkey, s_name
+    """,
+    doc="TPC-H Q2 shape (adapted: lineitem as the part-supplier link, "
+    "min-acctbal for min-supplycost): correlated scalar subquery over a "
+    "multi-join, decorrelated by Catalyst into an aggregated self-join",
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.sql(
+        """
+        WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+        SELECT p_partkey, s_name, CAST(s_acctbal AS DOUBLE) AS s_acctbal
+        FROM part, ps, supplier, nation, region
+        WHERE p_partkey = ps.l_partkey AND s_suppkey = ps.l_suppkey
+          AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+          AND r_name = 'EUROPE' AND p_size = 15
+          AND s_acctbal = (
+              SELECT MIN(s2.s_acctbal)
+              FROM ps ps2, supplier s2, nation n2, region r2
+              WHERE ps2.l_partkey = p_partkey AND s2.s_suppkey = ps2.l_suppkey
+                AND s2.s_nationkey = n2.n_nationkey AND n2.n_regionkey = r2.r_regionkey
+                AND r2.r_name = 'EUROPE')
+        ORDER BY p_partkey, s_name
+        """
+    )
+
+
+@query(
+    "q7_volume_shipping",
+    """
+    SELECT supp_nation, cust_nation, l_year,
+           CAST(SUM(volume) AS DOUBLE) AS revenue
+    FROM (
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               EXTRACT(YEAR FROM l_shipdate) AS l_year,
+               CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2))) AS volume
+        FROM supplier, lineitem, orders, customer, nation n1, nation n2
+        WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+          AND c_custkey = o_custkey AND s_nationkey = n1.n_nationkey
+          AND c_nationkey = n2.n_nationkey
+          AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+            OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')))
+    GROUP BY supp_nation, cust_nation, l_year
+    ORDER BY supp_nation, cust_nation, l_year
+    """,
+    doc="TPC-H Q7 shape: 6-way join with disjunctive nation-pair predicate, "
+    "year extraction, decimal-exact volume aggregation",
+)
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.sql(
+        """
+        SELECT supp_nation, cust_nation, l_year,
+               CAST(SUM(volume) AS DOUBLE) AS revenue
+        FROM (
+            SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                   EXTRACT(YEAR FROM l_shipdate) AS l_year,
+                   CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2))) AS volume
+            FROM supplier, lineitem, orders, customer, nation n1, nation n2
+            WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+              AND c_custkey = o_custkey AND s_nationkey = n1.n_nationkey
+              AND c_nationkey = n2.n_nationkey
+              AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+                OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')))
+        GROUP BY supp_nation, cust_nation, l_year
+        ORDER BY supp_nation, cust_nation, l_year
+        """
+    )
+
+
+@query(
+    "q12_priority_by_status",
+    """
+    SELECT l_linestatus,
+           SUM(CASE WHEN o_orderpriority = '1-URGENT' OR o_orderpriority = '2-HIGH'
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           SUM(CASE WHEN o_orderpriority <> '1-URGENT' AND o_orderpriority <> '2-HIGH'
+                    THEN 1 ELSE 0 END) AS low_line_count
+    FROM orders, lineitem
+    WHERE o_orderkey = l_orderkey AND l_quantity > 30
+    GROUP BY l_linestatus ORDER BY l_linestatus
+    """,
+    doc="TPC-H Q12 shape (adapted: no l_shipmode in the driver schema — "
+    "l_linestatus groups): join + conditional CASE aggregation",
+)
+def q12_priority_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        spark.table("orders")
+        .join(spark.table("lineitem"), F.expr("o_orderkey = l_orderkey"))
+        .filter(F.col("l_quantity") > 30)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+@query(
+    "q21_waiting_supplier",
+    """
+    SELECT s_name, COUNT(*) AS numwait
+    FROM supplier, lineitem l1, orders, nation
+    WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+      AND o_orderstatus = 'F' AND s_nationkey = n_nationkey
+      AND n_name = 'NATION_3'
+      AND l1.l_returnflag = 'R'
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_returnflag = 'R')
+    GROUP BY s_name ORDER BY numwait DESC, s_name
+    """,
+    doc="TPC-H Q21 shape (adapted: returnflag for the late-delivery flag): "
+    "EXISTS + NOT EXISTS self-joins on the fact decorrelated to "
+    "left-semi + left-anti",
+)
+def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.sql(
+        """
+        SELECT s_name, COUNT(*) AS numwait
+        FROM supplier, lineitem l1, orders, nation
+        WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+          AND o_orderstatus = 'F' AND s_nationkey = n_nationkey
+          AND n_name = 'NATION_3'
+          AND l1.l_returnflag = 'R'
+          AND EXISTS (SELECT 1 FROM lineitem l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                          WHERE l3.l_orderkey = l1.l_orderkey
+                            AND l3.l_suppkey <> l1.l_suppkey
+                            AND l3.l_returnflag = 'R')
+        GROUP BY s_name ORDER BY numwait DESC, s_name
+        """
+    )
+
+
+@query(
+    "events_rollup_two_level",
+    """
+    WITH minute_agg AS (
+        SELECT make_timestamp((epoch_us(ts) // 60000000) * 60000000) AS minute_start,
+               event_type, COUNT(*) AS n,
+               SUM(CAST(ROUND(value * 100) AS BIGINT)) AS value_cents
+        FROM events GROUP BY 1, 2)
+    SELECT make_timestamp((epoch_us(minute_start) // 3600000000) * 3600000000) AS hour_start,
+           event_type, SUM(n) AS n,
+           CAST(SUM(value_cents) AS DOUBLE) / 100 AS total_value
+    FROM minute_agg
+    GROUP BY 1, 2 ORDER BY hour_start, event_type
+    """,
+    doc="hypertable-style two-level rollup: hourly aggregate computed FROM "
+    "the per-minute partial aggregates (sum-of-sums/sum-of-counts) — the "
+    "incremental continuous-aggregate pattern; integer cents for exactness",
+)
+def events_rollup_two_level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    minute = (
+        spark.table("events")
+        .groupBy(
+            F.timestamp_micros((F.unix_micros("ts") / 60_000_000).cast("bigint") * 60_000_000).alias(
+                "minute_start"
+            ),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("value_cents"),
+        )
+    )
+    return (
+        minute.groupBy(
+            F.timestamp_micros(
+                (F.unix_micros("minute_start") / 3_600_000_000).cast("bigint") * 3_600_000_000
+            ).alias("hour_start"),
+            "event_type",
+        )
+        .agg(
+            F.sum("n").alias("n"),
+            (F.sum("value_cents").cast("double") / 100).alias("total_value"),
+        )
+        .orderBy("hour_start", "event_type")
+    )
