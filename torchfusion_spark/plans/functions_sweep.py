@@ -471,3 +471,79 @@ def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("l_orderkey", "l_linenumber")
         .limit(200)
     )
+
+
+@query(
+    "fn_string_extras",
+    """
+    SELECT c_custkey,
+           translate(c_mktsegment, 'AEIOU', 'aeiou') AS trans,
+           substr(c_name, 1, 1) || 'XX' || substr(c_name, 4) AS overlaid,
+           array_to_string(list_transform(string_split(lower(c_mktsegment), ' '),
+                w -> upper(substr(w, 1, 1)) || substr(w, 2)), ' ') AS capped,
+           ascii(c_mktsegment) AS first_code,
+           chr(CAST(65 + c_custkey % 26 AS INT)) AS letter,
+           to_hex(c_custkey) AS hexkey,
+           CAST(list_position(string_split('BUILDING,AUTOMOBILE,MACHINERY,HOUSEHOLD,FURNITURE', ','),
+                c_mktsegment) AS INT) AS seg_pos,
+           trim(c_name, 'Cr0123456789') AS trimmed_chars
+    FROM customer ORDER BY c_custkey LIMIT 100
+    """,
+    doc="string extras: translate / overlay / initcap / ascii / chr / hex / "
+    "find_in_set / btrim — DuckDB lacks overlay, initcap, find_in_set and "
+    "btrim by those names, so the oracle uses composition equivalents "
+    "(which is itself evidence the Spark names compute what they claim)",
+)
+def fn_string_extras(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = spark.table("customer")
+    return (
+        c.select(
+            "c_custkey",
+            F.translate("c_mktsegment", "AEIOU", "aeiou").alias("trans"),
+            F.overlay(F.col("c_name"), F.lit("XX"), F.lit(2)).alias("overlaid"),
+            F.initcap(F.lower("c_mktsegment")).alias("capped"),
+            F.ascii("c_mktsegment").alias("first_code"),
+            F.chr((F.lit(65) + F.col("c_custkey") % 26).cast("bigint")).alias("letter"),
+            F.hex("c_custkey").alias("hexkey"),
+            F.expr(
+                "find_in_set(c_mktsegment, 'BUILDING,AUTOMOBILE,MACHINERY,HOUSEHOLD,FURNITURE')"
+            ).cast("int").alias("seg_pos"),
+            F.btrim(F.col("c_name"), F.lit("Cr0123456789")).alias("trimmed_chars"),
+        )
+        .orderBy("c_custkey")
+        .limit(100)
+    )
+
+
+@query(
+    "fn_datetime_construct",
+    """
+    SELECT o_orderkey,
+           make_date(2024, 1 + CAST(o_orderkey % 12 AS INT), 1 + CAST(o_orderkey % 28 AS INT)) AS made,
+           make_timestamp(epoch_us(o_orderdate)) AS from_unix_us,
+           CAST(epoch_us(o_orderdate) / 1000000 AS BIGINT) AS unix_sec,
+           last_day(CAST(o_orderdate AS DATE)) AS month_end,
+           CAST(date_part('week', o_orderdate) AS INT) AS week_no
+    FROM orders ORDER BY o_orderkey LIMIT 100
+    """,
+    doc="datetime construction family: make_date, epoch↔timestamp "
+    "round-trip, unix seconds, last_day, ISO week",
+)
+def fn_datetime_construct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = spark.table("orders")
+    return (
+        o.select(
+            "o_orderkey",
+            F.make_date(
+                F.lit(2024),
+                (F.lit(1) + F.col("o_orderkey") % 12).cast("int"),
+                (F.lit(1) + F.col("o_orderkey") % 28).cast("int"),
+            ).alias("made"),
+            F.timestamp_micros(F.unix_micros(F.col("o_orderdate").cast("timestamp"))).alias("from_unix_us"),
+            (F.unix_micros(F.col("o_orderdate").cast("timestamp")) / 1_000_000).cast("bigint").alias("unix_sec"),
+            F.last_day("o_orderdate").alias("month_end"),
+            F.weekofyear("o_orderdate").cast("int").alias("week_no"),
+        )
+        .orderBy("o_orderkey")
+        .limit(100)
+    )
