@@ -169,3 +169,28 @@ def test_bucketed_join_colocated_no_shuffle(spark, tables):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.sql("DROP TABLE IF EXISTS li_bucketed")
         spark.sql("DROP TABLE IF EXISTS o_bucketed")
+
+
+def test_partitioning_control_api(spark, tables):
+    """repartition / repartitionByRange / coalesce / sortWithinPartitions —
+    the explicit partitioning-control surface used by the scale-path
+    operators (values unchanged, partitioning observable)."""
+    li = spark.table("lineitem").select("l_orderkey", "l_quantity")
+    n = li.count()
+    by_key = li.repartition(8, "l_orderkey")
+    assert by_key.rdd.getNumPartitions() == 8
+    assert by_key.count() == n
+    ranged = li.repartitionByRange(4, "l_orderkey")
+    assert ranged.rdd.getNumPartitions() == 4
+    co = ranged.coalesce(2)
+    assert co.rdd.getNumPartitions() == 2
+    swp = by_key.sortWithinPartitions("l_orderkey")
+    # each partition individually sorted
+    def check(it):
+        prev = None
+        for row in it:
+            assert prev is None or row.l_orderkey >= prev
+            prev = row.l_orderkey
+        return iter([])
+    swp.rdd.mapPartitions(lambda it: check(it)).count()
+    assert swp.count() == n
