@@ -572,3 +572,28 @@ def events_rollup_two_level(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("hour_start", "event_type")
     )
+
+
+@query(
+    "win_range_interval_frame",
+    """
+    SELECT user_id, event_id,
+           SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER (
+               PARTITION BY user_id ORDER BY ts
+               RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW) AS hour_cents
+    FROM events ORDER BY user_id, event_id
+    """,
+    doc="time-interval RANGE frame: per-user trailing 1-hour rolling sum "
+    "over event time (the time-series moving aggregate; RANGE peers make "
+    "equal timestamps order-independent, cents keep the sum exact)",
+)
+def win_range_interval_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.sql(
+        """
+        SELECT user_id, event_id,
+               SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER (
+                   PARTITION BY user_id ORDER BY ts
+                   RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW) AS hour_cents
+        FROM events ORDER BY user_id, event_id
+        """
+    )
