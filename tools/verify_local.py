@@ -1,19 +1,30 @@
-"""Local stand-in for the driver's correctness gate.
+"""Local stand-in for the driver's correctness gate — driver-faithful.
 
 Runs every REGISTRY query on Spark and its DuckDB oracle on the same
-parquet, then compares: row count, column-name set, and values after
-sorting columns by name and rows lexicographically. Exact match is the
-goal (the driver hashes values); float mismatches are reported with
-max-abs-delta so rounding discipline can be fixed per query.
+parquet, then compares exactly the way the driver's hash does:
 
-Usage: python tools/verify_local.py [sf_dir] [query ...]
+  1. reindex columns sorted by name,
+  2. sort rows lexicographically on the stringified frame,
+  3. compare the *serialized string values* cell-by-cell — NO numeric
+     fallback.  ``42`` (BIGINT) vs ``42.0`` (DOUBLE) is a FAIL here, just
+     as it hash-mismatches at the driver (round-1 lesson: the old
+     ``pd.to_numeric`` delta==0 fallback masked exactly that class).
+
+It also refuses complex-typed output columns (list/dict/ndarray values):
+the driver's pandas canonicalizer crashes on them ("unhashable type"),
+so locally they are a hard FAIL with a distinct message.
+
+A numeric max-abs-delta is still *printed* on failing float columns, but
+purely as a diagnostic after the failure is recorded.
+
+Usage: python tools/verify_local.py [sf_dir] [query ...] [--trace]
 """
 
 from __future__ import annotations
 
-import math
 import os
 import sys
+import time
 import traceback
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -31,16 +42,24 @@ def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
     return con
 
 
-def normalize(df: pd.DataFrame) -> pd.DataFrame:
-    df = df.reindex(sorted(df.columns), axis=1)
-    # lists/arrays → tuples so they sort/compare
+_COMPLEX = (list, dict, set, tuple)
+
+
+def complex_columns(df: pd.DataFrame) -> list[str]:
+    """Columns holding values the driver's canonicalizer cannot sort/hash."""
+    bad = []
     for c in df.columns:
-        if df[c].map(lambda v: isinstance(v, (list, tuple)) or hasattr(v, "__len__") and not isinstance(v, str), na_action="ignore").any():
-            if df[c].dtype == object:
-                df[c] = df[c].map(
-                    lambda v: tuple(v) if isinstance(v, (list, tuple)) or str(type(v)).find("ndarray") >= 0 else v,
-                    na_action="ignore",
-                )
+        col = df[c].dropna()
+        if len(col) and col.map(
+            lambda v: isinstance(v, _COMPLEX) or type(v).__name__ == "ndarray"
+        ).any():
+            bad.append(c)
+    return bad
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    """Mirror the driver's _canon: sorted columns, rows sorted on str form."""
+    df = df.reindex(sorted(df.columns), axis=1)
     key = df.astype(str)
     order = key.sort_values(by=list(df.columns)).index
     return df.loc[order].reset_index(drop=True)
@@ -51,38 +70,48 @@ def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[
     if len(spark_pdf) != len(duck_pdf):
         problems.append(f"rowcount spark={len(spark_pdf)} duck={len(duck_pdf)}")
     if sorted(spark_pdf.columns) != sorted(duck_pdf.columns):
-        problems.append(f"columns spark={sorted(spark_pdf.columns)} duck={sorted(duck_pdf.columns)}")
+        problems.append(
+            f"columns spark={sorted(spark_pdf.columns)} duck={sorted(duck_pdf.columns)}"
+        )
     if problems:
         return problems
-    s, d = normalize(spark_pdf), normalize(duck_pdf)
+    bad = complex_columns(spark_pdf) + [
+        c for c in complex_columns(duck_pdf) if c not in complex_columns(spark_pdf)
+    ]
+    if bad:
+        return [
+            f"complex-typed column(s) {bad} would crash the driver canonicalizer "
+            "(unhashable type) — serialize with to_json/array_join on both dialects"
+        ]
+    s, d = canon(spark_pdf), canon(duck_pdf)
     for c in s.columns:
-        sv, dv = s[c], d[c]
-        try:
-            eq = (sv.astype(str) == dv.astype(str)).all()
-        except Exception:
-            eq = False
-        if eq:
+        sv, dv = s[c].astype(str), d[c].astype(str)
+        if (sv == dv).all():
             continue
-        try:
-            sn = pd.to_numeric(sv, errors="raise")
-            dn = pd.to_numeric(dv, errors="raise")
-            both_nan = sn.isna() & dn.isna()
-            delta = (sn - dn).abs()
-            delta = delta.mask(both_nan, 0).fillna(math.inf)
-            mx = float(delta.max())
-            if mx == 0:
-                continue
-            problems.append(f"col {c}: max_abs_delta={mx:.3e}")
-        except Exception:
-            mism = (sv.astype(str) != dv.astype(str))
-            i = int(mism.idxmax())
-            problems.append(f"col {c}: value mismatch e.g. row {i}: {sv[i]!r} vs {dv[i]!r}")
+        mism = sv != dv
+        i = int(mism.idxmax())
+        msg = f"col {c}: serialized mismatch e.g. row {i}: {sv[i]!r} vs {dv[i]!r}"
+        if str(s[c].dtype) != str(d[c].dtype):
+            msg += f" (dtype spark={s[c].dtype} duck={d[c].dtype})"
+        else:
+            # diagnostic only — the failure above stands regardless
+            try:
+                delta = (
+                    (pd.to_numeric(s[c], errors="raise") - pd.to_numeric(d[c], errors="raise"))
+                    .abs()
+                    .max()
+                )
+                msg += f" (diag max_abs_delta={float(delta):.3e})"
+            except Exception:
+                pass
+        problems.append(msg)
     return problems
 
 
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    only = {a for a in sys.argv[2:] if not a.startswith("--")}
+    timed = "--time" in sys.argv
 
     from torchfusion_spark.plans import REGISTRY
     from torchfusion_spark.session import session
@@ -91,16 +120,23 @@ def main() -> int:
     con = duck_connection(sf_dir)
 
     passed, rows_only, failed = [], [], []
+    timings: dict[str, float] = {}
     for name, q in sorted(REGISTRY.items()):
         if only and name not in only:
             continue
+        t0 = time.monotonic()
         try:
             sdf = q.builder(spark, sf_dir)
             spdf = sdf.toPandas()
             if q.oracle is None:
-                assert len(spdf) >= 0
-                rows_only.append(name)
-                print(f"ROWS-ONLY {name}: {len(spdf)} rows")
+                bad = complex_columns(spdf)
+                if bad:
+                    failed.append(name)
+                    print(f"FAIL {name}: rows-only but complex-typed column(s) {bad}")
+                else:
+                    rows_only.append(name)
+                    print(f"ROWS-ONLY {name}: {len(spdf)} rows")
+                timings[name] = time.monotonic() - t0
                 continue
             dpdf = con.execute(q.oracle).df()
             problems = compare(name, spdf, dpdf)
@@ -115,9 +151,15 @@ def main() -> int:
             print(f"ERROR {name}: {type(e).__name__}: {str(e)[:300]}")
             if "--trace" in sys.argv:
                 traceback.print_exc()
+        timings[name] = time.monotonic() - t0
     print(f"\n== {len(passed)} passed, {len(rows_only)} rows-only, {len(failed)} failed ==")
     if failed:
         print("failed:", " ".join(failed))
+    if timed:
+        print("\nslowest queries:")
+        for n, t in sorted(timings.items(), key=lambda kv: -kv[1])[:25]:
+            print(f"  {t:7.2f}s  {n}")
+        print(f"  total: {sum(timings.values()):.1f}s over {len(timings)} queries")
     return 1 if failed else 0
 
 

@@ -132,7 +132,9 @@ FROM f ORDER BY doc_id, frame_idx
 
 
 THUMB_WIDTH = 16
-RESIZE_SCHEMA = "doc_id bigint, thumb array<int>"
+# thumb serialized to a csv string: the driver's canonicalizer can't hash
+# list cells, and a 16-int vector survives the round-trip losslessly
+RESIZE_SCHEMA = "doc_id bigint, thumb string"
 
 
 def byte_thumbnail(df: DataFrame) -> DataFrame:
@@ -146,10 +148,12 @@ def byte_thumbnail(df: DataFrame) -> DataFrame:
             for b in pdf["payload"]:
                 n = len(b)
                 if n == 0:
-                    thumbs.append([])
+                    thumbs.append("")
                     continue
                 stride = -(-n // THUMB_WIDTH)
-                thumbs.append([b[j * stride] for j in range(THUMB_WIDTH) if j * stride < n])
+                thumbs.append(
+                    ",".join(str(b[j * stride]) for j in range(THUMB_WIDTH) if j * stride < n)
+                )
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "thumb": thumbs})
 
     return df.mapInPandas(op, schema=RESIZE_SCHEMA)
@@ -161,12 +165,12 @@ def thumbnail_query(spark: SparkSession) -> DataFrame:
 
 RESIZE_ORACLE = f"""
 SELECT doc_id,
-       list_transform(
+       COALESCE(array_to_string(list_transform(
            list_filter(range(0, {THUMB_WIDTH}),
                        j -> j * ((length(text) + {THUMB_WIDTH - 1}) // {THUMB_WIDTH}) < length(text)),
            j -> CAST(unicode(substr(text,
                     CAST(j * ((length(text) + {THUMB_WIDTH - 1}) // {THUMB_WIDTH}) + 1 AS INT),
-                    1)) AS INT)) AS thumb
+                    1)) AS INT)), ','), '') AS thumb
 FROM documents ORDER BY doc_id
 """
 

@@ -102,8 +102,8 @@ def fn_string_regex_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT l_orderkey, l_linenumber,
            ABS(l_quantity - 25) AS dist25,
-           CEIL(l_discount * 100) AS ceil_disc,
-           FLOOR(l_tax * 100) AS floor_tax,
+           CAST(CEIL(l_discount * 100) AS BIGINT) AS ceil_disc,
+           CAST(FLOOR(l_tax * 100) AS BIGINT) AS floor_tax,
            ROUND(l_extendedprice / 1000, 2) AS price_k,
            CAST(SQRT(l_quantity) AS DOUBLE) AS sqrt_qty,
            ROUND(EXP(l_discount), 8) AS exp_disc,
@@ -111,7 +111,7 @@ def fn_string_regex_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(LOG10(l_extendedprice), 8) AS log10_price,
            ROUND(POWER(l_quantity, 2), 4) AS qty_sq,
            MOD(CAST(l_orderkey AS BIGINT), 7) AS mod7,
-           SIGN(l_quantity - 25) AS sgn,
+           CAST(SIGN(l_quantity - 25) AS DOUBLE) AS sgn,
            GREATEST(l_discount, l_tax) AS worse_rate,
            LEAST(l_discount, l_tax) AS better_rate,
            ROUND(SIN(l_discount), 8) AS sin_d,
@@ -296,13 +296,15 @@ def fn_cast_try_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
            embedding[64] AS last_val,
            list_aggregate(embedding, 'max') AS vmax,
            list_aggregate(embedding, 'min') AS vmin,
-           embedding[1:3] AS head3,
+           embedding[1:3][2] AS head3_mid,
+           embedding[1:3][3] AS head3_end,
            list_contains(embedding, embedding[3]) AS has_third,
            list_position(embedding, embedding[5]) AS pos5
     FROM embeddings ORDER BY vec_id LIMIT 200
     """,
     doc="array family: size/element_at/slice/min/max/contains/position "
-    "(duckdb list_* ↔ Spark array_*; float restructuring is bitwise-safe)",
+    "(duckdb list_* ↔ Spark array_*; float restructuring is bitwise-safe; "
+    "slice witnessed via its elements — list cells crash the driver canon)",
 )
 def fn_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = spark.table("embeddings")
@@ -314,7 +316,8 @@ def fn_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.element_at("embedding", 64).alias("last_val"),
             F.array_max("embedding").alias("vmax"),
             F.array_min("embedding").alias("vmin"),
-            F.slice("embedding", 1, 3).alias("head3"),
+            F.element_at(F.slice("embedding", 1, 3), 2).alias("head3_mid"),
+            F.element_at(F.slice("embedding", 1, 3), 3).alias("head3_end"),
             F.array_contains("embedding", F.element_at("embedding", 3)).alias("has_third"),
             F.array_position("embedding", F.element_at("embedding", 5))
             .cast("int")
@@ -329,29 +332,35 @@ def fn_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     "fn_array_higher_order",
     """
     SELECT l_orderkey, l_linenumber,
-           range(1, CAST(l_linenumber AS BIGINT) + 1) AS seq,
-           list_transform(range(1, CAST(l_linenumber AS BIGINT) + 1), x -> x * x) AS squares,
-           list_filter(range(1, CAST(l_linenumber AS BIGINT) + 1), x -> x % 2 = 0) AS evens,
+           array_to_string(range(1, CAST(l_linenumber AS BIGINT) + 1), ',') AS seq,
+           array_to_string(list_transform(range(1, CAST(l_linenumber AS BIGINT) + 1), x -> x * x), ',') AS squares,
+           COALESCE(array_to_string(list_filter(range(1, CAST(l_linenumber AS BIGINT) + 1), x -> x % 2 = 0), ','), '') AS evens,
            list_reduce(list_prepend(CAST(0 AS BIGINT), range(1, CAST(l_linenumber AS BIGINT) + 1)), (acc, x) -> acc + x) AS total,
-           list_reverse(range(1, CAST(l_linenumber AS BIGINT) + 1)) AS rev,
+           array_to_string(list_reverse(range(1, CAST(l_linenumber AS BIGINT) + 1)), ',') AS rev,
            list_contains(range(1, CAST(l_linenumber AS BIGINT) + 1), 3) AS has3
     FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 300
     """,
     doc="higher-order functions: transform/filter/aggregate/reverse over sequence "
-    "(Spark transform/filter/aggregate ↔ duckdb list_transform/list_filter/list_reduce)",
+    "(Spark transform/filter/aggregate ↔ duckdb list_transform/list_filter/list_reduce); "
+    "arrays serialized to csv strings — list cells crash the driver canonicalizer "
+    "(DuckDB array_to_string(NULL-on-empty) needs the COALESCE; Spark array_join gives '')",
 )
 def fn_array_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = spark.table("lineitem")
     seq = F.sequence(F.lit(1).cast("bigint"), F.col("l_linenumber").cast("bigint"))
+
+    def joined(arr):
+        return F.array_join(F.transform(arr, lambda x: x.cast("string")), ",")
+
     return (
         l.select(
             "l_orderkey",
             "l_linenumber",
-            seq.alias("seq"),
-            F.transform(seq, lambda x: x * x).alias("squares"),
-            F.filter(seq, lambda x: x % 2 == 0).alias("evens"),
+            joined(seq).alias("seq"),
+            joined(F.transform(seq, lambda x: x * x)).alias("squares"),
+            joined(F.filter(seq, lambda x: x % 2 == 0)).alias("evens"),
             F.aggregate(seq, F.lit(0).cast("bigint"), lambda acc, x: acc + x).alias("total"),
-            F.reverse(seq).alias("rev"),
+            joined(F.reverse(seq)).alias("rev"),
             F.array_contains(seq, F.lit(3).cast("bigint")).alias("has3"),
         )
         .orderBy("l_orderkey", "l_linenumber")
@@ -410,12 +419,14 @@ def fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     "fn_struct_map",
     """
     SELECT o_orderkey,
-           {'status': o_orderstatus, 'priority': o_orderpriority} AS meta,
+           CAST(to_json({'status': o_orderstatus, 'priority': o_orderpriority}) AS VARCHAR) AS meta,
            {'status': o_orderstatus, 'priority': o_orderpriority}.status AS meta_status,
            MAP(['total'], [CAST(o_totalprice AS DOUBLE)])['total'][1] AS total_from_map
     FROM orders ORDER BY o_orderkey LIMIT 200
     """,
-    doc="struct construction + field access + map construction/extraction",
+    doc="struct construction + field access + map construction/extraction; the "
+    "struct itself is witnessed through to_json (compact {\"k\":\"v\"} form on "
+    "both engines) — struct cells crash the driver canonicalizer",
 )
 def fn_struct_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = spark.table("orders")
@@ -425,7 +436,7 @@ def fn_struct_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         o.select(
             "o_orderkey",
-            meta.alias("meta"),
+            F.to_json(meta).alias("meta"),
             meta.getField("status").alias("meta_status"),
             F.element_at(
                 F.create_map(F.lit("total"), F.col("o_totalprice").cast("double")), "total"

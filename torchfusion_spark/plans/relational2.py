@@ -124,18 +124,19 @@ def fn_datetime_format(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_collect_set",
     """
     SELECT l_returnflag,
-           list_sort(list(DISTINCT l_linestatus)) AS statuses,
+           array_to_string(list_sort(list(DISTINCT l_linestatus)), ',') AS statuses,
            len(list(DISTINCT l_linestatus)) AS n_statuses
     FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
     """,
-    doc="collect_set (distinct array agg), sorted for determinism",
+    doc="collect_set (distinct array agg), sorted for determinism; serialized "
+    "to a csv string — the driver's canonicalizer can't hash list cells",
 )
 def agg_collect_set(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         spark.table("lineitem")
         .groupBy("l_returnflag")
         .agg(
-            F.array_sort(F.collect_set("l_linestatus")).alias("statuses"),
+            F.array_join(F.array_sort(F.collect_set("l_linestatus")), ",").alias("statuses"),
             F.size(F.collect_set("l_linestatus")).cast("bigint").alias("n_statuses"),
         )
         .orderBy("l_returnflag")
@@ -296,7 +297,9 @@ def agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.approx_count_distinct("l_partkey").alias("approx_parts"),
             F.percentile_approx("l_extendedprice", 0.5, 1000).alias("approx_median_price"),
-            F.percentile_approx("l_quantity", [0.25, 0.75], 1000).alias("qty_quartiles"),
+            # scalars, not the raw list: the driver canonicalizer can't hash list cells
+            F.element_at(F.percentile_approx("l_quantity", [0.25, 0.75], 1000), 1).alias("qty_q25"),
+            F.element_at(F.percentile_approx("l_quantity", [0.25, 0.75], 1000), 2).alias("qty_q75"),
         )
         .orderBy("l_returnflag")
     )
@@ -458,10 +461,10 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q12_priority_by_status",
     """
     SELECT l_linestatus,
-           SUM(CASE WHEN o_orderpriority = '1-URGENT' OR o_orderpriority = '2-HIGH'
-                    THEN 1 ELSE 0 END) AS high_line_count,
-           SUM(CASE WHEN o_orderpriority <> '1-URGENT' AND o_orderpriority <> '2-HIGH'
-                    THEN 1 ELSE 0 END) AS low_line_count
+           CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' OR o_orderpriority = '2-HIGH'
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority <> '1-URGENT' AND o_orderpriority <> '2-HIGH'
+                    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
     FROM orders, lineitem
     WHERE o_orderkey = l_orderkey AND l_quantity > 30
     GROUP BY l_linestatus ORDER BY l_linestatus
@@ -536,7 +539,7 @@ def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
                SUM(CAST(ROUND(value * 100) AS BIGINT)) AS value_cents
         FROM events GROUP BY 1, 2)
     SELECT make_timestamp((epoch_us(minute_start) // 3600000000) * 3600000000) AS hour_start,
-           event_type, SUM(n) AS n,
+           event_type, CAST(SUM(n) AS BIGINT) AS n,
            CAST(SUM(value_cents) AS DOUBLE) / 100 AS total_value
     FROM minute_agg
     GROUP BY 1, 2 ORDER BY hour_start, event_type
@@ -578,9 +581,9 @@ def events_rollup_two_level(spark: SparkSession, sf_dir: str) -> DataFrame:
     "win_range_interval_frame",
     """
     SELECT user_id, event_id,
-           SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER (
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER (
                PARTITION BY user_id ORDER BY ts
-               RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW) AS hour_cents
+               RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW) AS BIGINT) AS hour_cents
     FROM events ORDER BY user_id, event_id
     """,
     doc="time-interval RANGE frame: per-user trailing 1-hour rolling sum "
@@ -591,9 +594,9 @@ def win_range_interval_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         """
         SELECT user_id, event_id,
-               SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER (
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER (
                    PARTITION BY user_id ORDER BY ts
-                   RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW) AS hour_cents
+                   RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW) AS BIGINT) AS hour_cents
         FROM events ORDER BY user_id, event_id
         """
     )

@@ -23,7 +23,7 @@ from torchfusion_spark.plans.registry import query
     "udaf_grouped_agg",
     """
     SELECT l_returnflag,
-           SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS total_cents
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
     FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
     """,
     doc="user-defined aggregate as a GROUPED_AGG pandas_udf (Arrow-batched, "
