@@ -1,0 +1,120 @@
+"""Skew primitives and LSH hot-bucket behavior.
+
+* salted_aggregate recombines each aggregate with its OWN combiner —
+  min/max of partials, not a silent sum (the round-1 bug).
+* salted_join is restricted to salt-invariant join types.
+* A boilerplate-skewed corpus (1k near-identical docs) must not send the
+  minhash candidate join quadratic: the hot bucket is capped, the query
+  finishes, and the Spark plan still matches the DuckDB oracle running
+  the same capped semantics.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_salted_aggregate_min_max_exact(spark, tables):
+    from torchfusion_spark.operators.skew import salted_aggregate
+
+    li = spark.table("lineitem")
+    got = (
+        salted_aggregate(
+            li,
+            ["l_returnflag"],
+            {
+                "total": F.sum(F.col("l_extendedprice").cast("decimal(12,2)")),
+                "n": (F.count(F.lit(1)), "count"),
+                "lo": (F.min("l_extendedprice"), "min"),
+                "hi": (F.max("l_extendedprice"), "max"),
+            },
+            n_salts=16,
+        )
+        .orderBy("l_returnflag")
+        .toPandas()
+    )
+    exp = (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.sum(F.col("l_extendedprice").cast("decimal(12,2)")).alias("total"),
+            F.count(F.lit(1)).alias("n"),
+            F.min("l_extendedprice").alias("lo"),
+            F.max("l_extendedprice").alias("hi"),
+        )
+        .orderBy("l_returnflag")
+        .toPandas()
+    )
+    pd.testing.assert_frame_equal(got, exp)
+
+
+def test_salted_aggregate_rejects_non_decomposable():
+    from torchfusion_spark.operators.skew import salted_aggregate
+
+    with pytest.raises(ValueError, match="combiner"):
+        salted_aggregate(None, ["k"], {"bad": (F.avg("x"), "avg")})
+
+
+def test_salted_join_rejects_outer():
+    from torchfusion_spark.operators.skew import salted_join
+
+    with pytest.raises(ValueError, match="inner"):
+        salted_join(None, None, "k", how="full")
+
+
+def _boilerplate_corpus(spark, n=1000):
+    """n docs sharing one boilerplate body (distinct only in a trailing
+    token) — every minhash band lands in the same bucket."""
+    body = " ".join(f"w{i % 17}" for i in range(60))
+    rows = [(i, f"{body} tail{i}", "en", 60) for i in range(n)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string, lang string, n_chars bigint")
+    df.createOrReplaceTempView("__skewed_docs")
+    return pd.DataFrame(rows, columns=["doc_id", "text", "lang", "n_chars"])
+
+
+def test_minhash_hot_bucket_capped(spark):
+    from torchfusion_spark.operators.dedup import (
+        hashed_shingle_sql,
+        minhash_body_sql,
+        sig_rel_sql,
+    )
+
+    pdf = _boilerplate_corpus(spark)
+    spark_sql = minhash_body_sql("spark", "s", 0.6).replace(
+        "WITH bands AS",
+        f"WITH hs AS ({hashed_shingle_sql('spark', rel='__skewed_docs')}),\n"
+        f"    s AS ({sig_rel_sql('spark', 'hs')}),\n    bands AS",
+        1,
+    )
+    # without the cap this is a C(1000,2) x 8-band self-join; with it the
+    # hot buckets are excluded and the query returns quickly
+    got = spark.sql(spark_sql).toPandas()
+
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    duck_sql = minhash_body_sql("duck", "s", 0.6).replace(
+        "WITH bands AS",
+        f"WITH hs AS MATERIALIZED ({hashed_shingle_sql('duck')}),\n"
+        f"    s AS MATERIALIZED ({sig_rel_sql('duck', 'hs')}),\n    bands AS",
+        1,
+    )
+    exp = con.execute(duck_sql).df()
+    assert len(got) == len(exp)
+    if len(got):
+        pd.testing.assert_frame_equal(
+            got.sort_values(["id_a", "id_b"]).reset_index(drop=True).astype({"jaccard": float}),
+            exp.sort_values(["id_a", "id_b"]).reset_index(drop=True).astype({"jaccard": float}),
+        )
+
+
+def test_minhash_cap_preserves_normal_corpus_pairs(spark, tables):
+    """On the real (non-skewed) test corpus the cap must not change the
+    pair set: no bucket exceeds MAX_BUCKET there."""
+    from torchfusion_spark.operators.dedup import minhash_body_sql, minhash_lsh
+
+    pairs_capped = minhash_lsh(spark).toPandas()
+    uncapped_body = minhash_body_sql("spark", "__minhash_sig", 0.6, max_bucket=10**9)
+    pairs_uncapped = spark.sql(uncapped_body).toPandas()
+    pd.testing.assert_frame_equal(pairs_capped, pairs_uncapped)

@@ -66,11 +66,25 @@ def sig_rel_sql(d: str, hs_rel: str) -> str:
     return f"SELECT doc_id, hx, {G.minhash_sig_array('hx', d)} AS sig FROM {hs_rel}"
 
 
-def minhash_body_sql(d: str, sig_rel: str, threshold: float) -> str:
+MAX_BUCKET = 64  # candidate join per bucket ≤ C(64,2) = 2016 pairs
+
+
+def minhash_body_sql(d: str, sig_rel: str, threshold: float, max_bucket: int = MAX_BUCKET) -> str:
     """The pipeline downstream of the signature relation
     ``sig_rel(doc_id, hx, sig)``: 8 band keys exploded → bucket
     self-join candidates → Jaccard verification over the hashed shingle
-    sets (identical on the oracle; hash collisions are ~2^-56)."""
+    sets (identical on the oracle; hash collisions are ~2^-56).
+
+    Hot-bucket cap: buckets larger than ``max_bucket`` are excluded from
+    the candidate join — a boilerplate-heavy corpus (license headers,
+    templates) would otherwise put millions of docs in one bucket and turn
+    the bucket join quadratic. The bucket-size count shuffles on the same
+    (band, bkey) key as the join, so no extra exchange. Recall effect: a
+    pair inside a hot bucket is still found through any of its 7 other
+    bands that aren't hot; only pairs whose EVERY shared band is hot are
+    lost (near-identical boilerplate — which exact dedup upstream already
+    removes). The oracle applies the same cap, so the gate checks the
+    capped semantics exactly."""
     bands = G.band_exprs("sig", d)
     if d == "spark":
         structs = ", ".join(
@@ -87,11 +101,17 @@ def minhash_body_sql(d: str, sig_rel: str, threshold: float) -> str:
             f"FROM (SELECT doc_id, [{structs}] AS bl FROM {sig_rel})"
         )
     inter = G.arr_intersect_size("x.hx", "y.hx", d)
+    mat = "MATERIALIZED " if d == "duck" else ""
     return f"""
-    WITH bands AS ({band_rel}),
+    WITH bands AS {mat}({band_rel}),
+    sized AS (
+        SELECT doc_id, band, bkey,
+               COUNT(*) OVER (PARTITION BY band, bkey) AS bsz
+        FROM bands),
+    ok AS (SELECT doc_id, band, bkey FROM sized WHERE bsz <= {max_bucket}),
     cand AS (
         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-        FROM bands a JOIN bands b
+        FROM ok a JOIN ok b
           ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
     )
     SELECT id_a, id_b, jaccard FROM (
@@ -115,10 +135,14 @@ def minhash_lsh_sql(d: str, threshold: float = 0.6) -> str:
     and Catalyst inlines CTEs, recomputing it each time; the staged
     builder caches it."""
     body = minhash_body_sql(d, "s", threshold)
+    # DuckDB inlines CTEs referenced multiple times just like Catalyst —
+    # the signature relation sits on 4 join sides; MATERIALIZED evaluates
+    # it once (measured 2.6s → <1s on the sf0.01 oracle)
+    mat = "MATERIALIZED " if d == "duck" else ""
     return body.replace(
         "WITH bands AS",
-        f"WITH hs AS ({hashed_shingle_sql(d)}),\n"
-        f"    s AS ({sig_rel_sql(d, 'hs')}),\n    bands AS",
+        f"WITH hs AS {mat}({hashed_shingle_sql(d)}),\n"
+        f"    s AS {mat}({sig_rel_sql(d, 'hs')}),\n    bands AS",
         1,
     )
 
@@ -133,11 +157,11 @@ def minhash_lsh(spark, threshold: float = 0.6):
 
     The input is repartitioned first: a single small parquet file arrives
     as ONE partition and shingling is CPU-bound — without the fan-out the
-    whole stage runs on one core (at cluster scale the input already has
-    enough splits; the repartition is then a no-op-sized shuffle)."""
-    from torchfusion_spark.session import default_parallelism
+    whole stage runs on one core. Width adapts to the row count
+    (cpu_fanout): full parallelism at scale, a few tasks at gate sf."""
+    from torchfusion_spark.session import cpu_fanout
 
-    docs = spark.table("documents").repartition(default_parallelism())
+    docs = cpu_fanout(spark.table("documents"))
     docs.createOrReplaceTempView("__minhash_docs")
     sig = spark.sql(
         sig_rel_sql("spark", f"({hashed_shingle_sql('spark', rel='__minhash_docs')})")
@@ -152,11 +176,9 @@ def _staged_docs(spark):
     small parquet file arrives as ONE split and every dedup signature
     pass is CPU-bound (at cluster scale the input already has enough
     splits and this shuffle is a no-op-sized rebalance)."""
-    from torchfusion_spark.session import default_parallelism
+    from torchfusion_spark.session import cpu_fanout
 
-    spark.table("documents").repartition(default_parallelism()).createOrReplaceTempView(
-        "__dedup_docs"
-    )
+    cpu_fanout(spark.table("documents")).createOrReplaceTempView("__dedup_docs")
     return "__dedup_docs"
 
 
@@ -198,8 +220,9 @@ def simhash_sql(d: str, bits: int = 32, max_hamming: int = 2) -> str:
     """Single-statement form (the DuckDB oracle; also a valid Spark plan —
     but prefer :func:`simhash` below: the signature CTE sits on both sides
     of the self-join and Catalyst recomputes inlined CTEs)."""
+    mat = "MATERIALIZED " if d == "duck" else ""
     return (
-        f"WITH s AS ({simhash_sig_sql(d, bits=bits)})\n"
+        f"WITH s AS {mat}({simhash_sig_sql(d, bits=bits)})\n"
         + simhash_body_sql(d, "s", bits, max_hamming)
     )
 
@@ -240,8 +263,9 @@ def ngram_body_sql(d: str, g_rel: str, threshold: float) -> str:
     * |union| = |a| + |b| - |inter| — one hash-set build per pair, not
       two, and the intersect is computed once in the inner select."""
     inter = G.arr_intersect_size("a.gs", "b.gs", d)
+    mat = "MATERIALIZED " if d == "duck" else ""
     return f"""
-    WITH gn AS (SELECT doc_id, lang, len_bucket, gs, {G.arr_size('gs', d)} AS n FROM {g_rel})
+    WITH gn AS {mat}(SELECT doc_id, lang, len_bucket, gs, {G.arr_size('gs', d)} AS n FROM {g_rel})
     SELECT id_a, id_b, jaccard FROM (
         SELECT id_a, id_b, ROUND(CAST(ins AS DOUBLE) / (na + nb - ins), 6) AS jaccard FROM (
             SELECT a.doc_id AS id_a, b.doc_id AS id_b, {inter} AS ins,
@@ -260,7 +284,10 @@ def ngram_jaccard_sql(d: str, n: int = 5, threshold: float = 0.7) -> str:
     Spark prefer :func:`ngram_jaccard` (shingle sets cached once, not
     recomputed per join side)."""
     body = ngram_body_sql(d, "g", threshold)
-    return body.replace("WITH gn AS", f"WITH g AS ({ngram_blocks_sql(d, n=n)}),\n    gn AS", 1)
+    mat = "MATERIALIZED " if d == "duck" else ""
+    return body.replace(
+        "WITH gn AS", f"WITH g AS {mat}({ngram_blocks_sql(d, n=n)}),\n    gn AS", 1
+    )
 
 
 def ngram_jaccard(spark, n: int = 5, threshold: float = 0.7):
@@ -271,6 +298,52 @@ def ngram_jaccard(spark, n: int = 5, threshold: float = 0.7):
 
 
 # -- duplicate clusters: connected components over near-dup pairs ----------
+
+
+SMALL_GRAPH_EDGES = 200_000  # ~3 MB of (src, dst) pairs — one task's work
+
+
+def _cc_single_task(edges):
+    """Exact union-find over the whole edge set in ONE task (edges
+    coalesced to a single partition, streamed in Arrow batches). Smaller
+    id always stays root, so root == min reachable id — identical output
+    to the iterative propagation. Only used when the edge count (already
+    known: edges are checkpointed) is tiny relative to a single executor:
+    the pair graph after LSH banding is ~candidate-pair sized, orders of
+    magnitude below the corpus, so even 100 TB runs often land here."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    def op(batches):
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for pdf in batches:
+            for a, b in zip(pdf["src"], pdf["dst"]):
+                a, b = int(a), int(b)
+                parent.setdefault(a, a)
+                parent.setdefault(b, b)
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    if rb < ra:
+                        ra, rb = rb, ra
+                    parent[rb] = ra
+        nodes = sorted(parent)
+        yield pd.DataFrame(
+            {"doc_id": nodes, "component": [find(n) for n in nodes]},
+            dtype="int64",
+        )
+
+    return (
+        edges.coalesce(1)
+        .mapInPandas(op, schema="doc_id bigint, component bigint")
+        .orderBy("doc_id")
+    )
 
 
 def connected_components(pairs, max_iter: int = 25):
@@ -285,12 +358,19 @@ def connected_components(pairs, max_iter: int = 25):
     iteration and Catalyst re-analysis dominates at ~10 rounds. At
     cluster scale swap for ``checkpoint`` on durable storage and the
     large-star/small-star variant if components get deep.
+
+    Edge sets below ``SMALL_GRAPH_EDGES`` short-circuit to an exact
+    single-task union-find (:func:`_cc_single_task`) — the per-round
+    join/action overhead of the loop dwarfs the work itself there, and
+    the output is identical.
     """
     from pyspark.sql import functions as F
 
     fwd = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
     edges = fwd.union(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     edges = edges.distinct().localCheckpoint()
+    if edges.count() <= SMALL_GRAPH_EDGES:
+        return _cc_single_task(edges)
     labels = (
         edges.select(F.col("src").alias("node")).distinct().withColumn("comp", F.col("node"))
     ).localCheckpoint()
@@ -330,8 +410,8 @@ def minhash_clusters_oracle_sql(d_unused: str = "duck", threshold: float = 0.6) 
     """DuckDB oracle: transitive closure via recursive CTE (min reachable
     label per node) over the same pair relation."""
     return f"""
-    WITH RECURSIVE pairs AS ({minhash_lsh_sql("duck", threshold)}),
-    edges AS (
+    WITH RECURSIVE pairs AS MATERIALIZED ({minhash_lsh_sql("duck", threshold)}),
+    edges AS MATERIALIZED (
         SELECT id_a AS src, id_b AS dst FROM pairs
         UNION
         SELECT id_b, id_a FROM pairs),

@@ -32,13 +32,14 @@ def attach_payload(spark: SparkSession) -> DataFrame:
     The multimodal table shape: payload is an opaque binary column (here
     utf-8 bytes standing in for image/audio), metadata is typed.
 
-    Fanned out to full parallelism first: the local documents parquet is
-    one split, and every downstream op here is per-row Python work — the
-    one case where a single-partition input serializes the whole job (at
-    cluster scale the input has enough splits; this becomes a rebalance)."""
-    from torchfusion_spark.session import default_parallelism
+    Fanned out first: the local documents parquet is one split, and every
+    downstream op here is per-row Python work — the one case where a
+    single-partition input serializes the whole job. Width adapts to the
+    row count (cpu_fanout): full parallelism at scale, a handful of tasks
+    for the small correctness-gate inputs."""
+    from torchfusion_spark.session import cpu_fanout
 
-    d = spark.table("documents").repartition(default_parallelism())
+    d = cpu_fanout(spark.table("documents"))
     payload = F.encode(F.col("text"), "utf-8")
     return d.select(
         "doc_id",

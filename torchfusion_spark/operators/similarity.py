@@ -48,11 +48,9 @@ def _staged_norms(spark):
     """Materialize norms once for Spark execution: the relation is used on
     both sides of every similarity join, and the source parquet is a
     single split — repartition for CPU parallelism, cache for reuse."""
-    from torchfusion_spark.session import default_parallelism
+    from torchfusion_spark.session import cpu_fanout
 
-    spark.table("embeddings").repartition(default_parallelism()).createOrReplaceTempView(
-        "__sim_emb"
-    )
+    cpu_fanout(spark.table("embeddings")).createOrReplaceTempView("__sim_emb")
     n = spark.sql(norm_cte("spark", "__sim_emb")).cache()
     n.count()  # materialize before multi-sided reuse
     n.createOrReplaceTempView("__sim_norms")
@@ -66,8 +64,9 @@ def cosine_topk_sql(d: str, k: int = 10, n_queries: int = 8, rel: str | None = N
     table, then per-query TopK window. No shuffle of the big side.
     """
     n_rel = rel or f"(SELECT * FROM ({norm_cte(d)}))"
+    mat = "MATERIALIZED " if d == "duck" else ""
     return f"""
-    WITH n AS (SELECT * FROM {n_rel}),
+    WITH n AS {mat}(SELECT * FROM {n_rel}),
     q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM n WHERE vec_id < {n_queries}),
     sims AS (
         SELECT {"/*+ BROADCAST(q) */" if d == "spark" else ""} q.q_id, c.vec_id AS cand_id,
@@ -82,11 +81,23 @@ def cosine_topk_sql(d: str, k: int = 10, n_queries: int = 8, rel: str | None = N
     """
 
 
-def cosine_near_dup_sql(d: str, threshold: float = 0.42, rel: str | None = None) -> str:
-    """All pairs above a cosine threshold — exact O(N²/2) baseline."""
+EXACT_PAIRS_CAP = 65_536  # ≈2×10⁹ pairs — the most an *exact* scan should ever own
+
+
+def cosine_near_dup_sql(
+    d: str, threshold: float = 0.42, rel: str | None = None, max_n: int = EXACT_PAIRS_CAP
+) -> str:
+    """All pairs above a cosine threshold — exact O(N²/2) baseline.
+
+    GATED, not a first-class 100 TB query: the registered form only scans
+    ``vec_id < max_n`` (identical cap on the oracle, a no-op at gate sf),
+    so no registered plan is an unbounded quadratic self-join. Above the
+    cap, use :func:`cosine_near_dup_lsh` (the scale path) and keep this
+    as the per-bucket / sampled-slice verifier it is."""
     n_rel = rel or f"(SELECT * FROM ({norm_cte(d)}))"
+    mat = "MATERIALIZED " if d == "duck" else ""
     return f"""
-    WITH n AS (SELECT * FROM {n_rel})
+    WITH n AS {mat}(SELECT * FROM {n_rel} WHERE vec_id < {max_n})
     SELECT id_a, id_b, cosine FROM (
         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                ROUND({_dot('a.v', 'b.v', d)} / (a.nrm * b.nrm), 6) AS cosine
@@ -119,8 +130,9 @@ def cosine_near_dup_lsh_sql(d: str, threshold: float = 0.30, rel: str | None = N
             f"SELECT vec_id, v, nrm, {lsh_bucket_expr('v', d)} AS bucket "
             f"FROM (SELECT * FROM ({norm_cte(d)}))"
         )
+    mat = "MATERIALIZED " if d == "duck" else ""
     return f"""
-    WITH n AS ({n_rel})
+    WITH n AS {mat}({n_rel})
     SELECT id_a, id_b, bucket, cosine FROM (
         SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.bucket AS bucket,
                ROUND({_dot('a.v', 'b.v', d)} / (a.nrm * b.nrm), 6) AS cosine
@@ -156,8 +168,9 @@ def ivf_topk_sql(
     n_rel = rel or f"(SELECT * FROM ({norm_cte(d)}))"
     hint = "/*+ BROADCAST(c) */" if d == "spark" else ""
     qhint = "/*+ BROADCAST(q, p) */" if d == "spark" else ""
+    mat = "MATERIALIZED " if d == "duck" else ""
     return f"""
-    WITH n AS (SELECT * FROM {n_rel}),
+    WITH n AS {mat}(SELECT * FROM {n_rel}),
     c AS (SELECT vec_id AS c_id, v AS cv, nrm AS cn FROM n WHERE vec_id < {n_centroids}),
     assign AS (
         SELECT vec_id, v, nrm, c_id FROM (

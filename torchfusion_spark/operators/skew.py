@@ -5,49 +5,90 @@ cases at runtime; these operators are the explicit fallback for *known*
 hot keys, where pre-salting beats runtime splitting:
 
 * ``salted_aggregate`` — two-phase aggregation: shuffle on (key, salt)
-  first so no single reducer owns a hot key, then combine the partials.
-  Exact for decomposable aggregates (sum/count/min/max).
+  first so no single reducer owns a hot key, then combine the partials
+  with each aggregate's OWN combiner (sum-of-sums, sum-of-counts,
+  min-of-mins, max-of-maxes).
 * ``salted_join`` — big side gets a per-row salt, small side is
   replicated across all salts; the join key becomes (key, salt), fanning
   a hot key's rows across n reducers. Replication factor n on the small
   side is the price; n = expected skew factor.
 
-Both are result-identical to their unsalted forms — which is exactly
-what their oracle queries assert.
+Salts are drawn from a *seeded* ``rand`` — deterministic per (partition,
+row position) across task retries; ``monotonically_increasing_id`` would
+reshuffle rows between a map-stage retry and the reducers that already
+consumed its output.
+
+Both operators are result-identical to their unsalted forms — which is
+exactly what their oracle queries assert.
 """
 
 from __future__ import annotations
 
+from collections.abc import Callable
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+_SALT_SEED = 0x5A17
+
+# final-phase combiner per decomposable aggregate family
+_COMBINERS: dict[str, Callable[[str], Column]] = {
+    "sum": F.sum,
+    "count": F.sum,  # count partials recombine by summing
+    "min": F.min,
+    "max": F.max,
+}
+
+
+def _salt_col(n_salts: int) -> Column:
+    return (F.rand(_SALT_SEED) * n_salts).cast("int")
 
 
 def salted_aggregate(
     df: DataFrame,
     keys: list[str],
-    aggs: dict[str, Column],
+    aggs: dict[str, Column | tuple[Column, str]],
     n_salts: int = 16,
 ) -> DataFrame:
     """Two-phase (salted partial → final) aggregation.
 
-    ``aggs`` maps output name → aggregate expression for the partial
-    phase; partials are recombined with SUM, so pass sum/count-style
-    aggregates (count becomes a sum of partial counts)."""
-    salted = df.withColumn("_salt", F.monotonically_increasing_id() % n_salts)
-    partial = salted.groupBy(*keys, "_salt").agg(
-        *[expr.alias(f"_p_{name}") for name, expr in aggs.items()]
-    )
-    return partial.groupBy(*keys).agg(
-        *[F.sum(f"_p_{name}").alias(name) for name in aggs]
-    )
+    ``aggs`` maps output name → either ``(partial_expr, combiner)`` with
+    combiner one of ``sum | count | min | max``, or a bare Column for the
+    sum/count case (partials recombined with SUM). Only decomposable
+    aggregates belong here — the combiner argument is what makes min/max
+    recombine correctly instead of silently summing their partials.
+    """
+    partials: list[Column] = []
+    finals: list[Column] = []
+    for name, spec in aggs.items():
+        expr, combiner = spec if isinstance(spec, tuple) else (spec, "sum")
+        if combiner not in _COMBINERS:
+            raise ValueError(
+                f"aggregate {name!r}: combiner must be one of {sorted(_COMBINERS)}, "
+                f"got {combiner!r} — non-decomposable aggregates cannot be salted"
+            )
+        partials.append(expr.alias(f"_p_{name}"))
+        finals.append(_COMBINERS[combiner](f"_p_{name}").alias(name))
+
+    salted = df.withColumn("_salt", _salt_col(n_salts))
+    return salted.groupBy(*keys, "_salt").agg(*partials).groupBy(*keys).agg(*finals)
 
 
 def salted_join(
     big: DataFrame, small: DataFrame, key: str, n_salts: int = 8, how: str = "inner"
 ) -> DataFrame:
     """Equi-join with the hot-key fan-out: big side salted per row, small
-    side replicated across salts."""
-    big_s = big.withColumn("_salt", (F.monotonically_increasing_id() % n_salts).cast("int"))
+    side replicated across salts.
+
+    Only ``inner`` and ``left`` joins are salt-invariant: a right/full
+    outer join would emit every unmatched small-side row once per salt
+    replica, changing the result."""
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"salted_join supports how='inner'|'left' (got {how!r}): outer joins "
+            "replicate unmatched small-side rows once per salt"
+        )
+    big_s = big.withColumn("_salt", _salt_col(n_salts))
     salts = F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
     small_s = small.withColumn("_salt", salts)
     return big_s.join(small_s, [key, "_salt"], how).drop("_salt")

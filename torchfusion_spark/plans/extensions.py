@@ -65,7 +65,8 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "sim_cosine_near_dup",
     similarity.cosine_near_dup_sql("duck"),
-    doc="exact all-pairs cosine near-dup (embedding-space dedup baseline)",
+    doc="exact cosine near-dup baseline, gated to vec_id < EXACT_PAIRS_CAP "
+    "(no unbounded quadratic plan is registered; LSH query is the scale path)",
 )
 def sim_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_near_dup(spark)
@@ -240,10 +241,13 @@ def events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT l_returnflag,
            CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price,
-           COUNT(*) AS n
+           COUNT(*) AS n,
+           CAST(MIN(l_extendedprice) AS DOUBLE) AS min_price,
+           CAST(MAX(l_extendedprice) AS DOUBLE) AS max_price
     FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
     """,
-    doc="salted two-phase aggregation over a hot key; oracle is the direct "
+    doc="salted two-phase aggregation over a hot key (sum/count/min/max "
+    "each with its own partial→final combiner); oracle is the direct "
     "aggregate — salting must be result-invariant",
 )
 def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -256,7 +260,9 @@ def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["l_returnflag"],
         {
             "total_price_dec": F.sum(F.col("l_extendedprice").cast("decimal(12,2)")),
-            "n": F.count(F.lit(1)),
+            "n": (F.count(F.lit(1)), "count"),
+            "min_price": (F.min("l_extendedprice"), "min"),
+            "max_price": (F.max("l_extendedprice"), "max"),
         },
         n_salts=16,
     )
@@ -264,6 +270,8 @@ def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_returnflag",
         F.col("total_price_dec").cast("double").alias("total_price"),
         F.col("n").cast("bigint").alias("n"),
+        F.col("min_price").cast("double").alias("min_price"),
+        F.col("max_price").cast("double").alias("max_price"),
     ).orderBy("l_returnflag")
 
 

@@ -21,6 +21,21 @@ def default_parallelism() -> int:
     return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
 
 
+def cpu_fanout(df, rows_per_task: int = 128):
+    """Repartition a (possibly single-split) input for CPU-bound per-row
+    work: width = clamp(rows / rows_per_task, 1, default_parallelism()).
+
+    A local single-file parquet arrives as ONE split, serializing every
+    downstream Python/codegen-heavy pass onto one core — but blindly
+    fanning a few hundred rows to 32 partitions costs more in task launch
+    and Python-worker spawn than the work itself. The row count is a
+    metadata-cheap action on columnar sources; at cluster scale the width
+    saturates at full parallelism and this is a no-op-sized rebalance."""
+    n = df.count()
+    width = max(1, min(default_parallelism(), -(-n // rows_per_task)))
+    return df.repartition(width)
+
+
 def session(
     app_name: str = "torchfusion_spark",
     master: str | None = None,
