@@ -78,17 +78,34 @@ def main() -> None:
         assert n >= 0
 
     total = round(sum(timings.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
+    payload = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+
+    # measured stand-in for the (unpublished) reference baseline: DuckDB
+    # running the same queries' oracle SQL at the same sf, recorded by
+    # tools/duckdb_baseline.py — ratio > 1 means Spark is slower overall
+    base_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BASELINE_DUCKDB.json")
+    if os.path.exists(base_path):
+        with open(base_path) as f:
+            base = json.load(f)
+        if base.get("sf") == sf and base.get("queries"):
+            common = [k for k in base["queries"] if k in timings]
+            spark_total = sum(timings[k] for k in common)
+            duck_total = sum(base["queries"][k] for k in common)
+            payload["baseline"] = {
+                "engine": "duckdb",
+                "common_queries": len(common),
+                "duckdb_total_sec": round(duck_total, 4),
+                "spark_total_sec": round(spark_total, 4),
+                "ratio_spark_over_duckdb": round(spark_total / duck_total, 3) if duck_total else None,
             }
-        )
-    )
+
+    print(json.dumps(payload))
     spark.stop()
 
 

@@ -77,3 +77,22 @@ def test_npz_backend_predict_shapes():
     p = load_predictor(mlp_bytes(), "demo.npz")
     out = p(np.zeros((5, 64), dtype=np.float32))
     assert out.shape == (5, 10)
+
+
+def test_registry_flagship_matches_numpy_oracle(spark, tables):
+    """The REGISTRY entry itself (not a lookalike flow): the driver only
+    rows-checks `torch_inference_classes` (model inference isn't
+    SQL-expressible in DuckDB), so this pins the registered builder's
+    predictions to the numpy oracle — the stronger witness the rows-only
+    gate can't provide."""
+    from conftest import SF_DIR
+
+    from torchfusion_spark.plans import REGISTRY
+
+    pdf = REGISTRY["torch_inference_classes"].builder(spark, SF_DIR).toPandas()
+    got = dict(zip(pdf["vec_id"], pdf["predicted"]))
+
+    emb = spark.table("embeddings").orderBy("vec_id").limit(100).toPandas()
+    x = np.stack(emb["embedding"].to_numpy())
+    expected = dict(zip(emb["vec_id"], oracle_predict(x).argmax(axis=1)))
+    assert got == expected

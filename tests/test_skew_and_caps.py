@@ -118,3 +118,17 @@ def test_minhash_cap_preserves_normal_corpus_pairs(spark, tables):
     uncapped_body = minhash_body_sql("spark", "__minhash_sig", 0.6, max_bucket=10**9)
     pairs_uncapped = spark.sql(uncapped_body).toPandas()
     pd.testing.assert_frame_equal(pairs_capped, pairs_uncapped)
+
+
+def test_arrow_ipc_roundtrip(spark, tables, tmp_path):
+    from torchfusion_spark.sources.arrow_ipc import read_arrow_ipc, write_arrow_ipc
+
+    docs = spark.table("documents")
+    path = str(tmp_path / "docs_arrow")
+    n_files = write_arrow_ipc(docs.repartition(4), path)
+    assert n_files >= 1
+    back = read_arrow_ipc(spark, path)
+    assert back.schema == docs.schema
+    got = sorted(r.doc_id for r in back.select("doc_id").collect())
+    exp = sorted(r.doc_id for r in docs.select("doc_id").collect())
+    assert got == exp

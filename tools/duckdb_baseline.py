@@ -1,0 +1,67 @@
+"""Record the DuckDB single-node baseline for the headline queries.
+
+The reference publishes no benchmark numbers (BASELINE.md), so "within 2×
+of baseline" needs a measured stand-in: DuckDB running each headline
+query's own oracle SQL on the same parquet at the same scale factor —
+the same engine the correctness gate trusts, timed on the same box.
+
+Writes BASELINE_DUCKDB.json ({query: sec, ...} + metadata); bench.py
+picks it up (if present and same sf) and prints the spark/duckdb ratio
+alongside the timings, so regressions are visible per round.
+
+Usage: python tools/duckdb_baseline.py [sf_dir] [runs]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from tools.verify_local import duck_connection  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    runs = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else 0.0
+
+    from bench import HEADLINE
+    from torchfusion_spark.plans import REGISTRY
+
+    con = duck_connection(sf_dir)
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        q = REGISTRY[name]
+        if q.oracle is None:
+            continue  # not SQL-expressible (model inference) — no oracle to time
+        con.execute(q.oracle).fetchall()  # warm (buffer pool, plan cache)
+        best = min(
+            _timed(con, q.oracle) for _ in range(runs)
+        )
+        timings[name] = round(best, 4)
+        print(f"{name:32s} {best:7.3f}s", file=sys.stderr)
+
+    out = {
+        "engine": "duckdb",
+        "sf": sf,
+        "runs": runs,
+        "total_sec": round(sum(timings.values()), 4),
+        "queries": timings,
+    }
+    with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "BASELINE_DUCKDB.json"), "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(out))
+
+
+def _timed(con, sql: str) -> float:
+    t0 = time.perf_counter()
+    con.execute(sql).fetchall()
+    return time.perf_counter() - t0
+
+
+if __name__ == "__main__":
+    main()

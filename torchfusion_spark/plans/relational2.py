@@ -600,3 +600,42 @@ def win_range_interval_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events ORDER BY user_id, event_id
         """
     )
+
+
+@query(
+    "win_groups_frame_rewrite",
+    """
+    WITH r AS (
+        SELECT user_id, ts, event_id, CAST(ROUND(value * 100) AS BIGINT) AS cents,
+               DENSE_RANK() OVER (PARTITION BY user_id ORDER BY ts) AS dr
+        FROM events),
+    g AS (SELECT user_id, dr, SUM(cents) AS gsum FROM r GROUP BY user_id, dr)
+    SELECT r.user_id, r.event_id, CAST(SUM(g.gsum) AS BIGINT) AS grp_cents
+    FROM r JOIN g ON g.user_id = r.user_id AND g.dr BETWEEN r.dr - 1 AND r.dr
+    GROUP BY r.user_id, r.event_id
+    ORDER BY r.user_id, r.event_id
+    """,
+    doc="GROUPS window frame (`GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW`) "
+    "— DataFusion supports it, Spark does not (neither does DuckDB: parser "
+    "'not implemented yet'). Spark side runs the documented rewrite — "
+    "DENSE_RANK over the ORDER BY key, then a numeric RANGE frame over the "
+    "rank (rank peers ARE the groups); the oracle computes the same "
+    "semantics via an independent formulation (per-group sums + band join), "
+    "so a hash match proves the rewrite, not a shared transcription "
+    "(README 'Known engine differences').",
+)
+def win_groups_frame_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.sql(
+        """
+        WITH r AS (
+            SELECT user_id, ts, event_id,
+                   CAST(ROUND(value * 100) AS BIGINT) AS cents,
+                   DENSE_RANK() OVER (PARTITION BY user_id ORDER BY ts) AS dr
+            FROM events)
+        SELECT user_id, event_id,
+               CAST(SUM(cents) OVER (
+                   PARTITION BY user_id ORDER BY dr
+                   RANGE BETWEEN 1 PRECEDING AND CURRENT ROW) AS BIGINT) AS grp_cents
+        FROM r ORDER BY user_id, event_id
+        """
+    )
