@@ -15,6 +15,34 @@ def test_queries_and_oracles_align():
         assert isinstance(sql, str) and "SELECT" in sql.upper()
 
 
+def test_priority_order_is_total_and_stable():
+    """Driver keys: sorted order == insertion order == priority order; the
+    prefix strips back to exactly the registry names; every PRIORITY entry
+    exists (no stale names); the first 50 cover one witness per family."""
+    from torchfusion_spark.plans import REGISTRY
+    from torchfusion_spark.plans.priority import PRIORITY
+
+    keys = list(entry_mod.queries())
+    assert keys == sorted(keys)
+    names = [k.split("_", 1)[1] for k in keys]
+    assert set(names) == set(REGISTRY) and len(names) == len(REGISTRY)
+    assert len(set(PRIORITY)) == len(PRIORITY)
+    assert set(PRIORITY) <= set(REGISTRY)
+    # every query family (prefix group) has a witness in the top 50
+    import re
+
+    def family(n: str) -> str:
+        head = n.split("_", 1)[0]
+        if re.fullmatch(r"q\d+", head):
+            return "tpch"
+        if head in {"applyinpandas", "udaf", "udtf"}:
+            return "udf"
+        return head
+
+    top = {family(n) for n in names[:50]}
+    assert {family(n) for n in names} <= top
+
+
 def test_entry_runs(spark):
     df = entry_mod.entry(spark)
     rows = df.collect()
@@ -24,6 +52,7 @@ def test_entry_runs(spark):
 
 def test_sample_queries_run(spark, tables):
     qs = entry_mod.queries()
+    by_name = {k.split("_", 1)[1]: fn for k, fn in qs.items()}
     for name in ["q1_pricing_summary", "join_full_outer", "win_ranking", "fn_json"]:
-        df = qs[name](spark, tables)
+        df = by_name[name](spark, tables)
         assert df.count() >= 0
