@@ -132,3 +132,35 @@ def test_arrow_ipc_roundtrip(spark, tables, tmp_path):
     got = sorted(r.doc_id for r in back.select("doc_id").collect())
     exp = sorted(r.doc_id for r in docs.select("doc_id").collect())
     assert got == exp
+
+
+def test_parquet_float16_upcast_argmax(spark, tmp_path):
+    """Reference parity: argmax over Float16Array (src/argmax.rs:72-75).
+    Spark rejects FLOAT16 parquet (PARQUET_TYPE_ILLEGAL), so the ingest
+    helper upcasts executor-side; argmax must match numpy on the half
+    values exactly (float16 -> float32 is exact)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from torchfusion_spark.functions import argmax
+    from torchfusion_spark.sources.arrow_ipc import read_parquet_float16
+
+    rng = np.random.default_rng(7)
+    vals = rng.standard_normal((50, 16)).astype(np.float16)
+    flat = pa.array(vals.ravel(), type=pa.float16())
+    emb = pa.FixedSizeListArray.from_arrays(flat, 16).cast(pa.list_(pa.float16()))
+    t = pa.table({"vec_id": pa.array(range(50), pa.int64()), "embedding": emb})
+    p = str(tmp_path / "half.parquet")
+    pq.write_table(t, p)
+
+    import pytest
+
+    with pytest.raises(Exception, match="PARQUET_TYPE_ILLEGAL"):
+        spark.read.parquet(p).collect()
+
+    df = read_parquet_float16(spark, p)
+    assert dict(df.dtypes)["embedding"] == "array<float>"
+    got = {r.vec_id: r.am for r in df.select("vec_id", argmax("embedding").alias("am")).collect()}
+    exp = {i: int(v.argmax()) for i, v in enumerate(vals)}
+    assert got == exp

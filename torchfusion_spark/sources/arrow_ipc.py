@@ -84,3 +84,56 @@ def write_arrow_ipc(df: DataFrame, path: str) -> int:
 
     out = df.mapInArrow(encode, schema="file string, n_rows bigint")
     return out.filter("n_rows > 0").count()
+
+
+def _upcast_f16(t: pa.DataType) -> pa.DataType:
+    """float16 → float32, recursing through list/fixed_size_list/struct."""
+    if t == pa.float16():
+        return pa.float32()
+    if pa.types.is_fixed_size_list(t):
+        return pa.list_(_upcast_f16(t.value_type), t.list_size)
+    if pa.types.is_list(t):
+        return pa.list_(_upcast_f16(t.value_type))
+    if pa.types.is_struct(t):
+        return pa.struct([f.with_type(_upcast_f16(f.type)) for f in t])
+    return t
+
+
+def read_parquet_float16(spark: SparkSession, path: str) -> DataFrame:
+    """Read parquet containing FLOAT16 columns, upcast to float.
+
+    The reference's argmax accepts ``Float16Array`` directly
+    (`src/argmax.rs:72-75`); Spark's parquet reader rejects the FLOAT16
+    logical type outright (``PARQUET_TYPE_ILLEGAL``), so half-precision
+    embeddings are ingested here: ``binaryFile`` fan-out (one file = one
+    task) → executor-side pyarrow decode → exact float16→float32 upcast
+    (every half value is representable in float) — same results as the
+    reference, wider in-memory storage (SURVEY §1.2, README "Known engine
+    differences").
+    """
+    import pyarrow.parquet as pq
+    from pyspark.sql.pandas.types import from_arrow_schema
+
+    first = path if os.path.isfile(path) else _first_parquet(path)
+    src_schema = pq.read_schema(first)
+    out_schema = pa.schema([f.with_type(_upcast_f16(f.type)) for f in src_schema])
+    spark_schema = from_arrow_schema(out_schema)
+
+    glob = path if os.path.isfile(path) else os.path.join(path, "*.parquet")
+    files = spark.read.format("binaryFile").load(glob).select("content")
+
+    def decode(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            for buf in batch.column(0):
+                table = pq.read_table(pa.BufferReader(buf.as_py()))
+                for rb in table.cast(out_schema).to_batches():
+                    yield rb
+
+    return files.mapInArrow(decode, schema=spark_schema)
+
+
+def _first_parquet(path: str) -> str:
+    names = sorted(n for n in os.listdir(path) if n.endswith(".parquet"))
+    if not names:
+        raise FileNotFoundError(f"no .parquet files under {path!r}")
+    return os.path.join(path, names[0])
