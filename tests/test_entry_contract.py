@@ -56,3 +56,15 @@ def test_sample_queries_run(spark, tables):
     for name in ["q1_pricing_summary", "join_full_outer", "win_ranking", "fn_json"]:
         df = by_name[name](spark, tables)
         assert df.count() >= 0
+
+
+def test_registry_builder_tunes_host_session(spark, tables):
+    """A host session carrying Spark defaults (the driver's) gets the
+    engine's runtime confs applied by any registry builder."""
+    spark._tf_runtime_tuned = False
+    spark.conf.set("spark.sql.shuffle.partitions", "200")
+    from torchfusion_spark.plans import REGISTRY
+
+    REGISTRY["select_distinct"].builder(spark, tables)
+    assert spark.conf.get("spark.sql.shuffle.partitions") != "200"
+    assert spark.conf.get("spark.sql.parquet.aggregatePushdown") == "true"

@@ -83,3 +83,29 @@ def configure(spark: SparkSession) -> SparkSession:
     tf_config.seed_defaults(spark)
     register_all(spark)
     return spark
+
+
+def tune_runtime(spark: SparkSession) -> SparkSession:
+    """Apply the engine's runtime-settable SQL confs to an existing session.
+
+    A host session we didn't build (the correctness driver's, a notebook's)
+    carries Spark defaults: 200 shuffle partitions (200-task exchanges for
+    kB-sized gate inputs), no parquet aggregate pushdown. Everything set
+    here is runtime-mutable (no restart needed); session-level settings
+    like driver memory can only be applied by :func:`session`. Memoized —
+    every registry builder routes through here.
+    """
+    if getattr(spark, "_tf_runtime_tuned", False):
+        return spark
+    for k, v in {
+        "spark.sql.shuffle.partitions": str(default_parallelism()),
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.session.timeZone": "UTC",
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
+        "spark.sql.parquet.aggregatePushdown": "true",
+    }.items():
+        spark.conf.set(k, v)
+    spark._tf_runtime_tuned = True
+    return spark
