@@ -15,6 +15,7 @@ from torchfusion_spark.plans import relational2  # noqa: E402,F401
 from torchfusion_spark.plans import functions_sweep  # noqa: E402,F401
 from torchfusion_spark.plans import inference  # noqa: E402,F401
 from torchfusion_spark.plans import extensions  # noqa: E402,F401
+from torchfusion_spark.plans import tpch_extra  # noqa: E402,F401
 from torchfusion_spark.plans import udf_surface  # noqa: E402,F401
 
 __all__ = ["REGISTRY", "Query", "query"]

@@ -129,6 +129,15 @@ PRIORITY: list[str] = [
     "q19_disjunctive_predicates",
     "q2_min_cost_supplier",
     "q21_waiting_supplier",
+    "q8_market_share",
+    "q9_product_profit",
+    "q11_important_stock",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q16_parts_supplier",
+    "q17_small_quantity_revenue",
+    "q20_potential_promotion",
+    "q22_global_sales_opportunity",
     "multimodal_resize",
     "multimodal_frame_sample",
     "sim_ivf_topk",
