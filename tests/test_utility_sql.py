@@ -194,3 +194,25 @@ def test_partitioning_control_api(spark, tables):
         return iter([])
     swp.rdd.mapPartitions(lambda it: check(it)).count()
     assert swp.count() == n
+
+
+def test_plan_shape_q9_all_dims_broadcast(spark, tables):
+    """The new TPC-H sweep keeps the 100TB contract: in q9's 5-way join
+    every dimension (part/supplier/orders/nation) broadcasts, the
+    lineitem fact is never shuffled before the grouping aggregate, and
+    scans prune to referenced columns only."""
+    import io
+    from contextlib import redirect_stdout
+
+    from torchfusion_spark.plans import REGISTRY
+
+    df = REGISTRY["q9_product_profit"].builder(spark, tables)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    # 4 joins, each named twice in formatted explain (tree + detail)
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "SortMergeJoin" not in plan
+    scan_lines = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert scan_lines and all("l_tax" not in l and "l_shipdate" not in l for l in scan_lines)

@@ -24,7 +24,7 @@ Scale notes: every join here is either fact-to-dim (broadcastable —
 part/supplier/nation/region/customer all tiny relative to lineitem) or
 fact-to-derived-aggregate where the aggregate shrinks the fact first;
 correlated subqueries decorrelate into aggregate joins under Catalyst
-(verified via .explain in tests/test_plan_shapes.py patterns).
+(plan-shape assertions in tests/test_utility_sql.py).
 """
 
 from __future__ import annotations
