@@ -27,6 +27,8 @@ HEADLINE = [
     "q14_promo_revenue",
     "q18_large_volume_customer",
     "q19_disjunctive_predicates",
+    "q9_product_profit",
+    "q13_customer_distribution",
     "win_running_sum",
     "agg_distinct_count",
     "fn_time_bucket",
