@@ -216,3 +216,22 @@ def test_plan_shape_q9_all_dims_broadcast(spark, tables):
     assert "SortMergeJoin" not in plan
     scan_lines = [l for l in plan.splitlines() if "ReadSchema" in l]
     assert scan_lines and all("l_tax" not in l and "l_shipdate" not in l for l in scan_lines)
+
+
+def test_plan_shape_range_join_no_nested_loop(spark, tables):
+    """The banded interval join must plan as an equi-join (hash shuffle on
+    (key, bin)) — never the BroadcastNestedLoopJoin Spark emits for a raw
+    interval predicate. That nested loop is the plan the operator exists
+    to avoid at 100 TB."""
+    import io
+    from contextlib import redirect_stdout
+
+    from torchfusion_spark.plans import REGISTRY
+
+    df = REGISTRY["events_range_join"].builder(spark, tables)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan

@@ -133,3 +133,88 @@ FROM purchases p ASOF LEFT JOIN clicks c
   ON p.user_id = c.user_id AND p.ts >= c.ts
 ORDER BY p.purchase_id
 """
+
+
+def banded_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    delta_s: int = 300,
+) -> DataFrame:
+    """Range join ``|l.ts - r.ts| <= delta`` as an equi-join (the scale path).
+
+    Spark plans a raw interval predicate as a broadcast-nested-loop join —
+    O(n·m) work and a full broadcast of one side; at 100 TB that is the
+    single worst plan the optimizer can emit. The standard fix (bin-bucket
+    then refine) makes it shuffle-bounded:
+
+    * bin both sides' timestamps to ``delta``-wide buckets;
+    * explode the LEFT side to {bin-1, bin, bin+1} (×3 rows, cheap);
+    * equi-join on (key, bin) — ONE hash shuffle each side; every
+      qualifying pair matches exactly once because the right row keeps
+      its unique bin;
+    * refine with the exact |Δts| <= delta predicate.
+
+    Candidate work is linear in input + pairs-per-bucket, never global-
+    quadratic; hot (key, bin) buckets fall under AQE skew-join like any
+    other equi-join (vs. the nested loop, which AQE cannot help).
+    Returns the joined frame with columns from both sides; callers
+    project/filter further.
+    """
+    bin_us = int(delta_s) * 1_000_000
+    l = left.withColumn("__bin0", F.floor(F.unix_micros(F.col(left_ts)) / bin_us))
+    l = l.withColumn(
+        "__bin", F.explode(F.array(F.col("__bin0") - 1, F.col("__bin0"), F.col("__bin0") + 1))
+    ).drop("__bin0")
+    r = right.withColumn("__bin", F.floor(F.unix_micros(F.col(right_ts)) / bin_us))
+    lk, rk = f"l_{key}", f"r_{key}"
+    l = l.select(
+        F.col(key).alias(lk),
+        F.col("__bin"),
+        *[F.col(c).alias(f"l_{c}") for c in left.columns if c != key],
+    )
+    r = r.select(
+        F.col(key).alias(rk),
+        F.col("__bin"),
+        *[F.col(c).alias(f"r_{c}") for c in right.columns if c != key],
+    )
+    joined = l.join(r, (F.col(lk) == F.col(rk)) & (l["__bin"] == r["__bin"])).drop("__bin")
+    return joined.filter(
+        F.abs(F.unix_micros(F.col(f"l_{left_ts}")) - F.unix_micros(F.col(f"r_{right_ts}")))
+        <= bin_us
+    )
+
+
+RANGE_DELTA_S = 300
+
+
+def range_join_pairs(spark: SparkSession) -> DataFrame:
+    """Same-user event pairs within RANGE_DELTA_S seconds via the banded
+    equi-join; the oracle runs the plain inequality join (exact, fine at
+    oracle scale)."""
+    ev = spark.table("events").select("user_id", "event_id", "ts")
+    j = banded_interval_join(ev, ev, "user_id", delta_s=RANGE_DELTA_S)
+    return (
+        j.filter(F.col("l_event_id") < F.col("r_event_id"))
+        .select(
+            F.col("l_user_id").alias("user_id"),
+            F.col("l_event_id").alias("id_a"),
+            F.col("r_event_id").alias("id_b"),
+            F.floor(
+                F.abs(F.unix_micros("l_ts") - F.unix_micros("r_ts")) / 1_000_000
+            ).cast("bigint").alias("gap_s"),
+        )
+        .orderBy("user_id", "id_a", "id_b")
+    )
+
+
+RANGE_JOIN_ORACLE = f"""
+    SELECT a.user_id AS user_id, a.event_id AS id_a, b.event_id AS id_b,
+           CAST(FLOOR(abs(epoch_us(a.ts) - epoch_us(b.ts)) / 1000000) AS BIGINT) AS gap_s
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id AND a.event_id < b.event_id
+     AND abs(epoch_us(a.ts) - epoch_us(b.ts)) <= {RANGE_DELTA_S} * 1000000
+    ORDER BY user_id, id_a, id_b
+    """

@@ -330,3 +330,16 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from torchfusion_spark import streaming
 
     return streaming.enriched_counts(spark, sf_dir)
+
+
+@query(
+    "events_range_join",
+    events_ops.RANGE_JOIN_ORACLE,
+    doc="interval/range join (same-user event pairs within 5 min): banded "
+    "equi-join on (key, ts-bin) with left side exploded to adjacent bins "
+    "— one hash shuffle per side instead of the O(n*m) broadcast nested "
+    "loop Spark plans for a raw interval predicate; DuckDB runs the plain "
+    "inequality join as the oracle",
+)
+def events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return events_ops.range_join_pairs(spark)

@@ -115,6 +115,7 @@ PRIORITY: list[str] = [
     "applyinpandas_spread",
     "events_asof_join",
     "events_session_window",
+    "events_range_join",
     "text_token_count",
     "text_fingerprint",
     "q6_revenue_forecast",
