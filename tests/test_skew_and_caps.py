@@ -164,3 +164,36 @@ def test_parquet_float16_upcast_argmax(spark, tmp_path):
     got = {r.vec_id: r.am for r in df.select("vec_id", argmax("embedding").alias("am")).collect()}
     exp = {i: int(v.argmax()) for i, v in enumerate(vals)}
     assert got == exp
+
+
+def test_ngram_block_cap_bounds_boilerplate_block(spark, tables):
+    """A (lang, len_bucket) block stuffed with boilerplate docs is
+    excluded from the n-gram self-join (no quadratic stage); normal-sized
+    blocks keep exactly their uncapped pairs."""
+    import pandas as pd
+
+    from torchfusion_spark.operators.dedup import ngram_blocks_sql, ngram_body_sql
+
+    docs = spark.table("documents").selectExpr("doc_id", "lang", "n_chars", "text")
+    boiler = spark.range(2000).selectExpr(
+        "id + 1000000 AS doc_id",
+        "'xx' AS lang",
+        "CAST(96 AS INT) AS n_chars",
+        "repeat('license header boilerplate ', 4) AS text",
+    )
+    docs.unionByName(boiler).createOrReplaceTempView("__ngram_cap_docs")
+    g = spark.sql(ngram_blocks_sql("spark", rel="__ngram_cap_docs")).cache()
+    g.count()
+    g.createOrReplaceTempView("__ngram_cap_blocks")
+
+    capped = spark.sql(ngram_body_sql("spark", "__ngram_cap_blocks", 0.7)).toPandas()
+    # the 2000-doc boilerplate block is dropped entirely...
+    assert not (capped["id_a"] >= 1000000).any()
+    # ...and the organic corpus pairs are exactly the uncapped ones
+    uncapped = spark.sql(
+        ngram_body_sql("spark", "__ngram_cap_blocks", 0.7, max_block=10**9)
+    ).toPandas()
+    pd.testing.assert_frame_equal(
+        capped, uncapped[uncapped["id_a"] < 1000000].reset_index(drop=True)
+    )
+    g.unpersist()

@@ -253,19 +253,35 @@ def ngram_blocks_sql(d: str, rel: str = "documents", n: int = 5) -> str:
     """
 
 
-def ngram_body_sql(d: str, g_rel: str, threshold: float) -> str:
-    """Verify join, with two prunings that don't change the result:
+NGRAM_MAX_BLOCK = 512  # per-block join ≤ C(512,2) ≈ 131k pairs
+
+
+def ngram_body_sql(d: str, g_rel: str, threshold: float, max_block: int = NGRAM_MAX_BLOCK) -> str:
+    """Verify join, with two result-preserving prunings and one cap:
 
     * size-ratio prefilter: J(A,B) <= min|A|,|B| / max|A|,|B| for distinct
       sets, so pairs whose set sizes differ by more than the threshold
       ratio can't pass — evaluated on two ints BEFORE the O(set-size)
       intersect, killing most of the quadratic block;
     * |union| = |a| + |b| - |inter| — one hash-set build per pair, not
-      two, and the intersect is computed once in the inner select."""
+      two, and the intersect is computed once in the inner select;
+    * hot-block cap (same policy as the minhash bucket cap): a
+      (lang, len_bucket) block larger than ``max_block`` is excluded from
+      the self-join — one boilerplate-heavy language/length combination
+      would otherwise make this stage globally quadratic. Unlike minhash
+      bands there is no redundancy to recover capped pairs, which is why
+      this operator is the bounded *verifier*; the minhash path is the
+      global sweep. The size count shuffles on the same (lang, len_bucket)
+      key as the join; the oracle applies the identical cap."""
     inter = G.arr_intersect_size("a.gs", "b.gs", d)
     mat = "MATERIALIZED " if d == "duck" else ""
     return f"""
-    WITH gn AS {mat}(SELECT doc_id, lang, len_bucket, gs, {G.arr_size('gs', d)} AS n FROM {g_rel})
+    WITH gn AS {mat}(
+        SELECT doc_id, lang, len_bucket, gs, n FROM (
+            SELECT doc_id, lang, len_bucket, gs, {G.arr_size('gs', d)} AS n,
+                   COUNT(*) OVER (PARTITION BY lang, len_bucket) AS blk
+            FROM {g_rel})
+        WHERE blk <= {max_block})
     SELECT id_a, id_b, jaccard FROM (
         SELECT id_a, id_b, ROUND(CAST(ins AS DOUBLE) / (na + nb - ins), 6) AS jaccard FROM (
             SELECT a.doc_id AS id_a, b.doc_id AS id_b, {inter} AS ins,
