@@ -110,3 +110,73 @@ def fingerprint_sql(d: str) -> str:
     FROM f GROUP BY fingerprint
     ORDER BY canonical_doc
     """
+
+
+def corpus_clean_sql(d: str) -> str:
+    """Composed training-corpus cleaning pipeline in ONE declarative plan:
+    length-bounds filter → exact-dedup winner per content hash → per-lang
+    corpus stats. The stages fuse: the filter reaches the scan, the dedup
+    is one shuffle on the content hash, the rollup is a second (tiny)
+    shuffle — at 100 TB this is the shape you want (no intermediate
+    materialization between pipeline stages). Identical ANSI on both
+    dialects."""
+    return """
+    WITH kept AS (
+        SELECT doc_id, lang, n_chars, md5(text) AS h FROM documents
+        WHERE n_chars BETWEEN 64 AND 100000),
+    w AS (
+        SELECT doc_id, lang, n_chars,
+               ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id) AS rn
+        FROM kept)
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM w WHERE rn = 1 GROUP BY lang ORDER BY lang
+    """
+
+
+# per-lang keep-rate (percent): downsample the dominant language — the
+# standard corpus-rebalancing move; hash-based so the sample is
+# deterministic, reproducible across engines/runs, and needs NO shuffle
+# (a scan-side filter), unlike TABLESAMPLE/rand() which are
+# engine-RNG-dependent.
+SAMPLE_RATES = {"en": 25, "de": 50, "fr": 50, "es": 50, "zh": 50}
+SAMPLE_DEFAULT = 75
+
+
+def hash_stratified_sample_sql(d: str) -> str:
+    from torchfusion_spark.operators import sqlgen as G
+
+    str_t = "STRING" if d == "spark" else "VARCHAR"
+    bucket = f"{G.hash56(f'CAST(doc_id AS {str_t})', d)} % 100"
+    cases = " ".join(f"WHEN '{k}' THEN {v}" for k, v in sorted(SAMPLE_RATES.items()))
+    return f"""
+    SELECT doc_id, lang FROM documents
+    WHERE {bucket} < (CASE lang {cases} ELSE {SAMPLE_DEFAULT} END)
+    ORDER BY doc_id
+    """
+
+
+def top_tokens_sql(d: str, k: int = 5) -> str:
+    """Per-language top-k tokens (heavy hitters) with deterministic
+    count-then-token ordering. Two shuffles — (lang, token) count then
+    per-lang top-k window; at scale the count is map-side-combined so the
+    exploded token stream never shuffles raw."""
+    from torchfusion_spark.operators import sqlgen as G
+
+    toks = G.split_ws("lower(text)", d)
+    if d == "spark":
+        exploded = (
+            f"SELECT lang, t FROM (SELECT lang, {toks} AS toks FROM documents) "
+            f"LATERAL VIEW explode(toks) AS t"
+        )
+    else:
+        exploded = f"SELECT lang, UNNEST({toks}) AS t FROM documents"
+    return f"""
+    WITH c AS (
+        SELECT lang, t, COUNT(*) AS n FROM ({exploded}) WHERE t <> '' GROUP BY lang, t),
+    r AS (
+        SELECT lang, t AS token, CAST(n AS BIGINT) AS n,
+               ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n DESC, t) AS rk
+        FROM c)
+    SELECT lang, token, n FROM r WHERE rk <= {k} ORDER BY lang, token
+    """

@@ -343,3 +343,29 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events_ops.range_join_pairs(spark)
+
+
+_sql_pair(
+    "pipeline_corpus_clean",
+    textstats.corpus_clean_sql,
+    doc="composed training-corpus pipeline (length filter -> exact-dedup "
+    "winner -> per-lang stats) as ONE declarative plan: filter reaches the "
+    "scan, one content-hash shuffle, one tiny rollup shuffle",
+)
+
+_sql_pair(
+    "sample_hash_stratified",
+    textstats.hash_stratified_sample_sql,
+    doc="deterministic hash-stratified sampling (per-lang keep rates, "
+    "dominant language downsampled): portable-hash bucket filter at the "
+    "scan — reproducible across engines/runs, no shuffle, unlike "
+    "TABLESAMPLE/rand()",
+)
+
+_sql_pair(
+    "text_top_tokens",
+    textstats.top_tokens_sql,
+    doc="per-language top-5 tokens (heavy hitters): map-side-combined "
+    "(lang, token) count then per-lang top-k window, deterministic "
+    "count-then-token tie-break",
+)

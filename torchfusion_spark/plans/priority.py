@@ -42,13 +42,13 @@ PRIORITY: list[str] = [
     "filter_like_family",        # LIKE / ILIKE / regexp filters
     "select_distinct",           # DISTINCT
     "sort_limit_offset",         # sort / limit / offset / TopK
-    "sort_nulls_ordering",       # NULLS FIRST/LAST
+    "pipeline_corpus_clean",     # composed corpus-cleaning pipeline
     "join_left_outer",           # joins: the five types without r01 rows first
     "join_right_outer",
     "join_semi",
     "join_theta",
     "join_using",
-    "join_inner",                # r01-green re-confirmation witness
+    "sample_hash_stratified",    # deterministic hash-stratified sampling
     "agg_distinct_count",        # aggregation family witness
     "agg_approx",                # r01 canon-err, fixed (rows-only: HLL differs)
     "agg_collect_set",           # r01 canon-err, fixed via sorted array_join
@@ -78,9 +78,11 @@ PRIORITY: list[str] = [
     "q1_pricing_summary",        # TPC-H family witness
     "stream_windowed_counts",    # streaming family witness
     # -- remaining family members, cheap first (ranks 51+) --
+    "join_inner",
     "join_anti",
     "join_cross",
     "join_full_outer",
+    "sort_nulls_ordering",
     "cte_chained",
     "text_lang_id",
     "subq_scalar",
@@ -118,6 +120,7 @@ PRIORITY: list[str] = [
     "events_range_join",
     "text_token_count",
     "text_fingerprint",
+    "text_top_tokens",
     "q6_revenue_forecast",
     "q3_shipping_priority",
     "q4_order_priority",
