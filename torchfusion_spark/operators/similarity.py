@@ -226,3 +226,39 @@ def cosine_near_dup_lsh(spark, threshold: float = 0.30):
     b.count()
     b.createOrReplaceTempView("__sim_buckets")
     return spark.sql(cosine_near_dup_lsh_sql("spark", threshold, rel="__sim_buckets"))
+
+
+def quantize_int8_sql(d: str) -> str:
+    """Per-vector symmetric int8 quantization with reconstruction audit.
+
+    The 100 TB storage lever for embedding corpora: scale = max|v|/127 per
+    vector, q = round(v/scale) in [-127, 127] — 4x smaller than float32 on
+    disk/shuffle with ~1e-2 worst-case element error at 64 dims. Emits the
+    audit columns (cosine of original vs reconstructed, max abs element
+    error) rather than the int8 blobs so the gate checks the quantizer's
+    numerics end-to-end.
+
+    One scan, zero shuffles: every expression is a per-row higher-order
+    function. Rounding uses floor(x + 0.5) — bit-identical across engines,
+    unlike ROUND whose half-way rule differs (Spark HALF_UP vs DuckDB
+    half-even on doubles).
+    """
+    v = _vec(d)
+    if d == "spark":
+        maxabs = "array_max(transform(v, x -> abs(x)))"
+        recon = "transform(v, x -> floor(x / scale + 0.5D) * scale)"
+        maxerr = "array_max(zip_with(v, r, (x, y) -> abs(x - y)))"
+    else:
+        maxabs = "list_max(list_transform(v, x -> abs(x)))"
+        recon = "list_transform(v, x -> floor(x / scale + 0.5) * scale)"
+        maxerr = f"list_max(list_transform(range(1, {G.EMB_DIM} + 1), i -> abs(v[i] - r[i])))"
+    return f"""
+    WITH base AS (SELECT vec_id, {v} AS v FROM embeddings),
+    s AS (SELECT vec_id, v, greatest({maxabs}, 1e-12) / 127.0 AS scale FROM base),
+    rq AS (SELECT vec_id, v, scale, {recon} AS r FROM s)
+    SELECT vec_id,
+           ROUND(scale, 6) AS scale,
+           ROUND({_dot('v', 'r', d)} / greatest({_norm('v', d)} * {_norm('r', d)}, 1e-12), 6) AS cos_recon,
+           ROUND({maxerr}, 6) AS max_abs_err
+    FROM rq ORDER BY vec_id
+    """

@@ -369,3 +369,13 @@ _sql_pair(
     "(lang, token) count then per-lang top-k window, deterministic "
     "count-then-token tie-break",
 )
+
+
+_sql_pair(
+    "sim_quantize_int8",
+    similarity.quantize_int8_sql,
+    doc="symmetric per-vector int8 embedding quantization (4x storage/"
+    "shuffle reduction) with end-to-end reconstruction audit: cosine of "
+    "original vs reconstructed and max element error, one scan, no "
+    "shuffle; floor(x+0.5) rounding is bit-identical across engines",
+)

@@ -145,6 +145,7 @@ PRIORITY: list[str] = [
     "multimodal_resize",
     "multimodal_frame_sample",
     "sim_ivf_topk",
+    "sim_quantize_int8",
     "dedup_simhash",
     # -- expensive tails last so a time-capped run reaches everything else --
     "stream_static_join",
