@@ -83,3 +83,16 @@ def test_configure_s3_sets_hadoop_confs(spark):
     assert conf.get("fs.s3a.access.key") == "ak"
     assert conf.get("fs.s3a.secret.key") == "sk"
     assert conf.get("fs.s3a.path.style.access") == "true"
+
+
+def test_external_table_stored_as_arrow(engine, tables, tmp_path):
+    """DataFusion-parity DDL: CREATE EXTERNAL TABLE ... STORED AS ARROW
+    routes through the Arrow IPC reader (Spark ships no arrow datasource)."""
+    from torchfusion_spark.sources.arrow_ipc import write_arrow_ipc
+
+    path = str(tmp_path / "region_arrow")
+    write_arrow_ipc(engine.spark.table("region"), path)
+    engine.sql(f"CREATE EXTERNAL TABLE region_arrow STORED AS ARROW LOCATION '{path}'")
+    got = engine.sql("SELECT r_name FROM region_arrow ORDER BY r_name").collect()
+    exp = engine.sql("SELECT r_name FROM region ORDER BY r_name").collect()
+    assert [r.r_name for r in got] == [r.r_name for r in exp]

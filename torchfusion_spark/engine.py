@@ -142,9 +142,19 @@ class Engine:
             return self._set_torch_option(m)
         m = _EXTERNAL_TABLE_RE.match(text)
         if m:
+            fmt = m.group("fmt").lower()
+            if fmt == "arrow":
+                # DataFusion's STORED AS ARROW (reference src/lib.rs:128
+                # default features); Spark has no arrow-file datasource, so
+                # route through the IPC reader (sources/arrow_ipc.py)
+                from torchfusion_spark.sources.arrow_ipc import read_arrow_ipc
+
+                name = m.group("name")
+                read_arrow_ipc(self.spark, m.group("loc")[1:-1]).createOrReplaceTempView(name)
+                return self.spark.table(name)
             return self.spark.sql(
                 f"CREATE OR REPLACE TEMPORARY VIEW {m.group('name')} "
-                f"USING {m.group('fmt').lower()} OPTIONS (path {m.group('loc')})"
+                f"USING {fmt} OPTIONS (path {m.group('loc')})"
             )
         if _DF_SETTINGS_RE.search(text):
             self.settings().createOrReplaceTempView("df_settings")
