@@ -158,16 +158,25 @@ def minhash_lsh(spark, threshold: float = 0.6):
     The input is repartitioned first: a single small parquet file arrives
     as ONE partition and shingling is CPU-bound — without the fan-out the
     whole stage runs on one core. Width adapts to the row count
-    (cpu_fanout): full parallelism at scale, a few tasks at gate sf."""
+    (cpu_fanout): full parallelism at scale, a few tasks at gate sf.
+
+    The staged signature is memoized per (session, loaded tables):
+    ``minhash_clusters`` runs the identical signature pipeline immediately
+    after ``minhash_lsh`` in gate order, and recomputing the one expensive
+    pass (shingle + md5 + fold) would double its cost for nothing. The key
+    follows ``load_tables``' memo, so switching sf_dir rebuilds."""
     from torchfusion_spark.session import cpu_fanout
 
-    docs = cpu_fanout(spark.table("documents"))
-    docs.createOrReplaceTempView("__minhash_docs")
-    sig = spark.sql(
-        sig_rel_sql("spark", f"({hashed_shingle_sql('spark', rel='__minhash_docs')})")
-    ).cache()
-    sig.count()  # materialize before the self-join races both sides into the fill
-    sig.createOrReplaceTempView("__minhash_sig")
+    key = getattr(spark, "_tf_tables_loaded", None)
+    if getattr(spark, "_tf_minhash_sig_key", object()) != key:
+        docs = cpu_fanout(spark.table("documents"))
+        docs.createOrReplaceTempView("__minhash_docs")
+        sig = spark.sql(
+            sig_rel_sql("spark", f"({hashed_shingle_sql('spark', rel='__minhash_docs')})")
+        ).cache()
+        sig.count()  # materialize before the self-join races both sides into the fill
+        sig.createOrReplaceTempView("__minhash_sig")
+        spark._tf_minhash_sig_key = key
     return spark.sql(minhash_body_sql("spark", "__minhash_sig", threshold))
 
 
