@@ -39,6 +39,9 @@ HEADLINE = [
     "sim_cosine_topk",
     "sim_cosine_near_dup_lsh",
     "text_quality_stats",
+    "pipeline_corpus_clean",
+    "events_range_join",
+    "sim_quantize_int8",
     "events_sessionize",
 ]
 
