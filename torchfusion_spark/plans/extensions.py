@@ -8,6 +8,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
+from torchfusion_spark import streaming as streaming_mod
 from torchfusion_spark.operators import dedup, events_ops, multimodal, similarity, textstats
 from torchfusion_spark.plans.registry import query
 
@@ -379,3 +380,19 @@ _sql_pair(
     "original vs reconstructed and max element error, one scan, no "
     "shuffle; floor(x+0.5) rounding is bit-identical across engines",
 )
+
+
+@query(
+    "stream_stateful_cents",
+    streaming_mod.STATEFUL_CENTS_ORACLE,
+    doc="custom stateful streaming with bit-deterministic integer-cents "
+    "state — fully hash-checked against the batch oracle (the float "
+    "variant is rows-only by necessity). Prefers transformWithState "
+    "(typed ValueState on RocksDB, Spark 4.x) when the runtime has "
+    "protobuf; otherwise applyInPandasWithState with identical state "
+    "schema and emissions",
+)
+def stream_stateful_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from torchfusion_spark import streaming
+
+    return streaming.stateful_cents(spark, sf_dir)

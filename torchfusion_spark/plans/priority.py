@@ -151,6 +151,7 @@ PRIORITY: list[str] = [
     "stream_static_join",
     "stream_sliding_counts",
     "stream_dedup_counts",
+    "stream_stateful_cents",
     "stream_stateful_user_stats",
     "sim_cosine_near_dup_lsh",
     "sim_cosine_near_dup",

@@ -183,3 +183,113 @@ def enriched_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     name = "tf_stream_enriched_counts"
     return _run_to_memory(spark, agg, name, "complete").orderBy("c_mktsegment", "event_type")
+
+
+def _has_tws_runtime() -> bool:
+    """transformWithStateInPandas talks to the JVM state server over
+    protobuf; without a working ``google.protobuf`` the Python worker
+    crashes at runtime, so probe it up front (env mandate: gate missing
+    deps behind an import-try)."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def stateful_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user running stats in explicit typed state, accumulated as
+    integer cents so the final per-user state is bit-deterministic and the
+    DuckDB oracle hash-checks it fully (the float-summing
+    ``stateful_user_stats`` variant is rows-only for exactly that reason).
+
+    Uses the second-generation stateful API (``transformWithStateInPandas``
+    + ValueState on RocksDB, Spark 4.x) when the runtime has protobuf;
+    otherwise the ``applyInPandasWithState`` path with identical state
+    semantics — same state schema, same emissions, same oracle."""
+    import pandas as pd
+
+    events = _event_stream(spark, sf_dir).withColumn(
+        "cents", F.expr("CAST(ROUND(value * 100) AS BIGINT)")
+    )
+    if not _has_tws_runtime():
+        from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+        def update(key, pdfs, state: GroupState):
+            n, cents = state.get if state.exists else (0, 0)
+            for pdf in pdfs:
+                n += len(pdf)
+                cents += int(pdf["cents"].sum())
+            state.update((n, cents))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "total_cents": [cents]}
+            )
+
+        out = events.groupBy("user_id").applyInPandasWithState(
+            update,
+            outputStructType="user_id bigint, n_events bigint, total_cents bigint",
+            stateStructType="n bigint, cents bigint",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+        latest = _run_to_memory(spark, out, "tf_stream_stateful_cents", "update")
+        return _latest_per_user(latest)
+
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    class UserStats(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("stats", "n bigint, cents bigint")
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, cents = (self._state.get() or (0, 0)) if self._state.exists() else (0, 0)
+            for pdf in rows:
+                n += len(pdf)
+                cents += int(pdf["cents"].sum())
+            self._state.update((n, cents))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "total_cents": [cents]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        out = (
+            events.groupBy("user_id")
+            .transformWithStateInPandas(
+                statefulProcessor=UserStats(),
+                outputStructType="user_id bigint, n_events bigint, total_cents bigint",
+                outputMode="Update",
+                timeMode="None",
+            )
+        )
+        latest = _run_to_memory(spark, out, "tf_stream_stateful_cents", "update")
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    return _latest_per_user(latest)
+
+
+def _latest_per_user(latest: DataFrame) -> DataFrame:
+    """Update-mode memory sinks hold one emission per micro-batch per key;
+    the final state is the max-n_events row."""
+    from pyspark.sql import Window as W
+
+    rn = F.row_number().over(W.partitionBy("user_id").orderBy(F.col("n_events").desc()))
+    return latest.withColumn("_rn", rn).filter(F.col("_rn") == 1).drop("_rn").orderBy("user_id")
+
+
+STATEFUL_CENTS_ORACLE = """
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS total_cents
+    FROM events GROUP BY user_id ORDER BY user_id
+    """
