@@ -96,3 +96,15 @@ def test_external_table_stored_as_arrow(engine, tables, tmp_path):
     got = engine.sql("SELECT r_name FROM region_arrow ORDER BY r_name").collect()
     exp = engine.sql("SELECT r_name FROM region ORDER BY r_name").collect()
     assert [r.r_name for r in got] == [r.r_name for r in exp]
+
+
+def test_explain_analyze(engine, tables):
+    """DataFusion-parity EXPLAIN ANALYZE: executes the query and returns
+    the final (AQE-resolved) physical plan with execution counters."""
+    rows = engine.sql(
+        "EXPLAIN ANALYZE SELECT l_returnflag, count(*) FROM lineitem GROUP BY l_returnflag"
+    ).collect()
+    assert len(rows) == 1
+    plan = rows[0].plan
+    assert "== Analyzed: 3 rows" in plan
+    assert "HashAggregate" in plan or "Scan" in plan

@@ -61,6 +61,13 @@ _EXTERNAL_TABLE_RE = re.compile(
 
 _DF_SETTINGS_RE = re.compile(r"information_schema\.df_settings", re.IGNORECASE)
 
+# DataFusion's EXPLAIN ANALYZE (execute + annotated plan). Spark has no
+# SQL-level equivalent; emulate: run the query, return the final
+# (AQE-resolved) physical plan plus execution counters.
+_EXPLAIN_ANALYZE_RE = re.compile(
+    r"^\s*EXPLAIN\s+ANALYZE\s+(?P<q>.+?)\s*;?\s*$", re.IGNORECASE | re.DOTALL
+)
+
 
 def _parse_array_type(token: str | None) -> str:
     """``FLOAT[]`` / ``ARRAY<FLOAT>`` / bare ``FLOAT`` → Spark DDL array type."""
@@ -131,9 +138,28 @@ class Engine:
         )
         return torch_rows.unionByName(engine_rows)
 
+    def _explain_analyze(self, query_text: str) -> DataFrame:
+        """Execute, then return the final physical plan (AQE-resolved, so
+        runtime re-plans are visible — the analyze half DataFusion shows as
+        per-operator metrics) with execution counters appended."""
+        import time
+
+        df = self.sql(query_text)  # recursive dispatch: df_settings etc. apply
+        t0 = time.time()
+        n = df.count()
+        elapsed_ms = round((time.time() - t0) * 1000, 1)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        summary = f"== Analyzed: {n} rows, {elapsed_ms} ms =="
+        return self.spark.createDataFrame(
+            [(f"{plan}\n{summary}",)], "plan string"
+        )
+
     # -- dispatch -----------------------------------------------------------
 
     def sql(self, text: str) -> DataFrame:
+        m = _EXPLAIN_ANALYZE_RE.match(text)
+        if m:
+            return self._explain_analyze(m.group("q"))
         m = _CREATE_FUNCTION_RE.match(text)
         if m:
             return self._create_torch_function(m)
