@@ -108,20 +108,51 @@ def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[
     return problems
 
 
+def _driver_order_items():
+    """Dress rehearsal of the exact driver flow: the prefixed keys from
+    ``__spark_entry__.queries()`` in priority order, on a PLAIN local
+    session (Spark-default confs, like the driver's own) — exercises the
+    c-prefix mapping, tune_runtime, and staging memoization in the order
+    the driver will actually run."""
+    import importlib
+
+    entry = importlib.import_module("__spark_entry__")
+    from torchfusion_spark.plans import REGISTRY, Query
+
+    items = []
+    for key, builder in entry.queries().items():
+        q = REGISTRY[key.split("_", 1)[1]]
+        items.append((key, Query(name=key, builder=builder, oracle=q.oracle, doc=q.doc)))
+    return items
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = {a for a in sys.argv[2:] if not a.startswith("--")}
     timed = "--time" in sys.argv
+    driver_order = "--driver-order" in sys.argv
 
     from torchfusion_spark.plans import REGISTRY
     from torchfusion_spark.session import session
 
-    spark = session(app_name="verify_local")
+    if driver_order:
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.appName("verify_driver_rehearsal")
+            .master(f"local[{os.environ.get('SPARK_GRAFT_CPUS', os.cpu_count() or 8)}]")
+            .config("spark.ui.enabled", "false")
+            .getOrCreate()
+        )
+        items = _driver_order_items()
+    else:
+        spark = session(app_name="verify_local")
+        items = sorted(REGISTRY.items())
     con = duck_connection(sf_dir)
 
     passed, rows_only, failed = [], [], []
     timings: dict[str, float] = {}
-    for name, q in sorted(REGISTRY.items()):
+    for name, q in items:
         if only and name not in only:
             continue
         t0 = time.monotonic()
