@@ -180,3 +180,65 @@ def top_tokens_sql(d: str, k: int = 5) -> str:
         FROM c)
     SELECT lang, token, n FROM r WHERE rk <= {k} ORDER BY lang, token
     """
+
+
+def repetition_sql(d: str) -> str:
+    """Gopher-style repetition metrics per doc: top-token ratio and
+    distinct-token ratio. Exploded (doc, token) counts with map-side
+    combine — the token stream shuffles pre-aggregated, then one
+    per-doc rollup. High top_token_ratio / low distinct_ratio flags
+    low-quality repetitive text for corpus filtering."""
+    from torchfusion_spark.operators import sqlgen as G
+
+    toks = G.split_ws("lower(text)", d)
+    if d == "spark":
+        exploded = (
+            f"SELECT doc_id, t FROM (SELECT doc_id, {toks} AS toks FROM documents) "
+            f"LATERAL VIEW explode(toks) AS t"
+        )
+    else:
+        exploded = f"SELECT doc_id, UNNEST({toks}) AS t FROM documents"
+    return f"""
+    WITH c AS (
+        SELECT doc_id, t, COUNT(*) AS n FROM ({exploded}) WHERE t <> ''
+        GROUP BY doc_id, t),
+    a AS (
+        SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_tokens,
+               CAST(COUNT(*) AS BIGINT) AS n_distinct,
+               CAST(MAX(n) AS BIGINT) AS top_n
+        FROM c GROUP BY doc_id)
+    SELECT doc_id, n_tokens, n_distinct,
+           ROUND(CAST(top_n AS DOUBLE) / n_tokens, 6) AS top_token_ratio,
+           ROUND(CAST(n_distinct AS DOUBLE) / n_tokens, 6) AS distinct_ratio
+    FROM a ORDER BY doc_id
+    """
+
+
+DECONTAM_MIN_OVERLAP = 5
+
+
+def decontaminate_sql(d: str) -> str:
+    """Benchmark decontamination: flag corpus docs sharing >= K word-3-gram
+    hashes with a benchmark set (here the deterministic doc_id%50==0
+    slice, standing in for an eval suite). The benchmark shingle set is
+    tiny relative to the corpus — broadcast side of the hash join; the
+    corpus stream shuffles once on the shingle hash, then rolls up per
+    doc. The standard pre-training hygiene op."""
+    from torchfusion_spark.operators import dedup
+
+    hs = dedup.hashed_shingle_sql(d)
+    if d == "spark":
+        exploded = f"SELECT doc_id, h FROM ({hs}) LATERAL VIEW explode(hx) AS h"
+    else:
+        exploded = f"SELECT doc_id, UNNEST(hx) AS h FROM ({hs})"
+    mat = "MATERIALIZED " if d == "duck" else ""
+    return f"""
+    WITH sh AS {mat}({exploded}),
+    bench AS (SELECT DISTINCT h FROM sh WHERE doc_id % 50 = 0)
+    SELECT doc_id, CAST(COUNT(DISTINCT sh.h) AS BIGINT) AS n_overlap
+    FROM sh JOIN bench ON sh.h = bench.h
+    WHERE doc_id % 50 <> 0
+    GROUP BY doc_id
+    HAVING COUNT(DISTINCT sh.h) >= {DECONTAM_MIN_OVERLAP}
+    ORDER BY doc_id
+    """

@@ -396,3 +396,20 @@ def stream_stateful_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
     from torchfusion_spark import streaming
 
     return streaming.stateful_cents(spark, sf_dir)
+
+
+_sql_pair(
+    "text_repetition",
+    textstats.repetition_sql,
+    doc="Gopher-style repetition metrics (top-token ratio, distinct-token "
+    "ratio) per doc: map-side-combined (doc, token) counts then one "
+    "per-doc rollup — the corpus-quality repetition filter",
+)
+
+_sql_pair(
+    "text_decontaminate",
+    textstats.decontaminate_sql,
+    doc="benchmark decontamination: corpus docs sharing >= 5 word-3-gram "
+    "hashes with the benchmark slice (doc_id%50==0 stand-in); benchmark "
+    "shingles broadcast, corpus shuffles once on the shingle hash",
+)

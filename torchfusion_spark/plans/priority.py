@@ -121,6 +121,8 @@ PRIORITY: list[str] = [
     "text_token_count",
     "text_fingerprint",
     "text_top_tokens",
+    "text_repetition",
+    "text_decontaminate",
     "q6_revenue_forecast",
     "q3_shipping_priority",
     "q4_order_priority",
