@@ -218,3 +218,56 @@ RANGE_JOIN_ORACLE = f"""
      AND abs(epoch_us(a.ts) - epoch_us(b.ts)) <= {RANGE_DELTA_S} * 1000000
     ORDER BY user_id, id_a, id_b
     """
+
+
+FUNNEL_ORACLE = """
+    WITH stages AS (
+        SELECT user_id,
+               MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+               MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+               MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+        FROM events GROUP BY user_id)
+    SELECT user_id,
+           CAST(t_view IS NOT NULL AS INT) AS did_view,
+           COALESCE(CAST(t_view IS NOT NULL AND t_click > t_view AS INT), 0) AS did_click_after,
+           COALESCE(CAST(t_view IS NOT NULL AND t_click > t_view AND t_purchase > t_click AS INT), 0)
+               AS did_purchase_after
+    FROM stages ORDER BY user_id
+    """
+
+
+def funnel(spark: SparkSession) -> DataFrame:
+    """view → click → purchase funnel per user: first-touch timestamp per
+    stage (conditional MIN — ONE shuffle on user_id, no joins, no
+    window), then ordered-stage flags. The standard product-analytics
+    funnel at corpus scale: conditional aggregation beats N self-joins
+    (one pass, map-side combinable) and beats sequence UDFs (pure
+    codegen). Missing-stage comparisons are three-valued (NULL), so the
+    flags are COALESCEd to 0 on both dialects."""
+    e = spark.table("events")
+    stage = lambda t: F.min(F.when(F.col("event_type") == t, F.col("ts")))  # noqa: E731
+    return (
+        e.groupBy("user_id")
+        .agg(
+            stage("view").alias("t_view"),
+            stage("click").alias("t_click"),
+            stage("purchase").alias("t_purchase"),
+        )
+        .select(
+            "user_id",
+            F.col("t_view").isNotNull().cast("int").alias("did_view"),
+            F.coalesce(
+                (F.col("t_view").isNotNull() & (F.col("t_click") > F.col("t_view"))).cast("int"),
+                F.lit(0),
+            ).alias("did_click_after"),
+            F.coalesce(
+                (
+                    F.col("t_view").isNotNull()
+                    & (F.col("t_click") > F.col("t_view"))
+                    & (F.col("t_purchase") > F.col("t_click"))
+                ).cast("int"),
+                F.lit(0),
+            ).alias("did_purchase_after"),
+        )
+        .orderBy("user_id")
+    )

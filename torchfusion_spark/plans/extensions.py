@@ -413,3 +413,14 @@ _sql_pair(
     "hashes with the benchmark slice (doc_id%50==0 stand-in); benchmark "
     "shingles broadcast, corpus shuffles once on the shingle hash",
 )
+
+
+@query(
+    "events_funnel",
+    events_ops.FUNNEL_ORACLE,
+    doc="ordered funnel (view -> click -> purchase) per user: conditional "
+    "first-touch MIN per stage — one shuffle, no self-joins, no Python; "
+    "ordered-stage flags from NULL-safe timestamp comparisons",
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return events_ops.funnel(spark)

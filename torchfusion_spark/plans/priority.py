@@ -118,6 +118,7 @@ PRIORITY: list[str] = [
     "events_asof_join",
     "events_session_window",
     "events_range_join",
+    "events_funnel",
     "text_token_count",
     "text_fingerprint",
     "text_top_tokens",
