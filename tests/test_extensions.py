@@ -166,3 +166,48 @@ def test_connected_components_known_graph(spark):
     )
     got = {r.doc_id: r.component for r in connected_components(pairs).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 5, 8: 8, 9: 8, 10: 8}
+
+
+def test_banded_interval_join_equals_naive(spark, tables):
+    """Property: the banded equi-join returns exactly the pairs of the
+    naive inequality join (computed Spark-side with a cross-safe small
+    slice), for several deltas including bin-boundary-sensitive ones."""
+    from torchfusion_spark.operators.events_ops import banded_interval_join
+
+    ev = spark.table("events").select("user_id", "event_id", "ts").filter("user_id < 20")
+    for delta in (60, 137, 300):
+        banded = {
+            (r.l_event_id, r.r_event_id)
+            for r in banded_interval_join(ev, ev, "user_id", delta_s=delta)
+            .filter("l_event_id < r_event_id")
+            .collect()
+        }
+        a, b = ev.alias("a"), ev.alias("b")
+        from pyspark.sql import functions as F
+
+        naive = {
+            (r[0], r[1])
+            for r in a.join(
+                b,
+                (F.col("a.user_id") == F.col("b.user_id"))
+                & (F.col("a.event_id") < F.col("b.event_id"))
+                & (
+                    F.abs(F.unix_micros("a.ts") - F.unix_micros("b.ts"))
+                    <= delta * 1_000_000
+                ),
+            )
+            .select(F.col("a.event_id"), F.col("b.event_id"))
+            .collect()
+        }
+        assert banded == naive, f"delta={delta}"
+
+
+def test_quantize_int8_error_bound(spark, tables):
+    """Property: symmetric int8 reconstruction error is bounded by
+    scale/2 per element, and cosine(original, reconstructed) stays high."""
+    from torchfusion_spark.plans import REGISTRY
+
+    pdf = REGISTRY["sim_quantize_int8"].builder(spark, tables).toPandas()
+    # + 1e-6: both output columns are rounded to 6dp by the witness
+    assert (pdf["max_abs_err"] <= pdf["scale"] / 2 + 1e-6).all()
+    assert (pdf["cos_recon"] > 0.995).all()

@@ -271,3 +271,42 @@ def funnel(spark: SparkSession) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+def histogram_sql(d: str, width: int = 50) -> str:
+    """Fixed-width value histogram per event type — the profiling op for
+    choosing clip bounds / bin budgets. Pure single-pass aggregate (bin is
+    a scalar expression, no shuffle beyond the group-by); identical ANSI
+    on both dialects."""
+    return f"""
+    SELECT event_type, CAST(FLOOR(value / {width}) AS BIGINT) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(MIN(value), 6) AS bin_min, ROUND(MAX(value), 6) AS bin_max
+    FROM events GROUP BY event_type, CAST(FLOOR(value / {width}) AS BIGINT)
+    ORDER BY event_type, bin
+    """
+
+
+def winsorize_sql(d: str) -> str:
+    """Percentile winsorization per event type: clip values to [p01, p99]
+    and report clipped sums/counts. The per-type percentile relation is
+    tiny — broadcast side of the join; the fact scans once. Quantiles are
+    rounded to 6dp on both dialects before clipping (interpolated doubles
+    drift in the last ulp), and the clipped sum goes through
+    floor(x*100+0.5) cents so float summation order can't shift the
+    hash."""
+    q = "percentile(value, {p})" if d == "spark" else "quantile_cont(value, {p})"
+    lo, hi = q.format(p="0.01"), q.format(p="0.99")
+    return f"""
+    WITH p AS (
+        SELECT event_type, ROUND({lo}, 6) AS lo, ROUND({hi}, 6) AS hi
+        FROM events GROUP BY event_type)
+    SELECT e.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(FLOOR(least(greatest(e.value, p.lo), p.hi) * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS clipped_cents,
+           CAST(SUM(CASE WHEN e.value < p.lo OR e.value > p.hi THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_clipped
+    FROM events e JOIN p ON e.event_type = p.event_type
+    GROUP BY e.event_type ORDER BY e.event_type
+    """

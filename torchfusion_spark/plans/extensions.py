@@ -424,3 +424,19 @@ _sql_pair(
 )
 def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events_ops.funnel(spark)
+
+
+_sql_pair(
+    "events_histogram",
+    events_ops.histogram_sql,
+    doc="fixed-width value histogram per event type: single-pass group-by "
+    "on (type, floor(value/width)) — the profiling op for clip bounds",
+)
+
+_sql_pair(
+    "events_winsorize",
+    events_ops.winsorize_sql,
+    doc="percentile winsorization (clip to [p01, p99] per type): tiny "
+    "percentile relation broadcast, fact scans once; quantiles rounded "
+    "6dp and clipped sums in floor-cents for cross-engine determinism",
+)

@@ -119,6 +119,8 @@ PRIORITY: list[str] = [
     "events_session_window",
     "events_range_join",
     "events_funnel",
+    "events_histogram",
+    "events_winsorize",
     "text_token_count",
     "text_fingerprint",
     "text_top_tokens",
