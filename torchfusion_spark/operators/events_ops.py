@@ -310,3 +310,36 @@ def winsorize_sql(d: str) -> str:
     FROM events e JOIN p ON e.event_type = p.event_type
     GROUP BY e.event_type ORDER BY e.event_type
     """
+
+
+US_PER_DAY = 86_400_000_000
+
+
+def retention_sql(d: str) -> str:
+    """Cohort retention: users grouped by first-seen week, counted per
+    week-offset they return in — the engagement matrix behind every
+    retention curve.
+
+    Scale shape: one shuffle to find each user's first day (map-side
+    combined MIN), a user-key-co-partitioned join back to the events
+    (same key, so AQE reuses the partitioning), and one tiny rollup on
+    (cohort_week, week_offset). Day/week arithmetic is integer division
+    on epoch micros — identical on both engines, no timezone or DATE
+    semantics in play."""
+    from torchfusion_spark.operators import sqlgen as G
+
+    day = G.intdiv(_epoch_us("ts", d), str(US_PER_DAY), d)
+    return f"""
+    WITH e AS (SELECT user_id, {day} AS day FROM events),
+    f AS (SELECT user_id, MIN(day) AS day0 FROM e GROUP BY user_id),
+    w AS (
+        SELECT e.user_id,
+               {G.intdiv("f.day0", 7, d)} AS cohort_week,
+               {G.intdiv("e.day - f.day0", 7, d)} AS week_offset
+        FROM e JOIN f ON e.user_id = f.user_id)
+    SELECT CAST(cohort_week AS BIGINT) AS cohort_week,
+           CAST(week_offset AS BIGINT) AS week_offset,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM w GROUP BY cohort_week, week_offset
+    ORDER BY cohort_week, week_offset
+    """

@@ -209,6 +209,64 @@ def ivf_topk_sql(
     """
 
 
+def assign_cte_sql(d: str, n_centroids: int = 16, rel: str | None = None) -> str:
+    """Nearest-centroid assignment relation (vec_id, v, nrm, c_id).
+
+    Centroids are deterministic (first ``n_centroids`` vectors) so Spark
+    and the oracle build identical clusters; at real scale they come from
+    a k-means sample and the same SQL applies. The centroid side is tiny →
+    broadcast; the assignment pass never shuffles the big side."""
+    n_rel = rel or f"(SELECT * FROM ({norm_cte(d)}))"
+    hint = "/*+ BROADCAST(c) */" if d == "spark" else ""
+    return f"""
+    SELECT vec_id, v, nrm, c_id FROM (
+        SELECT {hint} n.vec_id, n.v, n.nrm, c.c_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY n.vec_id
+                   ORDER BY ROUND({_dot('n.v', 'c.cv', d)} / (n.nrm * c.cn), 6) DESC, c.c_id
+               ) AS rn
+        FROM (SELECT * FROM {n_rel}) n
+        CROSS JOIN (SELECT vec_id AS c_id, v AS cv, nrm AS cn
+                    FROM {n_rel} WHERE vec_id < {n_centroids}) c
+    ) WHERE rn = 1
+    """
+
+
+def semantic_dedup_sql(
+    d: str,
+    threshold: float = 0.42,
+    n_centroids: int = 16,
+    rel: str | None = None,
+    assign_rel: str | None = None,
+) -> str:
+    """SemDeDup-style semantic dedup: cluster by nearest centroid, then
+    drop any vector with a higher-similarity twin of smaller id *in the
+    same cluster* (greedy-by-id keeper — deterministic, so oracle-able).
+
+    Scale shape: the quadratic candidate term is confined per cluster
+    (N²/k for balanced clusters; raise ``n_centroids`` with corpus size
+    and cap hot clusters exactly like the minhash/ngram hot buckets). The
+    pair join shuffles on the cluster id only; the emitted verdict is one
+    scalar row per vector, not the pair list.
+    """
+    if assign_rel:
+        head = f"WITH assign AS (SELECT * FROM {assign_rel})"
+    else:
+        mat = "MATERIALIZED " if d == "duck" else ""
+        head = f"WITH assign AS {mat}({assign_cte_sql(d, n_centroids, rel)})"
+    return f"""
+    {head},
+    drops AS (
+        SELECT DISTINCT b.vec_id FROM assign a JOIN assign b
+          ON a.c_id = b.c_id AND a.vec_id < b.vec_id
+        WHERE ROUND({_dot('a.v', 'b.v', d)} / (a.nrm * b.nrm), 6) >= {threshold})
+    SELECT s.vec_id, CAST(s.c_id AS BIGINT) AS cluster_id,
+           (dr.vec_id IS NULL) AS kept
+    FROM assign s LEFT JOIN drops dr ON s.vec_id = dr.vec_id
+    ORDER BY s.vec_id
+    """
+
+
 # -- staged Spark builders (cache the shared relation once) ----------------
 
 
@@ -222,6 +280,16 @@ def cosine_near_dup(spark, threshold: float = 0.42):
 
 def ivf_topk(spark, k: int = 10, n_queries: int = 4):
     return spark.sql(ivf_topk_sql("spark", k, n_queries, rel=_staged_norms(spark)))
+
+
+def semantic_dedup(spark, threshold: float = 0.42, n_centroids: int = 16):
+    """Staged Spark path: the assignment relation is referenced three
+    times (both pair sides + the verdict scan) — materialize it once."""
+    _staged_norms(spark)
+    a = spark.sql(assign_cte_sql("spark", n_centroids, rel="__sim_norms")).cache()
+    a.count()
+    a.createOrReplaceTempView("__sim_assign")
+    return spark.sql(semantic_dedup_sql("spark", threshold, assign_rel="__sim_assign"))
 
 
 def cosine_near_dup_lsh(spark, threshold: float = 0.30):

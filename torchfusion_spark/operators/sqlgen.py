@@ -120,6 +120,22 @@ def regex_count(expr: str, pattern: str, d: str) -> str:
     return f"len(regexp_extract_all({expr}, '{pattern}'))"
 
 
+def regex_replace_all(expr: str, pattern: str, repl: str, d: str) -> str:
+    """Replace ALL matches. Spark's regexp_replace is global by default;
+    DuckDB needs the explicit 'g' flag (first-match-only otherwise).
+    Patterns must avoid backslashes — Spark string literals eat them while
+    DuckDB's don't; use [.] / [0-9]-style classes instead."""
+    if d == "spark":
+        return f"regexp_replace({expr}, '{pattern}', '{repl}')"
+    return f"regexp_replace({expr}, '{pattern}', '{repl}', 'g')"
+
+
+def intdiv(a: str, b: str, d: str) -> str:
+    """Integer (floor-toward-zero) division on BIGINTs. Spark's `/` is
+    DOUBLE division under ANSI; DuckDB spells integer division `//`."""
+    return f"(({a}) DIV ({b}))" if d == "spark" else f"(({a}) // ({b}))"
+
+
 def shingles_from_tokens(toks_col: str, n: int, d: str) -> str:
     """Distinct word n-gram shingles over a PRE-STAGED token-array column.
 

@@ -242,3 +242,87 @@ def decontaminate_sql(d: str) -> str:
     HAVING COUNT(DISTINCT sh.h) >= {DECONTAM_MIN_OVERLAP}
     ORDER BY doc_id
     """
+
+
+# PII-ish patterns, backslash-free so one spelling survives BOTH Spark's
+# backslash-escaping string literals and DuckDB's literal ones (sqlgen
+# convention): [.] for a literal dot, explicit [0-9] classes.
+PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z][A-Za-z]+"
+PII_URL = "https?://[^ ]+"
+PII_LONG_ID = "[0-9]{6,}"
+
+
+def pii_redact_sql(d: str) -> str:
+    """PII scrubbing for training corpora: replace emails / URLs / long
+    digit runs with typed placeholder tokens and report per-doc match
+    counts plus a fingerprint of the redacted text (so the gate verifies
+    the *replacement*, not just the counts).
+
+    One scan, zero shuffles — every expression is per-row; at 100 TB this
+    runs at parquet-read speed inside whole-stage codegen (no Python)."""
+    red = G.regex_replace_all("text", PII_EMAIL, "<EMAIL>", d)
+    red = G.regex_replace_all(red, PII_URL, "<URL>", d)
+    red = G.regex_replace_all(red, PII_LONG_ID, "<ID>", d)
+    return f"""
+    WITH r AS (
+        SELECT doc_id,
+               CAST({G.regex_count("text", PII_EMAIL, d)} AS BIGINT) AS n_emails,
+               CAST({G.regex_count("text", PII_URL, d)} AS BIGINT) AS n_urls,
+               CAST({G.regex_count("text", PII_LONG_ID, d)} AS BIGINT) AS n_long_ids,
+               {red} AS red
+        FROM documents)
+    SELECT doc_id, n_emails, n_urls, n_long_ids,
+           CAST(length(red) AS BIGINT) AS redacted_len,
+           {G.hash56("red", d)} AS redacted_hash
+    FROM r ORDER BY doc_id
+    """
+
+
+WEIGHTED_SAMPLE_K = 100
+
+
+def weighted_sample_sql(d: str, k: int = WEIGHTED_SAMPLE_K) -> str:
+    """Weighted sampling without replacement (Efraimidis–Spirtes A-ES):
+    key = ln(u) / w with u a deterministic per-doc uniform from the
+    portable hash and w = n_chars; the k largest keys are the sample.
+    Hash-derived u makes the draw reproducible across engines, runs and
+    partitionings — unlike rand(), which is executor-order-dependent.
+
+    Scale shape: one scan + one global TopK (Spark's sort-limit is a
+    per-partition TopK then a k-row merge — no full sort, no shuffle of
+    the losers). Keys are rounded to 6dp with doc_id tie-break so libm
+    vs JVM ln() last-ulp drift can't reorder the cutoff."""
+    str_t = "STRING" if d == "spark" else "VARCHAR"
+    u = f"(({G.hash56(f'CAST(doc_id AS {str_t})', d)} % 1000000) + 0.5) / 1000000.0"
+    return f"""
+    WITH keyed AS (
+        SELECT doc_id, lang, n_chars,
+               ROUND(ln({u}) / CAST(greatest(n_chars, 1) AS DOUBLE), 6) AS sample_key
+        FROM documents)
+    SELECT doc_id, lang, n_chars, sample_key
+    FROM keyed ORDER BY sample_key DESC, doc_id LIMIT {k}
+    """
+
+
+GROUP_QUOTA = 40
+
+
+def group_quota_sample_sql(d: str, quota: int = GROUP_QUOTA) -> str:
+    """Per-group quota sampling: exactly ``quota`` docs per language (or
+    all of them for rarer groups), chosen by deterministic hash order —
+    the data-mixture balancing op for corpus assembly.
+
+    One shuffle on lang (the window partition key); the hash order makes
+    the pick reproducible and unbiased by storage order. A skewed group
+    costs one hot window partition — acceptable because the quota cutoff
+    discards everything past rank ``quota`` at the first stage boundary."""
+    str_t = "STRING" if d == "spark" else "VARCHAR"
+    h = G.hash56(f"CAST(doc_id AS {str_t})", d)
+    return f"""
+    WITH r AS (
+        SELECT doc_id, lang,
+               CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY {h}, doc_id) AS BIGINT) AS rk
+        FROM documents)
+    SELECT doc_id, lang, rk FROM r WHERE rk <= {quota}
+    ORDER BY lang, rk
+    """

@@ -383,6 +383,53 @@ _sql_pair(
 
 
 @query(
+    "sim_semantic_dedup",
+    similarity.semantic_dedup_sql("duck"),
+    doc="SemDeDup-style semantic dedup: deterministic nearest-centroid "
+    "clustering (broadcast centroids, no big-side shuffle) then greedy "
+    "keep-lowest-id within cluster above a cosine threshold — quadratic "
+    "term confined per cluster; Spark side stages the assignment once "
+    "(referenced 3x)",
+)
+def sim_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.semantic_dedup(spark)
+
+
+_sql_pair(
+    "text_pii_redact",
+    textstats.pii_redact_sql,
+    doc="PII scrubbing (emails/URLs/long digit runs -> typed placeholders) "
+    "with per-doc match counts and a redacted-text fingerprint; one scan, "
+    "zero shuffles, whole-stage codegen — no Python in the hot path",
+)
+
+_sql_pair(
+    "sample_weighted_topk",
+    textstats.weighted_sample_sql,
+    doc="weighted sampling without replacement (Efraimidis-Spirtes A-ES "
+    "keys from the portable hash, w = n_chars): deterministic across "
+    "engines/partitionings; one scan + per-partition TopK merge, no "
+    "full sort",
+)
+
+_sql_pair(
+    "sample_group_quota",
+    textstats.group_quota_sample_sql,
+    doc="per-language quota sampling by deterministic hash order (the "
+    "data-mixture balancing op): one shuffle on the group key, quota "
+    "cutoff discards losers at the first stage boundary",
+)
+
+_sql_pair(
+    "events_retention",
+    events_ops.retention_sql,
+    doc="cohort retention matrix (first-seen week x week-offset): "
+    "map-side-combined MIN per user, user-key co-partitioned join back, "
+    "tiny rollup — integer epoch-day arithmetic, no timezone semantics",
+)
+
+
+@query(
     "stream_stateful_cents",
     streaming_mod.STATEFUL_CENTS_ORACLE,
     doc="custom stateful streaming with bit-deterministic integer-cents "

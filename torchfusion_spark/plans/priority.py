@@ -126,6 +126,10 @@ PRIORITY: list[str] = [
     "text_top_tokens",
     "text_repetition",
     "text_decontaminate",
+    "text_pii_redact",
+    "sample_weighted_topk",
+    "sample_group_quota",
+    "events_retention",
     "q6_revenue_forecast",
     "q3_shipping_priority",
     "q4_order_priority",
@@ -151,6 +155,7 @@ PRIORITY: list[str] = [
     "multimodal_frame_sample",
     "sim_ivf_topk",
     "sim_quantize_int8",
+    "sim_semantic_dedup",
     "dedup_simhash",
     # -- expensive tails last so a time-capped run reaches everything else --
     "stream_static_join",
