@@ -211,3 +211,95 @@ def test_quantize_int8_error_bound(spark, tables):
     # + 1e-6: both output columns are rounded to 6dp by the witness
     assert (pdf["max_abs_err"] <= pdf["scale"] / 2 + 1e-6).all()
     assert (pdf["cos_recon"] > 0.995).all()
+
+
+def test_semantic_dedup_invariants(spark, tables):
+    """Greedy-by-id SemDeDup semantics, recomputed with numpy: cluster =
+    nearest deterministic centroid; dropped ⇔ a smaller-id same-cluster
+    neighbor with cosine >= τ; no kept–kept pair >= τ within a cluster."""
+    from torchfusion_spark.operators import similarity
+
+    out = similarity.semantic_dedup(spark).toPandas().set_index("vec_id").sort_index()
+    emb = spark.table("embeddings").orderBy("vec_id").toPandas()
+    V = np.array([np.asarray(v, dtype=np.float64) for v in emb["embedding"]])
+    ids = emb["vec_id"].to_numpy()
+    nrm = np.linalg.norm(V, axis=1)
+    C = V[ids < 16]
+    cn = nrm[ids < 16]
+    # assignment: round to 6dp like the SQL, tie-break by centroid id
+    sims_c = np.round((V @ C.T) / np.outer(nrm, cn), 6)
+    expect_cluster = np.argmax(sims_c, axis=1)  # argmax takes first max = lowest c_id
+    assert (out["cluster_id"].to_numpy() == expect_cluster).all()
+
+    cos = np.round((V @ V.T) / np.outer(nrm, nrm), 6)
+    tau = 0.42
+    for i, vid in enumerate(ids):
+        same = (expect_cluster == expect_cluster[i]) & (ids < vid)
+        has_twin = bool((cos[i, same] >= tau).any())
+        assert bool(out.loc[vid, "kept"]) == (not has_twin)
+
+
+def test_weighted_sample_matches_python(spark, tables):
+    """A-ES keys recomputed in Python from the portable hash pick the
+    identical sample (same keys, same top-k cutoff)."""
+    import hashlib
+    import math
+
+    from torchfusion_spark.operators import textstats
+
+    out = spark.sql(textstats.weighted_sample_sql("spark")).toPandas()
+    docs = spark.table("documents").select("doc_id", "n_chars").toPandas()
+
+    def key(row):
+        h = int(hashlib.md5(str(row.doc_id).encode()).hexdigest()[:14], 16)
+        u = (h % 1000000 + 0.5) / 1000000.0
+        return round(math.log(u) / max(row.n_chars, 1), 6)
+
+    docs["k"] = [key(r) for r in docs.itertuples()]
+    expect = docs.sort_values(["k", "doc_id"], ascending=[False, True]).head(
+        len(out)
+    )["doc_id"].tolist()
+    assert out["doc_id"].tolist() == expect
+
+
+def test_pii_redact_matches_python_re(spark, tables):
+    """Counts and redacted text match Python's re on the same patterns."""
+    import re
+
+    from torchfusion_spark.operators import textstats
+
+    out = spark.sql(textstats.pii_redact_sql("spark")).toPandas().set_index("doc_id")
+    docs = _docs(spark, n=100)
+    pats = [
+        (re.compile(textstats.PII_EMAIL), "<EMAIL>", "n_emails"),
+        (re.compile(textstats.PII_URL), "<URL>", "n_urls"),
+        (re.compile(textstats.PII_LONG_ID), "<ID>", "n_long_ids"),
+    ]
+    for doc_id, row in docs.iterrows():
+        red = row["text"]
+        for pat, repl, col in pats:
+            assert out.loc[doc_id, col] == len(pat.findall(red))
+            red = pat.sub(repl, red)
+        assert out.loc[doc_id, "redacted_len"] == len(red)
+
+
+def test_retention_matches_pandas(spark, tables):
+    from torchfusion_spark.operators import events_ops
+
+    out = spark.sql(events_ops.retention_sql("spark")).toPandas()
+    ev = spark.table("events").select("user_id", "ts").toPandas()
+    day = (ev["ts"].astype("int64") // (86_400_000_000_000)).astype("int64")
+    df = pd.DataFrame({"user_id": ev["user_id"], "day": day})
+    day0 = df.groupby("user_id")["day"].min().rename("day0")
+    j = df.join(day0, on="user_id")
+    j["cohort_week"] = j["day0"] // 7
+    j["week_offset"] = (j["day"] - j["day0"]) // 7
+    expect = (
+        j.groupby(["cohort_week", "week_offset"])["user_id"]
+        .nunique()
+        .reset_index(name="n_users")
+        .sort_values(["cohort_week", "week_offset"])
+        .reset_index(drop=True)
+    )
+    got = out.sort_values(["cohort_week", "week_offset"]).reset_index(drop=True)
+    assert got.astype("int64").equals(expect.astype("int64"))
