@@ -43,6 +43,8 @@ HEADLINE = [
     "events_range_join",
     "sim_quantize_int8",
     "events_sessionize",
+    "sim_semantic_dedup",
+    "events_retention",
 ]
 
 

@@ -303,3 +303,21 @@ def test_retention_matches_pandas(spark, tables):
     )
     got = out.sort_values(["cohort_week", "week_offset"]).reset_index(drop=True)
     assert got.astype("int64").equals(expect.astype("int64"))
+
+
+def test_anomaly_zscore_matches_numpy(spark, tables):
+    """z-scores from exact decimal moments match a numpy recomputation
+    (same rounding), and every |z| >= 3 event is flagged."""
+    from torchfusion_spark.operators import events_ops
+
+    out = spark.sql(events_ops.anomaly_zscore_sql("spark")).toPandas()
+    ev = spark.table("events").select("event_id", "event_type", "value").toPandas()
+    flagged = set()
+    for etype, g in ev.groupby("event_type"):
+        v = np.round(g["value"].to_numpy(np.float64), 6)  # decimal(18,6) cast
+        n = len(v)
+        mean = v.sum() / n
+        var = (np.sum(v * v) - v.sum() ** 2 / n) / (n - 1)
+        z = np.round((g["value"].to_numpy(np.float64) - mean) / np.sqrt(max(var, 1e-12)), 6)
+        flagged |= set(g["event_id"].to_numpy()[np.abs(z) >= 3.0])
+    assert set(out["event_id"]) == flagged

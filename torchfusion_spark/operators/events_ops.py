@@ -343,3 +343,33 @@ def retention_sql(d: str) -> str:
     FROM w GROUP BY cohort_week, week_offset
     ORDER BY cohort_week, week_offset
     """
+
+
+def anomaly_zscore_sql(d: str, threshold: float = 3.0) -> str:
+    """Outlier detection per event type: flag events with |z| >= threshold.
+
+    Moments come from exact DECIMAL sums (s1, s2) rather than
+    avg()/stddev() — float aggregates are accumulation-order-dependent
+    across engines/partitionings, decimal sums are not, so the z-scores
+    are bit-stable and the gate can hash them. The moment relation is a
+    few rows → broadcast back onto the scan; total cost is one map-side-
+    combined shuffle plus one pass."""
+    return f"""
+    WITH m AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               SUM(CAST(value AS DECIMAL(18,6))) AS s1,
+               SUM(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6))) AS s2
+        FROM events GROUP BY event_type),
+    z AS (
+        SELECT e.event_id, e.event_type, e.value,
+               ROUND((CAST(e.value AS DOUBLE) - CAST(m.s1 AS DOUBLE) / m.n)
+                 / sqrt(greatest(
+                       (CAST(m.s2 AS DOUBLE) - CAST(m.s1 AS DOUBLE) * CAST(m.s1 AS DOUBLE) / m.n)
+                           / (m.n - 1),
+                       1e-12)), 6) AS zscore
+        FROM events e JOIN m ON e.event_type = m.event_type)
+    SELECT event_id, event_type, ROUND(value, 6) AS value, zscore
+    FROM z WHERE abs(zscore) >= {threshold}
+    ORDER BY event_id
+    """

@@ -428,6 +428,15 @@ _sql_pair(
     "tiny rollup — integer epoch-day arithmetic, no timezone semantics",
 )
 
+_sql_pair(
+    "events_anomaly_zscore",
+    events_ops.anomaly_zscore_sql,
+    doc="per-type z-score outliers (|z| >= 3) from exact DECIMAL moments "
+    "(s1/s2 sums are order-independent, unlike float avg/stddev, so "
+    "z-scores hash-match cross-engine); tiny moment relation broadcast "
+    "back onto one scan",
+)
+
 
 @query(
     "stream_stateful_cents",

@@ -130,6 +130,7 @@ PRIORITY: list[str] = [
     "sample_weighted_topk",
     "sample_group_quota",
     "events_retention",
+    "events_anomaly_zscore",
     "q6_revenue_forecast",
     "q3_shipping_priority",
     "q4_order_priority",
