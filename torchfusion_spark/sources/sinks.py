@@ -31,3 +31,27 @@ def read_back(spark: SparkSession, path: str, fmt: str = "parquet", schema: str 
     for k, v in options.items():
         reader = reader.option(k, v)
     return reader.load(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    n_buckets: int = 32,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed (hash-clustered) managed table — the co-located-join
+    layout primitive at 100 TB: two tables bucketed by the same key into
+    the same bucket count join WITHOUT a shuffle on either side (Spark
+    reads matching buckets pairwise), and bucket pruning serves point
+    lookups. Optional per-bucket sort also removes the sort from
+    sort-merge joins on re-read.
+
+    This is the DataFusion-absent piece of the sources/sinks row that
+    matters most at scale: partitioning handles low-cardinality prune
+    keys, bucketing handles high-cardinality join keys."""
+    writer = df.write.mode(mode).format("parquet").bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table)
