@@ -228,6 +228,20 @@ def stream_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_session_window",
+    events_ops.SESSION_WINDOW_ORACLE,
+    doc="STREAMING sessionization via native session_window + watermark "
+    "(dynamic-gap state merged by the streaming engine, availableNow over "
+    "the bounded source); oracle = the same gaps-and-islands SQL as the "
+    "batch witness",
+)
+def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from torchfusion_spark import streaming
+
+    return streaming.session_window_counts(spark, sf_dir)
+
+
+@query(
     "events_session_window",
     events_ops.SESSION_WINDOW_ORACLE,
     doc="native session_window(ts, 30 min) batch aggregation — the same "

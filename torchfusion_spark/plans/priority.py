@@ -160,6 +160,7 @@ PRIORITY: list[str] = [
     "dedup_simhash",
     # -- expensive tails last so a time-capped run reaches everything else --
     "stream_static_join",
+    "stream_session_window",
     "stream_sliding_counts",
     "stream_dedup_counts",
     "stream_stateful_cents",

@@ -293,3 +293,30 @@ STATEFUL_CENTS_ORACLE = """
            CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS total_cents
     FROM events GROUP BY user_id ORDER BY user_id
     """
+
+
+def session_window_counts(spark: SparkSession, sf_dir: str, gap: str = "30 minutes") -> DataFrame:
+    """Streaming sessionization via the native ``session_window`` — the
+    dynamic-gap window merging Structured Streaming maintains in state
+    (late rows within the watermark extend/merge sessions). Same operator
+    as the batch `events_session_window` witness, now driven through the
+    streaming engine; at scale state is keyed by (user_id, session) and
+    expired past the watermark.
+
+    Run with availableNow over the bounded source; emits one row per
+    (user, session) with start/end/count, identical to the batch
+    gaps-and-islands oracle."""
+    agg = (
+        _event_stream(spark, sf_dir)
+        .withWatermark("ts", "30 minutes")
+        .groupBy("user_id", F.session_window("ts", gap).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+    name = "tf_stream_session_window"
+    return _run_to_memory(spark, agg, name, "complete").orderBy("user_id", "session_start")
