@@ -326,3 +326,34 @@ def group_quota_sample_sql(d: str, quota: int = GROUP_QUOTA) -> str:
     SELECT doc_id, lang, rk FROM r WHERE rk <= {quota}
     ORDER BY lang, rk
     """
+
+
+TOKEN_BUDGET = 5000
+
+
+def token_budget_sql(d: str, budget: int = TOKEN_BUDGET) -> str:
+    """Greedy per-language token-budget fill: walk each language's docs in
+    deterministic hash order, keep while the running token total stays
+    within budget — the mixture-assembly op that turns sampling weights
+    into an actual bounded training set.
+
+    One shuffle (the per-lang window); the cumulative sum is BIGINT (no
+    float drift) and the hash order makes the cut reproducible across
+    engines, runs and partitionings."""
+    str_t = "STRING" if d == "spark" else "VARCHAR"
+    h = G.hash56(f"CAST(doc_id AS {str_t})", d)
+    n_toks = G.arr_size(G.split_ws("text", d), d)
+    return f"""
+    WITH t AS (
+        SELECT doc_id, lang, CAST({n_toks} AS BIGINT) AS n_tokens, {h} AS h
+        FROM documents),
+    c AS (
+        SELECT doc_id, lang, n_tokens,
+               CAST(SUM(n_tokens) OVER (
+                   PARTITION BY lang ORDER BY h, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+        FROM t)
+    SELECT doc_id, lang, n_tokens, cum_tokens
+    FROM c WHERE cum_tokens <= {budget}
+    ORDER BY lang, cum_tokens, doc_id
+    """

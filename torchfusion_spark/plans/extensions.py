@@ -435,6 +435,15 @@ _sql_pair(
 )
 
 _sql_pair(
+    "corpus_token_budget",
+    textstats.token_budget_sql,
+    doc="greedy per-language token-budget fill (mixture assembly): docs "
+    "in deterministic hash order kept while the BIGINT running token "
+    "total fits the budget — one per-lang window shuffle, reproducible "
+    "cut across engines/runs/partitionings",
+)
+
+_sql_pair(
     "events_retention",
     events_ops.retention_sql,
     doc="cohort retention matrix (first-seen week x week-offset): "

@@ -129,6 +129,7 @@ PRIORITY: list[str] = [
     "text_pii_redact",
     "sample_weighted_topk",
     "sample_group_quota",
+    "corpus_token_budget",
     "events_retention",
     "events_anomaly_zscore",
     "q6_revenue_forecast",
