@@ -321,3 +321,29 @@ def test_anomaly_zscore_matches_numpy(spark, tables):
         z = np.round((g["value"].to_numpy(np.float64) - mean) / np.sqrt(max(var, 1e-12)), 6)
         flagged |= set(g["event_id"].to_numpy()[np.abs(z) >= 3.0])
     assert set(out["event_id"]) == flagged
+
+
+def test_kmeans_matches_numpy_lloyd(spark, tables):
+    """Two Lloyd iterations recomputed with numpy (same rounding contract:
+    6dp distances for assignment, 6dp re-quantized centroids) produce the
+    same final centroids and cluster sizes."""
+    from torchfusion_spark.operators import similarity
+
+    out = spark.sql(
+        similarity.kmeans_sql("spark")
+    ).toPandas()
+    emb = spark.table("embeddings").orderBy("vec_id").toPandas()
+    V = np.array([np.asarray(v, dtype=np.float64) for v in emb["embedding"]])
+    ids = emb["vec_id"].to_numpy()
+    C = V[ids < similarity.KMEANS_K].copy()
+    for _ in range(similarity.KMEANS_ITERS):
+        d2 = np.round(((V[:, None, :] - C[None, :, :]) ** 2).sum(axis=2), 6)
+        assign = np.argmin(d2, axis=1)  # first min = lowest c_id tie-break
+        C = np.array(
+            [np.round(V[assign == c].mean(axis=0), 6) for c in range(similarity.KMEANS_K)]
+        )
+    sizes = {c: int((assign == c).sum()) for c in range(similarity.KMEANS_K)}
+    got_c = out.pivot(index="c_id", columns="dim", values="cval").to_numpy()
+    assert np.allclose(got_c, C, atol=2e-6)
+    got_sizes = out.groupby("c_id")["n_members"].first().to_dict()
+    assert got_sizes == sizes

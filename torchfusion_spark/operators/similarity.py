@@ -336,3 +336,82 @@ def quantize_int8_sql(d: str) -> str:
            ROUND({maxerr}, 6) AS max_abs_err
     FROM rq ORDER BY vec_id
     """
+
+
+def _l2sq(a: str, b: str, d: str) -> str:
+    """Left-fold squared L2 distance — identical accumulation order on
+    both engines (same discipline as :func:`_dot`)."""
+    if d == "spark":
+        return f"aggregate(zip_with({a}, {b}, (x, y) -> (x - y) * (x - y)), 0D, (acc, x) -> acc + x)"
+    diffs = f"list_transform(range(1, {G.EMB_DIM} + 1), i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i]))"
+    return f"list_reduce(list_prepend(0.0, {diffs}), (acc, x) -> acc + x)"
+
+
+KMEANS_K = 8
+KMEANS_ITERS = 2
+
+
+def kmeans_sql(d: str, k: int = KMEANS_K, iters: int = KMEANS_ITERS, rel: str | None = None) -> str:
+    """Distributed k-means training (Lloyd), ``iters`` iterations unrolled
+    as a CTE chain — the trainer that produces the IVF centroids
+    (`ivf_topk_sql` notes "at real scale the centroids come from a
+    k-means sample"; this is that trainer, oracle-checked).
+
+    Determinism contract (what makes a *trainer* hash-checkable
+    cross-engine):
+    * init = first ``k`` vectors (the deterministic seed the IVF witness
+      already uses);
+    * assignment = min squared-L2 via a left-fold (fixed accumulation
+      order), rounded to 6dp with centroid-id tie-break;
+    * centroid update = per-(centroid, dim) mean from **exact DECIMAL
+      sums** (float sums are partitioning-order-dependent; decimal sums
+      are not), re-quantized to 6dp each iteration so the next round's
+      folds see bit-identical centroids on both engines.
+
+    Scale shape per iteration: the centroid relation (k×dim doubles) is
+    broadcast — the assignment pass never shuffles the big side; the
+    update is ONE map-side-combined shuffle keyed (c_id, dim) — exactly
+    the reduce-by-key update of production distributed k-means. Long
+    format appears only on the k*dim-row centroid side, never the corpus.
+    """
+    n_rel = rel or f"(SELECT * FROM ({norm_cte(d)}))"
+    hint = "/*+ BROADCAST(c) */" if d == "spark" else ""
+    mat = "MATERIALIZED " if d == "duck" else ""
+    if d == "spark":
+        explode = "LATERAL VIEW posexplode(v) pe AS p, val"
+        long_pts = f"SELECT vec_id, p + 1 AS dim, val FROM pts {explode}"
+        rebuild = "transform(array_sort(collect_list(struct(dim, cval))), s -> s.cval)"
+    else:
+        long_pts = f"SELECT vec_id, range AS dim, v[range] AS val FROM pts, range(1, {G.EMB_DIM} + 1)"
+        rebuild = "list(cval ORDER BY dim)"
+
+    ctes = [f"pts AS {mat}(SELECT vec_id, v FROM {n_rel})",
+            f"cents0 AS (SELECT vec_id AS c_id, v AS cv FROM {n_rel} WHERE vec_id < {k})",
+            f"long_pts AS {mat}({long_pts})"]
+    for i in range(iters):
+        ctes.append(f"""assign{i} AS (
+        SELECT vec_id, c_id FROM (
+            SELECT {hint} p.vec_id, c.c_id,
+                   ROW_NUMBER() OVER (PARTITION BY p.vec_id
+                       ORDER BY ROUND({_l2sq('p.v', 'c.cv', d)}, 6), c.c_id) AS rn
+            FROM pts p CROSS JOIN cents{i} c) WHERE rn = 1)""")
+        ctes.append(f"""upd{i} AS (
+        SELECT a.c_id, l.dim,
+               ROUND(CAST(SUM(CAST(l.val AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*), 6) AS cval
+        FROM assign{i} a JOIN long_pts l ON a.vec_id = l.vec_id
+        GROUP BY a.c_id, l.dim)""")
+        ctes.append(
+            f"cents{i + 1} AS (SELECT c_id, {rebuild} AS cv FROM upd{i} GROUP BY c_id)"
+        )
+    last = iters - 1
+    return f"""
+    WITH {", ".join(ctes)},
+    sizes AS (SELECT c_id, CAST(COUNT(*) AS BIGINT) AS n_members FROM assign{last} GROUP BY c_id)
+    SELECT u.c_id, CAST(u.dim AS BIGINT) AS dim, u.cval, s.n_members
+    FROM upd{last} u JOIN sizes s ON u.c_id = s.c_id
+    ORDER BY u.c_id, u.dim
+    """
+
+
+def kmeans(spark, k: int = KMEANS_K, iters: int = KMEANS_ITERS):
+    return spark.sql(kmeans_sql("spark", k, iters, rel=_staged_norms(spark)))

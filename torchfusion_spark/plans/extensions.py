@@ -397,6 +397,19 @@ _sql_pair(
 
 
 @query(
+    "sim_kmeans",
+    similarity.kmeans_sql("duck"),
+    doc="distributed k-means trainer (Lloyd, 2 unrolled iterations): "
+    "broadcast centroids for assignment (big side never shuffles), ONE "
+    "map-side-combined (c_id, dim) shuffle per update, exact DECIMAL "
+    "centroid sums re-quantized to 6dp each round — a bit-deterministic, "
+    "hash-checkable trainer feeding the IVF index",
+)
+def sim_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.kmeans(spark)
+
+
+@query(
     "sim_semantic_dedup",
     similarity.semantic_dedup_sql("duck"),
     doc="SemDeDup-style semantic dedup: deterministic nearest-centroid "

@@ -157,6 +157,7 @@ PRIORITY: list[str] = [
     "multimodal_frame_sample",
     "sim_ivf_topk",
     "sim_quantize_int8",
+    "sim_kmeans",
     "sim_semantic_dedup",
     "dedup_simhash",
     # -- expensive tails last so a time-capped run reaches everything else --
