@@ -37,6 +37,9 @@ def test_priority_order_is_total_and_stable():
             return "tpch"
         if head in {"applyinpandas", "udaf", "udtf"}:
             return "udf"
+        if head in {"pipeline", "corpus"}:
+            # corpus assembly family: pipeline_corpus_clean is the top-50 witness
+            return "corpus"
         return head
 
     top = {family(n) for n in names[:50]}

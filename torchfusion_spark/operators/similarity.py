@@ -175,17 +175,29 @@ def ivf_topk_sql(
     hint = "/*+ BROADCAST(c) */" if d == "spark" else ""
     qhint = "/*+ BROADCAST(q, p) */" if d == "spark" else ""
     mat = "MATERIALIZED " if d == "duck" else ""
+    sim = f"ROUND({_dot('n.v', 'c.cv', d)} / (n.nrm * c.cn), 6)"
+    if d == "spark":
+        # map-side-combinable argmax (see assign_cte_sql): collapses the
+        # N×k broadcast-join rows to N before the shuffle — the window
+        # form would sort-shuffle all N×k
+        assign = f"""
+        SELECT {hint} n.vec_id,
+               any_value(n.v) AS v, any_value(n.nrm) AS nrm,
+               -max(struct({sim} AS s, -c.c_id AS nc)).nc AS c_id
+        FROM n CROSS JOIN c GROUP BY n.vec_id"""
+    else:
+        assign = f"""
+        SELECT vec_id, v, nrm, c_id FROM (
+            SELECT n.vec_id, n.v, n.nrm, c.c_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY n.vec_id
+                       ORDER BY {sim} DESC, c.c_id
+                   ) AS rn
+            FROM n CROSS JOIN c) WHERE rn = 1"""
     return f"""
     WITH n AS {mat}(SELECT * FROM {n_rel}),
     c AS (SELECT vec_id AS c_id, v AS cv, nrm AS cn FROM n WHERE vec_id < {n_centroids}),
-    assign AS (
-        SELECT vec_id, v, nrm, c_id FROM (
-            SELECT {hint} n.vec_id, n.v, n.nrm, c.c_id,
-                   ROW_NUMBER() OVER (
-                       PARTITION BY n.vec_id
-                       ORDER BY ROUND({_dot('n.v', 'c.cv', d)} / (n.nrm * c.cn), 6) DESC, c.c_id
-                   ) AS rn
-            FROM n CROSS JOIN c) WHERE rn = 1),
+    assign AS ({assign}),
     q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM n WHERE vec_id < {n_queries}),
     probe AS (
         SELECT q_id, c_id FROM (
@@ -217,13 +229,28 @@ def assign_cte_sql(d: str, n_centroids: int = 16, rel: str | None = None) -> str
     a k-means sample and the same SQL applies. The centroid side is tiny →
     broadcast; the assignment pass never shuffles the big side."""
     n_rel = rel or f"(SELECT * FROM ({norm_cte(d)}))"
-    hint = "/*+ BROADCAST(c) */" if d == "spark" else ""
+    sim = f"ROUND({_dot('n.v', 'c.cv', d)} / (n.nrm * c.cn), 6)"
+    if d == "spark":
+        # Aggregate argmax, not a window: max(struct(sim, -c_id)) partially
+        # combines MAP-SIDE, collapsing the N×k broadcast-join output back
+        # to N rows *before* the shuffle — a ROW_NUMBER() OVER (PARTITION
+        # BY vec_id) would sort-shuffle all N×k rows instead. Same winner:
+        # max sim, then lowest c_id (negated for the tie-break direction).
+        return f"""
+        SELECT /*+ BROADCAST(c) */ n.vec_id,
+               any_value(n.v) AS v, any_value(n.nrm) AS nrm,
+               -max(struct({sim} AS s, -c.c_id AS nc)).nc AS c_id
+        FROM (SELECT * FROM {n_rel}) n
+        CROSS JOIN (SELECT vec_id AS c_id, v AS cv, nrm AS cn
+                    FROM {n_rel} WHERE vec_id < {n_centroids}) c
+        GROUP BY n.vec_id
+        """
     return f"""
     SELECT vec_id, v, nrm, c_id FROM (
-        SELECT {hint} n.vec_id, n.v, n.nrm, c.c_id,
+        SELECT n.vec_id, n.v, n.nrm, c.c_id,
                ROW_NUMBER() OVER (
                    PARTITION BY n.vec_id
-                   ORDER BY ROUND({_dot('n.v', 'c.cv', d)} / (n.nrm * c.cn), 6) DESC, c.c_id
+                   ORDER BY {sim} DESC, c.c_id
                ) AS rn
         FROM (SELECT * FROM {n_rel}) n
         CROSS JOIN (SELECT vec_id AS c_id, v AS cv, nrm AS cn
@@ -389,12 +416,20 @@ def kmeans_sql(d: str, k: int = KMEANS_K, iters: int = KMEANS_ITERS, rel: str | 
             f"cents0 AS (SELECT vec_id AS c_id, v AS cv FROM {n_rel} WHERE vec_id < {k})",
             f"long_pts AS {mat}({long_pts})"]
     for i in range(iters):
-        ctes.append(f"""assign{i} AS (
-        SELECT vec_id, c_id FROM (
-            SELECT {hint} p.vec_id, c.c_id,
-                   ROW_NUMBER() OVER (PARTITION BY p.vec_id
-                       ORDER BY ROUND({_l2sq('p.v', 'c.cv', d)}, 6), c.c_id) AS rn
-            FROM pts p CROSS JOIN cents{i} c) WHERE rn = 1)""")
+        if d == "spark":
+            # map-side-combinable argmin (see assign_cte_sql): the N×k
+            # broadcast-join rows collapse to N before the shuffle
+            ctes.append(f"""assign{i} AS (
+            SELECT {hint} p.vec_id,
+                   min(struct(ROUND({_l2sq('p.v', 'c.cv', d)}, 6) AS d2, c.c_id AS c)).c AS c_id
+            FROM pts p CROSS JOIN cents{i} c GROUP BY p.vec_id)""")
+        else:
+            ctes.append(f"""assign{i} AS (
+            SELECT vec_id, c_id FROM (
+                SELECT p.vec_id, c.c_id,
+                       ROW_NUMBER() OVER (PARTITION BY p.vec_id
+                           ORDER BY ROUND({_l2sq('p.v', 'c.cv', d)}, 6), c.c_id) AS rn
+                FROM pts p CROSS JOIN cents{i} c) WHERE rn = 1)""")
         ctes.append(f"""upd{i} AS (
         SELECT a.c_id, l.dim,
                ROUND(CAST(SUM(CAST(l.val AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*), 6) AS cval
