@@ -447,3 +447,61 @@ def minhash_clusters_oracle_sql(d_unused: str = "duck", threshold: float = 0.6) 
     SELECT node AS doc_id, MIN(lab) AS component FROM reach
     GROUP BY node ORDER BY doc_id
     """
+
+
+CONTAIN_MAX_DF = 64  # stop-shingle cap: a shingle in > this many docs is dropped
+CONTAIN_THRESHOLD = 0.8
+
+
+def containment_sql(
+    d: str,
+    threshold: float = CONTAIN_THRESHOLD,
+    max_df: int = CONTAIN_MAX_DF,
+    sh_rel: str | None = None,
+) -> str:
+    """Containment near-dup (doc-inside-doc): pairs where the smaller
+    shingle set is >= ``threshold`` inside the pair's intersection —
+    catches quotes/embeddings/supersets that Jaccard's size-ratio
+    prefilter *deliberately* excludes (`ngram_body_sql`).
+
+    Scale shape — an inverted index, not a blocked self-join: explode
+    word-3-gram hashes, drop shingles appearing in > ``max_df`` docs (the
+    stop-shingle cap — boilerplate shingles would otherwise emit C(df,2)
+    pairs each; standard df-pruning, identically applied by the oracle),
+    then ONE shuffle on the shingle hash makes co-shingle pairs, and one
+    (id_a, id_b) aggregate counts the intersection. Pairs that share no
+    rare shingle never materialize, so the candidate count is bounded by
+    sum over shingles of C(df<=max_df, 2), never N².
+    """
+    hs = sh_rel or f"({hashed_shingle_sql(d)})"
+    if d == "spark":
+        exploded = f"SELECT doc_id, h FROM {hs} LATERAL VIEW explode(hx) AS h"
+    else:
+        exploded = f"SELECT doc_id, UNNEST(hx) AS h FROM {hs}"
+    mat = "MATERIALIZED " if d == "duck" else ""
+    return f"""
+    WITH sh0 AS {mat}(SELECT DISTINCT doc_id, h FROM ({exploded})),
+    rare AS (SELECT h FROM sh0 GROUP BY h HAVING COUNT(*) <= {max_df}),
+    sh AS {mat}(SELECT sh0.doc_id, sh0.h FROM sh0 JOIN rare ON sh0.h = rare.h),
+    sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
+    shared AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS ins
+        FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id)
+    SELECT id_a, id_b, ins,
+           ROUND(CAST(ins AS DOUBLE) / least(sa.n, sb.n), 6) AS containment
+    FROM shared JOIN sizes sa ON id_a = sa.doc_id
+                JOIN sizes sb ON id_b = sb.doc_id
+    WHERE CAST(ins AS DOUBLE) / least(sa.n, sb.n) >= {threshold}
+    ORDER BY id_a, id_b
+    """
+
+
+def containment(spark, threshold: float = CONTAIN_THRESHOLD, max_df: int = CONTAIN_MAX_DF):
+    """Staged Spark path: the exploded shingle relation feeds the df-count,
+    the size count and both join sides — materialize it once."""
+    rel = _staged_docs(spark)
+    sh = spark.sql(hashed_shingle_sql("spark", rel=rel)).cache()
+    sh.count()
+    sh.createOrReplaceTempView("__contain_hx")
+    return spark.sql(containment_sql("spark", threshold, max_df, sh_rel="__contain_hx"))

@@ -54,6 +54,18 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.ngram_jaccard(spark)
 @query(
+    "dedup_containment",
+    dedup.containment_sql("duck"),
+    doc="containment near-dup (doc-inside-doc) via inverted shingle "
+    "index: df-pruned word-3-gram hashes, one shuffle on the shingle "
+    "hash, candidates bounded by C(max_df,2) per shingle — catches the "
+    "subset dups Jaccard's size-ratio prefilter excludes",
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.containment(spark)
+
+
+@query(
     "sim_cosine_topk",
     similarity.cosine_topk_sql("duck"),
     doc="exact top-k cosine ANN baseline: broadcast queries, per-query TopK "

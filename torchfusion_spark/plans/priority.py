@@ -169,6 +169,7 @@ PRIORITY: list[str] = [
     "stream_stateful_user_stats",
     "sim_cosine_near_dup_lsh",
     "sim_cosine_near_dup",
+    "dedup_containment",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_minhash_clusters",
