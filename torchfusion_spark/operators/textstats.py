@@ -357,3 +357,34 @@ def token_budget_sql(d: str, budget: int = TOKEN_BUDGET) -> str:
     FROM c WHERE cum_tokens <= {budget}
     ORDER BY lang, cum_tokens, doc_id
     """
+
+
+def entropy_sql(d: str) -> str:
+    """Character-distribution Shannon entropy per doc — the gibberish /
+    mojibake filter (natural text sits ~2-4 bits/char, random bytes near
+    the alphabet's max).
+
+    Determinism: per-char terms p*log2(p) are rounded to 9dp and summed
+    as DECIMAL — a float SUM across the group would be accumulation-order
+    -dependent across engines/partitionings. One map-side-combined
+    (doc, char) count, one per-doc rollup."""
+    chars = G.transform(G.seq("1", "length(s)", d), "i -> substr(s, i, 1)", d)
+    if d == "spark":
+        exploded = "SELECT doc_id, ch FROM c LATERAL VIEW explode(chars) AS ch"
+    else:
+        exploded = "SELECT doc_id, UNNEST(chars) AS ch FROM c"
+    return f"""
+    WITH c AS (SELECT doc_id, {chars} AS chars
+               FROM (SELECT doc_id, lower(text) AS s FROM documents)),
+    e AS ({exploded}),
+    counts AS (
+        SELECT doc_id, ch, COUNT(*) AS cnt FROM e GROUP BY doc_id, ch),
+    lens AS (SELECT doc_id, CAST(SUM(cnt) AS DOUBLE) AS len FROM counts GROUP BY doc_id),
+    terms AS (
+        SELECT counts.doc_id,
+               CAST(ROUND((cnt / len) * ln(cnt / len) / ln(2), 9) AS DECIMAL(18,9)) AS term
+        FROM counts JOIN lens ON counts.doc_id = lens.doc_id)
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_distinct_chars,
+           ROUND(-CAST(SUM(term) AS DOUBLE), 6) AS entropy_bits
+    FROM terms GROUP BY doc_id ORDER BY doc_id
+    """

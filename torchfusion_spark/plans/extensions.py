@@ -240,6 +240,27 @@ def stream_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_stream_join",
+    """
+    SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id
+    FROM events p JOIN events c
+      ON p.user_id = c.user_id
+     AND p.event_type = 'purchase' AND c.event_type = 'click'
+     AND epoch_us(c.ts) <= epoch_us(p.ts)
+     AND epoch_us(c.ts) >= epoch_us(p.ts) - 1800 * 1000000
+    ORDER BY purchase_id, click_id
+    """,
+    doc="stream-stream inner join with watermarks on both sides (state "
+    "expired by the 30-min time bound): purchases x same-user clicks in "
+    "the preceding half hour; oracle = the batch inequality join",
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from torchfusion_spark import streaming
+
+    return streaming.stream_stream_join(spark, sf_dir)
+
+
+@query(
     "stream_session_window",
     events_ops.SESSION_WINDOW_ORACLE,
     doc="STREAMING sessionization via native session_window + watermark "
@@ -457,6 +478,15 @@ _sql_pair(
     doc="per-language quota sampling by deterministic hash order (the "
     "data-mixture balancing op): one shuffle on the group key, quota "
     "cutoff discards losers at the first stage boundary",
+)
+
+_sql_pair(
+    "text_entropy",
+    textstats.entropy_sql,
+    doc="character-distribution Shannon entropy per doc (gibberish/"
+    "mojibake filter): 9dp-rounded DECIMAL-summed terms (float sums are "
+    "accumulation-order-dependent), one map-side-combined (doc, char) "
+    "count + per-doc rollup",
 )
 
 _sql_pair(

@@ -127,6 +127,7 @@ PRIORITY: list[str] = [
     "text_repetition",
     "text_decontaminate",
     "text_pii_redact",
+    "text_entropy",
     "sample_weighted_topk",
     "sample_group_quota",
     "corpus_token_budget",
@@ -162,6 +163,7 @@ PRIORITY: list[str] = [
     "dedup_simhash",
     # -- expensive tails last so a time-capped run reaches everything else --
     "stream_static_join",
+    "stream_stream_join",
     "stream_session_window",
     "stream_sliding_counts",
     "stream_dedup_counts",

@@ -320,3 +320,45 @@ def session_window_counts(spark: SparkSession, sf_dir: str, gap: str = "30 minut
     )
     name = "tf_stream_session_window"
     return _run_to_memory(spark, agg, name, "complete").orderBy("user_id", "session_start")
+
+
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join with watermarks on BOTH sides — the
+    hardest Structured Streaming join shape (each side buffers state
+    until the other side's watermark passes the time-bound). Purchases
+    joined to the same user's clicks within the preceding 30 minutes;
+    the time-range condition is what lets the engine expire state.
+
+    Run availableNow over the bounded source; oracle = the batch
+    inequality join. At scale both sides shuffle once on user_id and
+    state is bounded by the 30-minute window + watermark."""
+    clicks = (
+        _event_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+        .withWatermark("click_ts", "60 minutes")
+    )
+    purchases = (
+        _event_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("event_id").alias("purchase_id"),
+        )
+        .withWatermark("purchase_ts", "60 minutes")
+    )
+    j = purchases.join(
+        clicks,
+        F.expr(
+            "p_user = c_user AND click_ts <= purchase_ts "
+            "AND click_ts >= purchase_ts - INTERVAL 30 MINUTES"
+        ),
+        "inner",
+    ).select("purchase_id", "click_id", F.col("p_user").alias("user_id"))
+    name = "tf_stream_stream_join"
+    return _run_to_memory(spark, j, name, "append").orderBy("purchase_id", "click_id")
