@@ -347,3 +347,47 @@ def test_kmeans_matches_numpy_lloyd(spark, tables):
     assert np.allclose(got_c, C, atol=2e-6)
     got_sizes = out.groupby("c_id")["n_members"].first().to_dict()
     assert got_sizes == sizes
+
+
+def test_pack_sequences_matches_python(spark, tables):
+    """Pack assignment equals a pure-Python replay of the two-level prefix
+    sum: global order is (shard, h, doc_id), start offset = tokens before
+    the doc in that order, pack = start DIV seq_len."""
+    import hashlib
+
+    from torchfusion_spark.operators.textstats import (
+        PACK_SHARDS,
+        SEQ_LEN,
+        pack_sequences_sql,
+    )
+
+    got = spark.sql(pack_sequences_sql("spark")).toPandas()
+
+    docs = spark.table("documents").select("doc_id", "lang", "text").toPandas()
+    docs["n_tokens"] = docs.text.str.split(" ").str.len()
+    docs["h"] = docs.doc_id.apply(
+        lambda i: int(hashlib.md5(str(i).encode()).hexdigest()[:14], 16)
+    )
+    docs["shard"] = docs.h % PACK_SHARDS
+    expect = {}
+    for lang, grp in docs.groupby("lang"):
+        grp = grp.sort_values(["shard", "h", "doc_id"])
+        start = grp.n_tokens.cumsum() - grp.n_tokens
+        pack = start // SEQ_LEN
+        for (pid,), sub in grp.groupby([pack]):
+            s = start.loc[sub.index]
+            spans = ((s // SEQ_LEN) != ((s + sub.n_tokens - 1) // SEQ_LEN)).sum()
+            expect[(lang, pid)] = (
+                len(sub),
+                int(sub.n_tokens.sum()),
+                int(spans),
+                int(sub.doc_id.loc[s.idxmin()]),
+            )
+    assert len(got) == len(expect)
+    for r in got.itertuples():
+        assert expect[(r.lang, r.pack_id)] == (
+            r.n_docs,
+            r.pack_tokens,
+            r.n_spanning,
+            r.first_doc,
+        ), (r.lang, r.pack_id)

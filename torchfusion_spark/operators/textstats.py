@@ -388,3 +388,61 @@ def entropy_sql(d: str) -> str:
            ROUND(-CAST(SUM(term) AS DOUBLE), 6) AS entropy_bits
     FROM terms GROUP BY doc_id ORDER BY doc_id
     """
+
+
+SEQ_LEN = 512  # tokens per packed training sequence
+PACK_SHARDS = 8  # per-language parallelism of the prefix-sum
+
+
+def pack_sequences_sql(d: str, seq_len: int = SEQ_LEN, shards: int = PACK_SHARDS) -> str:
+    """Sequence packing for pretraining batches: concatenate each
+    language's docs in deterministic hash order and chunk the token
+    stream into fixed ``seq_len`` packs; each doc is assigned to the pack
+    where it STARTS (pack_id = start_offset DIV seq_len), with a count of
+    docs spanning a pack boundary.
+
+    Scale design — a naive ``SUM() OVER (PARTITION BY lang ...)`` puts an
+    entire language (possibly 50 of 100 TB) in ONE window partition. This
+    is instead a distributed two-level prefix sum: (1) windowed cumsum
+    within (lang, shard = h % shards) — parallelism ``shards`` per
+    language; (2) a tiny (langs × shards) shard-total relation whose
+    per-language running offset is broadcast back. Global start offset =
+    shard prefix + local cumsum − own tokens. All BIGINT arithmetic (no
+    float drift); hash order makes pack assignment reproducible across
+    engines, runs and partitionings."""
+    str_t = "STRING" if d == "spark" else "VARCHAR"
+    h = G.hash56(f"CAST(doc_id AS {str_t})", d)
+    n_toks = G.arr_size(G.split_ws("text", d), d)
+    pack_id = G.intdiv("start_tok", str(seq_len), d)
+    end_pack = G.intdiv("start_tok + n_tokens - 1", str(seq_len), d)
+    first_doc = "min_by(doc_id, start_tok)" if d == "spark" else "arg_min(doc_id, start_tok)"
+    return f"""
+    WITH t AS (
+        SELECT doc_id, lang, CAST({n_toks} AS BIGINT) AS n_tokens, h, h % {shards} AS shard
+        FROM (SELECT doc_id, lang, text, {h} AS h FROM documents)),
+    loc AS (
+        SELECT doc_id, lang, shard, n_tokens,
+               SUM(n_tokens) OVER (
+                   PARTITION BY lang, shard ORDER BY h, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lcum
+        FROM t),
+    tot AS (SELECT lang, shard, SUM(n_tokens) AS tot FROM t GROUP BY lang, shard),
+    pre AS (
+        SELECT lang, shard,
+               COALESCE(SUM(tot) OVER (
+                   PARTITION BY lang ORDER BY shard
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+        FROM tot),
+    g AS (
+        SELECT loc.doc_id, loc.lang, loc.n_tokens,
+               pre.off + loc.lcum - loc.n_tokens AS start_tok
+        FROM loc JOIN pre ON loc.lang = pre.lang AND loc.shard = pre.shard)
+    SELECT lang,
+           CAST({pack_id} AS BIGINT) AS pack_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens,
+           CAST(SUM(CASE WHEN {pack_id} <> {end_pack} THEN 1 ELSE 0 END) AS BIGINT) AS n_spanning,
+           CAST({first_doc} AS BIGINT) AS first_doc
+    FROM g GROUP BY lang, {pack_id}
+    ORDER BY lang, pack_id
+    """

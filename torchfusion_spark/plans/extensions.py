@@ -499,6 +499,16 @@ _sql_pair(
 )
 
 _sql_pair(
+    "corpus_pack_sequences",
+    textstats.pack_sequences_sql,
+    doc="sequence packing for pretraining batches: concat-and-chunk pack "
+    "assignment (pack_id = start_offset DIV seq_len) via a distributed "
+    "two-level prefix sum — windowed cumsum per (lang, shard) then a tiny "
+    "broadcast shard-offset relation, so no language-sized window "
+    "partition at 100 TB; BIGINT arithmetic, hash-order reproducible",
+)
+
+_sql_pair(
     "events_retention",
     events_ops.retention_sql,
     doc="cohort retention matrix (first-seen week x week-offset): "

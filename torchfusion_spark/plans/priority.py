@@ -131,6 +131,7 @@ PRIORITY: list[str] = [
     "sample_weighted_topk",
     "sample_group_quota",
     "corpus_token_budget",
+    "corpus_pack_sequences",
     "events_retention",
     "events_anomaly_zscore",
     "q6_revenue_forecast",
