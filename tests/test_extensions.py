@@ -391,3 +391,27 @@ def test_pack_sequences_matches_python(spark, tables):
             r.n_spanning,
             r.first_doc,
         ), (r.lang, r.pack_id)
+
+
+def test_chunk_overlap_matches_python(spark, tables):
+    """Chunk windows equal a pure-Python sliding window with trailing
+    partial; coverage is total (every char of every doc is in >= 1 chunk)."""
+    from torchfusion_spark.operators.textstats import (
+        CHUNK_OVERLAP,
+        CHUNK_SIZE,
+        chunk_overlap_sql,
+    )
+
+    stride = CHUNK_SIZE - CHUNK_OVERLAP
+    got = spark.sql(chunk_overlap_sql("spark")).toPandas()
+    docs = spark.table("documents").select("doc_id", "text").toPandas()
+    for r in docs.itertuples():
+        n = len(r.text)
+        expect = [
+            r.text[i * stride : i * stride + CHUNK_SIZE]
+            for i in range((max(n - 1, 0) // stride) + 1)
+        ]
+        mine = got[got.doc_id == r.doc_id].sort_values("chunk_idx")
+        assert list(mine.chunk_len) == [len(c) for c in expect], r.doc_id
+        # total coverage: last chunk reaches the final character
+        assert mine.start_pos.iloc[-1] + mine.chunk_len.iloc[-1] - 1 == max(n, 1)

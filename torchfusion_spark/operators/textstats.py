@@ -446,3 +446,70 @@ def pack_sequences_sql(d: str, seq_len: int = SEQ_LEN, shards: int = PACK_SHARDS
     FROM g GROUP BY lang, {pack_id}
     ORDER BY lang, pack_id
     """
+
+
+CHUNK_SIZE = 200  # characters per retrieval chunk
+CHUNK_OVERLAP = 50  # characters shared between adjacent chunks
+
+
+def chunk_overlap_sql(d: str, size: int = CHUNK_SIZE, overlap: int = CHUNK_OVERLAP) -> str:
+    """Overlapping character-window chunking (the retrieval / embedding
+    prep step): fixed ``size``-char windows advancing by ``size-overlap``,
+    trailing partial kept. Pure per-row fan-out at the scan — zero
+    shuffles, no Python; at 100 TB this runs at parquet-scan speed and
+    the chunk stream feeds straight into the embedding/inference stage
+    without materializing.
+
+    Chunk identity is the portable 56-bit content hash, so chunk-level
+    dedup can run downstream with the same hash discipline as doc-level."""
+    stride = size - overlap
+    # chunk start offsets: 1, 1+stride, ... — last window begins at or
+    # before the final character (trailing partial included, empty docs
+    # produce one empty chunk guarded by greatest())
+    n_win = f"{G.intdiv(f'greatest(n_chars - 1, 0)', str(stride), d)} + 1"
+    starts = G.seq("0", f"{n_win} - 1", d)
+    if d == "spark":
+        exploded = "SELECT doc_id, lang, i FROM s LATERAL VIEW explode(idx) AS i"
+    else:
+        exploded = "SELECT doc_id, lang, UNNEST(idx) AS i FROM s"
+    chunk = f"substr(text, 1 + i * {stride}, {size})"
+    return f"""
+    WITH s AS (
+        SELECT doc_id, lang, length(text) AS n_chars, {starts} AS idx
+        FROM documents),
+    e AS ({exploded}),
+    c AS (
+        SELECT e.doc_id, e.lang, e.i AS chunk_idx, {chunk} AS chunk
+        FROM e JOIN documents USING (doc_id))
+    SELECT doc_id, lang,
+           CAST(chunk_idx AS INT) AS chunk_idx,
+           CAST(1 + chunk_idx * {stride} AS BIGINT) AS start_pos,
+           CAST(length(chunk) AS BIGINT) AS chunk_len,
+           {G.hash56('chunk', d)} AS chunk_hash
+    FROM c ORDER BY doc_id, chunk_idx
+    """
+
+
+def train_split_sql(d: str, pct_train: int = 80, pct_val: int = 10) -> str:
+    """Deterministic train/val/test split matrix: each doc lands in a
+    split by portable hash bucket (hash56(doc_id) % 100) — reproducible
+    across engines/runs/partitionings, unlike rand()-based splits, and
+    membership is computable per-row at the scan (a filter, not a join,
+    when materializing one split at 100 TB). One tiny shuffle for the
+    (split, lang) rollup with map-side combine."""
+    str_t = "STRING" if d == "spark" else "VARCHAR"
+    bucket = f"{G.hash56(f'CAST(doc_id AS {str_t})', d)} % 100"
+    n_toks = G.arr_size(G.split_ws("text", d), d)
+    return f"""
+    WITH t AS (
+        SELECT lang,
+               CASE WHEN {bucket} < {pct_train} THEN 'train'
+                    WHEN {bucket} < {pct_train + pct_val} THEN 'val'
+                    ELSE 'test' END AS split,
+               CAST({n_toks} AS BIGINT) AS n_tokens
+        FROM documents)
+    SELECT split, lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+    FROM t GROUP BY split, lang ORDER BY split, lang
+    """

@@ -509,6 +509,24 @@ _sql_pair(
 )
 
 _sql_pair(
+    "corpus_chunk_overlap",
+    textstats.chunk_overlap_sql,
+    doc="overlapping character-window chunking (retrieval/embedding prep): "
+    "fixed windows advancing by size-overlap, trailing partial kept, "
+    "portable content hash per chunk — pure per-row fan-out at the scan, "
+    "zero shuffles, no Python",
+)
+
+_sql_pair(
+    "sample_train_split",
+    textstats.train_split_sql,
+    doc="deterministic train/val/test split matrix by portable hash bucket "
+    "(doc-hash % 100): reproducible across engines/runs/partitionings, "
+    "membership is a per-row scan filter (no join) when materializing one "
+    "split; one tiny map-side-combined rollup",
+)
+
+_sql_pair(
     "events_retention",
     events_ops.retention_sql,
     doc="cohort retention matrix (first-seen week x week-offset): "

@@ -132,6 +132,8 @@ PRIORITY: list[str] = [
     "sample_group_quota",
     "corpus_token_budget",
     "corpus_pack_sequences",
+    "corpus_chunk_overlap",
+    "sample_train_split",
     "events_retention",
     "events_anomaly_zscore",
     "q6_revenue_forecast",
