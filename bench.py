@@ -45,6 +45,8 @@ HEADLINE = [
     "events_sessionize",
     "sim_semantic_dedup",
     "events_retention",
+    "corpus_pack_sequences",
+    "corpus_chunk_overlap",
 ]
 
 

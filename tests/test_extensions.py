@@ -415,3 +415,33 @@ def test_chunk_overlap_matches_python(spark, tables):
         assert list(mine.chunk_len) == [len(c) for c in expect], r.doc_id
         # total coverage: last chunk reaches the final character
         assert mine.start_pos.iloc[-1] + mine.chunk_len.iloc[-1] - 1 == max(n, 1)
+
+
+def test_pack_sequences_plan_has_no_language_sized_window(spark, tables):
+    """The scale contract of corpus_pack_sequences: every Window node
+    partitions by (lang, shard) or runs over the tiny shard-total
+    relation — no window is partitioned by lang alone, which at 100 TB
+    would serialize an entire language through one task."""
+    import contextlib
+    import io
+
+    from torchfusion_spark.operators.textstats import pack_sequences_sql
+
+    df = spark.sql(pack_sequences_sql("spark"))
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    # the formatted plan lists window specs in the detail section;
+    # assert on the partition expressions there
+    specs = [ln for ln in plan.splitlines() if "windowspecdefinition(" in ln.lower()]
+    assert specs, f"expected window specs in plan:\n{plan}"
+    for ln in specs:
+        low = ln.lower()
+        if "shard" in low:
+            assert "lang" in low  # big-side window: (lang, shard)
+        else:
+            # the only lang-alone window is the shard-offset prefix over
+            # the langs x shards total relation — it must sit above the
+            # aggregated tot, never above the documents scan
+            assert "sum(tot" in low or "tot#" in low, ln

@@ -513,3 +513,44 @@ def train_split_sql(d: str, pct_train: int = 80, pct_val: int = 10) -> str:
            CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
     FROM t GROUP BY split, lang ORDER BY split, lang
     """
+
+
+DUP_GRAM_N = 5  # word n-gram size for the corpus-wide duplication metric
+
+
+def dup_gram_fraction_sql(d: str, n: int = DUP_GRAM_N) -> str:
+    """Corpus-wide duplicated n-gram fraction per document (the C4 /
+    Gopher-style inter-document repetition filter): the share of a doc's
+    distinct word n-grams that also occur in at least one OTHER document.
+
+    Shape: distinct grams are staged per doc (hoisted token array — the
+    shingle transform never re-splits), exploded once, counted per gram
+    hash (map-side combine), joined back on the gram hash (both sides
+    partitioned by the same key — AQE reuses the exchange), then one
+    per-doc rollup. No all-pairs anything: cost is O(total grams), and
+    the gram-hash shuffle is the same backbone every dedup op here uses."""
+    toks = G.split_ws("lower(text)", d)
+    sh = G.shingles_from_tokens("toks", n, d)
+    gh = G.hash56("g", d)
+    if d == "spark":
+        exploded = "SELECT doc_id, g FROM s LATERAL VIEW explode(grams) AS g"
+    else:
+        exploded = "SELECT doc_id, UNNEST(grams) AS g FROM s"
+    return f"""
+    WITH t AS (SELECT doc_id, {toks} AS toks FROM documents),
+    s AS (SELECT doc_id, {sh} AS grams FROM t),
+    e AS (SELECT doc_id, {gh} AS gh FROM ({exploded})),
+    c AS (SELECT gh, COUNT(*) AS n_docs FROM e GROUP BY gh),
+    r AS (
+        SELECT e.doc_id,
+               COUNT(*) AS n_grams,
+               SUM(CASE WHEN c.n_docs > 1 THEN 1 ELSE 0 END) AS n_dup
+        FROM e JOIN c ON e.gh = c.gh GROUP BY e.doc_id)
+    SELECT d.doc_id,
+           CAST(COALESCE(r.n_grams, 0) AS BIGINT) AS n_grams,
+           CAST(COALESCE(r.n_dup, 0) AS BIGINT) AS n_dup_grams,
+           ROUND(CAST(COALESCE(r.n_dup, 0) AS DOUBLE)
+                 / greatest(COALESCE(r.n_grams, 0), 1), 6) AS dup_fraction
+    FROM documents d LEFT JOIN r ON d.doc_id = r.doc_id
+    ORDER BY d.doc_id
+    """

@@ -509,6 +509,15 @@ _sql_pair(
 )
 
 _sql_pair(
+    "text_dup_gram_fraction",
+    textstats.dup_gram_fraction_sql,
+    doc="corpus-wide duplicated n-gram fraction per doc (C4/Gopher-style "
+    "inter-document repetition filter): distinct grams exploded once, "
+    "counted per gram hash with map-side combine, joined back on the "
+    "same key (exchange reuse), one per-doc rollup — no all-pairs",
+)
+
+_sql_pair(
     "corpus_chunk_overlap",
     textstats.chunk_overlap_sql,
     doc="overlapping character-window chunking (retrieval/embedding prep): "

@@ -128,6 +128,7 @@ PRIORITY: list[str] = [
     "text_decontaminate",
     "text_pii_redact",
     "text_entropy",
+    "text_dup_gram_fraction",
     "sample_weighted_topk",
     "sample_group_quota",
     "corpus_token_budget",
