@@ -445,3 +445,40 @@ def test_pack_sequences_plan_has_no_language_sized_window(spark, tables):
             # the langs x shards total relation — it must sit above the
             # aggregated tot, never above the documents scan
             assert "sum(tot" in low or "tot#" in low, ln
+
+
+def test_winnow_fingerprint_matches_python(spark, tables):
+    """Winnowing selection equals the textbook algorithm (min hash per
+    sliding w-window over rolling k-gram hashes), and a 1-char edit
+    preserves most fingerprints (the robustness property plain content
+    hashing lacks)."""
+    import hashlib
+
+    from torchfusion_spark.operators.textstats import (
+        WINNOW_K,
+        WINNOW_W,
+        winnow_fingerprint_sql,
+    )
+
+    got = spark.sql(winnow_fingerprint_sql("spark")).toPandas().set_index("doc_id")
+    docs = spark.table("documents").select("doc_id", "text").orderBy("doc_id").limit(20).toPandas()
+
+    def fps(s: str) -> set[int]:
+        hs = [
+            int(hashlib.md5(s[i : i + WINNOW_K].encode()).hexdigest()[:14], 16)
+            for i in range(len(s) - WINNOW_K + 1)
+        ]
+        return {min(hs[j : j + WINNOW_W]) for j in range(len(hs) - WINNOW_W + 1)}
+
+    for r in docs.itertuples():
+        expect = fps(r.text.lower())
+        row = got.loc[r.doc_id]
+        assert row.n_fingerprints == len(expect)
+        assert row.fp_checksum == sum(h % 1000000007 for h in expect)
+
+    # robustness: flip one character mid-doc, most fingerprints survive
+    s = docs.text.iloc[0].lower()
+    mid = len(s) // 2
+    edited = s[:mid] + ("x" if s[mid] != "x" else "y") + s[mid + 1 :]
+    a, b = fps(s), fps(edited)
+    assert len(a & b) / len(a) > 0.8

@@ -554,3 +554,78 @@ def dup_gram_fraction_sql(d: str, n: int = DUP_GRAM_N) -> str:
     FROM documents d LEFT JOIN r ON d.doc_id = r.doc_id
     ORDER BY d.doc_id
     """
+
+
+BPE_TOP_K = 30  # merge candidates reported
+
+
+def bpe_pairs_sql(d: str, k: int = BPE_TOP_K) -> str:
+    """Adjacent-token pair frequencies — the BPE merge-candidate
+    statistic that seeds tokenizer training. Same inverted shape as
+    ``top_tokens_sql``: pairs exploded from a hoisted token array (the
+    lambda never re-splits), counted with map-side combine, then a
+    cheap global TopK with deterministic count-then-pair ordering."""
+    toks = G.split_ws("lower(text)", d)
+    n = G.arr_size("toks", d)
+    pair = G.arr_join(G.arr_slice("toks", "i", 2, d), " ", d)
+    pairs = G.transform(G.seq("1", f"{n} - 1", d), f"i -> {pair}", d)
+    if d == "spark":
+        exploded = "SELECT p FROM s LATERAL VIEW explode(pairs) AS p"
+    else:
+        exploded = "SELECT UNNEST(pairs) AS p FROM s"
+    return f"""
+    WITH t AS (SELECT doc_id, {toks} AS toks FROM documents),
+    s AS (SELECT doc_id, {pairs} AS pairs FROM t),
+    e AS ({exploded}),
+    c AS (SELECT p AS pair, CAST(COUNT(*) AS BIGINT) AS n FROM e GROUP BY p),
+    r AS (SELECT pair, n, row_number() OVER (ORDER BY n DESC, pair ASC) AS rk FROM c)
+    SELECT pair, n FROM r WHERE rk <= {k} ORDER BY n DESC, pair
+    """
+
+
+WINNOW_K = 8  # character k-gram size
+WINNOW_W = 4  # winnowing window (positions per window)
+
+
+def winnow_fingerprint_sql(d: str, k: int = WINNOW_K, w: int = WINNOW_W) -> str:
+    """MOSS-style winnowing fingerprints: hash every character k-gram by
+    position (the rolling-hash pass), then select the minimum hash of
+    each window of ``w`` consecutive positions; the distinct selected
+    hashes are the doc's fingerprint set. Guarantees any shared substring
+    of length >= k + w - 1 yields a shared fingerprint — the
+    position-robust dedup/overlap primitive (plain content hashing
+    breaks on any 1-char edit).
+
+    Shape: per-row fan-out to (doc, pos, hash), one doc-partitioned
+    window pass (doc-sized partitions — bounded, unlike language-sized),
+    one per-doc rollup. Checksum sums hashes mod 1e9+7 (BIGINT-safe at
+    any doc count)."""
+    npos = f"greatest(length(s) - {k - 1}, 0)"
+    gram_hash = G.hash56(f"substr(s, i, {k})", d)
+    hashes = G.transform(G.seq("1", npos, d), f"i -> {gram_hash}", d)
+    if d == "spark":
+        exploded = ("SELECT doc_id, n_pos, pos, h FROM g "
+                    "LATERAL VIEW posexplode(hx) AS pos, h")
+        pos_adj = "pos + 1"  # posexplode is 0-based
+    else:
+        exploded = ("SELECT doc_id, n_pos, generate_subscripts(hx, 1) AS pos, "
+                    "UNNEST(hx) AS h FROM g")
+        pos_adj = "pos"
+    return f"""
+    WITH t AS (SELECT doc_id, lower(text) AS s FROM documents),
+    g AS (SELECT doc_id, {npos} AS n_pos, {hashes} AS hx FROM t),
+    e AS (SELECT doc_id, n_pos, {pos_adj} AS pos, h FROM ({exploded})),
+    wmin AS (
+        SELECT doc_id, n_pos, pos,
+               MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING) AS sel
+        FROM e),
+    fp AS (
+        SELECT DISTINCT doc_id, n_pos, sel
+        FROM wmin WHERE pos <= n_pos - {w} + 1)
+    SELECT doc_id,
+           CAST(MIN(n_pos) AS BIGINT) AS n_grams,
+           CAST(COUNT(*) AS BIGINT) AS n_fingerprints,
+           CAST(SUM(sel % 1000000007) AS BIGINT) AS fp_checksum
+    FROM fp GROUP BY doc_id ORDER BY doc_id
+    """

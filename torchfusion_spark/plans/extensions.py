@@ -518,6 +518,23 @@ _sql_pair(
 )
 
 _sql_pair(
+    "corpus_bpe_pairs",
+    textstats.bpe_pairs_sql,
+    doc="adjacent-token pair frequencies (BPE merge-candidate statistic "
+    "seeding tokenizer training): pairs exploded from a hoisted token "
+    "array, map-side-combined counts, deterministic global TopK",
+)
+
+_sql_pair(
+    "text_winnow_fingerprint",
+    textstats.winnow_fingerprint_sql,
+    doc="MOSS-style winnowing fingerprints: rolling char k-gram hashes, "
+    "min per w-position window, distinct selected set per doc — any "
+    "shared substring >= k+w-1 chars yields a shared fingerprint; "
+    "doc-partitioned window pass (bounded partitions), one rollup",
+)
+
+_sql_pair(
     "corpus_chunk_overlap",
     textstats.chunk_overlap_sql,
     doc="overlapping character-window chunking (retrieval/embedding prep): "

@@ -129,6 +129,8 @@ PRIORITY: list[str] = [
     "text_pii_redact",
     "text_entropy",
     "text_dup_gram_fraction",
+    "text_winnow_fingerprint",
+    "corpus_bpe_pairs",
     "sample_weighted_topk",
     "sample_group_quota",
     "corpus_token_budget",
