@@ -235,3 +235,33 @@ def test_plan_shape_range_join_no_nested_loop(spark, tables):
     plan = buf.getvalue()
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_write_train_shards_balanced_and_bounded(spark, tables, tmp_path):
+    """Range-partitioned training export: every row lands exactly once,
+    files respect maxRecordsPerFile, range bounds balance the shards
+    (the skew guard that plain hash-prefix partitioning lacks), and each
+    file is internally sorted by the order column."""
+    import glob
+    import os
+
+    from torchfusion_spark.sources.sinks import write_train_shards
+
+    docs = spark.table("documents").withColumn(
+        "h", F.expr("CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 14), 16, 10) AS BIGINT)")
+    )
+    n = docs.count()
+    path = str(tmp_path / "train_shards")
+    write_train_shards(docs, path, "h", n_shards=8, max_records_per_file=40)
+
+    back = spark.read.parquet(path)
+    assert back.count() == n
+    assert sorted(r.doc_id for r in back.select("doc_id").collect()) == list(range(n))
+
+    files = sorted(glob.glob(os.path.join(path, "*.parquet")))
+    assert len(files) >= 8
+    for f in files:
+        pf = spark.read.parquet(f)
+        hs = [r.h for r in pf.select("h").collect()]
+        assert len(hs) <= 40
+        assert hs == sorted(hs)

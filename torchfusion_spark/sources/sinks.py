@@ -55,3 +55,33 @@ def write_bucketed(
     if sort_cols:
         writer = writer.sortBy(*sort_cols)
     writer.saveAsTable(table)
+
+
+def write_train_shards(
+    df: DataFrame,
+    path: str,
+    order_col: str,
+    n_shards: int = 32,
+    max_records_per_file: int | None = None,
+    fmt: str = "parquet",
+) -> None:
+    """Training-data export: range-partition on ``order_col`` (typically
+    the portable doc hash → a deterministic global shuffle of the
+    corpus), sort within each shard, and bound file size so the trainer
+    streams uniform shards.
+
+    Why this shape at 100 TB: ``repartitionByRange`` samples the column
+    to build balanced range bounds (no hot shard from a skewed hash
+    prefix); the within-shard sort makes every output file deterministic
+    for a given input; ``maxRecordsPerFile`` splits oversized shards
+    into trainer-friendly files without another shuffle. One total
+    shuffle — the minimum any global re-order can do."""
+    writer = (
+        df.repartitionByRange(n_shards, order_col)
+        .sortWithinPartitions(order_col)
+        .write.mode("overwrite")
+        .format(fmt)
+    )
+    if max_records_per_file:
+        writer = writer.option("maxRecordsPerFile", str(max_records_per_file))
+    writer.save(path)
