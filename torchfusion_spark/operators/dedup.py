@@ -505,3 +505,57 @@ def containment(spark, threshold: float = CONTAIN_THRESHOLD, max_df: int = CONTA
     sh.count()
     sh.createOrReplaceTempView("__contain_hx")
     return spark.sql(containment_sql("spark", threshold, max_df, sh_rel="__contain_hx"))
+
+
+_CANON_SELECT = """
+    SELECT component,
+           CAST(n_members AS BIGINT) AS n_members,
+           doc_id AS canonical_doc,
+           quality_score AS best_quality
+    FROM (
+        SELECT c.component, c.doc_id, q.quality_score,
+               COUNT(*) OVER (PARTITION BY c.component) AS n_members,
+               ROW_NUMBER() OVER (PARTITION BY c.component
+                                  ORDER BY q.quality_score DESC, c.doc_id) AS rn
+        FROM {clusters} c JOIN {quality} q ON c.doc_id = q.doc_id)
+    WHERE rn = 1 ORDER BY component
+"""
+
+
+def canonical_oracle_sql(threshold: float = 0.6) -> str:
+    """DuckDB oracle for the composed dedup→canonical pipeline: the
+    recursive-CTE transitive closure (same as the clusters oracle)
+    joined with the quality subquery, best doc per cluster by
+    (quality DESC, doc_id) — deterministic despite quality ties."""
+    from torchfusion_spark.operators.textstats import text_quality_sql
+
+    return f"""
+    WITH RECURSIVE pairs AS MATERIALIZED ({minhash_lsh_sql("duck", threshold)}),
+    edges AS MATERIALIZED (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION
+        SELECT id_b, id_a FROM pairs),
+    reach(node, lab) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.src, r.lab FROM edges e JOIN reach r ON e.dst = r.node),
+    clusters AS (SELECT node AS doc_id, MIN(lab) AS component FROM reach GROUP BY node),
+    quality AS (SELECT doc_id, quality_score FROM ({text_quality_sql("duck")}))
+    {_CANON_SELECT.format(clusters="clusters", quality="quality")}
+    """
+
+
+def dedup_canonical(spark, threshold: float = 0.6):
+    """Composed pipeline: near-dup clusters (iterative min-label CC over
+    LSH pairs) → per-cluster canonical selection by quality score. The
+    window partitions are cluster-sized (bounded by the hot-bucket cap
+    upstream); singleton docs never enter a cluster and are implicitly
+    kept — the result is the *decision table* a 100 TB dedup pass ships
+    to the filter stage (anti-join corpus against non-canonical ids)."""
+    from torchfusion_spark.operators.textstats import text_quality_sql
+
+    minhash_clusters(spark, threshold).createOrReplaceTempView("__dedup_clusters")
+    spark.sql(text_quality_sql("spark")).createOrReplaceTempView("__doc_quality")
+    return spark.sql(
+        _CANON_SELECT.format(clusters="__dedup_clusters", quality="__doc_quality")
+    )

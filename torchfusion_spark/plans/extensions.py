@@ -226,6 +226,18 @@ def dedup_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "pipeline_dedup_canonical",
+    dedup.canonical_oracle_sql(),
+    doc="composed dedup→canonical pipeline: LSH near-dup clusters joined "
+    "with quality scores, best doc per cluster by (quality DESC, doc_id) "
+    "— the decision table a 100 TB dedup pass ships to the filter stage; "
+    "cluster-sized window partitions, bounded by the hot-bucket cap",
+)
+def pipeline_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.dedup_canonical(spark)
+
+
+@query(
     "stream_stateful_user_stats",
     None,  # custom state machine (applyInPandasWithState) — float totals
     # accumulate in python-visit order, not SQL-expressible bit-exactly;

@@ -181,6 +181,7 @@ PRIORITY: list[str] = [
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_minhash_clusters",
+    "pipeline_dedup_canonical",
 ]
 
 
