@@ -50,7 +50,7 @@ PRIORITY: list[str] = [
     "join_using",
     "sample_hash_stratified",    # deterministic hash-stratified sampling
     "agg_distinct_count",        # aggregation family witness
-    "agg_approx",                # r01 canon-err, fixed (rows-only: HLL differs)
+    "agg_approx",                # r01 canon-err; now hash-checked via error-bound flags
     "agg_collect_set",           # r01 canon-err, fixed via sorted array_join
     "agg_cube",                  # grouping-analytics witness
     "win_running_sum",           # window family (no r01 rows at all)

@@ -284,24 +284,41 @@ def select_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "agg_approx",
-    None,  # approximate by construction (HLL / KLL sketches differ across
-    # engines) — rows-only here; accuracy vs exact counts is pinned in
-    # tests/test_relational2.py
+    # The sketches themselves (HLL / KLL vs DuckDB's HLL / t-digest) can
+    # never hash-match across engines, but their ERROR BOUNDS can: each
+    # engine checks its own sketch against its own exact aggregate and
+    # emits the exact value + a within-tolerance flag. The approx surface
+    # still executes on both sides, and the result is fully hash-checked
+    # (was rows-only). Tolerances: 10% on HLL distinct (Spark default
+    # rsd=0.05), 5% on the percentile sketches (1000+ samples per group).
+    """
+    SELECT l_returnflag,
+           CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+           CAST(ABS(approx_count_distinct(l_partkey) - COUNT(DISTINCT l_partkey))
+                <= 0.10 * COUNT(DISTINCT l_partkey) AS INT) AS parts_ok,
+           CAST(ABS(approx_quantile(l_extendedprice, 0.5) - median(l_extendedprice))
+                <= 0.05 * median(l_extendedprice) AS INT) AS median_ok,
+           CAST(ABS(approx_quantile(l_quantity, 0.25) - quantile_cont(l_quantity, 0.25))
+                <= 0.05 * quantile_cont(l_quantity, 0.75) AS INT) AS q25_ok
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
     doc="approx_count_distinct (HLL) + approx percentile sketches — the "
-    "approx_distinct/approx_percentile_cont surface (SURVEY §2-C aggregates)",
+    "approx_distinct/approx_percentile_cont surface (SURVEY §2-C aggregates); "
+    "hash-checked via per-engine error-bound flags against exact aggregates",
 )
 def agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return (
-        spark.table("lineitem")
-        .groupBy("l_returnflag")
-        .agg(
-            F.approx_count_distinct("l_partkey").alias("approx_parts"),
-            F.percentile_approx("l_extendedprice", 0.5, 1000).alias("approx_median_price"),
-            # scalars, not the raw list: the driver canonicalizer can't hash list cells
-            F.element_at(F.percentile_approx("l_quantity", [0.25, 0.75], 1000), 1).alias("qty_q25"),
-            F.element_at(F.percentile_approx("l_quantity", [0.25, 0.75], 1000), 2).alias("qty_q75"),
-        )
-        .orderBy("l_returnflag")
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+               CAST(ABS(approx_count_distinct(l_partkey) - COUNT(DISTINCT l_partkey))
+                    <= 0.10 * COUNT(DISTINCT l_partkey) AS INT) AS parts_ok,
+               CAST(ABS(percentile_approx(l_extendedprice, 0.5, 1000) - percentile(l_extendedprice, 0.5))
+                    <= 0.05 * percentile(l_extendedprice, 0.5) AS INT) AS median_ok,
+               CAST(ABS(percentile_approx(l_quantity, 0.25, 1000) - percentile(l_quantity, 0.25))
+                    <= 0.05 * percentile(l_quantity, 0.75) AS INT) AS q25_ok
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+        """
     )
 
 
