@@ -38,3 +38,35 @@ def test_stateful_user_stats_match_batch(spark, tables):
     for u, (n, total) in want.items():
         assert got[u][0] == n
         assert abs(got[u][1] - total) < 0.05  # python-float vs spark-double sum order
+
+
+def test_exactly_once_sink_idempotent_rerun(spark, tables, tmp_path):
+    """foreachBatch idempotent sink: a second full replay (same bounded
+    source, fresh stream) leaves the sink EXACTLY as after the first run
+    — batch-keyed dynamic partition overwrite, no duplicate rows — and
+    the content matches the batch aggregation."""
+    from pyspark.sql import functions as F
+
+    from torchfusion_spark import streaming
+
+    sf_dir = tables  # the fixture's sf dir — must match spark.table("events")
+    out = str(tmp_path / "stream_sink")
+    first = streaming.exactly_once_sink(spark, sf_dir, out).drop("batch").toPandas()
+    second = streaming.exactly_once_sink(spark, sf_dir, out).drop("batch").toPandas()
+
+    key = ["window_start", "event_type"]
+    a = first.sort_values(key).reset_index(drop=True)
+    b = second.sort_values(key).reset_index(drop=True)
+    assert a.equals(b), "replay must be a no-op rewrite, not an append"
+
+    batch = (
+        spark.table("events")
+        .withWatermark("ts", "30 minutes")
+        .groupBy(F.window("ts", "15 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(F.expr("CAST(value * 100 AS BIGINT)")).alias("cents"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "cents")
+        .toPandas()
+        .sort_values(key)
+        .reset_index(drop=True)
+    )
+    assert a[["n", "cents"]].astype("int64").equals(batch[["n", "cents"]].astype("int64"))

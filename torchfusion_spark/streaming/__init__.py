@@ -362,3 +362,43 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("purchase_id", "click_id", F.col("p_user").alias("user_id"))
     name = "tf_stream_stream_join"
     return _run_to_memory(spark, j, name, "append").orderBy("purchase_id", "click_id")
+
+
+def exactly_once_sink(spark: SparkSession, sf_dir: str, out_dir: str) -> DataFrame:
+    """Idempotent foreachBatch parquet sink — the exactly-once delivery
+    pattern for streaming ETL: each micro-batch overwrites its OWN
+    partition directory (``batch=<id>``), so a replayed batch (failure →
+    restart from checkpoint before commit) rewrites the same directory
+    instead of appending duplicates. Dynamic partition overwrite keeps
+    other batches' output untouched.
+
+    At scale this is the standard recipe when the sink isn't
+    transactional: checkpoint tracks the offset → batchId mapping,
+    batchId keys the output path, re-delivery is a no-op rewrite.
+    Returns the read-back DataFrame for verification."""
+    agg = (
+        _event_stream(spark, sf_dir)
+        .withWatermark("ts", "30 minutes")
+        .groupBy(F.window("ts", "15 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(F.expr("CAST(value * 100 AS BIGINT)")).alias("cents"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "cents")
+    )
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.withColumn("batch", F.lit(batch_id))
+            .write.mode("overwrite")
+            .partitionBy("batch")
+            .option("partitionOverwriteMode", "dynamic")
+            .parquet(out_dir)
+        )
+
+    with _scaled_state_partitions(spark):
+        q = (
+            agg.writeStream.outputMode("complete")
+            .foreachBatch(write_batch)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.read.parquet(out_dir)
