@@ -518,17 +518,16 @@ def train_split_sql(d: str, pct_train: int = 80, pct_val: int = 10) -> str:
 DUP_GRAM_N = 5  # word n-gram size for the corpus-wide duplication metric
 
 
-def dup_gram_fraction_sql(d: str, n: int = DUP_GRAM_N) -> str:
-    """Corpus-wide duplicated n-gram fraction per document (the C4 /
-    Gopher-style inter-document repetition filter): the share of a doc's
-    distinct word n-grams that also occur in at least one OTHER document.
+def dup_gram_exploded_sql(d: str, n: int = DUP_GRAM_N) -> str:
+    """The (doc_id, gram-hash) relation dup_gram_fraction_sql consumes
+    THREE times — exposed so the Spark path can stage it once (cache +
+    temp view) instead of re-scanning and re-shingling per reference
+    (Catalyst inlines CTEs; an unstaged run scans documents 6×).
 
-    Shape: distinct grams are staged per doc (hoisted token array — the
-    shingle transform never re-splits), exploded once, counted per gram
-    hash (map-side combine), joined back on the gram hash (both sides
-    partitioned by the same key — AQE reuses the exchange), then one
-    per-doc rollup. No all-pairs anything: cost is O(total grams), and
-    the gram-hash shuffle is the same backbone every dedup op here uses."""
+    Deliberately CTE-free (nested subqueries): a WITH inside the cached
+    view gets its CTERelationDef ids remapped when the view is embedded
+    in an outer WITH query, the canonicalized plans stop matching, and
+    the cache is silently bypassed."""
     toks = G.split_ws("lower(text)", d)
     sh = G.shingles_from_tokens("toks", n, d)
     gh = G.hash56("g", d)
@@ -537,15 +536,37 @@ def dup_gram_fraction_sql(d: str, n: int = DUP_GRAM_N) -> str:
     else:
         exploded = "SELECT doc_id, UNNEST(grams) AS g FROM s"
     return f"""
-    WITH t AS (SELECT doc_id, {toks} AS toks FROM documents),
-    s AS (SELECT doc_id, {sh} AS grams FROM t),
-    e AS (SELECT doc_id, {gh} AS gh FROM ({exploded})),
-    c AS (SELECT gh, COUNT(*) AS n_docs FROM e GROUP BY gh),
+    SELECT doc_id, {gh} AS gh FROM (
+        {exploded.replace("FROM s", f'''FROM (
+            SELECT doc_id, {sh} AS grams FROM (
+                SELECT doc_id, {toks} AS toks FROM documents) t) s''')})
+    """
+
+
+def dup_gram_fraction_sql(d: str, n: int = DUP_GRAM_N, e_rel: str | None = None) -> str:
+    """Corpus-wide duplicated n-gram fraction per document (the C4 /
+    Gopher-style inter-document repetition filter): the share of a doc's
+    distinct word n-grams that also occur in at least one OTHER document.
+
+    Shape: distinct grams are staged per doc (hoisted token array — the
+    shingle transform never re-splits), exploded ONCE into a staged
+    relation (``e_rel`` on Spark — cached temp view; MATERIALIZED CTE on
+    DuckDB), counted per gram hash (map-side combine), joined back on
+    the gram hash, then one per-doc rollup. No all-pairs anything: cost
+    is O(total grams), and the gram-hash shuffle is the same backbone
+    every dedup op here uses."""
+    mat = "MATERIALIZED " if d == "duck" else ""
+    e_body = e_rel or f"{mat}({dup_gram_exploded_sql(d, n)})"
+    e_cte = f"e AS {e_body}," if e_rel is None else ""
+    e_name = e_rel if e_rel is not None else "e"
+    return f"""
+    WITH {e_cte}
+    c AS (SELECT gh, COUNT(*) AS n_docs FROM {e_name} GROUP BY gh),
     r AS (
         SELECT e.doc_id,
                COUNT(*) AS n_grams,
                SUM(CASE WHEN c.n_docs > 1 THEN 1 ELSE 0 END) AS n_dup
-        FROM e JOIN c ON e.gh = c.gh GROUP BY e.doc_id)
+        FROM {e_name} e JOIN c ON e.gh = c.gh GROUP BY e.doc_id)
     SELECT d.doc_id,
            CAST(COALESCE(r.n_grams, 0) AS BIGINT) AS n_grams,
            CAST(COALESCE(r.n_dup, 0) AS BIGINT) AS n_dup_grams,

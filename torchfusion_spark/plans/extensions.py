@@ -520,14 +520,20 @@ _sql_pair(
     "partition at 100 TB; BIGINT arithmetic, hash-order reproducible",
 )
 
-_sql_pair(
+@query(
     "text_dup_gram_fraction",
-    textstats.dup_gram_fraction_sql,
+    textstats.dup_gram_fraction_sql("duck"),
     doc="corpus-wide duplicated n-gram fraction per doc (C4/Gopher-style "
-    "inter-document repetition filter): distinct grams exploded once, "
-    "counted per gram hash with map-side combine, joined back on the "
-    "same key (exchange reuse), one per-doc rollup — no all-pairs",
+    "inter-document repetition filter): the exploded gram relation staged "
+    "ONCE (cached view / MATERIALIZED CTE — Catalyst would inline it and "
+    "re-scan 6×), counted per gram hash with map-side combine, joined "
+    "back, one per-doc rollup — no all-pairs",
 )
+def text_dup_gram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = spark.sql(textstats.dup_gram_exploded_sql("spark")).cache()
+    e.count()
+    e.createOrReplaceTempView("__dupgram_e")
+    return spark.sql(textstats.dup_gram_fraction_sql("spark", e_rel="__dupgram_e"))
 
 _sql_pair(
     "corpus_bpe_pairs",
