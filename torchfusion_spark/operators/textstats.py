@@ -650,3 +650,34 @@ def winnow_fingerprint_sql(d: str, k: int = WINNOW_K, w: int = WINNOW_W) -> str:
            CAST(SUM(sel % 1000000007) AS BIGINT) AS fp_checksum
     FROM fp GROUP BY doc_id ORDER BY doc_id
     """
+
+
+MIXTURE_BUDGET = 20_000  # total training-token budget to allocate
+
+
+def mixture_plan_sql(d: str, budget: int = MIXTURE_BUDGET) -> str:
+    """Data-mixture planning: inventory tokens per source, allocate a
+    BALANCED per-source target (budget DIV n_sources), and emit the
+    per-source keep decision — take everything from undersupplied
+    sources, a fractional keep rate from oversupplied ones. This is the
+    planning step that turns mixture weights into concrete per-source
+    sampling rates before `sample_hash_stratified` materializes them.
+
+    All allocation arithmetic is integer (BIGINT div/least) so the plan
+    is bit-identical across engines; the display rate is the only float
+    and is rounded. One map-side-combined rollup + a scalar-subquery
+    broadcast of the source count — nothing scales with corpus size but
+    the first aggregation."""
+    n_toks = G.arr_size(G.split_ws("text", d), d)
+    target = G.intdiv(str(budget), "(SELECT COUNT(*) FROM avail)", d)
+    return f"""
+    WITH avail AS (
+        SELECT source, CAST(SUM({n_toks}) AS BIGINT) AS available_tokens
+        FROM documents GROUP BY source)
+    SELECT source, available_tokens,
+           CAST({target} AS BIGINT) AS target_tokens,
+           CAST(least(available_tokens, {target}) AS BIGINT) AS planned_tokens,
+           ROUND(CAST(least(available_tokens, {target}) AS DOUBLE)
+                 / available_tokens, 6) AS keep_rate
+    FROM avail ORDER BY source
+    """

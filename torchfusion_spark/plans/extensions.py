@@ -553,6 +553,15 @@ _sql_pair(
 )
 
 _sql_pair(
+    "corpus_mixture_plan",
+    textstats.mixture_plan_sql,
+    doc="data-mixture planning: per-source token inventory, balanced "
+    "integer target allocation (budget DIV n_sources), keep-everything "
+    "vs fractional-rate decision per source — the step that turns "
+    "mixture weights into concrete sampling rates; one map-side rollup",
+)
+
+_sql_pair(
     "corpus_chunk_overlap",
     textstats.chunk_overlap_sql,
     doc="overlapping character-window chunking (retrieval/embedding prep): "

@@ -136,6 +136,7 @@ PRIORITY: list[str] = [
     "corpus_token_budget",
     "corpus_pack_sequences",
     "corpus_chunk_overlap",
+    "corpus_mixture_plan",
     "sample_train_split",
     "events_retention",
     "events_anomaly_zscore",
