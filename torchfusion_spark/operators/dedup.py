@@ -427,8 +427,17 @@ def connected_components(pairs, max_iter: int = 25):
 
 def minhash_clusters(spark, threshold: float = 0.6):
     """MinHash-LSH pairs → duplicate clusters (the canonical corpus-dedup
-    output: keep one doc per component)."""
-    return connected_components(minhash_lsh(spark, threshold))
+    output: keep one doc per component). Memoized per (session, loaded
+    tables, threshold) like the signature relation: the canonical-
+    selection pipeline runs right after the clusters query in gate order
+    and would otherwise repeat the whole iterative CC loop."""
+    key = (getattr(spark, "_tf_tables_loaded", None), threshold)
+    if getattr(spark, "_tf_clusters_key", object()) != key:
+        labels = connected_components(minhash_lsh(spark, threshold)).cache()
+        labels.count()
+        labels.createOrReplaceTempView("__minhash_clusters")
+        spark._tf_clusters_key = key
+    return spark.table("__minhash_clusters")
 
 
 def minhash_clusters_oracle_sql(d_unused: str = "duck", threshold: float = 0.6) -> str:
