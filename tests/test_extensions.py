@@ -482,3 +482,23 @@ def test_winnow_fingerprint_matches_python(spark, tables):
     edited = s[:mid] + ("x" if s[mid] != "x" else "y") + s[mid + 1 :]
     a, b = fps(s), fps(edited)
     assert len(a & b) / len(a) > 0.8
+
+
+def test_ivf_index_persist_probe_matches_inline(spark, tables, tmp_path):
+    """Build-once/probe-many: probing the persisted partitioned IVF index
+    returns exactly the inline ivf_topk result, and the probe plan prunes
+    index partitions (dynamic partition pruning on the list id)."""
+    from torchfusion_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_probe_index,
+        ivf_topk,
+    )
+
+    path = str(tmp_path / "ivf_index")
+    build_ivf_index(spark, path)
+    probe = ivf_probe_index(spark, path)
+    inline = ivf_topk(spark)
+    assert [tuple(r) for r in probe.collect()] == [tuple(r) for r in inline.collect()]
+
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower() or "PartitionFilters: [" in plan

@@ -450,3 +450,50 @@ def kmeans_sql(d: str, k: int = KMEANS_K, iters: int = KMEANS_ITERS, rel: str | 
 
 def kmeans(spark, k: int = KMEANS_K, iters: int = KMEANS_ITERS):
     return spark.sql(kmeans_sql("spark", k, iters, rel=_staged_norms(spark)))
+
+
+def build_ivf_index(spark, path: str, n_centroids: int = 16) -> None:
+    """Persist the IVF index: the nearest-centroid assignment relation
+    (vec_id, v, nrm, c_id) written as parquet PARTITIONED BY the
+    inverted-list id. Build once, probe many — at 100 TB the probe phase
+    reads only ``n_probe / n_centroids`` of the index because the list
+    id is a partition directory, not a row filter."""
+    _staged_norms(spark)
+    a = spark.sql(assign_cte_sql("spark", n_centroids, rel="__sim_norms"))
+    a.write.mode("overwrite").partitionBy("c_id").parquet(path)
+
+
+def ivf_probe_index(spark, path: str, k: int = 10, n_queries: int = 4,
+                    n_probe: int = 4, n_centroids: int = 16):
+    """Probe a persisted IVF index without touching the base table: query
+    vectors and centroids are read from the index itself, the per-query
+    probed lists form a tiny broadcast relation, and the join on the
+    partition column lets dynamic partition pruning skip every unprobed
+    list directory. Same ranking discipline as ivf_topk_sql (6dp-rounded
+    cosine, vec_id tie-breaks) so results are identical to the inline
+    query."""
+    spark.read.parquet(path).createOrReplaceTempView("__ivf_idx")
+    sim_qc = f"ROUND({_dot('q.qv', 'c.cv', 'spark')} / (q.qn * c.cn), 6)"
+    sim_qa = f"ROUND({_dot('q.qv', 'a.v', 'spark')} / (q.qn * a.nrm), 6)"
+    return spark.sql(f"""
+    WITH q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM __ivf_idx
+               WHERE vec_id < {n_queries}),
+    c AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cn FROM __ivf_idx
+          WHERE vec_id < {n_centroids}),
+    probe AS (
+        SELECT q_id, cent_id FROM (
+            SELECT /*+ BROADCAST(c) */ q.q_id, c.cent_id,
+                   ROW_NUMBER() OVER (PARTITION BY q.q_id
+                                      ORDER BY {sim_qc} DESC, c.cent_id) AS rn
+            FROM q CROSS JOIN c) WHERE rn <= {n_probe}),
+    sims AS (
+        SELECT /*+ BROADCAST(q, p) */ q.q_id, a.vec_id AS cand_id, {sim_qa} AS cosine
+        FROM q JOIN probe p ON q.q_id = p.q_id
+               JOIN __ivf_idx a ON a.c_id = p.cent_id
+        WHERE a.vec_id <> q.q_id)
+    SELECT q_id, cand_id, cosine FROM (
+        SELECT q_id, cand_id, cosine,
+               ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, cand_id) AS rk
+        FROM sims) WHERE rk <= {k}
+    ORDER BY q_id, cosine DESC, cand_id
+    """)
