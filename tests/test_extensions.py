@@ -502,3 +502,53 @@ def test_ivf_index_persist_probe_matches_inline(spark, tables, tmp_path):
 
     plan = probe._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in plan.lower() or "PartitionFilters: [" in plan
+
+
+def test_pack_sequences_properties_on_synthetic_corpora(spark, tables):
+    """Property-style check over adversarial synthetic corpora (single
+    language, one-token docs, giant docs, uneven shards): token
+    conservation, contiguous pack ids from 0, and invariance to input
+    partitioning (the two-level prefix sum must not depend on physical
+    layout)."""
+    from torchfusion_spark.operators.textstats import SEQ_LEN, pack_sequences_sql
+
+    corpora = [
+        [(i, "en", "tok") for i in range(40)],  # one-token docs
+        [(i, "xx", " ".join(["w"] * 1500)) for i in range(5)],  # docs >> seq_len
+        [(i, "en" if i % 3 else "de", " ".join(["w"] * (1 + i % 37))) for i in range(200)],
+    ]
+    orig = spark.table("documents")
+    try:
+        for rows in corpora:
+            for n_parts in (1, 7):
+                df = spark.createDataFrame(
+                    rows, "doc_id bigint, lang string, text string"
+                ).repartition(n_parts)
+                df.createOrReplaceTempView("documents")
+                got = spark.sql(pack_sequences_sql("spark")).toPandas()
+                toks = {lang: sum(len(t.split(" ")) for i, lg, t in rows if lg == lang)
+                        for lang in {r[1] for r in rows}}
+                agg = got.groupby("lang").pack_tokens.sum().to_dict()
+                assert agg == toks, (n_parts, agg, toks)
+                for lang, grp in got.groupby("lang"):
+                    pids = sorted(grp.pack_id)
+                    assert pids[0] == 0 and len(set(pids)) == len(pids)
+                    # the last START pack is where the final doc begins:
+                    # between (total - longest doc) and the last token's pack
+                    max_doc = max(
+                        len(t.split(" ")) for i, lg, t in rows if lg == lang
+                    )
+                    lo = max(toks[lang] - max_doc, 0) // SEQ_LEN
+                    hi = max(toks[lang] - 1, 0) // SEQ_LEN
+                    assert lo <= pids[-1] <= hi
+                    # contiguous start-packs only when no doc spans packs;
+                    # a doc longer than seq_len legitimately skips starts
+                    if max_doc <= SEQ_LEN:
+                        assert pids == list(range(len(pids)))
+                if n_parts == 1:
+                    base = got.sort_values(["lang", "pack_id"]).reset_index(drop=True)
+                else:
+                    rep = got.sort_values(["lang", "pack_id"]).reset_index(drop=True)
+                    assert rep.equals(base), "partitioning changed pack assignment"
+    finally:
+        orig.createOrReplaceTempView("documents")
