@@ -552,3 +552,40 @@ def test_pack_sequences_properties_on_synthetic_corpora(spark, tables):
                     assert rep.equals(base), "partitioning changed pack assignment"
     finally:
         orig.createOrReplaceTempView("documents")
+
+
+def test_incremental_dedup_matches_full_lsh(spark, tables, tmp_path):
+    """Production ingest shape: index the existing corpus once, dedup a
+    new batch against it without re-shingling the corpus. The pairs must
+    equal the full-corpus LSH restricted to (batch x index) — LSH over a
+    union is separable, so incremental probing loses nothing (modulo
+    hot-bucket capping, identical on both paths at this corpus size)."""
+    from torchfusion_spark.operators.dedup import (
+        build_minhash_index,
+        dedup_incremental,
+        minhash_lsh_sql,
+    )
+
+    path = str(tmp_path / "mh_index")
+    orig = spark.table("documents")
+    corpus = orig.filter("doc_id % 5 != 0")
+    batch = orig.filter("doc_id % 5 = 0")
+    try:
+        corpus.createOrReplaceTempView("documents")
+        build_minhash_index(spark, path)
+    finally:
+        orig.createOrReplaceTempView("documents")
+    batch.createOrReplaceTempView("__new_batch")
+    got = {
+        (r.new_id, r.old_id, r.jaccard)
+        for r in dedup_incremental(spark, "__new_batch", path).collect()
+    }
+    full = spark.sql(minhash_lsh_sql("spark")).collect()
+    expect = {
+        (a, b, j)
+        for r in full
+        for a, b, j in [(r.id_a, r.id_b, r.jaccard), (r.id_b, r.id_a, r.jaccard)]
+        if a % 5 == 0 and b % 5 != 0
+    }
+    assert expect, "test corpus should contain cross-slice near-dup pairs"
+    assert got == expect

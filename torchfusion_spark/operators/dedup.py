@@ -568,3 +568,71 @@ def dedup_canonical(spark, threshold: float = 0.6):
     return spark.sql(
         _CANON_SELECT.format(clusters="__dedup_clusters", quality="__doc_quality")
     )
+
+
+def build_minhash_index(spark, path: str) -> None:
+    """Persist the corpus-side dedup state: the signature relation
+    (doc_id, hx, sig) and the exploded band-key relation (band, bkey,
+    doc_id). Build once over the corpus; incremental batches dedup
+    against it without re-shingling a byte of the existing 100 TB."""
+    from torchfusion_spark.session import cpu_fanout
+
+    cpu_fanout(spark.table("documents")).createOrReplaceTempView("__mhidx_docs")
+    sig = spark.sql(
+        sig_rel_sql("spark", f"({hashed_shingle_sql('spark', rel='__mhidx_docs')})")
+    ).cache()
+    sig.count()
+    sig.createOrReplaceTempView("__mhidx_sig")
+    sig.write.mode("overwrite").parquet(f"{path}/sig")
+    bands = G.band_exprs("sig", "spark")
+    structs = ", ".join(
+        f"named_struct('band', {i}, 'bkey', {b})" for i, b in enumerate(bands)
+    )
+    spark.sql(
+        f"SELECT doc_id, band, bkey FROM __mhidx_sig "
+        f"LATERAL VIEW inline(array({structs})) AS band, bkey"
+    ).write.mode("overwrite").parquet(f"{path}/bands")
+    sig.unpersist()
+
+
+def dedup_incremental(spark, new_rel: str, path: str, threshold: float = 0.6):
+    """Dedup a NEW batch against the persisted index: the batch's band
+    keys form the (small) broadcast side, so the index band relation is
+    filtered by a broadcast hash join — the 100 TB index side never
+    shuffles and is never re-shingled. Candidates verify exact Jaccard
+    via the stored shingle-hash sets. Returns (new_id, old_id, jaccard)
+    pairs with jaccard >= threshold.
+
+    This is the production dedup shape: the full-corpus LSH runs once
+    (`build_minhash_index`), every subsequent ingest batch is an
+    incremental probe."""
+    new_sig = spark.sql(
+        sig_rel_sql("spark", f"({hashed_shingle_sql('spark', rel=new_rel)})")
+    ).cache()
+    new_sig.count()
+    new_sig.createOrReplaceTempView("__mhinc_sig")
+    bands = G.band_exprs("sig", "spark")
+    structs = ", ".join(
+        f"named_struct('band', {i}, 'bkey', {b})" for i, b in enumerate(bands)
+    )
+    spark.sql(
+        f"SELECT doc_id, band, bkey FROM __mhinc_sig "
+        f"LATERAL VIEW inline(array({structs})) AS band, bkey"
+    ).createOrReplaceTempView("__mhinc_bands")
+    spark.read.parquet(f"{path}/sig").createOrReplaceTempView("__mhidx_sig_r")
+    spark.read.parquet(f"{path}/bands").createOrReplaceTempView("__mhidx_bands_r")
+    inter = G.arr_intersect_size("x.hx", "y.hx", "spark")
+    return spark.sql(f"""
+    WITH cand AS (
+        SELECT /*+ BROADCAST(n) */ DISTINCT n.doc_id AS new_id, i.doc_id AS old_id
+        FROM __mhidx_bands_r i JOIN __mhinc_bands n
+          ON i.band = n.band AND i.bkey = n.bkey AND i.doc_id <> n.doc_id)
+    SELECT new_id, old_id, jaccard FROM (
+        SELECT new_id, old_id,
+               ROUND(CAST({inter} AS DOUBLE) /
+                     ({G.arr_size('x.hx', 'spark')} + {G.arr_size('y.hx', 'spark')} - {inter}), 6) AS jaccard
+        FROM cand JOIN __mhinc_sig x ON x.doc_id = new_id
+                  JOIN __mhidx_sig_r y ON y.doc_id = old_id)
+    WHERE jaccard >= {threshold}
+    ORDER BY new_id, old_id
+    """)
