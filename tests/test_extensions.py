@@ -589,3 +589,27 @@ def test_incremental_dedup_matches_full_lsh(spark, tables, tmp_path):
     }
     assert expect, "test corpus should contain cross-slice near-dup pairs"
     assert got == expect
+
+
+def test_star_cc_matches_propagation_and_handles_chains(spark, tables):
+    """Large-star/small-star CC: identical labels to min-label propagation
+    on the LSH pair graph, and a 120-node chain (diameter 120) resolves
+    within the O(log n) round budget that would starve propagation."""
+    from pyspark.sql import functions as F
+
+    from torchfusion_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+        minhash_lsh,
+    )
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(120)], "id_a bigint, id_b bigint"
+    )
+    got = {r.doc_id: r.component for r in connected_components_star(chain, max_iter=8).collect()}
+    assert got == {i: 0 for i in range(121)}
+
+    pairs = minhash_lsh(spark)
+    a = {(r.doc_id, r.component) for r in connected_components(pairs).collect()}
+    b = {(r.doc_id, r.component) for r in connected_components_star(pairs).collect()}
+    assert a == b

@@ -636,3 +636,71 @@ def dedup_incremental(spark, new_rel: str, path: str, threshold: float = 0.6):
     WHERE jaccard >= {threshold}
     ORDER BY new_id, old_id
     """)
+
+
+def connected_components_star(pairs, max_iter: int = 20):
+    """Connected components by alternating large-star / small-star
+    contraction (Kiveris et al., "Connected Components in MapReduce and
+    Beyond") — converges in O(log n) rounds instead of min-label
+    propagation's O(diameter), which is the difference that matters on
+    deep or chain-shaped duplicate graphs (transcript/page sequences)
+    where :func:`connected_components` would need diameter rounds.
+
+    Each round: large-star connects every neighbor larger than u to
+    m = min(N(u) ∪ {u}); small-star does the same for the
+    smaller-or-equal neighborhood. The edge set monotonically contracts
+    toward stars rooted at component minima; termination = stable
+    symmetric edge set (count + hash-sum compare, no driver-side edge
+    materialization). Output matches :func:`connected_components`:
+    (doc_id, component=min reachable id)."""
+    from pyspark.sql import functions as F
+
+    def sym(e):
+        return (
+            e.filter("u <> v")
+            .union(e.filter("u <> v").select(F.col("v").alias("u"), F.col("u").alias("v")))
+            .distinct()
+        )
+
+    def sig(e):
+        # bit_xor: order-independent and overflow-free (SUM of xxhash64
+        # trips ANSI ARITHMETIC_OVERFLOW)
+        r = e.select(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("bit_xor(xxhash64(u, v))").alias("h"),
+        ).collect()[0]
+        return (r.n, r.h)
+
+    e = sym(
+        pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
+    ).localCheckpoint()
+    prev = sig(e)
+    for _ in range(max_iter):
+        # large-star: (v, m) for v > u, m = min(N(u) ∪ {u})
+        mins = e.groupBy("u").agg(F.min("v").alias("mv"))
+        large = (
+            e.join(mins, "u")
+            .withColumn("m", F.least(F.col("u"), F.col("mv")))
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        )
+        e = sym(large).localCheckpoint()
+        # small-star over the smaller-or-equal neighborhood
+        es = e.filter(F.col("v") < F.col("u"))
+        smins = es.groupBy("u").agg(F.min("v").alias("m"))
+        small = (
+            es.join(smins, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(smins.select("u", F.col("m").alias("v")))
+        )
+        e = sym(small).localCheckpoint()
+        cur = sig(e)
+        if cur == prev:
+            break
+        prev = cur
+    comp = (
+        e.groupBy("u")
+        .agg(F.min("v").alias("mv"))
+        .select(F.col("u").alias("doc_id"), F.least(F.col("u"), F.col("mv")).alias("component"))
+    )
+    return comp.orderBy("doc_id")
