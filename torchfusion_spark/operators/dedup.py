@@ -588,9 +588,18 @@ def build_minhash_index(spark, path: str) -> None:
     structs = ", ".join(
         f"named_struct('band', {i}, 'bkey', {b})" for i, b in enumerate(bands)
     )
+    # same hot-bucket cap as the batch LSH path (minhash_body_sql): an
+    # uncapped boilerplate bucket in the index would make every future
+    # ingest probe quadratic against it
     spark.sql(
-        f"SELECT doc_id, band, bkey FROM __mhidx_sig "
-        f"LATERAL VIEW inline(array({structs})) AS band, bkey"
+        f"""
+        SELECT doc_id, band, bkey FROM (
+            SELECT doc_id, band, bkey,
+                   COUNT(*) OVER (PARTITION BY band, bkey) AS bsz
+            FROM (SELECT doc_id, band, bkey FROM __mhidx_sig
+                  LATERAL VIEW inline(array({structs})) AS band, bkey))
+        WHERE bsz <= {MAX_BUCKET}
+        """
     ).write.mode("overwrite").parquet(f"{path}/bands")
     sig.unpersist()
 
