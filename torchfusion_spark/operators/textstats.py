@@ -468,19 +468,20 @@ def chunk_overlap_sql(d: str, size: int = CHUNK_SIZE, overlap: int = CHUNK_OVERL
     # produce one empty chunk guarded by greatest())
     n_win = f"{G.intdiv(f'greatest(n_chars - 1, 0)', str(stride), d)} + 1"
     starts = G.seq("0", f"{n_win} - 1", d)
+    # the explode CARRIES text so the chunk substr never re-joins
+    # documents — a join back on doc_id would shuffle both sides at scale
     if d == "spark":
-        exploded = "SELECT doc_id, lang, i FROM s LATERAL VIEW explode(idx) AS i"
+        exploded = "SELECT doc_id, lang, text, i FROM s LATERAL VIEW explode(idx) AS i"
     else:
-        exploded = "SELECT doc_id, lang, UNNEST(idx) AS i FROM s"
+        exploded = "SELECT doc_id, lang, text, UNNEST(idx) AS i FROM s"
     chunk = f"substr(text, 1 + i * {stride}, {size})"
     return f"""
     WITH s AS (
-        SELECT doc_id, lang, length(text) AS n_chars, {starts} AS idx
+        SELECT doc_id, lang, text, length(text) AS n_chars, {starts} AS idx
         FROM documents),
-    e AS ({exploded}),
     c AS (
-        SELECT e.doc_id, e.lang, e.i AS chunk_idx, {chunk} AS chunk
-        FROM e JOIN documents USING (doc_id))
+        SELECT doc_id, lang, i AS chunk_idx, {chunk} AS chunk
+        FROM ({exploded}))
     SELECT doc_id, lang,
            CAST(chunk_idx AS INT) AS chunk_idx,
            CAST(1 + chunk_idx * {stride} AS BIGINT) AS start_pos,
