@@ -67,24 +67,34 @@ def main() -> None:
 
     from torchfusion_spark.sources import load_tables
 
-    load_tables(spark, sf_dir)
-    li = spark.table("lineitem").limit(10_000)
-    (
-        li.join(spark.table("orders").limit(1_000), F.expr("l_orderkey = o_orderkey"))
-        .groupBy("l_returnflag")
-        .agg(F.sum(F.col("l_extendedprice").cast("decimal(12,2)")).alias("s"))
-        .withColumn("r", F.row_number().over(Window.orderBy("l_returnflag")))
-        .count()
-    )
+    try:
+        load_tables(spark, sf_dir)
+        li = spark.table("lineitem").limit(10_000)
+        (
+            li.join(spark.table("orders").limit(1_000), F.expr("l_orderkey = o_orderkey"))
+            .groupBy("l_returnflag")
+            .agg(F.sum(F.col("l_extendedprice").cast("decimal(12,2)")).alias("s"))
+            .withColumn("r", F.row_number().over(Window.orderBy("l_returnflag")))
+            .count()
+        )
+    except Exception:  # noqa: BLE001 — warmup is best-effort, never fatal
+        pass
 
+    # Per-query fault isolation (round-2 postmortem: one AnalysisException
+    # aborted the whole bench and the round published no timings). A broken
+    # query costs its own row in `errors`; the JSON summary always prints.
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in HEADLINE:
         q = REGISTRY[name]
         t0 = time.perf_counter()
-        df = q.builder(spark, sf_dir)
-        n = df.count()  # full materialization without driver collect
-        timings[name] = round(time.perf_counter() - t0, 4)
-        assert n >= 0
+        try:
+            df = q.builder(spark, sf_dir)
+            n = df.count()  # full materialization without driver collect
+            assert n >= 0
+            timings[name] = round(time.perf_counter() - t0, 4)
+        except Exception as exc:  # noqa: BLE001 — isolate, record, continue
+            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
 
     total = round(sum(timings.values()), 4)
     payload = {
@@ -93,7 +103,11 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "queries_ok": len(timings),
+        "queries_failed": len(errors),
     }
+    if errors:
+        payload["errors"] = errors
 
     # measured stand-in for the (unpublished) reference baseline: DuckDB
     # running the same queries' oracle SQL at the same sf, recorded by

@@ -65,6 +65,15 @@ def _has_mps() -> bool:
         return False
 
 
+def _has_vulkan() -> bool:
+    try:
+        import torch
+
+        return bool(getattr(torch, "is_vulkan_available", lambda: False)())
+    except ImportError:
+        return False
+
+
 def validate(key: str, value: str) -> str:
     """Validate a ``torchfusion.<key>`` assignment; return normalized value.
 
@@ -81,6 +90,8 @@ def validate(key: str, value: str) -> str:
             return "cuda"
         if device == "mps" and _has_mps():
             return "mps"
+        if device == "vulkan" and _has_vulkan():
+            return "vulkan"
         raise TorchConfigError(f"Device '{device}' not supported")
     if short == "cuda_device":
         try:

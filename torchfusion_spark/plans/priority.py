@@ -1,23 +1,25 @@
 """Coverage-priority ordering for the driver-facing query registry.
 
 The driver's correctness gate runs registry queries in name order and may
-stop at a budget (round 1 covered exactly the first 50 names alphabetically,
-CORRECTNESS_r01). Alphabetical order front-loads ``agg_*``/``fn_*`` and
-starves whole components (windows, set-ops, similarity, streaming, UDFs) of
-driver rows. This module assigns every query a stable priority rank, and
-``__spark_entry__`` exposes keys as ``c{rank:03d}_{name}`` so *any*
-deterministic truncation — sorted or insertion-order — tests a
-representative witness of every SURVEY.md §2 component before the second
-witness of any component.
+stop at a budget (rounds 1–2 covered exactly the first 50 names). This
+module assigns every query a stable priority rank, and ``__spark_entry__``
+exposes keys as ``c{rank:03d}_{name}`` so *any* deterministic truncation —
+sorted or insertion-order — certifies the most valuable queries first.
 
-Ordering policy (documented so the ranking is auditable, not gamed):
-1. ranks 1-50: one cheap witness per component/category row of SURVEY §2,
-   with round-1 driver failures (fn_math, agg_approx, agg_collect_set,
-   fn_array_ops, fn_struct_map, events_sessionize, events_rollup_two_level)
-   placed early so their fixes get driver rows;
-2. ranks 51+: remaining family members, cheap first;
-3. the most expensive pipelines (minhash/ngram/all-pairs/streaming tails)
-   last, so a *time*-capped run maximizes the number of queries reached.
+Ordering policy (documented so the ranking is auditable, not gamed) —
+ROTATED each round so the budget certifies new surface instead of
+re-certifying known-green witnesses (VERDICT r02 item 6):
+1. ranks 1-6: the round-2 failures whose fix must be certified this round
+   (the TIMESTAMP_NTZ family: fn_time_bucket, events_sessionize,
+   events_rollup_two_level, events_range_join, events_retention, and the
+   streaming reader witness stream_windowed_counts);
+2. ranks 7-50: first-time names — queries that have never had a driver row
+   — chosen for family breadth (joins, set-ops, aggregates, datetime,
+   windows, events, text, TPC-H, MinHash-LSH per the judge's shortlist);
+3. ranks 51+: the remaining never-tested names cheap-first, then the
+   round-2-certified greens (regression re-certs if budget allows);
+4. the most expensive pipelines (streaming tails, all-pairs dedups) last,
+   so a *time*-capped run maximizes the number of queries reached.
 
 The suffix after the prefix is the canonical registry name used everywhere
 else (bench.py, tools/verify_local.py, tests).
@@ -26,65 +28,20 @@ else (bench.py, tools/verify_local.py, tests).
 from __future__ import annotations
 
 PRIORITY: list[str] = [
-    # -- one witness per component (ranks 1-50) --
-    "torch_inference_classes",   # flagship: LANGUAGE TORCH DDL + batched inference
-    "argmax_embeddings",         # reference argmax UDF on real arrays
-    "argmax_constructed_array",  # array literal construction + nested scalar calls
-    "values_inline_table",       # VALUES inline relation (sources row)
-    "fn_cast_try_cast",          # projection / CAST / TRY_CAST
-    "fn_conditional",            # CASE / coalesce / nullif family
-    "fn_math",                   # r01 hash-fail, fixed via oracle casts
-    "fn_string_basics",          # string family witness
-    "fn_array_ops",              # r01 canon-err, fixed via serialization
-    "fn_struct_map",             # r01 canon-err, fixed via to_json
-    "fn_json",                   # JSON functions
-    "fn_time_bucket",            # date_bin / time-bucket rollup
-    "filter_like_family",        # LIKE / ILIKE / regexp filters
-    "select_distinct",           # DISTINCT
-    "sort_limit_offset",         # sort / limit / offset / TopK
-    "pipeline_corpus_clean",     # composed corpus-cleaning pipeline
-    "join_left_outer",           # joins: the five types without r01 rows first
-    "join_right_outer",
-    "join_semi",
-    "join_theta",
-    "join_using",
-    "sample_hash_stratified",    # deterministic hash-stratified sampling
-    "agg_distinct_count",        # aggregation family witness
-    "agg_approx",                # r01 canon-err; now hash-checked via error-bound flags
-    "agg_collect_set",           # r01 canon-err, fixed via sorted array_join
-    "agg_cube",                  # grouping-analytics witness
-    "win_running_sum",           # window family (no r01 rows at all)
-    "win_lag_lead",
-    "win_range_interval_frame",  # time-interval RANGE frame
-    "win_groups_frame_rewrite",  # GROUPS-frame rewrite parity
-    "setop_union_all",           # set-op family witness
-    "setop_intersect_all",
-    "subq_correlated_scalar",    # subquery family witness
-    "subq_not_in",               # NOT IN null-semantics trap
-    "lateral_subquery",
-    "udaf_grouped_agg",          # pandas UDAF
-    "udtf_word_positions",       # UDTF
-    "pivot_status_by_priority",  # PIVOT
-    "unpivot_stack",             # UNPIVOT / stack
-    "events_sessionize",         # r01 hash-fail, fixed via SUM cast
-    "events_rollup_two_level",   # r01 hash-fail, fixed via SUM cast
-    "skew_salted_agg",           # salting (judge-flagged combiner fix)
-    "skew_salted_join",
-    "text_quality_stats",        # text-analysis family witness
-    "cte_recursive",             # CTE / recursive-CTE witness
-    "dedup_exact",               # dedup family witness
-    "sim_cosine_topk",           # similarity family witness
-    "multimodal_features",       # multimodal family witness
-    "q1_pricing_summary",        # TPC-H family witness
-    "stream_windowed_counts",    # streaming family witness
-    # -- remaining family members, cheap first (ranks 51+) --
+    # -- ranks 1-6: round-2 failures, fixed this round --
+    "fn_time_bucket",            # r02 c012 FAIL: unix_micros on TIMESTAMP_NTZ
+    "events_sessionize",         # r02 c040 FAIL: same cause
+    "events_rollup_two_level",   # r02 c041 FAIL: same cause
+    "events_range_join",         # judge analysis-probe FAIL: same cause
+    "events_retention",          # judge analysis-probe FAIL: same cause
+    "stream_windowed_counts",    # r02 c050 wrong rows: streaming reader schema
+    # -- ranks 7-50: first driver rows, family breadth --
     "join_inner",
     "join_anti",
     "join_cross",
     "join_full_outer",
     "sort_nulls_ordering",
     "cte_chained",
-    "text_lang_id",
     "subq_scalar",
     "subq_in",
     "setop_union_distinct",
@@ -117,11 +74,13 @@ PRIORITY: list[str] = [
     "applyinpandas_spread",
     "events_asof_join",
     "events_session_window",
-    "events_range_join",
     "events_funnel",
-    "events_histogram",
-    "events_winsorize",
+    "text_lang_id",
     "text_token_count",
+    "q6_revenue_forecast",
+    "q9_product_profit",
+    "dedup_minhash_lsh",
+    # -- ranks 51+: remaining never-tested, cheap first --
     "text_fingerprint",
     "text_top_tokens",
     "text_repetition",
@@ -138,9 +97,9 @@ PRIORITY: list[str] = [
     "corpus_chunk_overlap",
     "corpus_mixture_plan",
     "sample_train_split",
-    "events_retention",
+    "events_histogram",
+    "events_winsorize",
     "events_anomaly_zscore",
-    "q6_revenue_forecast",
     "q3_shipping_priority",
     "q4_order_priority",
     "q5_local_supplier_volume",
@@ -153,7 +112,6 @@ PRIORITY: list[str] = [
     "q2_min_cost_supplier",
     "q21_waiting_supplier",
     "q8_market_share",
-    "q9_product_profit",
     "q11_important_stock",
     "q13_customer_distribution",
     "q15_top_supplier",
@@ -168,6 +126,53 @@ PRIORITY: list[str] = [
     "sim_kmeans",
     "sim_semantic_dedup",
     "dedup_simhash",
+    # -- round-2-certified greens (regression re-certs if budget allows) --
+    "torch_inference_classes",
+    "argmax_embeddings",
+    "argmax_constructed_array",
+    "values_inline_table",
+    "fn_cast_try_cast",
+    "fn_conditional",
+    "fn_math",
+    "fn_string_basics",
+    "fn_array_ops",
+    "fn_struct_map",
+    "fn_json",
+    "filter_like_family",
+    "select_distinct",
+    "sort_limit_offset",
+    "pipeline_corpus_clean",
+    "join_left_outer",
+    "join_right_outer",
+    "join_semi",
+    "join_theta",
+    "join_using",
+    "sample_hash_stratified",
+    "agg_distinct_count",
+    "agg_approx",
+    "agg_collect_set",
+    "agg_cube",
+    "win_running_sum",
+    "win_lag_lead",
+    "win_range_interval_frame",
+    "win_groups_frame_rewrite",
+    "setop_union_all",
+    "setop_intersect_all",
+    "subq_correlated_scalar",
+    "subq_not_in",
+    "lateral_subquery",
+    "udaf_grouped_agg",
+    "udtf_word_positions",
+    "pivot_status_by_priority",
+    "unpivot_stack",
+    "skew_salted_agg",
+    "skew_salted_join",
+    "text_quality_stats",
+    "cte_recursive",
+    "dedup_exact",
+    "sim_cosine_topk",
+    "multimodal_features",
+    "q1_pricing_summary",
     # -- expensive tails last so a time-capped run reaches everything else --
     "stream_static_join",
     "stream_stream_join",
@@ -180,7 +185,6 @@ PRIORITY: list[str] = [
     "sim_cosine_near_dup",
     "dedup_containment",
     "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
     "dedup_minhash_clusters",
     "pipeline_dedup_canonical",
 ]

@@ -59,6 +59,9 @@ def session(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         # unfiltered MIN/MAX/COUNT answered from parquet footer statistics
         .config("spark.sql.parquet.aggregatePushdown", "true")
+        # both testdata timestamp vintages → TIMESTAMP (see sources.read_table)
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )
@@ -105,6 +108,8 @@ def tune_runtime(spark: SparkSession) -> SparkSession:
         "spark.sql.session.timeZone": "UTC",
         "spark.sql.execution.arrow.pyspark.enabled": "true",
         "spark.sql.parquet.aggregatePushdown": "true",
+        "spark.sql.legacy.parquet.nanosAsLong": "true",
+        "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
     }.items():
         spark.conf.set(k, v)
     spark._tf_runtime_tuned = True

@@ -25,11 +25,25 @@ TABLES = (
     "embeddings",
 )
 
-# The driver's parquet stores timestamps as INT64 TIMESTAMP(NANOS), which
-# Spark's vectorized reader rejects. We read nanos as long
-# (spark.sql.legacy.parquet.nanosAsLong) and rebuild microsecond
-# timestamps — the same ns→µs truncation DuckDB applies, keeping the
-# oracle comparison exact.
+# The driver's parquet has shipped timestamps in two vintages:
+#   1. INT64 TIMESTAMP(NANOS) — Spark's vectorized reader rejects it, so we
+#      read nanos as long (spark.sql.legacy.parquet.nanosAsLong) and rebuild
+#      microsecond timestamps: the same ns→µs truncation DuckDB applies.
+#   2. plain microsecond timestamp[us] with no timezone — Spark 4 infers
+#      TIMESTAMP_NTZ, which `unix_micros()` and friends reject at analysis
+#      time. We disable NTZ inference so the scan emits TIMESTAMP directly
+#      (interpreted as UTC under the pinned UTC session timezone — the same
+#      naive-as-UTC reading DuckDB uses), with an NTZ→TIMESTAMP cast as a
+#      belt-and-braces fallback for pre-read sessions.
+# Both normalizations are column-generic (any ts column in any table), so a
+# testdata regeneration can't silently break a subset of tables again
+# (round-2 postmortem; format-drift canary in tests/test_sources_format.py).
+_TS_NORMALIZE_CONFS = {
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
+}
+
+# legacy-vintage INT64-nanos columns that must be rebuilt from bigint
 _NANOS_TS_COLUMNS = {
     "lineitem": ("l_shipdate",),
     "orders": ("o_orderdate",),
@@ -38,12 +52,17 @@ _NANOS_TS_COLUMNS = {
 
 
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    for k, v in _TS_NORMALIZE_CONFS.items():
+        spark.conf.set(k, v)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    dtypes = dict(df.dtypes)
     for c in _NANOS_TS_COLUMNS.get(name, ()):
-        if c in df.columns and dict(df.dtypes)[c] == "bigint":
+        if c in df.columns and dtypes[c] == "bigint":
             # integer div: double division would lose precision on ~1e18 ns values
             df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    for c, dt in dtypes.items():
+        if dt == "timestamp_ntz":
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df
 
 

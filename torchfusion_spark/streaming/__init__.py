@@ -64,18 +64,35 @@ EVENTS_SCHEMA = (
 
 
 def _event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """File-source stream over the events parquet (nanos ts rebuilt, as in
-    sources.load_tables)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw_schema = (
-        "event_id bigint, ts bigint, user_id bigint, event_type string, "
-        "value double, props string"
-    )
+    """File-source stream over the events parquet, normalized to a proper
+    TIMESTAMP ``ts`` for both testdata vintages (see ``sources.read_table``):
+    the footer is sniffed once on the driver — INT64 TIMESTAMP(NANOS) data
+    streams as bigint and is rebuilt to µs; µs data streams as TIMESTAMP
+    directly (NTZ inference off, UTC session tz). Streams require an
+    explicit schema, so the round-2 failure mode (hardcoded nanos schema
+    dividing µs values by 1000 → ~1970 windows) is now impossible without
+    tripping the canary test."""
+    import pyarrow.parquet as pq
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ts_type = str(pq.read_schema(f"{sf_dir}/events.parquet").field("ts").type)
+    if ts_type in ("timestamp[ns]", "int64"):
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        raw_schema = (
+            "event_id bigint, ts bigint, user_id bigint, event_type string, "
+            "value double, props string"
+        )
+        return (
+            spark.readStream.schema(raw_schema)
+            .option("pathGlobFilter", "events.parquet")  # file source wants a dir
+            .parquet(sf_dir)
+            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        )
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     return (
-        spark.readStream.schema(raw_schema)
-        .option("pathGlobFilter", "events.parquet")  # file source wants a dir
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     )
 
 
