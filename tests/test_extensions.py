@@ -613,3 +613,23 @@ def test_star_cc_matches_propagation_and_handles_chains(spark, tables):
     a = {(r.doc_id, r.component) for r in connected_components(pairs).collect()}
     b = {(r.doc_id, r.component) for r in connected_components_star(pairs).collect()}
     assert a == b
+
+
+def test_decontaminate_bloom_matches_exact(spark, tables):
+    """The Bloom-prefiltered decontamination must return EXACTLY the rows
+    of the plain exact-join operator: the verify join removes false
+    positives and a Bloom filter admits no false negatives. If the filter
+    arithmetic breaks (word indexing, mask overflow), rows go missing and
+    this catches it on real data."""
+    from torchfusion_spark.operators import textstats
+
+    exact = {
+        (r.doc_id, r.n_overlap)
+        for r in spark.sql(textstats.decontaminate_sql("spark")).collect()
+    }
+    bloom = {
+        (r.doc_id, r.n_overlap)
+        for r in spark.sql(textstats.decontaminate_bloom_sql("spark")).collect()
+    }
+    assert exact, "fixture corpus should contain contaminated docs"
+    assert bloom == exact

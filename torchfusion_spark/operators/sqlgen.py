@@ -104,6 +104,10 @@ def shr(x: str, n: str, d: str) -> str:
     return f"shiftright({x}, {n})" if d == "spark" else f"({x} >> ({n}))"
 
 
+def shl(x: str, n: str, d: str) -> str:
+    return f"shiftleft({x}, {n})" if d == "spark" else f"(({x}) << ({n}))"
+
+
 def array_lit(vals: list, d: str) -> str:
     body = ", ".join(str(v) for v in vals)
     return f"array({body})" if d == "spark" else f"[{body}]"

@@ -244,6 +244,87 @@ def decontaminate_sql(d: str) -> str:
     """
 
 
+# Bloom-prefiltered decontamination: the 100 TB shape of the same hygiene
+# op. Parameters sized so the filter is a broadcast-trivial ~64 KB at any
+# corpus scale (the filter is keyed by the BENCHMARK set, which is small
+# and fixed; corpus size only affects probe volume).
+BLOOM_WORDS = 16_384  # 32-bit words → m = 524 288 bits (64 KB)
+BLOOM_K = 2  # hash probes per shingle
+# fixed odd multipliers / offsets for the k index functions (same
+# linear-congruential arithmetic family as the MinHash permutations —
+# products stay < 2^53, safe under Spark ANSI and DuckDB alike)
+BLOOM_A = (741_721, 523_131)
+BLOOM_B = (98_765, 12_345)
+
+
+def decontaminate_bloom_sql(d: str) -> str:
+    """Bloom-prefiltered benchmark decontamination — identical OUTPUT to
+    :func:`decontaminate_sql` (the exact-join verify removes Bloom false
+    positives; false negatives are impossible), different SCALE shape:
+
+    1. the benchmark slice's shingle hashes fold into a fixed 64 KB Bloom
+       filter (32-bit words bit_or-aggregated per word index) — one tiny
+       aggregation over the small side;
+    2. every corpus shingle probes the filter via k=2 broadcast joins on
+       word index (the filter relation is ≤16 384 rows → Spark broadcasts
+       it; the probe is pure codegen integer arithmetic);
+    3. only surviving shingles (~FP-rate of the corpus) reach the exact
+       hash join + per-doc rollup that the plain operator runs on
+       EVERYTHING.
+
+    At 100 TB the win is step 3's shuffle shrinking by ~the filter's
+    rejection rate; the filter itself is corpus-size-independent. The
+    whole pipeline — including the Bloom arithmetic — is generated for
+    both dialects from this one function (portable md5-derived hashes),
+    so the DuckDB oracle verifies the filter bit-for-bit, not just the
+    final answer."""
+    from torchfusion_spark.operators import dedup
+
+    hs = dedup.hashed_shingle_sql(d)
+    if d == "spark":
+        exploded = f"SELECT doc_id, h FROM ({hs}) LATERAL VIEW explode(hx) AS h"
+    else:
+        exploded = f"SELECT doc_id, UNNEST(hx) AS h FROM ({hs})"
+    m = BLOOM_WORDS * 32
+
+    def idx(j: int, h: str = "h") -> str:
+        return f"((({h} % {G.MINHASH_P}) * {BLOOM_A[j]} + {BLOOM_B[j]}) % {m})"
+
+    probes = " UNION ALL ".join(
+        "SELECT {w} AS w, {mask} AS mask FROM bench_h".format(
+            w=G.shr(idx(j), "5", d),
+            mask=G.shl("CAST(1 AS BIGINT)", idx(j) + " & 31", d),
+        )
+        for j in range(BLOOM_K)
+    )
+    cand_joins = "\n        ".join(
+        "JOIN bloom b{j} ON b{j}.w = {w} AND (b{j}.bits & {mask}) <> 0".format(
+            j=j,
+            w=G.shr(idx(j, "sh.h"), "5", d),
+            mask=G.shl("CAST(1 AS BIGINT)", idx(j, "sh.h") + " & 31", d),
+        )
+        for j in range(BLOOM_K)
+    )
+    hint = "/*+ BROADCAST(b0, b1) */ " if d == "spark" else ""
+    mat = "MATERIALIZED " if d == "duck" else ""
+    return f"""
+    WITH sh AS {mat}({exploded}),
+    bench_h AS {mat}(SELECT DISTINCT h FROM sh WHERE doc_id % 50 = 0),
+    bloom AS {mat}(
+        SELECT w, CAST(bit_or(mask) AS BIGINT) AS bits
+        FROM ({probes}) GROUP BY w),
+    cand AS (
+        SELECT {hint}sh.doc_id, sh.h FROM sh
+        {cand_joins}
+        WHERE sh.doc_id % 50 <> 0)
+    SELECT cand.doc_id, CAST(COUNT(DISTINCT cand.h) AS BIGINT) AS n_overlap
+    FROM cand JOIN bench_h ON cand.h = bench_h.h
+    GROUP BY cand.doc_id
+    HAVING COUNT(DISTINCT cand.h) >= {DECONTAM_MIN_OVERLAP}
+    ORDER BY cand.doc_id
+    """
+
+
 # PII-ish patterns, backslash-free so one spelling survives BOTH Spark's
 # backslash-escaping string literals and DuckDB's literal ones (sqlgen
 # convention): [.] for a literal dot, explicit [0-9] classes.

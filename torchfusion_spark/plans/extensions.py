@@ -629,6 +629,17 @@ _sql_pair(
     "shingles broadcast, corpus shuffles once on the shingle hash",
 )
 
+_sql_pair(
+    "text_decontaminate_bloom",
+    textstats.decontaminate_bloom_sql,
+    doc="Bloom-prefiltered decontamination (the 100 TB shape): benchmark "
+    "shingles fold into a fixed 64 KB bit_or-aggregated filter, corpus "
+    "shingles probe it via k=2 broadcast joins (pure codegen integer "
+    "arithmetic), only survivors reach the exact verify join; output "
+    "identical to text_decontaminate, filter verified bit-for-bit by the "
+    "same-dialect-generated oracle",
+)
+
 
 @query(
     "events_funnel",

@@ -85,6 +85,7 @@ PRIORITY: list[str] = [
     "text_top_tokens",
     "text_repetition",
     "text_decontaminate",
+    "text_decontaminate_bloom",
     "text_pii_redact",
     "text_entropy",
     "text_dup_gram_fraction",
