@@ -15,10 +15,38 @@ def test_queries_and_oracles_align():
         assert isinstance(sql, str) and "SELECT" in sql.upper()
 
 
+# queries the driver's 50-row budget certified green in rounds 1-2
+# (CORRECTNESS_r01/r02) — round 3's rotation policy moves these OUT of the
+# top 50 so the budget certifies first-time surface instead
+_PRIOR_DRIVER_GREEN = {
+    "torch_inference_classes", "argmax_embeddings", "argmax_constructed_array",
+    "values_inline_table", "fn_cast_try_cast", "fn_conditional", "fn_math",
+    "fn_string_basics", "fn_array_ops", "fn_struct_map", "fn_json",
+    "filter_like_family", "select_distinct", "sort_limit_offset",
+    "pipeline_corpus_clean", "join_left_outer", "join_right_outer",
+    "join_semi", "join_theta", "join_using", "sample_hash_stratified",
+    "agg_distinct_count", "agg_approx", "agg_collect_set", "agg_cube",
+    "win_running_sum", "win_lag_lead", "win_range_interval_frame",
+    "win_groups_frame_rewrite", "setop_union_all", "setop_intersect_all",
+    "subq_correlated_scalar", "subq_not_in", "lateral_subquery",
+    "udaf_grouped_agg", "udtf_word_positions", "pivot_status_by_priority",
+    "unpivot_stack", "skew_salted_agg", "skew_salted_join",
+    "text_quality_stats", "cte_recursive", "dedup_exact", "sim_cosine_topk",
+    "multimodal_features", "q1_pricing_summary",
+}
+
+# the round-2 failures whose fixes round 3's driver run must certify
+_R02_FIXES = [
+    "fn_time_bucket", "events_sessionize", "events_rollup_two_level",
+    "events_range_join", "events_retention", "stream_windowed_counts",
+]
+
+
 def test_priority_order_is_total_and_stable():
     """Driver keys: sorted order == insertion order == priority order; the
     prefix strips back to exactly the registry names; every PRIORITY entry
-    exists (no stale names); the first 50 cover one witness per family."""
+    exists (no stale names); the round-3 rotation policy holds — fixes
+    lead, and the 50-row budget goes to first-time names, not re-certs."""
     from torchfusion_spark.plans import REGISTRY
     from torchfusion_spark.plans.priority import PRIORITY
 
@@ -28,22 +56,14 @@ def test_priority_order_is_total_and_stable():
     assert set(names) == set(REGISTRY) and len(names) == len(REGISTRY)
     assert len(set(PRIORITY)) == len(PRIORITY)
     assert set(PRIORITY) <= set(REGISTRY)
-    # every query family (prefix group) has a witness in the top 50
-    import re
-
-    def family(n: str) -> str:
-        head = n.split("_", 1)[0]
-        if re.fullmatch(r"q\d+", head):
-            return "tpch"
-        if head in {"applyinpandas", "udaf", "udtf"}:
-            return "udf"
-        if head in {"pipeline", "corpus"}:
-            # corpus assembly family: pipeline_corpus_clean is the top-50 witness
-            return "corpus"
-        return head
-
-    top = {family(n) for n in names[:50]}
-    assert {family(n) for n in names} <= top
+    # the round-2 failures are certified first
+    assert names[: len(_R02_FIXES)] == _R02_FIXES
+    # the rest of the budget is first-time surface: nothing already
+    # driver-certified green occupies a top-50 slot
+    assert not (_PRIOR_DRIVER_GREEN & set(names[:50]))
+    # and at least 20 first-time names get their first driver row
+    first_time = [n for n in names[:50] if n not in _PRIOR_DRIVER_GREEN and n not in _R02_FIXES]
+    assert len(first_time) >= 20
 
 
 def test_entry_runs(spark):

@@ -265,3 +265,42 @@ def test_write_train_shards_balanced_and_bounded(spark, tables, tmp_path):
         hs = [r.h for r in pf.select("h").collect()]
         assert len(hs) <= 40
         assert hs == sorted(hs)
+
+
+def test_plan_shape_bloom_decontaminate_broadcasts(spark, tables):
+    """The Bloom prefilter's scale contract: the corpus side probes the
+    two bloom word tables AND the exact verify set through broadcast hash
+    joins only — a sort-merge join anywhere means the tiny side shuffled
+    the corpus, defeating the point of the filter."""
+    import io
+    from contextlib import redirect_stdout
+
+    from torchfusion_spark.operators import textstats
+
+    df = spark.sql(textstats.decontaminate_bloom_sql("spark"))
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert plan.count("BroadcastHashJoin") >= 3  # b0, b1, verify
+    assert "SortMergeJoin" not in plan
+
+
+def test_plan_audit_clean_on_key_queries(spark, tables):
+    """tools/plan_audit.py contract on the scale-critical plans: no
+    unexpected SortMergeJoin/CartesianProduct/BNLJ/row-Python operators
+    (each query's documented exceptions live in plan_audit._EXPECTED).
+    The full-registry audit runs per-round; this pins the high-risk
+    subset in the test suite."""
+    from tools.plan_audit import audit
+
+    names = {
+        "dedup_simhash", "dedup_minhash_lsh", "text_decontaminate_bloom",
+        "q3_shipping_priority", "q5_local_supplier_volume", "q9_product_profit",
+        "events_range_join", "sim_kmeans", "join_full_outer", "dedup_exact",
+        "corpus_pack_sequences", "skew_salted_join",
+    }
+    rows = audit(spark, tables, names=names)
+    assert set(rows) == names
+    bad = {k: v for k, v in rows.items() if v.get("unexpected") or "error" in v}
+    assert not bad, bad

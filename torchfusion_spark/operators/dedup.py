@@ -208,18 +208,70 @@ def simhash_sig_sql(d: str, rel: str = "documents", bits: int = 32) -> str:
     """
 
 
-def simhash_body_sql(d: str, s_rel: str, bits: int = 32, max_hamming: int = 2) -> str:
+SIMHASH_MAX_BUCKET = 256  # hot-band cap; recall recovered via other bands
+
+
+def simhash_body_sql(
+    d: str,
+    s_rel: str,
+    bits: int = 32,
+    max_hamming: int = 2,
+    max_bucket: int = SIMHASH_MAX_BUCKET,
+) -> str:
     """Near-dup pairs from the signature relation: 8-bit band collision
-    candidates, Hamming-distance verification."""
-    ham = f"bit_count({G.xor('a.simhash', 'b.simhash', d)})"
-    band_match = " OR ".join(
-        f"(({G.shr('a.simhash', str(8 * i), d)} & 255) = ({G.shr('b.simhash', str(8 * i), d)} & 255))"
-        for i in range(bits // 8)
-    )
+    candidates via an EXPLODED equi-join, Hamming-distance verification.
+
+    The naive spelling — self-join on ``(band0 = band0') OR (band1 =
+    band1') OR ...`` — cannot hash-partition (Spark plans it as a
+    BroadcastNestedLoopJoin: quadratic, caught by tools/plan_audit.py).
+    Instead each signature explodes into (band, bkey) rows and candidates
+    come from ONE shuffle on the band key — the same shape as the MinHash
+    pipeline. The signature rides along (one BIGINT), so verification
+    needs no join back to {s_rel}.
+
+    Pigeonhole guarantee unchanged: ``max_hamming`` bit flips touch at
+    most that many of the ``bits/8`` bands, so every qualifying pair
+    still shares >= bands - max_hamming exact band keys. Hot buckets
+    (8-bit keys are coarse: 256 values/band) are capped like MinHash's —
+    a pair in a capped bucket is found through any of its other shared
+    bands; with max_hamming=2 of 4 bands, >= 2 bands match, so only
+    pairs whose EVERY matching band is hot are lost (near-identical
+    boilerplate that upstream exact dedup already removed). The oracle
+    runs the identical capped SQL."""
+    bands = bits // 8
+    if d == "spark":
+        structs = ", ".join(
+            f"named_struct('band', {i}, 'bkey', ({G.shr('simhash', str(8 * i), d)} & 255))"
+            for i in range(bands)
+        )
+        band_rel = (
+            f"SELECT doc_id, simhash, band, bkey FROM {s_rel} "
+            f"LATERAL VIEW inline(array({structs})) AS band, bkey"
+        )
+    else:
+        structs = ", ".join(
+            "{'band': %d, 'bkey': (%s & 255)}" % (i, G.shr("simhash", str(8 * i), d))
+            for i in range(bands)
+        )
+        band_rel = (
+            f"SELECT doc_id, simhash, UNNEST(bl, recursive := true) "
+            f"FROM (SELECT doc_id, simhash, [{structs}] AS bl FROM {s_rel})"
+        )
+    ham = f"bit_count({G.xor('sim_a', 'sim_b', d)})"
     return f"""
-    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-           CAST({ham} AS INT) AS hamming
-    FROM {s_rel} a JOIN {s_rel} b ON a.doc_id < b.doc_id AND ({band_match})
+    WITH bands AS ({band_rel}),
+    sized AS (
+        SELECT doc_id, simhash, band, bkey,
+               COUNT(*) OVER (PARTITION BY band, bkey) AS bsz
+        FROM bands),
+    ok AS (SELECT doc_id, simhash, band, bkey FROM sized WHERE bsz <= {max_bucket}),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, a.simhash AS sim_a,
+                        b.doc_id AS id_b, b.simhash AS sim_b
+        FROM ok a JOIN ok b
+          ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
+    SELECT id_a, id_b, CAST({ham} AS INT) AS hamming
+    FROM cand
     WHERE {ham} <= {max_hamming}
     ORDER BY id_a, id_b
     """
@@ -230,9 +282,10 @@ def simhash_sql(d: str, bits: int = 32, max_hamming: int = 2) -> str:
     but prefer :func:`simhash` below: the signature CTE sits on both sides
     of the self-join and Catalyst recomputes inlined CTEs)."""
     mat = "MATERIALIZED " if d == "duck" else ""
-    return (
-        f"WITH s AS {mat}({simhash_sig_sql(d, bits=bits)})\n"
-        + simhash_body_sql(d, "s", bits, max_hamming)
+    return simhash_body_sql(d, "s", bits, max_hamming).replace(
+        "WITH bands AS",
+        f"WITH s AS {mat}({simhash_sig_sql(d, bits=bits)}),\n    bands AS",
+        1,
     )
 
 
