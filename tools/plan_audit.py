@@ -1,16 +1,18 @@
 """Physical-plan audit over the registry — machine-checks SCALE.md.
 
 For every batch query in the registry, builds the DataFrame (no
-execution) and inspects the formatted physical plan for the properties
-the 100 TB design contract promises:
+execution) and WALKS the physical plan tree (via the JVM plan object,
+stopping at InMemoryTableScan / checkpointed-RDD scans so staged
+relations' already-materialized lineage isn't double-counted — a
+formatted-explain regex would count it) for the properties the 100 TB
+design contract promises:
 
   - shuffle exchange count (the scarce resource at scale),
   - broadcast exchange count (small sides must broadcast),
   - SortMergeJoin / CartesianProduct / BroadcastNestedLoopJoin presence,
   - row-at-a-time Python (BatchEvalPython) vs Arrow (ArrowEvalPython /
     MapInPandas / FlatMapGroupsInPandas) — the hot path must never be
-    row-Python,
-  - parquet scans with no pushed filters while the query filters.
+    row-Python.
 
 Writes PLAN_AUDIT.json (one row per query) and prints a summary table.
 Streaming queries are skipped (their plans only exist per-microbatch).
@@ -20,32 +22,27 @@ Usage: python tools/plan_audit.py [sf_dir] [query ...]
 
 from __future__ import annotations
 
-import io
 import json
 import os
-import re
 import sys
-from contextlib import redirect_stdout
+from collections import Counter
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-# operators counted as shuffle exchanges (BroadcastExchange is counted
-# separately on purpose: broadcasts are the cheap alternative)
-_SHUFFLE = re.compile(r"^\(\d+\) Exchange\b", re.M)
-_BROADCAST = re.compile(r"^\(\d+\) BroadcastExchange\b", re.M)
-_OP = lambda name: re.compile(rf"^\(\d+\) {name}\b", re.M)  # noqa: E731
-
-_FLAG_OPS = {
-    "sort_merge_join": _OP("SortMergeJoin"),
-    "cartesian": _OP("CartesianProduct"),
-    "bnl_join": _OP("BroadcastNestedLoopJoin"),
-    "row_python": _OP("BatchEvalPython"),
-    "arrow_python": re.compile(
-        r"^\(\d+\) (ArrowEvalPython|MapInPandas|FlatMapGroupsInPandas|"
-        r"MapInArrow|AggregateInPandas)",
-        re.M,
-    ),
+_FLAG_NAMES = {
+    "SortMergeJoin": "sort_merge_join",
+    "CartesianProduct": "cartesian",
+    "BroadcastNestedLoopJoin": "bnl_join",
+    "BatchEvalPython": "row_python",
+    "ArrowEvalPython": "arrow_python",
+    "MapInPandas": "arrow_python",
+    "FlatMapGroupsInPandas": "arrow_python",
+    "MapInArrow": "arrow_python",
+    "AggregateInPandas": "arrow_python",
 }
+
+# staged-relation boundaries: lineage below these is already materialized
+_LEAF_MARKERS = ("InMemoryTableScan", "Scan ExistingRDD")
 
 # queries whose registered semantics legitimately need a flagged shape
 _EXPECTED = {
@@ -70,6 +67,44 @@ _EXPECTED = {
 }
 
 
+def _plan_counts(df) -> Counter:
+    """Operator counts from a JVM walk of the physical plan that WILL
+    execute, descending through the AQE wrapper via ``initialPlan()``
+    (the post-EnsureRequirements plan — ``inputPlan()`` predates exchange
+    insertion and has no Exchange nodes) and stopping at
+    InMemoryTableScan / checkpointed-RDD leaves: their lineage is already
+    materialized, so counting it (as any formatted-explain text parse
+    does — cached relations re-print their whole plan, including nested
+    AQE Final/Initial sections at misleading indentation) double-charges
+    staged relations. Expression subqueries (scalar/IN) are walked too —
+    their exchanges execute like any other."""
+    counts: Counter = Counter()
+
+    def walk(node) -> None:
+        name = node.nodeName()
+        if name == "AdaptiveSparkPlan":
+            try:
+                walk(node.initialPlan())
+                return
+            except Exception:  # noqa: BLE001 — fall through to children
+                pass
+        counts[name.strip()] += 1
+        if any(m in name for m in _LEAF_MARKERS):
+            return
+        try:
+            subs = node.subqueries()
+            for i in range(subs.length()):
+                walk(subs.apply(i))
+        except Exception:  # noqa: BLE001 — not all nodes expose subqueries
+            pass
+        children = node.children()
+        for i in range(children.length()):
+            walk(children.apply(i))
+
+    walk(df._jdf.queryExecution().executedPlan())
+    return counts
+
+
 def audit(spark, sf_dir: str, names=None) -> dict[str, dict]:
     from torchfusion_spark.plans import REGISTRY
     from torchfusion_spark.sources import load_tables
@@ -82,25 +117,23 @@ def audit(spark, sf_dir: str, names=None) -> dict[str, dict]:
         if name.startswith("stream_"):
             continue
         try:
-            df = q.builder(spark, sf_dir)
-            buf = io.StringIO()
-            with redirect_stdout(buf):
-                df.explain("formatted")
-            plan = buf.getvalue()
+            counts = _plan_counts(q.builder(spark, sf_dir))
         except Exception as exc:  # noqa: BLE001 — audit must cover the rest
             rows[name] = {"error": f"{type(exc).__name__}: {exc}"[:200]}
             continue
         row = {
-            "shuffles": len(_SHUFFLE.findall(plan)),
-            "broadcasts": len(_BROADCAST.findall(plan)),
+            "shuffles": counts.get("Exchange", 0) + counts.get("ShuffleQueryStage", 0),
+            "broadcasts": counts.get("BroadcastExchange", 0)
+            + counts.get("BroadcastQueryStage", 0),
         }
         flags = []
-        for flag, pat in _FLAG_OPS.items():
-            n = len(pat.findall(plan))
+        for op, flag in _FLAG_NAMES.items():
+            n = counts.get(op, 0)
             if n:
-                row[flag] = n
+                row[flag] = row.get(flag, 0) + n
                 if flag not in ("arrow_python",) and flag not in _EXPECTED.get(name, ()):
-                    flags.append(flag)
+                    if flag not in flags:
+                        flags.append(flag)
         row["unexpected"] = flags
         rows[name] = row
     return rows

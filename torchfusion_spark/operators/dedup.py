@@ -535,6 +535,17 @@ def containment_sql(
     rare shingle never materialize, so the candidate count is bounded by
     sum over shingles of C(df<=max_df, 2), never N².
     """
+    mat = "MATERIALIZED " if d == "duck" else ""
+    return containment_body_sql(d, threshold, "shp").replace(
+        "WITH sizes AS",
+        f"WITH shp AS {mat}({containment_pruned_sql(d, max_df, sh_rel)}),\n    sizes AS",
+        1,
+    )
+
+
+def containment_pruned_sql(d: str, max_df: int = CONTAIN_MAX_DF, sh_rel: str | None = None) -> str:
+    """(doc_id, h): distinct exploded shingle hashes with stop-shingles
+    (df > max_df) removed — the inverted-index input relation."""
     hs = sh_rel or f"({hashed_shingle_sql(d)})"
     if d == "spark":
         exploded = f"SELECT doc_id, h FROM {hs} LATERAL VIEW explode(hx) AS h"
@@ -543,12 +554,21 @@ def containment_sql(
     mat = "MATERIALIZED " if d == "duck" else ""
     return f"""
     WITH sh0 AS {mat}(SELECT DISTINCT doc_id, h FROM ({exploded})),
-    rare AS (SELECT h FROM sh0 GROUP BY h HAVING COUNT(*) <= {max_df}),
-    sh AS {mat}(SELECT sh0.doc_id, sh0.h FROM sh0 JOIN rare ON sh0.h = rare.h),
-    sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
+    rare AS (SELECT h FROM sh0 GROUP BY h HAVING COUNT(*) <= {max_df})
+    SELECT sh0.doc_id, sh0.h FROM sh0 JOIN rare ON sh0.h = rare.h
+    """
+
+
+def containment_body_sql(d: str, threshold: float, pruned_rel: str) -> str:
+    """Pipeline downstream of the pruned relation ``pruned_rel(doc_id, h)``
+    — referenced on THREE sides (size count + both join sides), which is
+    why the Spark builder stages it through cache() instead of letting
+    Catalyst inline and recompute the explode/DISTINCT/df-prune per use."""
+    return f"""
+    WITH sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM {pruned_rel} GROUP BY doc_id),
     shared AS (
         SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS ins
-        FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
+        FROM {pruned_rel} a JOIN {pruned_rel} b ON a.h = b.h AND a.doc_id < b.doc_id
         GROUP BY a.doc_id, b.doc_id)
     SELECT id_a, id_b, ins,
            ROUND(CAST(ins AS DOUBLE) / least(sa.n, sb.n), 6) AS containment
@@ -560,13 +580,30 @@ def containment_sql(
 
 
 def containment(spark, threshold: float = CONTAIN_THRESHOLD, max_df: int = CONTAIN_MAX_DF):
-    """Staged Spark path: the exploded shingle relation feeds the df-count,
-    the size count and both join sides — materialize it once."""
+    """Staged Spark path: stage BOTH expensive relations once — the hashed
+    shingles (the md5 pass) and the df-pruned exploded relation, which the
+    body references on three sides (size count + both join sides); without
+    the second stage Catalyst inlines it and repeats the explode/DISTINCT/
+    df-prune shuffles per reference (plan audit measured 18 exchanges).
+
+    The pruned relation is staged via ``localCheckpoint`` rather than
+    ``cache()``: the cache manager fails to substitute this particular
+    shape (CTE with HAVING feeding a self-join) back into the body plan —
+    verified by walking the executed plan, which showed 8 re-derivations
+    of the explode/DISTINCT/df-prune pipeline — while a checkpoint
+    truncates lineage outright, so every reference scans the materialized
+    partitions by construction. At cluster scale this is executor-local
+    storage (intra-query staging); swap to ``checkpoint()`` with a
+    reliable dir if the job must survive executor loss mid-query."""
     rel = _staged_docs(spark)
     sh = spark.sql(hashed_shingle_sql("spark", rel=rel)).cache()
     sh.count()
     sh.createOrReplaceTempView("__contain_hx")
-    return spark.sql(containment_sql("spark", threshold, max_df, sh_rel="__contain_hx"))
+    pruned = spark.sql(
+        containment_pruned_sql("spark", max_df, sh_rel="__contain_hx")
+    ).localCheckpoint()
+    pruned.createOrReplaceTempView("__contain_sh")
+    return spark.sql(containment_body_sql("spark", threshold, "__contain_sh"))
 
 
 _CANON_SELECT = """
