@@ -191,6 +191,23 @@ def _staged_docs(spark):
     return "__dedup_docs"
 
 
+def _staged_hx(spark) -> str:
+    """The hashed-shingle relation (doc_id, hx) staged ONCE per (session,
+    loaded tables): the shingle-build + md5 pass is the dominant cost of
+    every shingle-based operator (containment, both decontaminate
+    variants), and each of their plans references it on two or more CTE
+    sides — Catalyst inlines CTEs, so without staging the md5 pass runs
+    per reference. Memoized the same way as the MinHash signature memo
+    (keyed by load_tables' key, so switching sf_dir rebuilds)."""
+    key = getattr(spark, "_tf_tables_loaded", None)
+    if getattr(spark, "_tf_hx_key", object()) != key:
+        hx = spark.sql(hashed_shingle_sql("spark", rel=_staged_docs(spark))).cache()
+        hx.count()
+        hx.createOrReplaceTempView("__tf_hx")
+        spark._tf_hx_key = key
+    return "__tf_hx"
+
+
 def simhash_sig_sql(d: str, rel: str = "documents", bits: int = 32) -> str:
     """s(doc_id, simhash): majority-vote sign bits over per-token hashes."""
     toks = G.arr_distinct(G.split_ws("lower(text)", d), d)
@@ -595,12 +612,9 @@ def containment(spark, threshold: float = CONTAIN_THRESHOLD, max_df: int = CONTA
     partitions by construction. At cluster scale this is executor-local
     storage (intra-query staging); swap to ``checkpoint()`` with a
     reliable dir if the job must survive executor loss mid-query."""
-    rel = _staged_docs(spark)
-    sh = spark.sql(hashed_shingle_sql("spark", rel=rel)).cache()
-    sh.count()
-    sh.createOrReplaceTempView("__contain_hx")
+    hx = _staged_hx(spark)
     pruned = spark.sql(
-        containment_pruned_sql("spark", max_df, sh_rel="__contain_hx")
+        containment_pruned_sql("spark", max_df, sh_rel=hx)
     ).localCheckpoint()
     pruned.createOrReplaceTempView("__contain_sh")
     return spark.sql(containment_body_sql("spark", threshold, "__contain_sh"))

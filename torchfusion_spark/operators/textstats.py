@@ -217,20 +217,25 @@ def repetition_sql(d: str) -> str:
 DECONTAM_MIN_OVERLAP = 5
 
 
-def decontaminate_sql(d: str) -> str:
+def decontaminate_sql(d: str, sh_rel: str | None = None) -> str:
     """Benchmark decontamination: flag corpus docs sharing >= K word-3-gram
     hashes with a benchmark set (here the deterministic doc_id%50==0
     slice, standing in for an eval suite). The benchmark shingle set is
     tiny relative to the corpus — broadcast side of the hash join; the
     corpus stream shuffles once on the shingle hash, then rolls up per
-    doc. The standard pre-training hygiene op."""
+    doc. The standard pre-training hygiene op.
+
+    ``sh_rel``: a pre-staged (doc_id, hx) relation — the Spark builder
+    passes ``dedup._staged_hx`` so the shingle+md5 pass (referenced on
+    both CTE sides, which Catalyst inlines) runs once per session, not
+    per reference."""
     from torchfusion_spark.operators import dedup
 
-    hs = dedup.hashed_shingle_sql(d)
+    hs = sh_rel or f"({dedup.hashed_shingle_sql(d)})"
     if d == "spark":
-        exploded = f"SELECT doc_id, h FROM ({hs}) LATERAL VIEW explode(hx) AS h"
+        exploded = f"SELECT doc_id, h FROM {hs} LATERAL VIEW explode(hx) AS h"
     else:
-        exploded = f"SELECT doc_id, UNNEST(hx) AS h FROM ({hs})"
+        exploded = f"SELECT doc_id, UNNEST(hx) AS h FROM {hs}"
     mat = "MATERIALIZED " if d == "duck" else ""
     return f"""
     WITH sh AS {mat}({exploded}),
@@ -257,7 +262,7 @@ BLOOM_A = (741_721, 523_131)
 BLOOM_B = (98_765, 12_345)
 
 
-def decontaminate_bloom_sql(d: str) -> str:
+def decontaminate_bloom_sql(d: str, sh_rel: str | None = None) -> str:
     """Bloom-prefiltered benchmark decontamination — identical OUTPUT to
     :func:`decontaminate_sql` (the exact-join verify removes Bloom false
     positives; false negatives are impossible), different SCALE shape:
@@ -277,26 +282,46 @@ def decontaminate_bloom_sql(d: str) -> str:
     whole pipeline — including the Bloom arithmetic — is generated for
     both dialects from this one function (portable md5-derived hashes),
     so the DuckDB oracle verifies the filter bit-for-bit, not just the
-    final answer."""
+    final answer.
+
+    ``sh_rel``: pre-staged (doc_id, hx) relation (see
+    :func:`decontaminate_sql`)."""
     from torchfusion_spark.operators import dedup
 
-    hs = dedup.hashed_shingle_sql(d)
+    hs = sh_rel or f"({dedup.hashed_shingle_sql(d)})"
     if d == "spark":
-        exploded = f"SELECT doc_id, h FROM ({hs}) LATERAL VIEW explode(hx) AS h"
+        exploded = f"SELECT doc_id, h FROM {hs} LATERAL VIEW explode(hx) AS h"
     else:
-        exploded = f"SELECT doc_id, UNNEST(hx) AS h FROM ({hs})"
+        exploded = f"SELECT doc_id, UNNEST(hx) AS h FROM {hs}"
     m = BLOOM_WORDS * 32
 
     def idx(j: int, h: str = "h") -> str:
         return f"((({h} % {G.MINHASH_P}) * {BLOOM_A[j]} + {BLOOM_B[j]}) % {m})"
 
-    probes = " UNION ALL ".join(
-        "SELECT {w} AS w, {mask} AS mask FROM bench_h".format(
+    # one pass over bench_h emitting all k probe rows per shingle (an
+    # inlined struct array, not k UNION ALL re-derivations of bench_h)
+    probe_structs = ", ".join(
+        "named_struct('w', {w}, 'mask', {mask})".format(
+            w=G.shr(idx(j), "5", d),
+            mask=G.shl("CAST(1 AS BIGINT)", idx(j) + " & 31", d),
+        )
+        if d == "spark"
+        else "{{'w': {w}, 'mask': {mask}}}".format(
             w=G.shr(idx(j), "5", d),
             mask=G.shl("CAST(1 AS BIGINT)", idx(j) + " & 31", d),
         )
         for j in range(BLOOM_K)
     )
+    if d == "spark":
+        probes = (
+            f"SELECT w, mask FROM bench_h "
+            f"LATERAL VIEW inline(array({probe_structs})) AS w, mask"
+        )
+    else:
+        probes = (
+            f"SELECT UNNEST(pl, recursive := true) "
+            f"FROM (SELECT [{probe_structs}] AS pl FROM bench_h)"
+        )
     cand_joins = "\n        ".join(
         "JOIN bloom b{j} ON b{j}.w = {w} AND (b{j}.bits & {mask}) <> 0".format(
             j=j,

@@ -621,24 +621,33 @@ _sql_pair(
     "per-doc rollup — the corpus-quality repetition filter",
 )
 
-_sql_pair(
+@query(
     "text_decontaminate",
-    textstats.decontaminate_sql,
+    textstats.decontaminate_sql("duck"),
     doc="benchmark decontamination: corpus docs sharing >= 5 word-3-gram "
     "hashes with the benchmark slice (doc_id%50==0 stand-in); benchmark "
-    "shingles broadcast, corpus shuffles once on the shingle hash",
+    "shingles broadcast, corpus shuffles once on the shingle hash; Spark "
+    "side reads the per-session staged shingle relation",
 )
+def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.sql(textstats.decontaminate_sql("spark", sh_rel=dedup._staged_hx(spark)))
 
-_sql_pair(
+
+@query(
     "text_decontaminate_bloom",
-    textstats.decontaminate_bloom_sql,
+    textstats.decontaminate_bloom_sql("duck"),
     doc="Bloom-prefiltered decontamination (the 100 TB shape): benchmark "
     "shingles fold into a fixed 64 KB bit_or-aggregated filter, corpus "
     "shingles probe it via k=2 broadcast joins (pure codegen integer "
     "arithmetic), only survivors reach the exact verify join; output "
     "identical to text_decontaminate, filter verified bit-for-bit by the "
-    "same-dialect-generated oracle",
+    "same-dialect-generated oracle; Spark side reads the per-session "
+    "staged shingle relation",
 )
+def text_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.sql(
+        textstats.decontaminate_bloom_sql("spark", sh_rel=dedup._staged_hx(spark))
+    )
 
 
 @query(
