@@ -473,7 +473,10 @@ def entropy_sql(d: str) -> str:
     Determinism: per-char terms p*log2(p) are rounded to 9dp and summed
     as DECIMAL — a float SUM across the group would be accumulation-order
     -dependent across engines/partitionings. One map-side-combined
-    (doc, char) count, one per-doc rollup."""
+    (doc, char) count, one per-doc rollup; the doc length comes from a
+    SUM window over the counts relation (same doc_id partitioning, so no
+    extra exchange) rather than a join against a second aggregate, which
+    would re-derive the explode+count per CTE reference."""
     chars = G.transform(G.seq("1", "length(s)", d), "i -> substr(s, i, 1)", d)
     if d == "spark":
         exploded = "SELECT doc_id, ch FROM c LATERAL VIEW explode(chars) AS ch"
@@ -485,11 +488,12 @@ def entropy_sql(d: str) -> str:
     e AS ({exploded}),
     counts AS (
         SELECT doc_id, ch, COUNT(*) AS cnt FROM e GROUP BY doc_id, ch),
-    lens AS (SELECT doc_id, CAST(SUM(cnt) AS DOUBLE) AS len FROM counts GROUP BY doc_id),
     terms AS (
-        SELECT counts.doc_id,
+        SELECT doc_id,
                CAST(ROUND((cnt / len) * ln(cnt / len) / ln(2), 9) AS DECIMAL(18,9)) AS term
-        FROM counts JOIN lens ON counts.doc_id = lens.doc_id)
+        FROM (SELECT doc_id, cnt,
+                     CAST(SUM(cnt) OVER (PARTITION BY doc_id) AS DOUBLE) AS len
+              FROM counts))
     SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_distinct_chars,
            ROUND(-CAST(SUM(term) AS DOUBLE), 6) AS entropy_bits
     FROM terms GROUP BY doc_id ORDER BY doc_id
@@ -772,19 +776,23 @@ def mixture_plan_sql(d: str, budget: int = MIXTURE_BUDGET) -> str:
 
     All allocation arithmetic is integer (BIGINT div/least) so the plan
     is bit-identical across engines; the display rate is the only float
-    and is rounded. One map-side-combined rollup + a scalar-subquery
-    broadcast of the source count — nothing scales with corpus size but
+    and is rounded. One map-side-combined rollup; the source count comes
+    from a COUNT(*) OVER () window on the few-row aggregated relation —
+    NOT a scalar subquery, which Catalyst would inline per referencing
+    expression and re-run the full-corpus aggregation each time (plan
+    audit measured 4 derivations). Nothing scales with corpus size but
     the first aggregation."""
     n_toks = G.arr_size(G.split_ws("text", d), d)
-    target = G.intdiv(str(budget), "(SELECT COUNT(*) FROM avail)", d)
+    target = G.intdiv(str(budget), "n_src", d)
     return f"""
     WITH avail AS (
         SELECT source, CAST(SUM({n_toks}) AS BIGINT) AS available_tokens
-        FROM documents GROUP BY source)
+        FROM documents GROUP BY source),
+    w AS (SELECT source, available_tokens, COUNT(*) OVER () AS n_src FROM avail)
     SELECT source, available_tokens,
            CAST({target} AS BIGINT) AS target_tokens,
            CAST(least(available_tokens, {target}) AS BIGINT) AS planned_tokens,
            ROUND(CAST(least(available_tokens, {target}) AS DOUBLE)
                  / available_tokens, 6) AS keep_rate
-    FROM avail ORDER BY source
+    FROM w ORDER BY source
     """
