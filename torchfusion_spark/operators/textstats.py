@@ -763,6 +763,32 @@ def winnow_fingerprint_sql(d: str, k: int = WINNOW_K, w: int = WINNOW_W) -> str:
     """
 
 
+SHUFFLE_SEED = "ts3"  # bump to re-deal the training order
+SHUFFLE_SHARDS = 8
+
+
+def shuffle_shards_sql(d: str, n_shards: int = SHUFFLE_SHARDS, seed: str = SHUFFLE_SEED) -> str:
+    """Deterministic global training-order shuffle: every doc gets a
+    pseudo-random but reproducible (shard, pos) from the portable
+    md5-int56 hash of (doc_id, seed) — the ORDER the `write_train_shards`
+    sink materializes, exposed as an oracle-checked relation.
+
+    Scale shape: ONE shuffle (the window's partition-by-shard exchange —
+    the same single exchange the sink's repartitionByRange pays; modulo
+    sharding here keeps the assignment portable across engines, where
+    range bounds would be sampling-dependent). Epoch re-deals are a seed
+    bump, not a new data layout; determinism means any worker can
+    recompute any shard's order without coordination."""
+    hkey = G.hash56(f"CAST(doc_id AS STRING) || ':{seed}'", d)
+    return f"""
+    WITH h AS (SELECT doc_id, {hkey} AS hkey FROM documents)
+    SELECT doc_id, CAST(hkey % {n_shards} AS BIGINT) AS shard,
+           CAST(ROW_NUMBER() OVER (PARTITION BY hkey % {n_shards}
+                                   ORDER BY hkey, doc_id) - 1 AS BIGINT) AS pos
+    FROM h ORDER BY shard, pos
+    """
+
+
 MIXTURE_BUDGET = 20_000  # total training-token budget to allocate
 
 

@@ -562,6 +562,16 @@ _sql_pair(
 )
 
 _sql_pair(
+    "corpus_shuffle_shards",
+    textstats.shuffle_shards_sql,
+    doc="deterministic global training-order shuffle: reproducible "
+    "(shard, pos) per doc from the portable hash of (doc_id, seed) — the "
+    "order write_train_shards materializes, as an oracle-checked "
+    "relation; one exchange (the window's partition-by-shard), epoch "
+    "re-deals are a seed bump",
+)
+
+_sql_pair(
     "corpus_chunk_overlap",
     textstats.chunk_overlap_sql,
     doc="overlapping character-window chunking (retrieval/embedding prep): "

@@ -97,6 +97,7 @@ PRIORITY: list[str] = [
     "corpus_pack_sequences",
     "corpus_chunk_overlap",
     "corpus_mixture_plan",
+    "corpus_shuffle_shards",
     "sample_train_split",
     "events_histogram",
     "events_winsorize",
