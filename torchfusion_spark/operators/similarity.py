@@ -378,6 +378,36 @@ KMEANS_K = 8
 KMEANS_ITERS = 2
 
 
+def _km_spark_assign(pts_rel: str, cents_rel: str) -> str:
+    """Spark assignment pass: map-side-combinable argmin (the N×k
+    broadcast-join rows collapse to N before the shuffle). Shared by the
+    unrolled oracle form and the staged iterative builder so the math
+    cannot drift between them."""
+    return (
+        f"SELECT /*+ BROADCAST(c) */ p.vec_id, "
+        f"min(struct(ROUND({_l2sq('p.v', 'c.cv', 'spark')}, 6) AS d2, c.c_id AS c)).c AS c_id "
+        f"FROM {pts_rel} p CROSS JOIN {cents_rel} c GROUP BY p.vec_id"
+    )
+
+
+def _km_spark_upd(assign_rel: str, long_rel: str) -> str:
+    """Spark centroid update: exact-DECIMAL per-(centroid, dim) mean."""
+    return (
+        f"SELECT a.c_id, l.dim, "
+        f"ROUND(CAST(SUM(CAST(l.val AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*), 6) AS cval "
+        f"FROM {assign_rel} a JOIN {long_rel} l ON a.vec_id = l.vec_id "
+        f"GROUP BY a.c_id, l.dim"
+    )
+
+
+def _km_spark_rebuild(upd_rel: str) -> str:
+    """Spark centroid re-assembly from long format."""
+    return (
+        f"SELECT c_id, transform(array_sort(collect_list(struct(dim, cval))), "
+        f"s -> s.cval) AS cv FROM {upd_rel} GROUP BY c_id"
+    )
+
+
 def kmeans_sql(d: str, k: int = KMEANS_K, iters: int = KMEANS_ITERS, rel: str | None = None) -> str:
     """Distributed k-means training (Lloyd), ``iters`` iterations unrolled
     as a CTE chain — the trainer that produces the IVF centroids
@@ -402,12 +432,10 @@ def kmeans_sql(d: str, k: int = KMEANS_K, iters: int = KMEANS_ITERS, rel: str | 
     format appears only on the k*dim-row centroid side, never the corpus.
     """
     n_rel = rel or f"(SELECT * FROM ({norm_cte(d)}))"
-    hint = "/*+ BROADCAST(c) */" if d == "spark" else ""
     mat = "MATERIALIZED " if d == "duck" else ""
     if d == "spark":
         explode = "LATERAL VIEW posexplode(v) pe AS p, val"
         long_pts = f"SELECT vec_id, p + 1 AS dim, val FROM pts {explode}"
-        rebuild = "transform(array_sort(collect_list(struct(dim, cval))), s -> s.cval)"
     else:
         long_pts = f"SELECT vec_id, range AS dim, v[range] AS val FROM pts, range(1, {G.EMB_DIM} + 1)"
         rebuild = "list(cval ORDER BY dim)"
@@ -417,12 +445,7 @@ def kmeans_sql(d: str, k: int = KMEANS_K, iters: int = KMEANS_ITERS, rel: str | 
             f"long_pts AS {mat}({long_pts})"]
     for i in range(iters):
         if d == "spark":
-            # map-side-combinable argmin (see assign_cte_sql): the N×k
-            # broadcast-join rows collapse to N before the shuffle
-            ctes.append(f"""assign{i} AS (
-            SELECT {hint} p.vec_id,
-                   min(struct(ROUND({_l2sq('p.v', 'c.cv', d)}, 6) AS d2, c.c_id AS c)).c AS c_id
-            FROM pts p CROSS JOIN cents{i} c GROUP BY p.vec_id)""")
+            ctes.append(f"assign{i} AS ({_km_spark_assign('pts', f'cents{i}')})")
         else:
             ctes.append(f"""assign{i} AS (
             SELECT vec_id, c_id FROM (
@@ -430,14 +453,18 @@ def kmeans_sql(d: str, k: int = KMEANS_K, iters: int = KMEANS_ITERS, rel: str | 
                        ROW_NUMBER() OVER (PARTITION BY p.vec_id
                            ORDER BY ROUND({_l2sq('p.v', 'c.cv', d)}, 6), c.c_id) AS rn
                 FROM pts p CROSS JOIN cents{i} c) WHERE rn = 1)""")
-        ctes.append(f"""upd{i} AS (
-        SELECT a.c_id, l.dim,
-               ROUND(CAST(SUM(CAST(l.val AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*), 6) AS cval
-        FROM assign{i} a JOIN long_pts l ON a.vec_id = l.vec_id
-        GROUP BY a.c_id, l.dim)""")
-        ctes.append(
-            f"cents{i + 1} AS (SELECT c_id, {rebuild} AS cv FROM upd{i} GROUP BY c_id)"
-        )
+        if d == "spark":
+            ctes.append(f"upd{i} AS ({_km_spark_upd(f'assign{i}', 'long_pts')})")
+            ctes.append(f"cents{i + 1} AS ({_km_spark_rebuild(f'upd{i}')})")
+        else:
+            ctes.append(f"""upd{i} AS (
+            SELECT a.c_id, l.dim,
+                   ROUND(CAST(SUM(CAST(l.val AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*), 6) AS cval
+            FROM assign{i} a JOIN long_pts l ON a.vec_id = l.vec_id
+            GROUP BY a.c_id, l.dim)""")
+            ctes.append(
+                f"cents{i + 1} AS (SELECT c_id, {rebuild} AS cv FROM upd{i} GROUP BY c_id)"
+            )
     last = iters - 1
     return f"""
     WITH {", ".join(ctes)},
@@ -449,7 +476,40 @@ def kmeans_sql(d: str, k: int = KMEANS_K, iters: int = KMEANS_ITERS, rel: str | 
 
 
 def kmeans(spark, k: int = KMEANS_K, iters: int = KMEANS_ITERS):
-    return spark.sql(kmeans_sql("spark", k, iters, rel=_staged_norms(spark)))
+    """Staged iterative execution (same math as the unrolled oracle form,
+    via the shared _km_spark_* fragments): the long-format point relation
+    materializes ONCE (the unrolled CTE re-derives the posexplode per
+    iteration) and each iteration's assignment materializes once — the
+    unrolled final iteration reads assign{last} from BOTH the update and
+    the membership count, re-running the N×k argmin pass, which is the
+    single most expensive stage at scale. Centroids (k×dim rows) are
+    checkpointed per round so the next assignment starts from data, not
+    from the whole prior lineage."""
+    norms = _staged_norms(spark)
+    pts = f"(SELECT vec_id, v FROM {norms})"
+    spark.sql(
+        f"SELECT vec_id, p + 1 AS dim, val FROM {pts} pts_t "
+        f"LATERAL VIEW posexplode(v) pe AS p, val"
+    ).localCheckpoint().createOrReplaceTempView("__km_long")
+    cents = f"(SELECT vec_id AS c_id, v AS cv FROM {norms} WHERE vec_id < {k})"
+    for i in range(iters):
+        spark.sql(_km_spark_assign(pts, cents)).localCheckpoint().createOrReplaceTempView(
+            "__km_assign"
+        )
+        if i < iters - 1:
+            upd = f"({_km_spark_upd('__km_assign', '__km_long')})"
+            spark.sql(_km_spark_rebuild(upd)).localCheckpoint().createOrReplaceTempView(
+                f"__km_cents{i}"
+            )
+            cents = f"__km_cents{i}"
+    return spark.sql(f"""
+    WITH u AS ({_km_spark_upd('__km_assign', '__km_long')}),
+    sizes AS (SELECT c_id, CAST(COUNT(*) AS BIGINT) AS n_members
+              FROM __km_assign GROUP BY c_id)
+    SELECT u.c_id, CAST(u.dim AS BIGINT) AS dim, u.cval, s.n_members
+    FROM u JOIN sizes s ON u.c_id = s.c_id
+    ORDER BY u.c_id, u.dim
+    """)
 
 
 def build_ivf_index(spark, path: str, n_centroids: int = 16) -> None:
