@@ -298,9 +298,24 @@ def test_plan_audit_clean_on_key_queries(spark, tables):
         "dedup_simhash", "dedup_minhash_lsh", "text_decontaminate_bloom",
         "q3_shipping_priority", "q5_local_supplier_volume", "q9_product_profit",
         "events_range_join", "sim_kmeans", "join_full_outer", "dedup_exact",
-        "corpus_pack_sequences", "skew_salted_join",
+        "corpus_pack_sequences", "skew_salted_join", "dedup_containment",
+        "corpus_mixture_plan", "text_entropy", "corpus_shuffle_shards",
+    }
+    # the round-3 derivation fixes must hold: these exact ceilings were
+    # the measured post-fix counts (regressing means a CTE/scalar-subquery
+    # re-derivation crept back in)
+    ceilings = {
+        "dedup_simhash": 4, "dedup_containment": 4, "dedup_minhash_lsh": 4,
+        "corpus_mixture_plan": 2, "text_entropy": 3, "corpus_shuffle_shards": 2,
+        "sim_kmeans": 4, "text_decontaminate_bloom": 8,
     }
     rows = audit(spark, tables, names=names)
     assert set(rows) == names
     bad = {k: v for k, v in rows.items() if v.get("unexpected") or "error" in v}
     assert not bad, bad
+    over = {
+        k: (rows[k]["shuffles"], cap)
+        for k, cap in ceilings.items()
+        if rows[k]["shuffles"] > cap
+    }
+    assert not over, f"shuffle-count regressions (got, ceiling): {over}"
