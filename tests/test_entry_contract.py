@@ -15,38 +15,33 @@ def test_queries_and_oracles_align():
         assert isinstance(sql, str) and "SELECT" in sql.upper()
 
 
-# queries the driver's 50-row budget certified green in rounds 1-2
-# (CORRECTNESS_r01/r02) — round 3's rotation policy moves these OUT of the
-# top 50 so the budget certifies first-time surface instead
-_PRIOR_DRIVER_GREEN = {
-    "torch_inference_classes", "argmax_embeddings", "argmax_constructed_array",
-    "values_inline_table", "fn_cast_try_cast", "fn_conditional", "fn_math",
-    "fn_string_basics", "fn_array_ops", "fn_struct_map", "fn_json",
-    "filter_like_family", "select_distinct", "sort_limit_offset",
-    "pipeline_corpus_clean", "join_left_outer", "join_right_outer",
-    "join_semi", "join_theta", "join_using", "sample_hash_stratified",
-    "agg_distinct_count", "agg_approx", "agg_collect_set", "agg_cube",
-    "win_running_sum", "win_lag_lead", "win_range_interval_frame",
-    "win_groups_frame_rewrite", "setop_union_all", "setop_intersect_all",
-    "subq_correlated_scalar", "subq_not_in", "lateral_subquery",
-    "udaf_grouped_agg", "udtf_word_positions", "pivot_status_by_priority",
-    "unpivot_stack", "skew_salted_agg", "skew_salted_join",
-    "text_quality_stats", "cte_recursive", "dedup_exact", "sim_cosine_topk",
-    "multimodal_features", "q1_pricing_summary",
-}
+def _driver_green_names() -> set[str]:
+    """Names with a green driver row in any committed CORRECTNESS_r*.json —
+    derived from the artifacts rather than pinned, so each round's rotation
+    test checks the *policy* (budget goes to never-certified names) against
+    the actual certification history."""
+    import json
+    import re
+    from glob import glob
+    from pathlib import Path
 
-# the round-2 failures whose fixes round 3's driver run must certify
-_R02_FIXES = [
-    "fn_time_bucket", "events_sessionize", "events_rollup_two_level",
-    "events_range_join", "events_retention", "stream_windowed_counts",
-]
+    green: set[str] = set()
+    for p in sorted(glob(str(Path(__file__).resolve().parent.parent / "CORRECTNESS_r*.json"))):
+        for key, row in json.load(open(p)).items():
+            if (
+                row.get("err") is None
+                and row.get("rows_match")
+                and row.get("schema_match")
+            ):
+                green.add(re.sub(r"^c\d+_", "", key))
+    return green
 
 
 def test_priority_order_is_total_and_stable():
     """Driver keys: sorted order == insertion order == priority order; the
     prefix strips back to exactly the registry names; every PRIORITY entry
-    exists (no stale names); the round-3 rotation policy holds — fixes
-    lead, and the 50-row budget goes to first-time names, not re-certs."""
+    exists (no stale names); the rotation policy holds — the 50-row driver
+    budget goes to names without a green CORRECTNESS row, not re-certs."""
     from torchfusion_spark.plans import REGISTRY
     from torchfusion_spark.plans.priority import PRIORITY
 
@@ -56,14 +51,15 @@ def test_priority_order_is_total_and_stable():
     assert set(names) == set(REGISTRY) and len(names) == len(REGISTRY)
     assert len(set(PRIORITY)) == len(PRIORITY)
     assert set(PRIORITY) <= set(REGISTRY)
-    # the round-2 failures are certified first
-    assert names[: len(_R02_FIXES)] == _R02_FIXES
-    # the rest of the budget is first-time surface: nothing already
-    # driver-certified green occupies a top-50 slot
-    assert not (_PRIOR_DRIVER_GREEN & set(names[:50]))
-    # and at least 20 first-time names get their first driver row
-    first_time = [n for n in names[:50] if n not in _PRIOR_DRIVER_GREEN and n not in _R02_FIXES]
-    assert len(first_time) >= 20
+    # nothing already driver-certified green occupies a top-50 slot while
+    # uncertified names remain (the re-cert tail may enter only once every
+    # name has a row)
+    green = _driver_green_names()
+    uncertified = set(names) - green
+    if len(uncertified) >= 50:
+        assert not (green & set(names[:50]))
+    else:
+        assert uncertified <= set(names[: max(50, len(uncertified))])
 
 
 def test_entry_runs(spark):

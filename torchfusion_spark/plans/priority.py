@@ -8,18 +8,22 @@ sorted or insertion-order — certifies the most valuable queries first.
 
 Ordering policy (documented so the ranking is auditable, not gamed) —
 ROTATED each round so the budget certifies new surface instead of
-re-certifying known-green witnesses (VERDICT r02 item 6):
-1. ranks 1-6: the round-2 failures whose fix must be certified this round
-   (the TIMESTAMP_NTZ family: fn_time_bucket, events_sessionize,
-   events_rollup_two_level, events_range_join, events_retention, and the
-   streaming reader witness stream_windowed_counts);
-2. ranks 7-50: first-time names — queries that have never had a driver row
-   — chosen for family breadth (joins, set-ops, aggregates, datetime,
-   windows, events, text, TPC-H, MinHash-LSH per the judge's shortlist);
-3. ranks 51+: the remaining never-tested names cheap-first, then the
-   round-2-certified greens (regression re-certs if budget allows);
-4. the most expensive pipelines (streaming tails, all-pairs dedups) last,
-   so a *time*-capped run maximizes the number of queries reached.
+re-certifying known-green witnesses (VERDICT r03 item 1). Round 4: ranks
+1-50 are exclusively the 57 names that have never had a driver
+CORRECTNESS row across rounds 1-3:
+1. ranks 1-8: the uncertified Tier-D scale-path components — the judge's
+   explicit shortlist (containment, canonical selection, sign-LSH, IVF,
+   k-means, SemDeDup, int8 quantization, Bloom decontamination);
+2. ranks 9-15: the 7 streaming tails (only stream_windowed_counts has a
+   driver row so far);
+3. ranks 16-38: text/corpus/sampling tails, event-stats tails, multimodal,
+   and the capped exact near-dup;
+4. ranks 39-50: TPC-H cheap-first; the 7 heaviest TPC-H (q5/q7/q8/q2/
+   q17/q20/q21) take ranks 51-57 and lead round 5 if the budget stops
+   at 50;
+5. ranks 58+: the 99 already-certified greens in prior-round order
+   (regression re-certs if budget allows), expensive pipelines last so a
+   *time*-capped run maximizes the number of queries reached.
 
 The suffix after the prefix is the canonical registry name used everywhere
 else (bench.py, tools/verify_local.py, tests).
@@ -28,14 +32,78 @@ else (bench.py, tools/verify_local.py, tests).
 from __future__ import annotations
 
 PRIORITY: list[str] = [
-    # -- ranks 1-6: round-2 failures, fixed this round --
-    "fn_time_bucket",            # r02 c012 FAIL: unix_micros on TIMESTAMP_NTZ
-    "events_sessionize",         # r02 c040 FAIL: same cause
-    "events_rollup_two_level",   # r02 c041 FAIL: same cause
-    "events_range_join",         # judge analysis-probe FAIL: same cause
-    "events_retention",          # judge analysis-probe FAIL: same cause
-    "stream_windowed_counts",    # r02 c050 wrong rows: streaming reader schema
-    # -- ranks 7-50: first driver rows, family breadth --
+    # -- ranks 1-8: uncertified Tier-D scale-path (judge shortlist, VERDICT r03) --
+    "dedup_containment",
+    "pipeline_dedup_canonical",
+    "sim_cosine_near_dup_lsh",
+    "sim_ivf_topk",
+    "sim_kmeans",
+    "sim_semantic_dedup",
+    "sim_quantize_int8",
+    "text_decontaminate_bloom",
+    # -- ranks 9-15: streaming tails (7 of 8 never driver-checked) --
+    "stream_sliding_counts",
+    "stream_session_window",
+    "stream_dedup_counts",
+    "stream_static_join",
+    "stream_stream_join",
+    "stream_stateful_cents",
+    "stream_stateful_user_stats",
+    # -- ranks 16-32: text/corpus/sampling tails --
+    "text_fingerprint",
+    "text_top_tokens",
+    "text_repetition",
+    "text_decontaminate",
+    "text_pii_redact",
+    "text_entropy",
+    "text_dup_gram_fraction",
+    "text_winnow_fingerprint",
+    "corpus_bpe_pairs",
+    "sample_weighted_topk",
+    "sample_group_quota",
+    "corpus_token_budget",
+    "corpus_pack_sequences",
+    "corpus_chunk_overlap",
+    "corpus_mixture_plan",
+    "corpus_shuffle_shards",
+    "sample_train_split",
+    # -- ranks 33-35: event-stats tails --
+    "events_histogram",
+    "events_winsorize",
+    "events_anomaly_zscore",
+    # -- ranks 36-37: multimodal tails --
+    "multimodal_resize",
+    "multimodal_frame_sample",
+    # -- rank 38: capped exact near-dup (bounded all-pairs witness) --
+    "sim_cosine_near_dup",
+    # -- ranks 39-50: uncertified TPC-H, cheap-first --
+    "q4_order_priority",
+    "q12_priority_by_status",
+    "q14_promo_revenue",
+    "q19_disjunctive_predicates",
+    "q13_customer_distribution",
+    "q11_important_stock",
+    "q15_top_supplier",
+    "q16_parts_supplier",
+    "q22_global_sales_opportunity",
+    "q3_shipping_priority",
+    "q10_returned_items",
+    "q18_large_volume_customer",
+    # -- ranks 51-57: heaviest TPC-H — lead round 5 if the budget stops at 50 --
+    "q5_local_supplier_volume",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q2_min_cost_supplier",
+    "q17_small_quantity_revenue",
+    "q20_potential_promotion",
+    "q21_waiting_supplier",
+    # -- ranks 58+: certified greens in prior-round order (re-certs if budget allows) --
+    "fn_time_bucket",
+    "events_sessionize",
+    "events_rollup_two_level",
+    "events_range_join",
+    "events_retention",
+    "stream_windowed_counts",
     "join_inner",
     "join_anti",
     "join_cross",
@@ -80,55 +148,7 @@ PRIORITY: list[str] = [
     "q6_revenue_forecast",
     "q9_product_profit",
     "dedup_minhash_lsh",
-    # -- ranks 51+: remaining never-tested, cheap first --
-    "text_fingerprint",
-    "text_top_tokens",
-    "text_repetition",
-    "text_decontaminate",
-    "text_decontaminate_bloom",
-    "text_pii_redact",
-    "text_entropy",
-    "text_dup_gram_fraction",
-    "text_winnow_fingerprint",
-    "corpus_bpe_pairs",
-    "sample_weighted_topk",
-    "sample_group_quota",
-    "corpus_token_budget",
-    "corpus_pack_sequences",
-    "corpus_chunk_overlap",
-    "corpus_mixture_plan",
-    "corpus_shuffle_shards",
-    "sample_train_split",
-    "events_histogram",
-    "events_winsorize",
-    "events_anomaly_zscore",
-    "q3_shipping_priority",
-    "q4_order_priority",
-    "q5_local_supplier_volume",
-    "q7_volume_shipping",
-    "q10_returned_items",
-    "q12_priority_by_status",
-    "q14_promo_revenue",
-    "q18_large_volume_customer",
-    "q19_disjunctive_predicates",
-    "q2_min_cost_supplier",
-    "q21_waiting_supplier",
-    "q8_market_share",
-    "q11_important_stock",
-    "q13_customer_distribution",
-    "q15_top_supplier",
-    "q16_parts_supplier",
-    "q17_small_quantity_revenue",
-    "q20_potential_promotion",
-    "q22_global_sales_opportunity",
-    "multimodal_resize",
-    "multimodal_frame_sample",
-    "sim_ivf_topk",
-    "sim_quantize_int8",
-    "sim_kmeans",
-    "sim_semantic_dedup",
     "dedup_simhash",
-    # -- round-2-certified greens (regression re-certs if budget allows) --
     "torch_inference_classes",
     "argmax_embeddings",
     "argmax_constructed_array",
@@ -175,20 +195,10 @@ PRIORITY: list[str] = [
     "sim_cosine_topk",
     "multimodal_features",
     "q1_pricing_summary",
-    # -- expensive tails last so a time-capped run reaches everything else --
-    "stream_static_join",
-    "stream_stream_join",
-    "stream_session_window",
-    "stream_sliding_counts",
-    "stream_dedup_counts",
-    "stream_stateful_cents",
-    "stream_stateful_user_stats",
-    "sim_cosine_near_dup_lsh",
-    "sim_cosine_near_dup",
-    "dedup_containment",
+    # -- expensive certified pipelines last so a time-capped run reaches
+    #    everything else --
     "dedup_ngram_jaccard",
     "dedup_minhash_clusters",
-    "pipeline_dedup_canonical",
 ]
 
 
