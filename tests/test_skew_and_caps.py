@@ -197,3 +197,50 @@ def test_ngram_block_cap_bounds_boilerplate_block(spark, tables):
         capped, uncapped[uncapped["id_a"] < 1000000].reset_index(drop=True)
     )
     g.unpersist()
+
+
+def test_capped_bucket_stats_observability(spark, tables):
+    """ADVICE r03: the hot-band caps silently bound recall and the oracle
+    runs the identical capped SQL, so cap loss is invisible to the
+    correctness gate. These stats surfaces make it measurable; on the
+    fixture corpus (post-exact-dedup organic docs) NO bucket exceeds
+    either cap — pinned so a corpus/data-vintage change that starts
+    capping real buckets fails loudly here instead of silently losing
+    pairs."""
+    from torchfusion_spark.operators.dedup import (
+        minhash_capped_bucket_stats,
+        simhash_capped_bucket_stats,
+    )
+
+    assert simhash_capped_bucket_stats(spark).count() == 0
+    assert minhash_capped_bucket_stats(spark).count() == 0
+    # the surface reports when a cap WOULD bite: tighten max_bucket to 1
+    # and the boilerplate-free corpus still has some 2+ buckets
+    assert simhash_capped_bucket_stats(spark, max_bucket=1).count() > 0
+
+
+def test_staged_lifecycle_no_storage_leak(spark, tables):
+    """ADVICE r03: repeated staged-builder calls (containment, kmeans) and
+    a staged-cache rebuild must not accumulate persisted RDDs/blocks in
+    one session. Also pins the localCheckpoint release mechanism
+    (analyzed().rdd() on the checkpointed Dataset is the handle the block
+    manager holds)."""
+    from torchfusion_spark.operators import dedup, similarity
+    from torchfusion_spark.session import staged_checkpoint
+
+    jsc = spark.sparkContext._jsc
+
+    # mechanism: a slot-tracked checkpoint is released on slot reuse
+    before = jsc.getPersistentRDDs().size()
+    staged_checkpoint(spark, "lifecycle_probe", spark.range(100).selectExpr("id", "id * 2 AS x"))
+    assert jsc.getPersistentRDDs().size() == before + 1
+    staged_checkpoint(spark, "lifecycle_probe", spark.range(50).selectExpr("id", "id * 3 AS x"))
+    assert jsc.getPersistentRDDs().size() == before + 1
+
+    # operators: persistent-RDD count is stable across repeat invocations
+    dedup.containment(spark).count()
+    similarity.kmeans(spark).count()
+    steady = jsc.getPersistentRDDs().size()
+    dedup.containment(spark).count()
+    similarity.kmeans(spark).count()
+    assert jsc.getPersistentRDDs().size() == steady

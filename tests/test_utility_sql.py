@@ -303,7 +303,15 @@ def test_plan_audit_clean_on_key_queries(spark, tables):
     }
     # the round-3 derivation fixes must hold: these exact ceilings were
     # the measured post-fix counts (regressing means a CTE/scalar-subquery
-    # re-derivation crept back in)
+    # re-derivation crept back in).
+    # Measurement environment (ADVICE r03 — these counts and the
+    # no-SortMergeJoin assertions are conf-sensitive): Spark 4.1.x,
+    # session() defaults from torchfusion_spark/session.py (AQE on,
+    # shuffle.partitions = SPARK_GRAFT_CPUS, autoBroadcastJoinThreshold
+    # at its 10 MB default), sf0.001 fixtures. If a Spark upgrade or a
+    # threshold change trips ONLY this test, re-measure with
+    # `python tools/plan_audit.py` and re-pin — a plan-shape regression
+    # shows as unexpected operators or a ceiling jump at SAME conf.
     ceilings = {
         "dedup_simhash": 4, "dedup_containment": 4, "dedup_minhash_lsh": 4,
         "corpus_mixture_plan": 2, "text_entropy": 3, "corpus_shuffle_shards": 2,

@@ -1,11 +1,16 @@
 """Physical-plan audit over the registry — machine-checks SCALE.md.
 
-For every batch query in the registry, builds the DataFrame (no
-execution) and WALKS the physical plan tree (via the JVM plan object,
-stopping at InMemoryTableScan / checkpointed-RDD scans so staged
-relations' already-materialized lineage isn't double-counted — a
-formatted-explain regex would count it) for the properties the 100 TB
-design contract promises:
+For every batch query in the registry, builds the DataFrame and WALKS
+the physical plan tree (via the JVM plan object, stopping at
+InMemoryTableScan / checkpointed-RDD scans so staged relations'
+already-materialized lineage isn't double-counted — a formatted-explain
+regex would count it) for the properties the 100 TB design contract
+promises. The audited FINAL plan is built without execution, but staged
+builders (kmeans, containment, the cached signature/norm relations)
+eagerly execute their *staging* actions (cache fills, localCheckpoints)
+while the DataFrame is being built — an audit run therefore does real
+Spark work for those queries; only the audited downstream plan is
+unexecuted (ADVICE r03 clarification):
 
   - shuffle exchange count (the scarce resource at scale),
   - broadcast exchange count (small sides must broadcast),

@@ -167,13 +167,17 @@ def minhash_lsh(spark, threshold: float = 0.6):
     follows ``load_tables``' memo, so switching sf_dir rebuilds."""
     from torchfusion_spark.session import cpu_fanout
 
+    from torchfusion_spark.session import staged_cache
+
     key = getattr(spark, "_tf_tables_loaded", None)
     if getattr(spark, "_tf_minhash_sig_key", object()) != key:
         docs = cpu_fanout(spark.table("documents"))
         docs.createOrReplaceTempView("__minhash_docs")
-        sig = spark.sql(
-            sig_rel_sql("spark", f"({hashed_shingle_sql('spark', rel='__minhash_docs')})")
-        ).cache()
+        sig = staged_cache(
+            spark,
+            "minhash_sig",
+            spark.sql(sig_rel_sql("spark", f"({hashed_shingle_sql('spark', rel='__minhash_docs')})")),
+        )
         sig.count()  # materialize before the self-join races both sides into the fill
         sig.createOrReplaceTempView("__minhash_sig")
         spark._tf_minhash_sig_key = key
@@ -199,9 +203,13 @@ def _staged_hx(spark) -> str:
     sides — Catalyst inlines CTEs, so without staging the md5 pass runs
     per reference. Memoized the same way as the MinHash signature memo
     (keyed by load_tables' key, so switching sf_dir rebuilds)."""
+    from torchfusion_spark.session import staged_cache
+
     key = getattr(spark, "_tf_tables_loaded", None)
     if getattr(spark, "_tf_hx_key", object()) != key:
-        hx = spark.sql(hashed_shingle_sql("spark", rel=_staged_docs(spark))).cache()
+        hx = staged_cache(
+            spark, "tf_hx", spark.sql(hashed_shingle_sql("spark", rel=_staged_docs(spark)))
+        )
         hx.count()
         hx.createOrReplaceTempView("__tf_hx")
         spark._tf_hx_key = key
@@ -310,10 +318,56 @@ def simhash(spark, bits: int = 32, max_hamming: int = 2):
     """Staged Spark execution: signatures computed once over the fanned-out
     input (the CPU-heavy pass), cached, then the banded self-join runs
     over the 12-byte-per-doc signature relation."""
-    s = spark.sql(simhash_sig_sql("spark", rel=_staged_docs(spark), bits=bits)).cache()
+    from torchfusion_spark.session import staged_cache
+
+    s = staged_cache(
+        spark, "simhash_sig", spark.sql(simhash_sig_sql("spark", rel=_staged_docs(spark), bits=bits))
+    )
     s.count()
     s.createOrReplaceTempView("__simhash_sig")
     return spark.sql(simhash_body_sql("spark", "__simhash_sig", bits, max_hamming))
+
+
+def simhash_capped_bucket_stats(spark, bits: int = 32, max_bucket: int = SIMHASH_MAX_BUCKET):
+    """Observability for the hot-band cap (ADVICE r03): the (band, bkey,
+    bsz) buckets the cap EXCLUDES from the candidate join. The DuckDB
+    oracle runs the identical capped SQL, so the correctness gate is
+    blind to cap-induced recall loss by construction — this is the
+    measurement surface: ``df.count()`` is the number of capped buckets,
+    ``sum(bsz*(bsz-1)/2)`` bounds the per-band candidate pairs the cap
+    dropped (a pair is truly lost only if EVERY shared band is capped).
+    tests/test_skew_and_caps.py pins the fixture-corpus value."""
+    s = spark.sql(simhash_sig_sql("spark", rel=_staged_docs(spark), bits=bits))
+    s.createOrReplaceTempView("__simhash_capstat_sig")
+    bands = bits // 8
+    structs = ", ".join(
+        f"named_struct('band', {i}, 'bkey', ({G.shr('simhash', str(8 * i), 'spark')} & 255))"
+        for i in range(bands)
+    )
+    return spark.sql(f"""
+    SELECT band, bkey, CAST(COUNT(*) AS BIGINT) AS bsz
+    FROM (SELECT doc_id, band, bkey FROM __simhash_capstat_sig
+          LATERAL VIEW inline(array({structs})) AS band, bkey)
+    GROUP BY band, bkey HAVING COUNT(*) > {max_bucket}
+    ORDER BY band, bkey
+    """)
+
+
+def minhash_capped_bucket_stats(spark, max_bucket: int = MAX_BUCKET):
+    """MinHash-LSH twin of :func:`simhash_capped_bucket_stats`: the
+    (band, bkey) buckets whose size exceeds the hot-bucket cap."""
+    minhash_lsh(spark)  # ensure __minhash_sig is staged (memoized)
+    bands = G.band_exprs("sig", "spark")
+    structs = ", ".join(
+        f"named_struct('band', {i}, 'bkey', {b})" for i, b in enumerate(bands)
+    )
+    return spark.sql(f"""
+    SELECT band, bkey, CAST(COUNT(*) AS BIGINT) AS bsz
+    FROM (SELECT doc_id, band, bkey FROM __minhash_sig
+          LATERAL VIEW inline(array({structs})) AS band, bkey)
+    GROUP BY band, bkey HAVING COUNT(*) > {max_bucket}
+    ORDER BY band, bkey
+    """)
 
 
 def ngram_blocks_sql(d: str, rel: str = "documents", n: int = 5) -> str:
@@ -386,7 +440,11 @@ def ngram_jaccard_sql(d: str, n: int = 5, threshold: float = 0.7) -> str:
 
 
 def ngram_jaccard(spark, n: int = 5, threshold: float = 0.7):
-    g = spark.sql(ngram_blocks_sql("spark", rel=_staged_docs(spark), n=n)).cache()
+    from torchfusion_spark.session import staged_cache
+
+    g = staged_cache(
+        spark, "ngram_blocks", spark.sql(ngram_blocks_sql("spark", rel=_staged_docs(spark), n=n))
+    )
     g.count()
     g.createOrReplaceTempView("__ngram_blocks")
     return spark.sql(ngram_body_sql("spark", "__ngram_blocks", threshold))
@@ -458,18 +516,30 @@ def connected_components(pairs, max_iter: int = 25):
     single-task union-find (:func:`_cc_single_task`) — the per-round
     join/action overhead of the loop dwarfs the work itself there, and
     the output is identical.
+
+    Per-round checkpoints are slot-tracked (``staged_checkpoint`` with a
+    per-call nonce) over TWO alternating label slots: round r's labels
+    land in slot r%2, releasing round r-2's blocks — rounds r and r-1
+    must both stay live because the convergence check joins them. A long
+    loop therefore holds two label generations instead of ``max_iter``.
     """
     from pyspark.sql import functions as F
 
+    from torchfusion_spark.session import staged_checkpoint, staging_nonce
+
+    spark = pairs.sparkSession
+    nonce = staging_nonce(spark)
     fwd = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
     edges = fwd.union(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-    edges = edges.distinct().localCheckpoint()
+    edges = staged_checkpoint(spark, f"cc_edges_{nonce}", edges.distinct())
     if edges.count() <= SMALL_GRAPH_EDGES:
         return _cc_single_task(edges)
-    labels = (
-        edges.select(F.col("src").alias("node")).distinct().withColumn("comp", F.col("node"))
-    ).localCheckpoint()
-    for _ in range(max_iter):
+    labels = staged_checkpoint(
+        spark,
+        f"cc_labels_{nonce}_init",
+        edges.select(F.col("src").alias("node")).distinct().withColumn("comp", F.col("node")),
+    )
+    for rnd in range(max_iter):
         nbr = (
             edges.join(
                 labels.select(F.col("node").alias("dst"), F.col("comp").alias("dcomp")), "dst"
@@ -478,9 +548,14 @@ def connected_components(pairs, max_iter: int = 25):
             .agg(F.min("dcomp").alias("ncomp"))
             .select(F.col("src").alias("node"), "ncomp")
         )
-        new_labels = labels.join(nbr, "node", "left").select(
-            "node", F.least(F.col("comp"), F.coalesce(F.col("ncomp"), F.col("comp"))).alias("comp")
-        ).localCheckpoint()
+        new_labels = staged_checkpoint(
+            spark,
+            f"cc_labels_{nonce}_{rnd % 2}",
+            labels.join(nbr, "node", "left").select(
+                "node",
+                F.least(F.col("comp"), F.coalesce(F.col("ncomp"), F.col("comp"))).alias("comp"),
+            ),
+        )
         changed = (
             new_labels.select(F.col("node"), F.col("comp").alias("ncomp2"))
             .join(labels, "node")
@@ -501,10 +576,17 @@ def minhash_clusters(spark, threshold: float = 0.6):
     tables, threshold) like the signature relation: the canonical-
     selection pipeline runs right after the clusters query in gate order
     and would otherwise repeat the whole iterative CC loop."""
+    from torchfusion_spark.session import release_staged_group, staged_cache
+
     key = (getattr(spark, "_tf_tables_loaded", None), threshold)
     if getattr(spark, "_tf_clusters_key", object()) != key:
-        labels = connected_components(minhash_lsh(spark, threshold)).cache()
+        labels = staged_cache(
+            spark, "minhash_clusters", connected_components(minhash_lsh(spark, threshold))
+        )
         labels.count()
+        # the cached labels now hold the data — the CC loop's edge/label
+        # checkpoint scratch is dead weight, release it all
+        release_staged_group(spark, "cc_")
         labels.createOrReplaceTempView("__minhash_clusters")
         spark._tf_clusters_key = key
     return spark.table("__minhash_clusters")
@@ -611,11 +693,15 @@ def containment(spark, threshold: float = CONTAIN_THRESHOLD, max_df: int = CONTA
     truncates lineage outright, so every reference scans the materialized
     partitions by construction. At cluster scale this is executor-local
     storage (intra-query staging); swap to ``checkpoint()`` with a
-    reliable dir if the job must survive executor loss mid-query."""
+    reliable dir if the job must survive executor loss mid-query. The
+    checkpoint is slot-tracked (``staged_checkpoint``) so a repeat call
+    releases the superseded blocks instead of accumulating them."""
+    from torchfusion_spark.session import staged_checkpoint
+
     hx = _staged_hx(spark)
-    pruned = spark.sql(
-        containment_pruned_sql("spark", max_df, sh_rel=hx)
-    ).localCheckpoint()
+    pruned = staged_checkpoint(
+        spark, "contain_sh", spark.sql(containment_pruned_sql("spark", max_df, sh_rel=hx))
+    )
     pruned.createOrReplaceTempView("__contain_sh")
     return spark.sql(containment_body_sql("spark", threshold, "__contain_sh"))
 
@@ -719,9 +805,11 @@ def dedup_incremental(spark, new_rel: str, path: str, threshold: float = 0.6):
     This is the production dedup shape: the full-corpus LSH runs once
     (`build_minhash_index`), every subsequent ingest batch is an
     incremental probe."""
-    new_sig = spark.sql(
-        sig_rel_sql("spark", f"({hashed_shingle_sql('spark', rel=new_rel)})")
-    ).cache()
+    from torchfusion_spark.session import staged_cache
+
+    new_sig = staged_cache(
+        spark, "mhinc_sig", spark.sql(sig_rel_sql("spark", f"({hashed_shingle_sql('spark', rel=new_rel)})"))
+    )
     new_sig.count()
     new_sig.createOrReplaceTempView("__mhinc_sig")
     bands = G.band_exprs("sig", "spark")

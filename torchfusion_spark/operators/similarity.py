@@ -51,12 +51,12 @@ def _staged_norms(spark):
     Memoized per (session, loaded tables) — five registry queries stage
     the identical relation back-to-back in gate order (same pattern as
     the minhash signature memo)."""
-    from torchfusion_spark.session import cpu_fanout
+    from torchfusion_spark.session import cpu_fanout, staged_cache
 
     key = getattr(spark, "_tf_tables_loaded", None)
     if getattr(spark, "_tf_sim_norms_key", object()) != key:
         cpu_fanout(spark.table("embeddings")).createOrReplaceTempView("__sim_emb")
-        n = spark.sql(norm_cte("spark", "__sim_emb")).cache()
+        n = staged_cache(spark, "sim_norms", spark.sql(norm_cte("spark", "__sim_emb")))
         n.count()  # materialize before multi-sided reuse
         n.createOrReplaceTempView("__sim_norms")
         spark._tf_sim_norms_key = key
@@ -312,18 +312,28 @@ def ivf_topk(spark, k: int = 10, n_queries: int = 4):
 def semantic_dedup(spark, threshold: float = 0.42, n_centroids: int = 16):
     """Staged Spark path: the assignment relation is referenced three
     times (both pair sides + the verdict scan) — materialize it once."""
+    from torchfusion_spark.session import staged_cache
+
     _staged_norms(spark)
-    a = spark.sql(assign_cte_sql("spark", n_centroids, rel="__sim_norms")).cache()
+    a = staged_cache(
+        spark, "sim_assign", spark.sql(assign_cte_sql("spark", n_centroids, rel="__sim_norms"))
+    )
     a.count()
     a.createOrReplaceTempView("__sim_assign")
     return spark.sql(semantic_dedup_sql("spark", threshold, assign_rel="__sim_assign"))
 
 
 def cosine_near_dup_lsh(spark, threshold: float = 0.30):
+    from torchfusion_spark.session import staged_cache
+
     _staged_norms(spark)
-    b = spark.sql(
-        f"SELECT vec_id, v, nrm, {lsh_bucket_expr('v', 'spark')} AS bucket FROM __sim_norms"
-    ).cache()
+    b = staged_cache(
+        spark,
+        "sim_buckets",
+        spark.sql(
+            f"SELECT vec_id, v, nrm, {lsh_bucket_expr('v', 'spark')} AS bucket FROM __sim_norms"
+        ),
+    )
     b.count()
     b.createOrReplaceTempView("__sim_buckets")
     return spark.sql(cosine_near_dup_lsh_sql("spark", threshold, rel="__sim_buckets"))
@@ -484,28 +494,48 @@ def kmeans(spark, k: int = KMEANS_K, iters: int = KMEANS_ITERS):
     the membership count, re-running the N×k argmin pass, which is the
     single most expensive stage at scale. Centroids (k×dim rows) are
     checkpointed per round so the next assignment starts from data, not
-    from the whole prior lineage."""
+    from the whole prior lineage.
+
+    Temp views carry a per-call nonce (``staging_nonce``) so concurrent
+    kmeans() calls in one session cannot clobber each other's loop state,
+    and each round's checkpoint reuses the call's slot, releasing the
+    superseded round's blocks (ADVICE r03). NOTE for plan auditors: this
+    builder *executes* its staging actions (checkpoints) while building —
+    the returned DataFrame is only the final update/count plan."""
+    from torchfusion_spark.session import (
+        release_staged_group,
+        staged_checkpoint,
+        staging_nonce,
+    )
+
+    nonce = staging_nonce(spark)
+    release_staged_group(spark, "km_", keep_nonce=nonce)  # free the prior call's rounds
+    v_long, v_assign = f"__km_long_{nonce}", f"__km_assign_{nonce}"
     norms = _staged_norms(spark)
     pts = f"(SELECT vec_id, v FROM {norms})"
-    spark.sql(
-        f"SELECT vec_id, p + 1 AS dim, val FROM {pts} pts_t "
-        f"LATERAL VIEW posexplode(v) pe AS p, val"
-    ).localCheckpoint().createOrReplaceTempView("__km_long")
+    staged_checkpoint(
+        spark,
+        f"km_long_{nonce}",
+        spark.sql(
+            f"SELECT vec_id, p + 1 AS dim, val FROM {pts} pts_t "
+            f"LATERAL VIEW posexplode(v) pe AS p, val"
+        ),
+    ).createOrReplaceTempView(v_long)
     cents = f"(SELECT vec_id AS c_id, v AS cv FROM {norms} WHERE vec_id < {k})"
     for i in range(iters):
-        spark.sql(_km_spark_assign(pts, cents)).localCheckpoint().createOrReplaceTempView(
-            "__km_assign"
-        )
+        staged_checkpoint(
+            spark, f"km_assign_{nonce}", spark.sql(_km_spark_assign(pts, cents))
+        ).createOrReplaceTempView(v_assign)
         if i < iters - 1:
-            upd = f"({_km_spark_upd('__km_assign', '__km_long')})"
-            spark.sql(_km_spark_rebuild(upd)).localCheckpoint().createOrReplaceTempView(
-                f"__km_cents{i}"
-            )
-            cents = f"__km_cents{i}"
+            upd = f"({_km_spark_upd(v_assign, v_long)})"
+            staged_checkpoint(
+                spark, f"km_cents_{nonce}", spark.sql(_km_spark_rebuild(upd))
+            ).createOrReplaceTempView(f"__km_cents_{nonce}_{i}")
+            cents = f"__km_cents_{nonce}_{i}"
     return spark.sql(f"""
-    WITH u AS ({_km_spark_upd('__km_assign', '__km_long')}),
+    WITH u AS ({_km_spark_upd(v_assign, v_long)}),
     sizes AS (SELECT c_id, CAST(COUNT(*) AS BIGINT) AS n_members
-              FROM __km_assign GROUP BY c_id)
+              FROM {v_assign} GROUP BY c_id)
     SELECT u.c_id, CAST(u.dim AS BIGINT) AS dim, u.cval, s.n_members
     FROM u JOIN sizes s ON u.c_id = s.c_id
     ORDER BY u.c_id, u.dim

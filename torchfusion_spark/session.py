@@ -36,6 +36,91 @@ def cpu_fanout(df, rows_per_task: int = 128):
     return df.repartition(width)
 
 
+def staged_cache(spark, slot: str, df):
+    """``cache()`` with release tracking for session-staged relations.
+
+    Every staged relation (minhash signatures, similarity norms, …) is
+    memoized per (session, loaded tables); when the memo key changes
+    (sf_dir switch) the superseded cache must be unpersisted or executor
+    storage grows without bound across invocations (ADVICE r03). Keyed by
+    ``slot``: caching into an occupied slot releases the previous
+    DataFrame first. Returns the cached (not yet materialized) DataFrame.
+    """
+    pool = spark.__dict__.setdefault("_tf_staged_pool", {})
+    prev = pool.get(slot)
+    if prev is not None:
+        try:
+            prev.unpersist()
+        except Exception:  # noqa: BLE001 — release is best-effort
+            pass
+    cached = df.cache()
+    pool[slot] = cached
+    return cached
+
+
+def staged_checkpoint(spark, slot: str, df):
+    """``localCheckpoint()`` with release tracking (same contract as
+    :func:`staged_cache`, for the staging shapes where the cache manager
+    fails to substitute the cached plan — see ``operators.dedup.containment``).
+
+    The checkpointed Dataset's logical plan is a ``LogicalRDD`` wrapping
+    the persisted internal RDD, so ``analyzed().rdd()`` on the *result*
+    is the handle the block manager holds; unpersisting it on slot reuse
+    frees the executor blocks (mechanism verified against
+    ``sc.getPersistentRDDs`` in tests/test_extensions.py).
+
+    Order matters: the new checkpoint materializes (localCheckpoint is
+    eager) BEFORE the superseded one is released — a local checkpoint
+    truncates lineage, so an iterative builder whose round N+1 plan reads
+    round N's blocks would lose data under release-first."""
+    pool = spark.__dict__.setdefault("_tf_ck_pool", {})
+    prev = pool.get(slot)
+    ck = df.localCheckpoint()
+    if prev is not None:
+        try:
+            prev.unpersist(False)
+        except Exception:  # noqa: BLE001 — release is best-effort
+            pass
+    try:
+        pool[slot] = ck._jdf.queryExecution().analyzed().rdd()
+    except Exception:  # noqa: BLE001 — never fail staging over the release handle
+        pool.pop(slot, None)
+    return ck
+
+
+def release_staged_group(spark, prefix: str, keep_nonce: int | None = None) -> int:
+    """Release every checkpoint-pool slot starting with ``prefix`` (except
+    slots carrying ``keep_nonce``) — the cross-call half of the staging
+    lifecycle: a nonce isolates one iterative call's slots from a
+    concurrent call's, and the *next* call (or the downstream consumer
+    that has materialized the result) releases the superseded group.
+    Callers must materialize a builder's returned DataFrame before
+    invoking the same builder again — all registry/gate flows do.
+    Returns the number of slots released."""
+    pool = spark.__dict__.get("_tf_ck_pool", {})
+    tag = f"_{keep_nonce}" if keep_nonce is not None else None
+    released = 0
+    for slot in [s for s in pool if s.startswith(prefix)]:
+        if tag is not None and (slot.endswith(tag) or f"{tag}_" in slot):
+            continue
+        try:
+            pool.pop(slot).unpersist(False)
+        except Exception:  # noqa: BLE001 — release is best-effort
+            pool.pop(slot, None)
+        released += 1
+    return released
+
+
+def staging_nonce(spark) -> int:
+    """Monotonic per-session counter for temp-view names of *iterative*
+    staged builders (k-means): fixed global view names would let two
+    concurrent calls in one session clobber each other's state mid-loop
+    (ADVICE r03)."""
+    n = getattr(spark, "_tf_staging_nonce", 0) + 1
+    spark._tf_staging_nonce = n
+    return n
+
+
 def session(
     app_name: str = "torchfusion_spark",
     master: str | None = None,
