@@ -79,3 +79,29 @@ def test_vector_helpers(engine):
         "cosine_similarity(array(1.0,0.0), array(1.0,0.0)) AS c"
     ).collect()[0]
     assert row.d == 11.0 and row.n == 5.0 and abs(row.c - 1.0) < 1e-12
+
+
+def test_argmax_nan_divergence_pinned(spark):
+    """DOCUMENTED divergence from the reference (functions/__init__.py
+    header): the reference's SIMD argmax skips NaN via partial_cmp
+    returning None (src/argmax.rs:101-119 — a NaN element never becomes
+    the max), while Spark's array_max treats NaN as greater than any
+    number, so a NaN element WINS here. This test pins the Spark-side
+    behavior so the divergence stays load-bearing-documented; if it ever
+    fails, either Spark changed NaN ordering or someone 'fixed' argmax —
+    both must update the docs."""
+    import math
+
+    from torchfusion_spark import functions as tff
+
+    df = spark.createDataFrame(
+        [([1.0, float("nan"), 3.0],), ([float("nan"), 1.0, 2.0],), ([5.0, 4.0, 3.0],)],
+        "v array<double>",
+    )
+    got = [r.am for r in df.select(tff.argmax("v").alias("am")).collect()]
+    # Spark: NaN wins -> indexes 1, 0; reference would give 2, 2
+    assert got == [1, 0, 0]
+    # SQL registration path agrees with the column-expression path
+    df.createOrReplaceTempView("nan_probe")
+    sql_got = [r.am for r in spark.sql("SELECT argmax(v) AS am FROM nan_probe").collect()]
+    assert sql_got == got

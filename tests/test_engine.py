@@ -108,3 +108,73 @@ def test_explain_analyze(engine, tables):
     plan = rows[0].plan
     assert "== Analyzed: 3 rows" in plan
     assert "HashAggregate" in plan or "Scan" in plan
+
+
+def test_create_function_rejects_multiple_args(engine):
+    """Reference parity: the TORCH UDF signature is exactly one array
+    argument (src/udf.rs:59-64,108-115 errors otherwise); multi-arg
+    declarations must error, not silently bind the last type token."""
+    import pytest
+
+    with pytest.raises(ValueError, match="exactly one array argument"):
+        engine.sql(
+            "CREATE FUNCTION two_args(a FLOAT[], b FLOAT[]) "
+            "RETURNS FLOAT[] LANGUAGE TORCH AS '/tmp/m.npz'"
+        )
+
+
+def test_external_table_stored_as_avro_error_path(engine):
+    """STORED AS AVRO without the spark-avro jar fails with an actionable
+    message naming the package (DataFusion bundles Avro by default,
+    reference src/lib.rs:128; pip PySpark does not)."""
+    import pytest
+
+    with pytest.raises(RuntimeError, match="spark-avro"):
+        engine.sql("CREATE EXTERNAL TABLE av STORED AS AVRO LOCATION '/tmp/x.avro'")
+
+
+def test_information_schema_tables_and_views(engine, tables):
+    """Full information_schema emulation (reference enables all of it:
+    with_information_schema(true), src/lib.rs:121-123): tables / views /
+    columns / schemata answer from spark.catalog metadata."""
+    engine.spark.sql("CREATE OR REPLACE TEMPORARY VIEW info_probe_v AS SELECT 1 AS one")
+    t = engine.sql(
+        "SELECT table_name, table_type FROM information_schema.tables "
+        "WHERE table_name = 'info_probe_v'"
+    ).collect()
+    assert len(t) == 1 and t[0].table_type == "LOCAL TEMPORARY"
+    # the TPC-H temp views registered by load_tables are listed too
+    names = {
+        r.table_name
+        for r in engine.sql("SELECT table_name FROM information_schema.tables").collect()
+    }
+    assert {"lineitem", "orders", "region"} <= names
+    v = {
+        r.table_name
+        for r in engine.sql("SELECT table_name FROM information_schema.views").collect()
+    }
+    assert "info_probe_v" in v
+
+
+def test_information_schema_columns_and_schemata(engine, tables):
+    cols = engine.sql(
+        "SELECT column_name, ordinal_position, data_type, is_nullable "
+        "FROM information_schema.columns WHERE table_name = 'region' "
+        "ORDER BY ordinal_position"
+    ).collect()
+    # driver testdata region has no r_comment — assert what's there
+    assert [c.column_name for c in cols] == ["r_regionkey", "r_name"]
+    assert cols[0].ordinal_position == 1
+    assert all(c.is_nullable in ("YES", "NO") for c in cols)
+    s = engine.sql("SELECT schema_name FROM information_schema.schemata").collect()
+    assert {r.schema_name for r in s} >= {"default"}
+
+
+def test_information_schema_join_with_df_settings(engine):
+    """Mixed references in one statement: df_settings and tables rewrite
+    independently."""
+    r = engine.sql(
+        "SELECT (SELECT count(*) FROM information_schema.tables) AS n_tables, "
+        "(SELECT count(*) FROM information_schema.df_settings) AS n_settings"
+    ).collect()[0]
+    assert r.n_tables > 0 and r.n_settings > 0

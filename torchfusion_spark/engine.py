@@ -61,6 +61,15 @@ _EXTERNAL_TABLE_RE = re.compile(
 
 _DF_SETTINGS_RE = re.compile(r"information_schema\.df_settings", re.IGNORECASE)
 
+# The rest of information_schema (reference enables ALL of it:
+# with_information_schema(true), src/lib.rs:121-123 — DataFusion provides
+# tables/views/columns/schemata/df_settings). Spark exposes the same
+# metadata through spark.catalog; each referenced relation is rebuilt as
+# a temp view at query time so the snapshot is current.
+_INFO_SCHEMA_RE = re.compile(
+    r"information_schema\.(?P<rel>tables|views|columns|schemata)\b", re.IGNORECASE
+)
+
 # DataFusion's EXPLAIN ANALYZE (execute + annotated plan). Spark has no
 # SQL-level equivalent; emulate: run the query, return the final
 # (AQE-resolved) physical plan plus execution counters.
@@ -105,6 +114,14 @@ class Engine:
             raise ValueError("model file should be specified")
         uri = body[1:-1]
         args = (m.group("args") or "").strip()
+        if "," in args:
+            # reference parity: the TORCH UDF signature is exactly one
+            # array argument — multi-arg declarations error instead of
+            # silently binding the last type (src/udf.rs:59-64,108-115)
+            raise ValueError(
+                "LANGUAGE TORCH functions take exactly one array argument "
+                f"(got: {args!r})"
+            )
         # arg may be "FLOAT[]" or "name FLOAT[]"; only the type matters
         arg_type_token = args.split()[-1] if args else None
         input_type = _parse_array_type(arg_type_token)
@@ -137,6 +154,75 @@ class Engine:
             )
         )
         return torch_rows.unionByName(engine_rows)
+
+    def _info_schema_df(self, rel: str) -> DataFrame:
+        """Build one information_schema relation from ``spark.catalog``
+        metadata (ANSI/DataFusion column layout — reference enables the
+        full schema provider, src/lib.rs:121-123). Driver-side catalog
+        listing only — metadata calls, never data."""
+        cat = self.spark.catalog
+        catalog_name = cat.currentCatalog()
+        if rel == "schemata":
+            rows = [(catalog_name, db.name, "public") for db in cat.listDatabases()]
+            return self.spark.createDataFrame(
+                rows, "catalog_name string, schema_name string, schema_owner string"
+            )
+        tables = list(cat.listTables())
+        if rel == "tables":
+            type_map = {"TEMPORARY": "LOCAL TEMPORARY", "VIEW": "VIEW"}
+            rows = [
+                (
+                    catalog_name,
+                    (t.namespace[0] if t.namespace else None),
+                    t.name,
+                    type_map.get(t.tableType, "BASE TABLE"),
+                )
+                for t in tables
+            ]
+            return self.spark.createDataFrame(
+                rows,
+                "table_catalog string, table_schema string, table_name string, "
+                "table_type string",
+            )
+        if rel == "views":
+            rows = [
+                (catalog_name, (t.namespace[0] if t.namespace else None), t.name, None)
+                for t in tables
+                if t.tableType in ("VIEW", "TEMPORARY")
+            ]
+            return self.spark.createDataFrame(
+                rows,
+                "table_catalog string, table_schema string, table_name string, "
+                "definition string",
+            )
+        # columns: one listColumns call per table (metadata-only)
+        rows = []
+        for t in tables:
+            schema = t.namespace[0] if t.namespace else None
+            qual = f"{schema}.{t.name}" if schema else t.name
+            try:
+                cols = cat.listColumns(qual)
+            except Exception:  # noqa: BLE001 — a dropped temp view mid-listing
+                continue
+            rows += [
+                (
+                    catalog_name,
+                    schema,
+                    t.name,
+                    c.name,
+                    i + 1,
+                    None,
+                    "YES" if c.nullable else "NO",
+                    c.dataType,
+                )
+                for i, c in enumerate(cols)
+            ]
+        return self.spark.createDataFrame(
+            rows,
+            "table_catalog string, table_schema string, table_name string, "
+            "column_name string, ordinal_position int, column_default string, "
+            "is_nullable string, data_type string",
+        )
 
     def _explain_analyze(self, query_text: str) -> DataFrame:
         """Execute, then return the final physical plan (AQE-resolved, so
@@ -178,11 +264,30 @@ class Engine:
                 name = m.group("name")
                 read_arrow_ipc(self.spark, m.group("loc")[1:-1]).createOrReplaceTempView(name)
                 return self.spark.table(name)
-            return self.spark.sql(
-                f"CREATE OR REPLACE TEMPORARY VIEW {m.group('name')} "
-                f"USING {fmt} OPTIONS (path {m.group('loc')})"
-            )
+            try:
+                return self.spark.sql(
+                    f"CREATE OR REPLACE TEMPORARY VIEW {m.group('name')} "
+                    f"USING {fmt} OPTIONS (path {m.group('loc')})"
+                )
+            except Exception as exc:  # noqa: BLE001 — classify, then re-raise
+                # DataFusion bundles Avro (reference src/lib.rs:128 default
+                # features); Spark ships it as the external spark-avro
+                # module. When the jar is present the CREATE above succeeds;
+                # when absent, fail with the actionable message instead of
+                # Spark's generic lookup error.
+                if fmt == "avro" and "Failed to find data source" in str(exc):
+                    raise RuntimeError(
+                        "STORED AS AVRO requires the spark-avro package, which "
+                        "is not bundled with pip-installed PySpark: start the "
+                        "session with spark.jars.packages="
+                        "org.apache.spark:spark-avro_2.13:<spark-version> "
+                        "(reference parity: DataFusion enables Avro by default)"
+                    ) from exc
+                raise
         if _DF_SETTINGS_RE.search(text):
             self.settings().createOrReplaceTempView("df_settings")
             text = _DF_SETTINGS_RE.sub("df_settings", text)
+        for rel in {mm.group("rel").lower() for mm in _INFO_SCHEMA_RE.finditer(text)}:
+            self._info_schema_df(rel).createOrReplaceTempView(f"information_schema_{rel}")
+        text = _INFO_SCHEMA_RE.sub(lambda mm: f"information_schema_{mm.group('rel').lower()}", text)
         return self.spark.sql(text)
