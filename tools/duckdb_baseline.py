@@ -10,6 +10,9 @@ picks it up (if present and same sf) and prints the spark/duckdb ratio
 alongside the timings, so regressions are visible per round.
 
 Usage: python tools/duckdb_baseline.py [sf_dir] [runs]
+Set BASELINE_DUCKDB_OUT to write somewhere other than the repo-root
+BASELINE_DUCKDB.json (e.g. for the sf1 rehearsal, which must not clobber
+the sf0.1 file bench.py compares against).
 """
 
 from __future__ import annotations
@@ -52,7 +55,13 @@ def main() -> None:
         "total_sec": round(sum(timings.values()), 4),
         "queries": timings,
     }
-    with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "BASELINE_DUCKDB.json"), "w") as f:
+    out_path = os.environ.get(
+        "BASELINE_DUCKDB_OUT",
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "BASELINE_DUCKDB.json"
+        ),
+    )
+    with open(out_path, "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps(out))
 
