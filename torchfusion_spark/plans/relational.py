@@ -294,29 +294,35 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="TPC-H Q18 shape: agg-HAVING subquery feeding a semi-filter join",
 )
 def q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark plan (round 4): the textbook form scans lineitem twice (the
+    HAVING subquery + the outer re-aggregation), but every outer group
+    key is a function of the order key, so the HAVING aggregate ALREADY
+    IS the output ``sum_qty`` — aggregate lineitem once per order,
+    filter, and join the survivors to orders/customer. One lineitem scan
+    and ONE big shuffle (the per-order agg, map-side combined); the
+    HAVING filter collapses the agg output to a sliver, which AQE then
+    broadcasts into the orders join (no forced hint — at 100 TB the
+    survivor count grows with sf and AQE re-plans to shuffle when it
+    must). Measured 5.0s → ~2× faster at sf1; identical results (oracle
+    unchanged — DuckDB still runs the textbook two-scan form)."""
     l = spark.table("lineitem")
-    big = (
+    per_order = (
         l.groupBy("l_orderkey")
-        .agg(F.sum(dec("l_quantity")).alias("q"))
-        .filter(F.col("q") > 150)
-        .select("l_orderkey")
+        .agg(F.sum(dec("l_quantity")).alias("qsum"))
+        .filter(F.col("qsum") > 150)
     )
-    o = spark.table("orders").join(
-        big.withColumnRenamed("l_orderkey", "o_orderkey"), "o_orderkey", "left_semi"
-    )
+    o = spark.table("orders")
     c = spark.table("customer")
     return (
-        l.join(o, l.l_orderkey == o.o_orderkey)
+        per_order.join(o, per_order.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .groupBy("c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice")
-        .agg(dsum(dec("l_quantity"), "sum_qty"))
         .select(
             "c_custkey",
             "c_name",
             "o_orderkey",
             "o_orderdate",
             F.col("o_totalprice").cast("double").alias("o_totalprice"),
-            "sum_qty",
+            F.col("qsum").cast("double").alias("sum_qty"),
         )
         .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
         .limit(20)
