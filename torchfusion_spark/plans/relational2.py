@@ -523,27 +523,58 @@ def q12_priority_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY s_name ORDER BY numwait DESC, s_name
     """,
     doc="TPC-H Q21 shape (adapted: returnflag for the late-delivery flag): "
-    "EXISTS + NOT EXISTS self-joins on the fact decorrelated to "
-    "left-semi + left-anti",
+    "EXISTS + NOT EXISTS self-joins on the fact, rewritten on Spark to "
+    "per-order supplier counts over a single fact shuffle",
 )
 def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.sql(
-        """
-        SELECT s_name, COUNT(*) AS numwait
-        FROM supplier, lineitem l1, orders, nation
-        WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
-          AND o_orderstatus = 'F' AND s_nationkey = n_nationkey
-          AND n_name = 'NATION_3'
-          AND l1.l_returnflag = 'R'
-          AND EXISTS (SELECT 1 FROM lineitem l2
-                      WHERE l2.l_orderkey = l1.l_orderkey
-                        AND l2.l_suppkey <> l1.l_suppkey)
-          AND NOT EXISTS (SELECT 1 FROM lineitem l3
-                          WHERE l3.l_orderkey = l1.l_orderkey
-                            AND l3.l_suppkey <> l1.l_suppkey
-                            AND l3.l_returnflag = 'R')
-        GROUP BY s_name ORDER BY numwait DESC, s_name
-        """
+    """Spark plan (round 4): the textbook EXISTS + NOT EXISTS pair
+    decorrelates into left-semi + left-anti self-joins — three lineitem
+    passes and SortMergeJoins at scale (observed at sf1). Both
+    predicates are per-order supplier counts: EXISTS(other supplier) ⇔
+    n_supp > 1, NOT EXISTS(other 'R' supplier) ⇔ this supplier is the
+    order's ONLY 'R' supplier ⇔ n_r_supp = 1 (given it has 'R' rows).
+    So: collapse the fact to one row per (orderkey, suppkey) with its
+    'R'-row count — ONE shuffle, pre-partitioned by orderkey so the
+    grouping (orderkey ⊆ group keys) and both order-level window counts
+    reuse the same exchange — then window-filter and rejoin the tiny
+    survivor set to status-'F' orders (AQE broadcasts it) and the
+    nation-filtered supplier dim. numwait sums the survivor's 'R'-row
+    counts, which is exactly COUNT(*) of qualifying l1 rows. Oracle
+    unchanged (DuckDB runs the textbook correlated form)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    per_os = (
+        spark.table("lineitem")
+        .select("l_orderkey", "l_suppkey", "l_returnflag")
+        .repartition(F.col("l_orderkey"))
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.count(F.when(F.col("l_returnflag") == "R", 1)).alias("r_rows"))
+    )
+    w = Window.partitionBy("l_orderkey")
+    sole_r = (
+        per_os.withColumn("n_supp", F.count(F.lit(1)).over(w))
+        .withColumn("n_r_supp", F.sum(F.when(F.col("r_rows") > 0, 1).otherwise(0)).over(w))
+        .filter((F.col("r_rows") > 0) & (F.col("n_supp") > 1) & (F.col("n_r_supp") == 1))
+        .select("l_orderkey", "l_suppkey", "r_rows")
+    )
+    o = spark.table("orders").filter(F.col("o_orderstatus") == "F").select("o_orderkey")
+    s = (
+        spark.table("supplier")
+        .join(
+            F.broadcast(
+                spark.table("nation").filter(F.col("n_name") == "NATION_3")
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_name")
+    )
+    return (
+        sole_r.join(o, sole_r.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), sole_r.l_suppkey == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.sum("r_rows").cast("bigint").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
     )
 
 

@@ -165,7 +165,7 @@ _both(
     "part-supplier relation",
 )
 
-_both(
+@query(
     "q17_small_quantity_revenue",
     """
     SELECT CAST(ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
@@ -175,9 +175,43 @@ _both(
       AND l_quantity < (SELECT 0.2 * AVG(l_quantity)
                         FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
     """,
-    doc="TPC-H Q17 shape: correlated average subquery on the fact table, "
-    "decorrelated by Catalyst into an aggregate self-join",
+    doc="TPC-H Q17 shape: correlated average subquery on the fact table — "
+    "Spark plan rewrites it to a window average (single fact shuffle)",
 )
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark plan (round 4): Catalyst decorrelates the textbook form into
+    an aggregate joined back to the fact — TWO lineitem passes and a
+    SortMergeJoin once the per-part aggregate outgrows the broadcast
+    threshold (observed at sf1). The correlated average is exactly a
+    window over the part key: broadcast-join the (tiny, filtered) part
+    dim, AVG OVER (PARTITION BY l_partkey), filter, one global sum. The
+    join keeps every lineitem row of each qualifying part, so the window
+    mean equals the subquery mean; ONE shuffle of the projected fact,
+    no self-join at any scale. Oracle unchanged (DuckDB runs the
+    textbook correlated form)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    p = spark.table("part").filter(
+        (F.col("p_brand") == "Brand#3") & (F.col("p_type") == "SMALL")
+    )
+    joined = (
+        spark.table("lineitem")
+        .select("l_partkey", "l_quantity", "l_extendedprice")
+        .join(F.broadcast(p.select("p_partkey")), F.col("l_partkey") == F.col("p_partkey"))
+    )
+    w = Window.partitionBy("l_partkey")
+    return (
+        joined.withColumn("part_avg_qty", F.avg("l_quantity").over(w))
+        .filter(F.col("l_quantity") < 0.2 * F.col("part_avg_qty"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(12,2)")).cast("double") / 7.0, 6
+            )
+            .cast("double")
+            .alias("avg_yearly")
+        )
+    )
 
 _both(
     "q20_potential_promotion",
