@@ -410,25 +410,54 @@ def join_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="TPC-H Q2 shape (adapted: lineitem as the part-supplier link, "
     "min-acctbal for min-supplycost): correlated scalar subquery over a "
-    "multi-join, decorrelated by Catalyst into an aggregated self-join",
+    "multi-join — Spark plan rewrites it to a window-min over one "
+    "pre-partitioned fact exchange",
 )
 def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.sql(
-        """
-        WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
-        SELECT p_partkey, s_name, CAST(s_acctbal AS DOUBLE) AS s_acctbal
-        FROM part, ps, supplier, nation, region
-        WHERE p_partkey = ps.l_partkey AND s_suppkey = ps.l_suppkey
-          AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
-          AND r_name = 'EUROPE' AND p_size = 15
-          AND s_acctbal = (
-              SELECT MIN(s2.s_acctbal)
-              FROM ps ps2, supplier s2, nation n2, region r2
-              WHERE ps2.l_partkey = p_partkey AND s2.s_suppkey = ps2.l_suppkey
-                AND s2.s_nationkey = n2.n_nationkey AND n2.n_regionkey = r2.r_regionkey
-                AND r2.r_name = 'EUROPE')
-        ORDER BY p_partkey, s_name
-        """
+    """Spark plan (round 4): Catalyst inlines the ``ps`` CTE into both
+    the outer join tree and the decorrelated MIN aggregate, running the
+    6M-row DISTINCT twice (6 shuffles at sf1). The correlated MIN over
+    EUROPE suppliers of the same part is a window: build the
+    EUROPE-supplier part-supplier relation ONCE — pre-partitioned by
+    l_partkey so the DISTINCT (l_partkey ⊆ group keys) and the window
+    both reuse that single exchange — keep rows at the per-part minimum
+    (ties kept, as the ``=`` subquery does), then broadcast-join the
+    p_size part filter. One fact-wide exchange total; every dim join is
+    a broadcast. Oracle unchanged (DuckDB runs the textbook correlated
+    form)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    eu_supp = (
+        spark.table("supplier")
+        .join(
+            F.broadcast(
+                spark.table("nation").join(
+                    F.broadcast(spark.table("region").filter(F.col("r_name") == "EUROPE")),
+                    F.col("n_regionkey") == F.col("r_regionkey"),
+                )
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_name", "s_acctbal")
+    )
+    ps = (
+        spark.table("lineitem")
+        .select("l_partkey", "l_suppkey")
+        .repartition(F.col("l_partkey"))
+        .distinct()
+    )
+    w = Window.partitionBy("l_partkey")
+    best = (
+        ps.join(F.broadcast(eu_supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .withColumn("min_bal", F.min("s_acctbal").over(w))
+        .filter(F.col("s_acctbal") == F.col("min_bal"))
+    )
+    p = spark.table("part").filter(F.col("p_size") == 15).select("p_partkey")
+    return (
+        best.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .select("p_partkey", "s_name", F.col("s_acctbal").cast("double").alias("s_acctbal"))
+        .orderBy("p_partkey", "s_name")
     )
 
 
