@@ -110,10 +110,50 @@ def _plan_counts(df) -> Counter:
     return counts
 
 
+# Disposition table for audits at FACT scale (sf >= 0.1): joins that
+# broadcast at gate sf but legitimately show SortMergeJoin/cartesian in
+# the STATIC plan once a side outgrows the 10 MB threshold. Two classes,
+# kept separate so the gate-sf audit (where SMJ = missed broadcast)
+# stays strict:
+#   scale-plan  — both join sides grow with the corpus (LSH/shingle/
+#                 bucket self-joins, fact⋈fact); SMJ on the join key IS
+#                 the intended 100 TB plan, broadcast would OOM.
+#   aqe-runtime — the flagged side is a filtered/aggregated sliver whose
+#                 STATIC size estimate is pessimistic; AQE re-plans the
+#                 join to broadcast at runtime (measured at sf1 — see
+#                 SCALE.md round-4 section).
+_EXPECTED_AT_SCALE = {
+    # scale-plan
+    "dedup_containment": {"sort_merge_join"},      # inverted-index self-join
+    "dedup_minhash_lsh": {"sort_merge_join"},      # band + verify self-joins
+    "dedup_ngram_jaccard": {"sort_merge_join"},    # blocked self-join
+    "sim_cosine_near_dup_lsh": {"sort_merge_join"},  # bucket self-join
+    "text_dup_gram_fraction": {"sort_merge_join"},   # gram self-join
+    "q3_shipping_priority": {"sort_merge_join"},   # lineitem ⋈ orders
+    "q4_order_priority": {"sort_merge_join"},      # orders ⋉ lineitem
+    "q18_large_volume_customer": {"sort_merge_join"},  # HAVING-survivor side is
+    # fact-derived (grows with orders) — measured at sf1: AQE keeps the SMJ
+    "sim_cosine_near_dup": {"cartesian"},          # gated exact verifier (vec_id cap)
+    # aqe-runtime: the probe/benchmark side is bounded by the benchmark
+    # suite, not the corpus — statically estimated at table size (SMJ),
+    # re-planned to broadcast by AQE once its true size is known
+    "text_decontaminate": {"sort_merge_join"},
+    "text_decontaminate_bloom": {"sort_merge_join"},
+}
+
+
+def _sf_of(sf_dir: str) -> float:
+    try:
+        return float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    except ValueError:
+        return 0.0
+
+
 def audit(spark, sf_dir: str, names=None) -> dict[str, dict]:
     from torchfusion_spark.plans import REGISTRY
     from torchfusion_spark.sources import load_tables
 
+    at_scale = _sf_of(sf_dir) >= 0.1
     load_tables(spark, sf_dir)
     rows: dict[str, dict] = {}
     for name, q in sorted(REGISTRY.items()):
@@ -131,12 +171,15 @@ def audit(spark, sf_dir: str, names=None) -> dict[str, dict]:
             "broadcasts": counts.get("BroadcastExchange", 0)
             + counts.get("BroadcastQueryStage", 0),
         }
+        expected = set(_EXPECTED.get(name, ()))
+        if at_scale:
+            expected |= _EXPECTED_AT_SCALE.get(name, set())
         flags = []
         for op, flag in _FLAG_NAMES.items():
             n = counts.get(op, 0)
             if n:
                 row[flag] = row.get(flag, 0) + n
-                if flag not in ("arrow_python",) and flag not in _EXPECTED.get(name, ()):
+                if flag not in ("arrow_python",) and flag not in expected:
                     if flag not in flags:
                         flags.append(flag)
         row["unexpected"] = flags

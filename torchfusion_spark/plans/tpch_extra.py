@@ -110,7 +110,7 @@ _both(
     "grouped aggregate filtered against a global scalar-subquery fraction",
 )
 
-_both(
+@query(
     "q13_customer_distribution",
     """
     SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
@@ -122,8 +122,36 @@ _both(
     GROUP BY c_count ORDER BY custdist DESC, c_count DESC
     """,
     doc="TPC-H Q13 shape (comment filter adapted to order priority): "
-    "outer-join count distribution — aggregate of an aggregate",
+    "outer-join count distribution — Spark plan pre-aggregates orders "
+    "so the fact reduces map-side before the outer join",
 )
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark plan (round 4): the textbook form outer-joins the full
+    orders fact into customer and THEN counts — the fact crosses the
+    exchange at row grain. Counting per o_custkey first reduces orders
+    map-side (partial count before the shuffle) to customer cardinality;
+    the outer join then moves two customer-sized relations and the
+    no-orders case becomes COALESCE(cnt, 0). No forced broadcast — at
+    gate sf AQE broadcasts the count side; at 100 TB (counts are
+    customer-cardinality) it re-plans to a co-partitioned join. Same
+    result as COUNT(o_orderkey) since o_orderkey is never null. Oracle
+    unchanged."""
+    from pyspark.sql import functions as F
+
+    cnt = (
+        spark.table("orders")
+        .filter(F.col("o_orderpriority") != "1-URGENT")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return (
+        spark.table("customer")
+        .join(cnt, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .select(F.coalesce(F.col("cnt"), F.lit(0)).cast("bigint").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
 
 _both(
     "q15_top_supplier",
