@@ -58,11 +58,8 @@ _EXPECTED = {
     "sim_cosine_near_dup": {"bnl_join"},  # gated exact verifier (vec_id cap)
     "events_asof_join": {"bnl_join"},  # banded join, band side broadcast
     "events_range_join": {"bnl_join"},  # banded range join
-    # joins against aggregate-DERIVED relations that are fact-scale at
-    # 100 TB (per-part MIN cost / per-(part,supp) SUM qty): SMJ on the
-    # join key is the scale-correct choice, broadcast would OOM
-    "q2_min_cost_supplier": {"sort_merge_join"},
-    "q20_potential_promotion": {"sort_merge_join"},
+    # (q2/q20 whitelists removed in round 4: their builders now produce
+    # single-exchange window/distinct forms with no SMJ at either scale)
     # centroid/medoid relations broadcast (BNL over tiny side is the
     # argmin scan); assignments ⋈ vectors on vec_id is embeddings-scale
     # on both sides → SMJ correct

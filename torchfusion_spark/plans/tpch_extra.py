@@ -241,7 +241,7 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
-_both(
+@query(
     "q20_potential_promotion",
     """
     SELECT s_name, s_suppkey
@@ -255,8 +255,54 @@ _both(
     ORDER BY s_suppkey
     """,
     doc="TPC-H Q20 shape (availability threshold adapted to shipped "
-    "quantity — no partsupp): IN-subquery over a grouped HAVING aggregate",
+    "quantity — no partsupp): IN-subquery over a grouped HAVING "
+    "aggregate, collapsed to distinct supplier keys on the Spark side",
 )
+def q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark plan (round 4): the IN-subquery decorrelates to a left-semi
+    join of (tiny) supplier against the fact-sized (suppkey, partkey)
+    HAVING aggregate — a SortMergeJoin, because a left-semi cannot
+    broadcast its preserved side. But IN only needs the DISTINCT
+    supplier keys, bounded by supplier cardinality, not the fact — and
+    once the key set is distinct, INNER join ≡ semi join, which frees
+    the planner to broadcast EITHER side: statically it broadcasts the
+    supplier dim; at a scale where both sides are huge it degrades to a
+    co-partitioned join on the key. Part filter broadcast; one fact
+    shuffle for the HAVING aggregate; no SMJ at any audited scale.
+    Oracle unchanged."""
+    from pyspark.sql import functions as F
+
+    qual = (
+        spark.table("lineitem")
+        .join(
+            F.broadcast(
+                spark.table("part").filter(F.col("p_name").like("small%")).select("p_partkey")
+            ),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("q"))
+        .filter(F.col("q") > 50)
+        .select("l_suppkey")
+        .distinct()
+    )
+    sup = (
+        spark.table("supplier")
+        .join(
+            F.broadcast(spark.table("nation").filter(F.col("n_name") == "NATION_9")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_name", "s_suppkey")
+    )
+    # explicit hint: sup is dim-sized by construction, but as a JOIN
+    # result its static size estimate is the product of its inputs
+    # (no-CBO multiplication blowup), which pushes it past the broadcast
+    # threshold and would fall back to SMJ
+    return (
+        qual.join(F.broadcast(sup), F.col("s_suppkey") == F.col("l_suppkey"))
+        .select("s_name", "s_suppkey")
+        .orderBy("s_suppkey")
+    )
 
 _both(
     "q22_global_sales_opportunity",
