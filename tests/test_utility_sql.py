@@ -300,6 +300,9 @@ def test_plan_audit_clean_on_key_queries(spark, tables):
         "events_range_join", "sim_kmeans", "join_full_outer", "dedup_exact",
         "corpus_pack_sequences", "skew_salted_join", "dedup_containment",
         "corpus_mixture_plan", "text_entropy", "corpus_shuffle_shards",
+        "q18_large_volume_customer", "q2_min_cost_supplier",
+        "q13_customer_distribution", "q20_potential_promotion",
+        "q17_small_quantity_revenue", "q21_waiting_supplier",
     }
     # the round-3 derivation fixes must hold: these exact ceilings were
     # the measured post-fix counts (regressing means a CTE/scalar-subquery
@@ -316,6 +319,11 @@ def test_plan_audit_clean_on_key_queries(spark, tables):
         "dedup_simhash": 4, "dedup_containment": 4, "dedup_minhash_lsh": 4,
         "corpus_mixture_plan": 2, "text_entropy": 3, "corpus_shuffle_shards": 2,
         "sim_kmeans": 4, "text_decontaminate_bloom": 8,
+        # round-4 TPC-H derivation rewrites (measured post-fix counts —
+        # regressing means a dual-scan/self-join decorrelation came back)
+        "q18_large_volume_customer": 2, "q2_min_cost_supplier": 2,
+        "q13_customer_distribution": 3, "q20_potential_promotion": 3,
+        "q17_small_quantity_revenue": 2, "q21_waiting_supplier": 3,
     }
     rows = audit(spark, tables, names=names)
     assert set(rows) == names
