@@ -47,6 +47,12 @@ HEADLINE = [
     "events_retention",
     "corpus_pack_sequences",
     "corpus_chunk_overlap",
+    # round-4 derivation rewrites — benched so a plan regression shows
+    # up as a timing regression too, not just an audit flag
+    "q2_min_cost_supplier",
+    "q17_small_quantity_revenue",
+    "q20_potential_promotion",
+    "q21_waiting_supplier",
 ]
 
 
