@@ -239,11 +239,13 @@ def pipeline_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "stream_stateful_user_stats",
-    None,  # custom state machine (applyInPandasWithState) — float totals
-    # accumulate in python-visit order, not SQL-expressible bit-exactly;
-    # batch parity (with tolerance) is pinned in tests/test_streaming.py
+    streaming_mod.STATEFUL_USER_STATS_ORACLE,
     doc="custom stateful streaming operator via applyInPandasWithState: "
-    "per-user running (n_events, total_value) in explicit group state",
+    "per-user running (n_events, total_value) in explicit group state; "
+    "state carries exact integer hundredths (value is 2-decimal) so the "
+    "emitted double is order-independent and fully hash-checked — the "
+    "round-5 determinism fix that retired the registry's last "
+    "rows-only row",
 )
 def stream_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from torchfusion_spark import streaming

@@ -131,18 +131,28 @@ def stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful operator via applyInPandasWithState: per-user
     running (n_events, total_value) maintained in explicit state — the
     template for operators Spark's built-in aggs can't express (counters
-    with custom merge/expiry logic)."""
+    with custom merge/expiry logic).
+
+    The monetary accumulator is held in state as exact integer hundredths
+    (``value`` is a 2-decimal quantity) and only projected back to a double
+    at emission. Accumulating the float directly would make the total
+    depend on micro-batch visit order — non-reproducible across task
+    retries on a real cluster and un-hashable against a SQL oracle; the
+    fixed-point state is the same discipline the ``events_anomaly_zscore``
+    DECIMAL moments use, and is why this query is fully hash-checked."""
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     def update(key, pdfs, state: GroupState):
-        n, total = state.get if state.exists else (0, 0.0)
+        n, hundredths = state.get if state.exists else (0, 0)
         for pdf in pdfs:
             n += len(pdf)
-            total += float(pdf["value"].sum())
-        state.update((n, total))
+            hundredths += int((pdf["value"] * 100).round().astype("int64").sum())
+        state.update((n, hundredths))
         import pandas as pd
 
-        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 2)]})
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [hundredths / 100.0]}
+        )
 
     out = (
         _event_stream(spark, sf_dir)
@@ -150,7 +160,7 @@ def stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .applyInPandasWithState(
             update,
             outputStructType="user_id bigint, n_events bigint, total_value double",
-            stateStructType="n bigint, total double",
+            stateStructType="n bigint, hundredths bigint",
             outputMode="update",
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
@@ -308,6 +318,15 @@ def _latest_per_user(latest: DataFrame) -> DataFrame:
 STATEFUL_CENTS_ORACLE = """
     SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
            CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS total_cents
+    FROM events GROUP BY user_id ORDER BY user_id
+    """
+
+# the user-stats twin holds the same exact integer-hundredths state but
+# projects it back to a double at emission; the single final division is
+# order-independent, so the double column hash-matches the oracle
+STATEFUL_USER_STATS_ORACLE = """
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+           SUM(CAST(ROUND(value * 100) AS BIGINT)) / 100.0 AS total_value
     FROM events GROUP BY user_id ORDER BY user_id
     """
 
