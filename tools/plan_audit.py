@@ -139,18 +139,31 @@ _EXPECTED_AT_SCALE = {
 }
 
 
-def _sf_of(sf_dir: str) -> float:
+def _at_scale(sf_dir: str) -> bool:
+    """Whether ``sf_dir`` holds sf >= 0.1 data, decided from the lineitem
+    parquet footer row count (sf0.1 = ~600k lineitem rows) rather than by
+    parsing a scale factor out of the directory name — a custom dir name
+    (``sf1_rehearsal``, any path) must not silently flip the expectation
+    set (ADVICE r04). ``PLAN_AUDIT_AT_SCALE=0|1`` overrides."""
+    env = os.environ.get("PLAN_AUDIT_AT_SCALE")
+    if env is not None:
+        return env not in ("0", "false", "")
     try:
-        return float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
-    except ValueError:
-        return 0.0
+        import pyarrow.parquet as pq
+
+        rows = pq.ParquetFile(os.path.join(sf_dir, "lineitem.parquet")).metadata.num_rows
+        return rows >= 500_000
+    except Exception as e:  # noqa: BLE001
+        print(f"plan_audit: cannot read lineitem footer under {sf_dir} ({e}); "
+              "assuming small-scale expectations (set PLAN_AUDIT_AT_SCALE to override)")
+        return False
 
 
 def audit(spark, sf_dir: str, names=None) -> dict[str, dict]:
     from torchfusion_spark.plans import REGISTRY
     from torchfusion_spark.sources import load_tables
 
-    at_scale = _sf_of(sf_dir) >= 0.1
+    at_scale = _at_scale(sf_dir)
     load_tables(spark, sf_dir)
     rows: dict[str, dict] = {}
     for name, q in sorted(REGISTRY.items()):

@@ -70,6 +70,41 @@ _INFO_SCHEMA_RE = re.compile(
     r"information_schema\.(?P<rel>tables|views|columns|schemata)\b", re.IGNORECASE
 )
 
+# SQL single-quoted literal (doubled-quote escape included): the
+# information_schema rewrites must not fire inside string values
+# (ADVICE r04 — a literal like 'see information_schema.tables' was
+# rewritten too).
+_SQL_LITERAL_RE = re.compile(r"'(?:[^']|'')*'")
+
+
+def _sub_outside_literals(pattern: re.Pattern, repl, text: str) -> str:
+    """``pattern.sub(repl, ...)`` applied only to the segments of ``text``
+    outside single-quoted SQL string literals."""
+    out, last = [], 0
+    for m in _SQL_LITERAL_RE.finditer(text):
+        out.append(pattern.sub(repl, text[last : m.start()]))
+        out.append(m.group(0))
+        last = m.end()
+    out.append(pattern.sub(repl, text[last:]))
+    return "".join(out)
+
+
+# names of the emulation's own helper temp views — catalog listings must
+# not report them as user LOCAL TEMPORARY relations (ADVICE r04); they
+# are presented as the information_schema views DataFusion shows instead
+_INFO_SCHEMA_RELATIONS: dict[str, str] = {
+    "tables": "table_catalog string, table_schema string, table_name string, table_type string",
+    "views": "table_catalog string, table_schema string, table_name string, definition string",
+    "columns": "table_catalog string, table_schema string, table_name string, "
+    "column_name string, ordinal_position int, column_default string, "
+    "is_nullable string, data_type string",
+    "schemata": "catalog_name string, schema_name string, schema_owner string",
+    "df_settings": "name string, value string, description string",
+}
+_INFO_SCHEMA_HELPER_NAMES = frozenset(
+    {"df_settings"} | {f"information_schema_{r}" for r in _INFO_SCHEMA_RELATIONS}
+)
+
 # DataFusion's EXPLAIN ANALYZE (execute + annotated plan). Spark has no
 # SQL-level equivalent; emulate: run the query, return the final
 # (AQE-resolved) physical plan plus execution counters.
@@ -164,10 +199,14 @@ class Engine:
         catalog_name = cat.currentCatalog()
         if rel == "schemata":
             rows = [(catalog_name, db.name, "public") for db in cat.listDatabases()]
+            rows.append((catalog_name, "information_schema", "public"))
             return self.spark.createDataFrame(
                 rows, "catalog_name string, schema_name string, schema_owner string"
             )
-        tables = list(cat.listTables())
+        # the emulation's own helper temp views are presentation machinery,
+        # not user relations: list them the way DataFusion lists its
+        # information_schema views, never as LOCAL TEMPORARY rows
+        tables = [t for t in cat.listTables() if t.name not in _INFO_SCHEMA_HELPER_NAMES]
         if rel == "tables":
             type_map = {"TEMPORARY": "LOCAL TEMPORARY", "VIEW": "VIEW"}
             rows = [
@@ -178,6 +217,10 @@ class Engine:
                     type_map.get(t.tableType, "BASE TABLE"),
                 )
                 for t in tables
+            ]
+            rows += [
+                (catalog_name, "information_schema", r, "VIEW")
+                for r in sorted(_INFO_SCHEMA_RELATIONS)
             ]
             return self.spark.createDataFrame(
                 rows,
@@ -190,6 +233,10 @@ class Engine:
                 for t in tables
                 if t.tableType in ("VIEW", "TEMPORARY")
             ]
+            rows += [
+                (catalog_name, "information_schema", r, None)
+                for r in sorted(_INFO_SCHEMA_RELATIONS)
+            ]
             return self.spark.createDataFrame(
                 rows,
                 "table_catalog string, table_schema string, table_name string, "
@@ -197,6 +244,22 @@ class Engine:
             )
         # columns: one listColumns call per table (metadata-only)
         rows = []
+        for rname in sorted(_INFO_SCHEMA_RELATIONS):
+            for i, field in enumerate(
+                self.spark.createDataFrame([], _INFO_SCHEMA_RELATIONS[rname]).schema
+            ):
+                rows.append(
+                    (
+                        catalog_name,
+                        "information_schema",
+                        rname,
+                        field.name,
+                        i + 1,
+                        None,
+                        "YES",
+                        field.dataType.simpleString(),
+                    )
+                )
         for t in tables:
             schema = t.namespace[0] if t.namespace else None
             qual = f"{schema}.{t.name}" if schema else t.name
@@ -284,10 +347,15 @@ class Engine:
                         "(reference parity: DataFusion enables Avro by default)"
                     ) from exc
                 raise
-        if _DF_SETTINGS_RE.search(text):
+        # scan/rewrite only outside string literals (ADVICE r04): a
+        # literal mentioning information_schema.* must pass through intact
+        scannable = _SQL_LITERAL_RE.sub("''", text)
+        if _DF_SETTINGS_RE.search(scannable):
             self.settings().createOrReplaceTempView("df_settings")
-            text = _DF_SETTINGS_RE.sub("df_settings", text)
-        for rel in {mm.group("rel").lower() for mm in _INFO_SCHEMA_RE.finditer(text)}:
+            text = _sub_outside_literals(_DF_SETTINGS_RE, "df_settings", text)
+        for rel in {mm.group("rel").lower() for mm in _INFO_SCHEMA_RE.finditer(scannable)}:
             self._info_schema_df(rel).createOrReplaceTempView(f"information_schema_{rel}")
-        text = _INFO_SCHEMA_RE.sub(lambda mm: f"information_schema_{mm.group('rel').lower()}", text)
+        text = _sub_outside_literals(
+            _INFO_SCHEMA_RE, lambda mm: f"information_schema_{mm.group('rel').lower()}", text
+        )
         return self.spark.sql(text)

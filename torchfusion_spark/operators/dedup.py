@@ -531,12 +531,18 @@ def connected_components(pairs, max_iter: int = 25):
     nonce = staging_nonce(spark)
     fwd = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
     edges = fwd.union(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-    edges = staged_checkpoint(spark, f"cc_edges_{nonce}", edges.distinct())
+    # slots share the cc_{nonce}_ prefix so a consumer can release exactly
+    # this call's scratch (release_staged_group(spark, f"cc_{nonce}_"))
+    # without dropping a concurrent call's live checkpoints; the nonce is
+    # exposed on the returned DataFrame as _tf_cc_nonce (ADVICE r04)
+    edges = staged_checkpoint(spark, f"cc_{nonce}_edges", edges.distinct())
     if edges.count() <= SMALL_GRAPH_EDGES:
-        return _cc_single_task(edges)
+        out = _cc_single_task(edges)
+        out._tf_cc_nonce = nonce
+        return out
     labels = staged_checkpoint(
         spark,
-        f"cc_labels_{nonce}_init",
+        f"cc_{nonce}_labels_init",
         edges.select(F.col("src").alias("node")).distinct().withColumn("comp", F.col("node")),
     )
     for rnd in range(max_iter):
@@ -550,7 +556,7 @@ def connected_components(pairs, max_iter: int = 25):
         )
         new_labels = staged_checkpoint(
             spark,
-            f"cc_labels_{nonce}_{rnd % 2}",
+            f"cc_{nonce}_labels_{rnd % 2}",
             labels.join(nbr, "node", "left").select(
                 "node",
                 F.least(F.col("comp"), F.coalesce(F.col("ncomp"), F.col("comp"))).alias("comp"),
@@ -565,9 +571,11 @@ def connected_components(pairs, max_iter: int = 25):
         labels = new_labels
         if changed == 0:
             break
-    return labels.select(F.col("node").alias("doc_id"), F.col("comp").alias("component")).orderBy(
+    out = labels.select(F.col("node").alias("doc_id"), F.col("comp").alias("component")).orderBy(
         "doc_id"
     )
+    out._tf_cc_nonce = nonce
+    return out
 
 
 def minhash_clusters(spark, threshold: float = 0.6):
@@ -580,13 +588,17 @@ def minhash_clusters(spark, threshold: float = 0.6):
 
     key = (getattr(spark, "_tf_tables_loaded", None), threshold)
     if getattr(spark, "_tf_clusters_key", object()) != key:
-        labels = staged_cache(
-            spark, "minhash_clusters", connected_components(minhash_lsh(spark, threshold))
-        )
+        cc = connected_components(minhash_lsh(spark, threshold))
+        labels = staged_cache(spark, "minhash_clusters", cc)
         labels.count()
-        # the cached labels now hold the data — the CC loop's edge/label
-        # checkpoint scratch is dead weight, release it all
-        release_staged_group(spark, "cc_")
+        # the cached labels now hold the data — THIS call's CC edge/label
+        # checkpoint scratch is dead weight. Release only the nonce-scoped
+        # group (ADVICE r04): a bare "cc_" release would unpersist a
+        # concurrent connected_components call's live localCheckpoint
+        # blocks mid-loop, which lineage truncation makes unrecoverable.
+        nonce = getattr(cc, "_tf_cc_nonce", None)
+        if nonce is not None:
+            release_staged_group(spark, f"cc_{nonce}_")
         labels.createOrReplaceTempView("__minhash_clusters")
         spark._tf_clusters_key = key
     return spark.table("__minhash_clusters")

@@ -35,6 +35,48 @@ class Query:
 REGISTRY: dict[str, Query] = {}
 
 
+def fits_broadcast(spark: SparkSession, table: str, slack: float = 4.0) -> bool:
+    """Whether ``table``'s optimizer size estimate (file-size derived for
+    parquet scans — trustworthy, unlike join-output products) fits within
+    ``slack``× the autoBroadcastJoinThreshold.
+
+    Gates HARD ``F.broadcast`` hints on dims that grow with scale factor
+    (customer/supplier/part): AQE never demotes an explicit hint, so a dim
+    that is broadcast-sized at every test scale can still outgrow an
+    executor at 100 TB, where a forced broadcast is an OOM, not a plan
+    choice. nation/region (fixed 25/5 rows) never need the gate."""
+    try:
+        size = int(
+            spark.table(table)
+            ._jdf.queryExecution()
+            .optimizedPlan()
+            .stats()
+            .sizeInBytes()
+            .longValue()
+        )
+        raw = spark.conf.get(
+            "spark.sql.autoBroadcastJoinThreshold", str(10 * 1024 * 1024)
+        ).lower()
+        units = {"k": 1024, "m": 1024**2, "g": 1024**3, "t": 1024**4}
+        raw = raw[:-1] if raw.endswith("b") else raw
+        mult = units.get(raw[-1:], 1)
+        threshold = int(raw[:-1] if mult > 1 else raw) * mult
+        return size <= slack * max(threshold, 1)
+    except Exception:
+        # stats unavailable (non-JVM-backed relation): preserve the
+        # pre-gate behavior rather than silently changing plans
+        return True
+
+
+def bcast_dim(spark: SparkSession, df: DataFrame, base_table: str) -> DataFrame:
+    """``F.broadcast(df)`` when ``base_table``'s stats prove the dim fits
+    (the filtered/projected ``df`` can only be smaller); otherwise ``df``
+    unhinted so AQE/Catalyst pick the co-partitioned strategy."""
+    from pyspark.sql import functions as F
+
+    return F.broadcast(df) if fits_broadcast(spark, base_table) else df
+
+
 def query(name: str, oracle: str | None, doc: str = "") -> Callable[[Builder], Builder]:
     """Decorator registering a builder under ``name`` with its oracle SQL."""
 

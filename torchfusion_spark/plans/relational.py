@@ -14,7 +14,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from torchfusion_spark.plans.registry import query
+from torchfusion_spark.plans.registry import bcast_dim, query
 
 D = "decimal(12,2)"
 
@@ -98,7 +98,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = spark.table("lineitem").filter(F.col("l_shipdate") > cutoff)
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(bcast_dim(spark, c, "customer"), o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(dsum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount")), "revenue"))
         .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
@@ -163,9 +163,9 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = spark.table("region").filter(F.col("r_name") == "ASIA")
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(bcast_dim(spark, c, "customer"), o.o_custkey == c.c_custkey)
         .join(
-            F.broadcast(s),
+            bcast_dim(spark, s, "supplier"),
             (l.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
         )
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
@@ -227,7 +227,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = spark.table("nation")
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(bcast_dim(spark, c, "customer"), o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
         .agg(dsum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount")), "revenue"))
@@ -265,7 +265,7 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     disc_price = dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))
     promo = F.when(F.col("p_type") == "PROMO", disc_price).otherwise(F.lit(0).cast(D))
     return (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        l.join(bcast_dim(spark, p, "part"), l.l_partkey == p.p_partkey)
         .agg(
             (
                 F.lit(100.0) * F.sum(promo).cast("double") / F.sum(disc_price).cast("double")
@@ -315,7 +315,7 @@ def q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = spark.table("customer")
     return (
         per_order.join(o, per_order.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(bcast_dim(spark, c, "customer"), o.o_custkey == c.c_custkey)
         .select(
             "c_custkey",
             "c_name",
@@ -349,7 +349,7 @@ def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
         | ((F.col("p_brand") == "Brand#5") & F.col("p_size").between(20, 50) & F.col("l_quantity").between(20, 50))
     )
     return (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        l.join(bcast_dim(spark, p, "part"), l.l_partkey == p.p_partkey)
         .filter(cond)
         .agg(dsum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount")), "revenue"))
     )

@@ -9,7 +9,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from torchfusion_spark.plans.registry import query
+from torchfusion_spark.plans.registry import bcast_dim, query
 
 
 @query(
@@ -449,13 +449,13 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("l_partkey")
     best = (
-        ps.join(F.broadcast(eu_supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        ps.join(bcast_dim(spark, eu_supp, "supplier"), F.col("l_suppkey") == F.col("s_suppkey"))
         .withColumn("min_bal", F.min("s_acctbal").over(w))
         .filter(F.col("s_acctbal") == F.col("min_bal"))
     )
     p = spark.table("part").filter(F.col("p_size") == 15).select("p_partkey")
     return (
-        best.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        best.join(bcast_dim(spark, p, "part"), F.col("l_partkey") == F.col("p_partkey"))
         .select("p_partkey", "s_name", F.col("s_acctbal").cast("double").alias("s_acctbal"))
         .orderBy("p_partkey", "s_name")
     )
@@ -600,7 +600,7 @@ def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         sole_r.join(o, sole_r.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(s), sole_r.l_suppkey == s.s_suppkey)
+        .join(bcast_dim(spark, s, "supplier"), sole_r.l_suppkey == s.s_suppkey)
         .groupBy("s_name")
         .agg(F.sum("r_rows").cast("bigint").alias("numwait"))
         .orderBy(F.col("numwait").desc(), "s_name")

@@ -31,7 +31,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from torchfusion_spark.plans.registry import query
+from torchfusion_spark.plans.registry import bcast_dim, fits_broadcast, query
 
 
 def _both(name: str, sql: str, doc: str):
@@ -226,7 +226,7 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = (
         spark.table("lineitem")
         .select("l_partkey", "l_quantity", "l_extendedprice")
-        .join(F.broadcast(p.select("p_partkey")), F.col("l_partkey") == F.col("p_partkey"))
+        .join(bcast_dim(spark, p.select("p_partkey"), "part"), F.col("l_partkey") == F.col("p_partkey"))
     )
     w = Window.partitionBy("l_partkey")
     return (
@@ -275,8 +275,10 @@ def q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
     qual = (
         spark.table("lineitem")
         .join(
-            F.broadcast(
-                spark.table("part").filter(F.col("p_name").like("small%")).select("p_partkey")
+            bcast_dim(
+                spark,
+                spark.table("part").filter(F.col("p_name").like("small%")).select("p_partkey"),
+                "part",
             ),
             F.col("l_partkey") == F.col("p_partkey"),
         )
@@ -294,12 +296,19 @@ def q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("s_name", "s_suppkey")
     )
-    # explicit hint: sup is dim-sized by construction, but as a JOIN
+    # conditional hint: sup is dim-sized by construction, but as a JOIN
     # result its static size estimate is the product of its inputs
     # (no-CBO multiplication blowup), which pushes it past the broadcast
-    # threshold and would fall back to SMJ
+    # threshold and would fall back to SMJ. F.broadcast is a HARD hint
+    # AQE never demotes, so it is only applied when the base supplier
+    # table's own file-size stats prove the filtered dim fits an
+    # executor; past that scale the hint is withheld and the inner join
+    # (distinct qual side, so planning stays flexible) lands on the
+    # co-partitioned suppkey join — the shape the docstring promises.
+    if fits_broadcast(spark, "supplier"):
+        sup = F.broadcast(sup)
     return (
-        qual.join(F.broadcast(sup), F.col("s_suppkey") == F.col("l_suppkey"))
+        qual.join(sup, F.col("s_suppkey") == F.col("l_suppkey"))
         .select("s_name", "s_suppkey")
         .orderBy("s_suppkey")
     )

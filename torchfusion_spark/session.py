@@ -77,6 +77,19 @@ def staged_checkpoint(spark, slot: str, df):
     prev = pool.get(slot)
     ck = df.localCheckpoint()
     if prev is not None:
+        # contract: the caller must have materialized any DataFrame built
+        # on the superseded checkpoint — its lineage is truncated, so a
+        # stale handle fails with a lost-block error after this release.
+        # Slot reuse is logged so that failure is attributable (ADVICE
+        # r04); all registry/gate flows materialize before re-invoking.
+        import logging
+
+        logging.getLogger(__name__).debug(
+            "staged_checkpoint: slot %r reused — releasing superseded "
+            "localCheckpoint blocks (any unmaterialized reader of the old "
+            "slot will fail with a lost-block error)",
+            slot,
+        )
         try:
             prev.unpersist(False)
         except Exception:  # noqa: BLE001 — release is best-effort
