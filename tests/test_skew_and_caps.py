@@ -244,3 +244,79 @@ def test_staged_lifecycle_no_storage_leak(spark, tables):
     dedup.containment(spark).count()
     similarity.kmeans(spark).count()
     assert jsc.getPersistentRDDs().size() == steady
+
+
+def test_cap_recall_loss_exact_counts(spark, tables):
+    """VERDICT r04 item 2: pin the hot-bucket cap's recall loss with EXACT
+    numbers, so a cap-induced recall regression fails CI instead of
+    passing the blind oracle (which runs the identical capped SQL).
+
+    Synthetic corpus: an 80-doc boilerplate block (identical text — every
+    MinHash/SimHash band lands in one bucket of size 80, past both caps)
+    plus 6 organic docs including one near-dup pair. Exact assertions:
+
+    * minhash stats: exactly 8 capped buckets (one per band), each bsz=80;
+      dropped-pair bound = 8 * C(80,2) = 25280;
+    * simhash stats (cap tightened to 64): exactly 4 capped buckets
+      (32 bits / 8-bit bands), each bsz=80;
+    * recall loss itself: capped LSH pairs == uncapped pairs minus
+      exactly the C(80,2) = 3160 boilerplate-block pairs — no organic
+      pair is lost (their buckets are below the cap).
+    """
+    from torchfusion_spark.operators.dedup import (
+        MAX_BUCKET,
+        minhash_body_sql,
+        minhash_capped_bucket_stats,
+        simhash_capped_bucket_stats,
+    )
+
+    n_boiler = MAX_BUCKET + 16  # 80: every all-boilerplate bucket is hot
+    boiler = "license header boilerplate text repeated verbatim across the corpus shard"
+    organic = [
+        (1, "alpha bravo charlie delta echo foxtrot golf hotel india juliet"),
+        (2, "alpha bravo charlie delta echo foxtrot golf hotel india kilo"),
+        (3, "the quick brown fox jumps over the lazy dog tonight"),
+        (4, "sphinx of black quartz judge my vow said the raven"),
+        (5, "pack my box with five dozen liquor jugs before noon"),
+        (6, "how vexingly quick daft zebras jump across the frozen lake"),
+    ]
+    rows = [(1_000_000 + i, boiler, "en", len(boiler)) for i in range(n_boiler)] + [
+        (i, t, "en", len(t)) for i, t in organic
+    ]
+    try:
+        spark.createDataFrame(
+            rows, "doc_id bigint, text string, lang string, n_chars int"
+        ).createOrReplaceTempView("documents")
+        # new memo key → minhash_lsh re-stages __minhash_sig over the
+        # synthetic view instead of reusing the fixture corpus signature
+        spark._tf_tables_loaded = ("__cap_recall_synthetic__",)
+        spark._tf_minhash_sig_key = object()
+
+        mh = minhash_capped_bucket_stats(spark).toPandas()
+        assert len(mh) == 8
+        assert set(mh["bsz"]) == {n_boiler}
+        assert int((mh["bsz"] * (mh["bsz"] - 1) // 2).sum()) == 8 * (
+            n_boiler * (n_boiler - 1) // 2
+        )
+
+        sh = simhash_capped_bucket_stats(spark, max_bucket=64).toPandas()
+        assert len(sh) == 4
+        assert set(sh["bsz"]) == {n_boiler}
+
+        pair = lambda df: {(r.id_a, r.id_b) for r in df.collect()}  # noqa: E731
+        capped = pair(spark.sql(minhash_body_sql("spark", "__minhash_sig", 0.6)))
+        uncapped = pair(
+            spark.sql(minhash_body_sql("spark", "__minhash_sig", 0.6, max_bucket=10**9))
+        )
+        boiler_ids = {1_000_000 + i for i in range(n_boiler)}
+        boiler_pairs = {p for p in uncapped if p[0] in boiler_ids and p[1] in boiler_ids}
+        assert len(boiler_pairs) == n_boiler * (n_boiler - 1) // 2  # all found uncapped
+        assert capped == uncapped - boiler_pairs  # loss = exactly the block
+        assert (1, 2) in capped  # the organic near-dup pair survives the cap
+    finally:
+        # restore the fixture corpus: reload tables and invalidate memos
+        spark._tf_tables_loaded = None
+        spark._tf_minhash_sig_key = object()
+        from torchfusion_spark.sources import load_tables
+
+        load_tables(spark, tables)
