@@ -178,3 +178,85 @@ def test_information_schema_join_with_df_settings(engine):
         "(SELECT count(*) FROM information_schema.df_settings) AS n_settings"
     ).collect()[0]
     assert r.n_tables > 0 and r.n_settings > 0
+
+
+def test_external_table_long_form_csv_with_schema_and_options(engine, tmp_path):
+    """VERDICT r04 gap 1: the long-form DDL DataFusion's default parser
+    accepts (explicit column list + OPTIONS) must run through the front
+    door — a user porting a DataFusion DDL script keeps their schema."""
+    p = tmp_path / "pts.csv"
+    p.write_text("id|name|score\n1|ada|9.5\n2|grace|8.25\n")
+    engine.sql(
+        f"""CREATE EXTERNAL TABLE pts (id BIGINT, name VARCHAR, score DOUBLE)
+        STORED AS CSV
+        OPTIONS ('format.has_header' 'true', 'format.delimiter' '|')
+        LOCATION '{p}'"""
+    )
+    rows = engine.sql("SELECT id, name, score FROM pts ORDER BY id").collect()
+    assert [(r.id, r.name, r.score) for r in rows] == [(1, "ada", 9.5), (2, "grace", 8.25)]
+    df = engine.spark.table("pts")
+    assert dict(df.dtypes) == {"id": "bigint", "name": "string", "score": "double"}
+    engine.spark.catalog.dropTempView("pts")
+
+
+def test_external_table_long_form_partitioned_parquet(engine, tables, tmp_path):
+    """PARTITIONED BY over a hive-layout parquet dir: partition columns
+    are discovered from the directory structure and validated against the
+    declared list; partition pruning applies on read."""
+    path = str(tmp_path / "orders_by_status")
+    engine.spark.table("orders").write.mode("overwrite").partitionBy(
+        "o_orderstatus"
+    ).parquet(path)
+    engine.sql(
+        f"CREATE EXTERNAL TABLE orders_parted STORED AS PARQUET "
+        f"PARTITIONED BY (o_orderstatus) LOCATION '{path}'"
+    )
+    n = engine.sql(
+        "SELECT count(*) AS n FROM orders_parted WHERE o_orderstatus = 'F'"
+    ).collect()[0].n
+    exp = engine.spark.table("orders").filter("o_orderstatus = 'F'").count()
+    assert n == exp
+    # a bogus partition declaration errors instead of silently passing
+    import pytest
+
+    with pytest.raises(ValueError, match="no_such_col"):
+        engine.sql(
+            f"CREATE EXTERNAL TABLE orders_bad STORED AS PARQUET "
+            f"PARTITIONED BY (no_such_col) LOCATION '{path}'"
+        )
+    engine.spark.catalog.dropTempView("orders_parted")
+
+
+def test_external_table_if_not_exists_short_form_still_works(engine):
+    engine.sql(
+        "CREATE EXTERNAL TABLE ext_ine STORED AS PARQUET "
+        "LOCATION '/root/testdata/sf0.001/region.parquet'"
+    )
+    # IF NOT EXISTS against the live view is a no-op, not a replace
+    engine.sql(
+        "CREATE EXTERNAL TABLE IF NOT EXISTS ext_ine STORED AS PARQUET "
+        "LOCATION '/root/testdata/sf0.001/nation.parquet'"
+    )
+    assert engine.sql("SELECT count(*) AS n FROM ext_ine").collect()[0].n == 5  # region
+    engine.spark.catalog.dropTempView("ext_ine")
+
+
+def test_copy_to_statement_parquet_and_csv(engine, tables, tmp_path):
+    """VERDICT r04 gap 2: COPY <rel|(query)> TO '<path>' through the front
+    door, both spellings (STORED AS / (FORMAT ...)), read-back equal."""
+    pq = str(tmp_path / "region_copy")
+    out = engine.sql(f"COPY region TO '{pq}' STORED AS PARQUET").collect()
+    assert out[0]["count"] == 5
+    back = engine.spark.read.parquet(pq)
+    assert sorted(r.r_name for r in back.collect()) == sorted(
+        r.r_name for r in engine.spark.table("region").collect()
+    )
+
+    csvp = str(tmp_path / "nation_top.csv")
+    out = engine.sql(
+        f"COPY (SELECT n_name, n_nationkey FROM nation WHERE n_nationkey < 3 "
+        f"ORDER BY n_nationkey) TO '{csvp}' (FORMAT CSV) OPTIONS ('format.has_header' 'true')"
+    ).collect()
+    assert out[0]["count"] == 3
+    back = engine.spark.read.option("header", "true").csv(csvp)
+    assert back.count() == 3 and set(back.columns) == {"n_name", "n_nationkey"}
