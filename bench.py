@@ -151,6 +151,13 @@ def main() -> None:
                 "duckdb_total_sec": round(duck_total, 4),
                 "spark_total_sec": round(spark_total, 4),
                 "ratio_spark_over_duckdb": round(spark_total / duck_total, 3) if duck_total else None,
+                # gate math in one field (VERDICT r04 item 8): the ratio
+                # with the one-time staging build FULLY charged to this
+                # run — the conservative bound; the steady-state ratio
+                # above amortizes it across the session's query families
+                "ratio_with_staging": round((spark_total + staging_warm) / duck_total, 3)
+                if duck_total
+                else None,
             }
 
     print(json.dumps(payload))

@@ -44,7 +44,14 @@ def fits_broadcast(spark: SparkSession, table: str, slack: float = 4.0) -> bool:
     (customer/supplier/part): AQE never demotes an explicit hint, so a dim
     that is broadcast-sized at every test scale can still outgrow an
     executor at 100 TB, where a forced broadcast is an OOM, not a plan
-    choice. nation/region (fixed 25/5 rows) never need the gate."""
+    choice. nation/region (fixed 25/5 rows) never need the gate.
+
+    Memoized per (session, loaded tables, table): the answer only changes
+    when the sf_dir switches, and the stats call re-optimizes the scan."""
+    memo = spark.__dict__.setdefault("_tf_bcast_memo", {})
+    key = (getattr(spark, "_tf_tables_loaded", None), table, slack)
+    if key in memo:
+        return memo[key]
     try:
         size = int(
             spark.table(table)
@@ -61,11 +68,12 @@ def fits_broadcast(spark: SparkSession, table: str, slack: float = 4.0) -> bool:
         raw = raw[:-1] if raw.endswith("b") else raw
         mult = units.get(raw[-1:], 1)
         threshold = int(raw[:-1] if mult > 1 else raw) * mult
-        return size <= slack * max(threshold, 1)
+        memo[key] = size <= slack * max(threshold, 1)
     except Exception:
         # stats unavailable (non-JVM-backed relation): preserve the
         # pre-gate behavior rather than silently changing plans
-        return True
+        memo[key] = True
+    return memo[key]
 
 
 def bcast_dim(spark: SparkSession, df: DataFrame, base_table: str) -> DataFrame:
