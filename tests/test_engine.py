@@ -260,3 +260,17 @@ def test_copy_to_statement_parquet_and_csv(engine, tables, tmp_path):
     assert out[0]["count"] == 3
     back = engine.spark.read.option("header", "true").csv(csvp)
     assert back.count() == 3 and set(back.columns) == {"n_name", "n_nationkey"}
+
+
+def test_copy_to_partitioned_by_clause(engine, tables, tmp_path):
+    """COPY ... PARTITIONED BY (col) writes a hive layout (DataFusion's
+    COPY grammar); partition pruning applies on re-read."""
+    path = str(tmp_path / "orders_part_copy")
+    out = engine.sql(
+        f"COPY (SELECT o_orderkey, o_orderstatus FROM orders) TO '{path}' "
+        f"STORED AS PARQUET PARTITIONED BY (o_orderstatus)"
+    ).collect()
+    assert out[0]["count"] == engine.spark.table("orders").count()
+    import os
+
+    assert any(d.startswith("o_orderstatus=") for d in os.listdir(path))

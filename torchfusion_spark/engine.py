@@ -84,6 +84,7 @@ _COPY_TO_RE = re.compile(
     r"^\s*COPY\s+(?:\(\s*(?P<query>.*?)\s*\)|(?P<rel>[A-Za-z_]\w*))\s+"
     r"TO\s+(?P<loc>'[^']*')\s*"
     r"(?:STORED\s+AS\s+(?P<fmt>\w+)\s*|\(\s*FORMAT\s+(?P<fmt2>\w+)\s*\)\s*)?"
+    r"(?:PARTITIONED\s+BY\s*\(\s*(?P<parts>[^)]*?)\s*\)\s*)?"
     r"(?:OPTIONS\s*\(\s*(?P<opts>.*?)\s*\)\s*)?;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
@@ -436,10 +437,12 @@ class Engine:
         )
         fmt = (m.group("fmt") or m.group("fmt2") or "parquet").lower()
         opts = self._parse_ddl_options(m.group("opts"))
-        partition_by = None
-        pb = opts.pop("partitioned_by", None) or opts.pop("partition_by", None)
-        if pb:
-            partition_by = [c.strip() for c in pb.split(",") if c.strip()]
+        # PARTITIONED BY clause (DataFusion's COPY grammar), with the
+        # option-spelled fallback some scripts use
+        pb = m.group("parts") or opts.pop("partitioned_by", None) or opts.pop(
+            "partition_by", None
+        )
+        partition_by = [c.strip() for c in pb.split(",") if c.strip()] if pb else None
         path = m.group("loc")[1:-1]
         sinks.copy_to(df, path, fmt=fmt, partition_by=partition_by, **opts)
         n = sinks.read_back(self.spark, path, fmt=fmt, **opts).count()
