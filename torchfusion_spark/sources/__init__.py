@@ -78,13 +78,24 @@ def load_tables(spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = TABL
     re-registering identical views each time re-reads footers and
     invalidates cached plans for nothing.
     """
-    key = (sf_dir, tables)
+    gen = getattr(spark, "_tf_tables_gen", 0)
+    key = (sf_dir, tables, gen)
     if getattr(spark, "_tf_tables_loaded", None) == key:
         return
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     for name in tables:
         read_table(spark, sf_dir, name).createOrReplaceTempView(name)
-    spark._tf_tables_loaded = key
+    # Registration GENERATION in the key: createOrReplaceTempView
+    # invalidates every cached plan that references the replaced view
+    # (Spark's cache manager), so any staged relation built over the
+    # tables (__tf_hx, __minhash_sig, __sim_norms, …) silently loses its
+    # cache whenever the views are actually re-registered. Staged-builder
+    # memos key on _tf_tables_loaded — bumping the generation here makes
+    # those memo keys differ after every real re-registration, forcing
+    # re-staging instead of running plans that inline the whole pipeline
+    # over an uncached view (plan-audit shuffle-count blowup).
+    spark._tf_tables_gen = gen + 1
+    spark._tf_tables_loaded = (sf_dir, tables, gen + 1)
 
 
 def configure_s3(
