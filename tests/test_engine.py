@@ -274,3 +274,37 @@ def test_copy_to_partitioned_by_clause(engine, tables, tmp_path):
     import os
 
     assert any(d.startswith("o_orderstatus=") for d in os.listdir(path))
+
+
+def test_information_schema_helpers_do_not_leak(engine, tables):
+    """ADVICE r04: the emulation's own helper temp views must not appear
+    as user LOCAL TEMPORARY relations in subsequent metadata queries; the
+    information_schema relations are listed the way DataFusion lists them
+    (schema 'information_schema', type VIEW)."""
+    # materialize the helper views by touching the emulation twice
+    engine.sql("SELECT count(*) AS n FROM information_schema.tables").collect()
+    rows = engine.sql(
+        "SELECT table_schema, table_name, table_type FROM information_schema.tables"
+    ).collect()
+    names = {r.table_name for r in rows}
+    assert not any(n.startswith("information_schema_") for n in names)
+    info_rows = {r.table_name: r for r in rows if r.table_schema == "information_schema"}
+    assert {"tables", "views", "columns", "schemata", "df_settings"} <= set(info_rows)
+    assert all(r.table_type == "VIEW" for r in info_rows.values())
+    assert "df_settings" not in {
+        r.table_name for r in rows if r.table_schema != "information_schema"
+    }
+    # schemata lists the information_schema schema itself
+    schemas = {r.schema_name for r in engine.sql(
+        "SELECT schema_name FROM information_schema.schemata").collect()}
+    assert "information_schema" in schemas
+
+
+def test_information_schema_rewrite_skips_string_literals(engine):
+    """ADVICE r04: the rewrite must not fire inside string literals."""
+    row = engine.sql(
+        "SELECT 'see information_schema.tables for details' AS doc, "
+        "(SELECT count(*) FROM information_schema.tables) AS n"
+    ).collect()[0]
+    assert row.doc == "see information_schema.tables for details"
+    assert row.n > 0
