@@ -308,3 +308,15 @@ def test_information_schema_rewrite_skips_string_literals(engine):
     ).collect()[0]
     assert row.doc == "see information_schema.tables for details"
     assert row.n > 0
+
+
+def test_external_table_with_order_clause_accepted(engine, tables):
+    """DataFusion's WITH ORDER sort-order declaration must not kill a
+    ported DDL script; accepted (logged) and the table reads normally."""
+    engine.sql(
+        "CREATE EXTERNAL TABLE region_ord (r_regionkey BIGINT, r_name VARCHAR) "
+        "STORED AS PARQUET WITH ORDER (r_regionkey ASC) "
+        "LOCATION '/root/testdata/sf0.001/region.parquet'"
+    )
+    assert engine.sql("SELECT count(*) AS n FROM region_ord").collect()[0].n == 5
+    engine.spark.catalog.dropTempView("region_ord")

@@ -64,6 +64,7 @@ _EXTERNAL_TABLE_RE = re.compile(
     r"STORED\s+AS\s+(?P<fmt>\w+)\s*"
     r"(?:WITH\s+HEADER\s+ROW\s*(?P<header>)|)"
     r"(?:\s*DELIMITER\s+'(?P<delim>[^']*)'\s*)?"
+    r"(?:\s*WITH\s+ORDER\s*\(\s*(?P<order>[^)]*?)\s*\)\s*)?"
     r"(?:\s*PARTITIONED\s+BY\s*\(\s*(?P<parts>[^)]*?)\s*\)\s*)?"
     r"(?:\s*OPTIONS\s*\(\s*(?P<opts>.*?)\s*\)\s*)?"
     r"\s*LOCATION\s+(?P<loc>'[^']*')\s*;?\s*$",
@@ -422,6 +423,22 @@ class Engine:
                     f"PARTITIONED BY column(s) {missing} not present in the "
                     f"table at {path!r} (discovered columns: {df.columns})"
                 )
+        if m.group("order"):
+            # DataFusion's WITH ORDER declares a pre-existing file sort
+            # order the optimizer may exploit; Spark's file sources carry
+            # no such metadata on a view, so the clause is accepted (a
+            # ported DDL script must not die on it) and recorded as a log
+            # line rather than silently vanishing.
+            import logging
+
+            logging.getLogger(__name__).info(
+                "CREATE EXTERNAL TABLE %s: WITH ORDER (%s) accepted but not "
+                "enforced — Spark file scans carry no declared sort order; "
+                "use sinks.write_bucketed(sort_cols=...) for a layout Spark "
+                "can exploit",
+                name,
+                m.group("order"),
+            )
         df.createOrReplaceTempView(name)
         return self.spark.table(name)
 
