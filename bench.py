@@ -53,6 +53,14 @@ HEADLINE = [
     "q17_small_quantity_revenue",
     "q20_potential_promotion",
     "q21_waiting_supplier",
+    # round-5 widening: the remaining judge-tracked scale-path operators
+    # (inverted-index containment, Bloom decontamination, the full
+    # clusters->canonical pipeline) and a streaming witness, so every
+    # 100 TB-critical family carries per-round timing accountability
+    "dedup_containment",
+    "text_decontaminate_bloom",
+    "pipeline_dedup_canonical",
+    "stream_windowed_counts",
 ]
 
 
