@@ -103,11 +103,13 @@ def main() -> None:
     # it is paid once per session, amortized across every family query.
     staging_warm = time.perf_counter()
     try:
-        from torchfusion_spark.operators.dedup import minhash_lsh
+        from torchfusion_spark.operators.dedup import _staged_hx, minhash_lsh
         from torchfusion_spark.operators.similarity import _staged_norms
 
         _staged_norms(spark)  # caches + materializes __sim_norms
         minhash_lsh(spark)  # staging side-effect: caches __minhash_sig
+        _staged_hx(spark)  # caches the hashed-shingle relation shared by
+        # containment + both decontaminate variants (round-5 additions)
     except Exception:  # noqa: BLE001 — prewarm is best-effort, never fatal
         pass
     staging_warm = round(time.perf_counter() - staging_warm, 4)
