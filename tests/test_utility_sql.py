@@ -341,3 +341,32 @@ def test_plan_audit_clean_on_key_queries(spark, tables):
         if rows[k]["shuffles"] > cap
     }
     assert not over, f"shuffle-count regressions (got, ceiling): {over}"
+
+
+def test_broadcast_gate_drops_hint_when_dim_outgrows_threshold(spark, tables):
+    """ADVICE r04: F.broadcast is a hard hint AQE never demotes, so the
+    TPC-H dim hints are gated on the base table's file-size stats. Pins
+    both sides of the gate: at fixture scale the dims fit (hint applied,
+    plan broadcasts); with the threshold forced to 1 byte the gate
+    withholds the hint and the query still returns the same rows."""
+    from pyspark.sql import functions as F
+
+    from torchfusion_spark.plans import REGISTRY
+    from torchfusion_spark.plans.registry import bcast_dim, fits_broadcast
+
+    assert fits_broadcast(spark, "supplier")
+    want = [tuple(r) for r in REGISTRY["q20_potential_promotion"].builder(spark, tables).collect()]
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1")
+    try:
+        assert not fits_broadcast(spark, "supplier")
+        # the unhinted shape stays correct (AQE picks the strategy)
+        got = [tuple(r) for r in REGISTRY["q20_potential_promotion"].builder(spark, tables).collect()]
+        assert got == want
+        # bcast_dim returns the relation unhinted: no ResolvedHint in plan
+        dim = bcast_dim(spark, spark.table("supplier"), "supplier")
+        assert "ResolvedHint" not in dim._jdf.queryExecution().analyzed().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert fits_broadcast(spark, "supplier")  # memo keyed on threshold conf

@@ -46,24 +46,21 @@ def fits_broadcast(spark: SparkSession, table: str, slack: float = 4.0) -> bool:
     executor at 100 TB, where a forced broadcast is an OOM, not a plan
     choice. nation/region (fixed 25/5 rows) never need the gate.
 
-    Memoized per (session, loaded tables, table): the answer only changes
-    when the sf_dir switches, and the stats call re-optimizes the scan."""
+    Memoized per (session, loaded tables, table, threshold conf): the
+    answer only changes when the sf_dir or the broadcast threshold
+    changes, and the stats call re-optimizes the scan."""
+    raw = spark.conf.get(
+        "spark.sql.autoBroadcastJoinThreshold", str(10 * 1024 * 1024)
+    ).lower()
     memo = spark.__dict__.setdefault("_tf_bcast_memo", {})
-    key = (getattr(spark, "_tf_tables_loaded", None), table, slack)
+    key = (getattr(spark, "_tf_tables_loaded", None), table, slack, raw)
     if key in memo:
         return memo[key]
     try:
+        # py4j converts the Scala BigInt to a Python int directly
         size = int(
-            spark.table(table)
-            ._jdf.queryExecution()
-            .optimizedPlan()
-            .stats()
-            .sizeInBytes()
-            .longValue()
+            spark.table(table)._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
         )
-        raw = spark.conf.get(
-            "spark.sql.autoBroadcastJoinThreshold", str(10 * 1024 * 1024)
-        ).lower()
         units = {"k": 1024, "m": 1024**2, "g": 1024**3, "t": 1024**4}
         raw = raw[:-1] if raw.endswith("b") else raw
         mult = units.get(raw[-1:], 1)
