@@ -320,3 +320,35 @@ def test_external_table_with_order_clause_accepted(engine, tables):
     )
     assert engine.sql("SELECT count(*) AS n FROM region_ord").collect()[0].n == 5
     engine.spark.catalog.dropTempView("region_ord")
+
+
+def test_prepare_execute_deallocate(engine, tables):
+    """DataFusion's prepared-statement surface (default parser): PREPARE
+    with $n markers, EXECUTE with typed literals (re-bound per call),
+    DEALLOCATE; literals inside strings are never treated as markers."""
+    import pytest
+
+    engine.sql(
+        "PREPARE top_orders(BIGINT, VARCHAR) AS "
+        "SELECT o_orderkey, o_orderpriority FROM orders "
+        "WHERE o_totalprice > $1 AND o_orderpriority = $2 "
+        "ORDER BY o_orderkey LIMIT 5"
+    )
+    first = engine.sql("EXECUTE top_orders(100000, '1-URGENT')").collect()
+    assert 0 < len(first) <= 5
+    assert all(r.o_orderpriority == "1-URGENT" for r in first)
+    second = engine.sql("EXECUTE top_orders(400000, '1-URGENT')").collect()
+    assert len(second) <= len(first)
+
+    # string literal containing a $1 is not a marker
+    engine.sql("PREPARE lit AS SELECT '$1 stays' AS s, $1 AS v")
+    row = engine.sql("EXECUTE lit(7)").collect()[0]
+    assert row.s == "$1 stays" and row.v == 7
+
+    with pytest.raises(ValueError, match="not bound"):
+        engine.sql("EXECUTE top_orders(1)")
+    engine.sql("DEALLOCATE top_orders")
+    with pytest.raises(ValueError, match="does not exist"):
+        engine.sql("EXECUTE top_orders(1, 'x')")
+    with pytest.raises(ValueError, match="does not exist"):
+        engine.sql("DEALLOCATE top_orders")

@@ -143,6 +143,32 @@ _EXPLAIN_ANALYZE_RE = re.compile(
     r"^\s*EXPLAIN\s+ANALYZE\s+(?P<q>.+?)\s*;?\s*$", re.IGNORECASE | re.DOTALL
 )
 
+# DataFusion's prepared-statement surface (default parser features):
+#   PREPARE name [(type, ...)] AS <statement with $1, $2, ...>
+#   EXECUTE name [(literal, ...)]
+#   DEALLOCATE [PREPARE] name
+# Spark has no PREPARE; the engine stores the statement text and binds
+# EXECUTE's literals into the $n markers (typed literal re-rendering, not
+# raw splicing), then dispatches the bound text through the normal front
+# door so prepared statements compose with df_settings/DDL handling.
+_PREPARE_RE = re.compile(
+    r"^\s*PREPARE\s+(?P<name>[A-Za-z_]\w*)\s*"
+    r"(?:\(\s*(?P<types>[^)]*)\s*\)\s*)?AS\s+(?P<body>.+?)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_EXECUTE_RE = re.compile(
+    r"^\s*EXECUTE\s+(?P<name>[A-Za-z_]\w*)\s*"
+    r"(?:\(\s*(?P<args>.*?)\s*\)\s*)?;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_DEALLOCATE_RE = re.compile(
+    r"^\s*DEALLOCATE\s+(?:PREPARE\s+)?(?P<name>[A-Za-z_]\w*)\s*;?\s*$", re.IGNORECASE
+)
+# one EXECUTE argument: quoted string / number / TRUE/FALSE/NULL
+_EXEC_ARG_RE = re.compile(
+    r"\s*(?:'(?P<s>(?:[^']|'')*)'|(?P<n>-?\d+(?:\.\d+)?)|(?P<w>\w+))\s*(?:,|$)"
+)
+
 
 def _parse_array_type(token: str | None) -> str:
     """``FLOAT[]`` / ``ARRAY<FLOAT>`` / bare ``FLOAT`` → Spark DDL array type."""
@@ -334,6 +360,63 @@ class Engine:
             [(f"{plan}\n{summary}",)], "plan string"
         )
 
+    # -- prepared statements -----------------------------------------------
+
+    def _prepare_statement(self, m: re.Match) -> DataFrame:
+        self.__dict__.setdefault("_prepared", {})[m.group("name").lower()] = m.group("body")
+        return self.spark.createDataFrame([], "result string")
+
+    def _execute_statement(self, m: re.Match) -> DataFrame:
+        name = m.group("name").lower()
+        prepared = self.__dict__.get("_prepared", {})
+        if name not in prepared:
+            raise ValueError(f"prepared statement '{name}' does not exist")
+        args: list[str] = []
+        raw = m.group("args") or ""
+        pos = 0
+        while pos < len(raw):
+            am = _EXEC_ARG_RE.match(raw, pos)
+            if not am:
+                raise ValueError(f"cannot parse EXECUTE argument list at: {raw[pos:]!r}")
+            if am.group("s") is not None:
+                args.append("'" + am.group("s") + "'")  # re-rendered quoted literal
+            elif am.group("n") is not None:
+                args.append(am.group("n"))
+            else:
+                word = am.group("w").upper()
+                if word not in ("TRUE", "FALSE", "NULL"):
+                    raise ValueError(f"unsupported EXECUTE argument: {am.group('w')!r}")
+                args.append(word)
+            pos = am.end()
+        body = prepared[name]
+        # bind $n markers outside string literals, highest index first so
+        # $12 is never clobbered by $1
+        def bind(segment: str) -> str:
+            for i in range(len(args), 0, -1):
+                segment = segment.replace(f"${i}", args[i - 1])
+            return segment
+
+        out, last = [], 0
+        for lit in _SQL_LITERAL_RE.finditer(body):
+            out.append(bind(body[last : lit.start()]))
+            out.append(lit.group(0))
+            last = lit.end()
+        out.append(bind(body[last:]))
+        bound = "".join(out)
+        unbound = re.search(r"\$\d+", _SQL_LITERAL_RE.sub("''", bound))
+        if unbound:
+            raise ValueError(
+                f"EXECUTE {name}: placeholder {unbound.group(0)} not bound "
+                f"({len(args)} argument(s) given)"
+            )
+        return self.sql(bound)
+
+    def _deallocate_statement(self, m: re.Match) -> DataFrame:
+        name = m.group("name").lower()
+        if self.__dict__.get("_prepared", {}).pop(name, None) is None:
+            raise ValueError(f"prepared statement '{name}' does not exist")
+        return self.spark.createDataFrame([], "result string")
+
     # -- external table / copy ---------------------------------------------
 
     @staticmethod
@@ -483,6 +566,15 @@ class Engine:
         m = _COPY_TO_RE.match(text)
         if m:
             return self._copy_to_statement(m)
+        m = _PREPARE_RE.match(text)
+        if m:
+            return self._prepare_statement(m)
+        m = _EXECUTE_RE.match(text)
+        if m:
+            return self._execute_statement(m)
+        m = _DEALLOCATE_RE.match(text)
+        if m:
+            return self._deallocate_statement(m)
         # scan/rewrite only outside string literals (ADVICE r04): a
         # literal mentioning information_schema.* must pass through intact
         scannable = _SQL_LITERAL_RE.sub("''", text)
