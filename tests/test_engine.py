@@ -352,3 +352,38 @@ def test_prepare_execute_deallocate(engine, tables):
         engine.sql("EXECUTE top_orders(1, 'x')")
     with pytest.raises(ValueError, match="does not exist"):
         engine.sql("DEALLOCATE top_orders")
+
+
+def test_information_schema_routines_and_parameters(engine, tables, tmp_path):
+    """information_schema.routines lists the function inventory (argmax +
+    builtins + TORCH functions with their model URI); parameters exposes
+    the TORCH functions' declared array signatures."""
+    from torchfusion_spark.models.fixtures import write_demo_model
+
+    model = str(tmp_path / "routines_demo.npz")
+    write_demo_model(model)
+    engine.sql(
+        f"CREATE FUNCTION routines_demo(FLOAT[]) RETURNS FLOAT[] "
+        f"LANGUAGE TORCH AS '{model}'"
+    )
+    routines = {
+        r.routine_name.lower(): r
+        for r in engine.sql(
+            "SELECT routine_name, routine_type, description "
+            "FROM information_schema.routines"
+        ).collect()
+    }
+    assert "argmax" in routines
+    assert "routines_demo" in routines
+    assert routines["routines_demo"].routine_type == "FUNCTION"
+    assert model in routines["routines_demo"].description
+
+    params = engine.sql(
+        "SELECT specific_name, ordinal_position, parameter_name, data_type "
+        "FROM information_schema.parameters WHERE specific_name = 'routines_demo' "
+        "ORDER BY ordinal_position"
+    ).collect()
+    assert [(p.ordinal_position, p.parameter_name, p.data_type) for p in params] == [
+        (0, "RETURN", "array<float>"),
+        (1, "input", "array<float>"),
+    ]

@@ -98,7 +98,8 @@ _DF_SETTINGS_RE = re.compile(r"information_schema\.df_settings", re.IGNORECASE)
 # metadata through spark.catalog; each referenced relation is rebuilt as
 # a temp view at query time so the snapshot is current.
 _INFO_SCHEMA_RE = re.compile(
-    r"information_schema\.(?P<rel>tables|views|columns|schemata)\b", re.IGNORECASE
+    r"information_schema\.(?P<rel>tables|views|columns|schemata|routines|parameters)\b",
+    re.IGNORECASE,
 )
 
 # SQL single-quoted literal (doubled-quote escape included): the
@@ -131,6 +132,11 @@ _INFO_SCHEMA_RELATIONS: dict[str, str] = {
     "is_nullable string, data_type string",
     "schemata": "catalog_name string, schema_name string, schema_owner string",
     "df_settings": "name string, value string, description string",
+    "routines": "routine_catalog string, routine_schema string, routine_name string, "
+    "routine_type string, is_deterministic boolean, description string",
+    "parameters": "specific_catalog string, specific_schema string, "
+    "specific_name string, ordinal_position int, parameter_name string, "
+    "data_type string",
 }
 _INFO_SCHEMA_HELPER_NAMES = frozenset(
     {"df_settings"} | {f"information_schema_{r}" for r in _INFO_SCHEMA_RELATIONS}
@@ -223,6 +229,12 @@ class Engine:
         register_torch_udf(
             self.spark, m.group("name"), uri, input_type=input_type, return_type=return_type
         )
+        # tracked for information_schema.routines/parameters introspection
+        self.__dict__.setdefault("_torch_functions", {})[m.group("name").lower()] = (
+            uri,
+            input_type,
+            return_type,
+        )
         return self.spark.createDataFrame(
             [(m.group("name"), uri, input_type, return_type)],
             "function string, model string, input string, returns string",
@@ -260,6 +272,38 @@ class Engine:
             return self.spark.createDataFrame(
                 rows, "catalog_name string, schema_name string, schema_owner string"
             )
+        if rel == "routines":
+            # DataFusion lists every registered function (built-in +
+            # session UDFs, src/lib.rs:122 enables the full provider);
+            # Spark exposes the same inventory via the catalog. TORCH
+            # functions created through the front door carry the model
+            # URI as their description.
+            torch_fns = self.__dict__.get("_torch_functions", {})
+            rows = [
+                (
+                    catalog_name,
+                    "public",
+                    f.name,
+                    "FUNCTION",
+                    None,
+                    f"LANGUAGE TORCH model {torch_fns[f.name.lower()][0]!r}"
+                    if f.name.lower() in torch_fns
+                    else (f.description or None),
+                )
+                for f in cat.listFunctions()
+            ]
+            return self.spark.createDataFrame(rows, _INFO_SCHEMA_RELATIONS["routines"])
+        if rel == "parameters":
+            # parameter metadata exists only for the engine's own typed
+            # UDFs (LANGUAGE TORCH declarations); Spark builtins don't
+            # expose signatures through the catalog
+            rows = []
+            for fname, (_uri, in_t, ret_t) in sorted(
+                self.__dict__.get("_torch_functions", {}).items()
+            ):
+                rows.append((catalog_name, "public", fname, 1, "input", in_t))
+                rows.append((catalog_name, "public", fname, 0, "RETURN", ret_t))
+            return self.spark.createDataFrame(rows, _INFO_SCHEMA_RELATIONS["parameters"])
         # the emulation's own helper temp views are presentation machinery,
         # not user relations: list them the way DataFusion lists its
         # information_schema views, never as LOCAL TEMPORARY rows
