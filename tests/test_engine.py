@@ -387,3 +387,10 @@ def test_information_schema_routines_and_parameters(engine, tables, tmp_path):
         (0, "RETURN", "array<float>"),
         (1, "input", "array<float>"),
     ]
+
+
+def test_show_all_lists_settings(engine):
+    rows = engine.sql("SHOW ALL").collect()
+    names = {r.name for r in rows}
+    assert any(n.startswith("torchfusion.") for n in names)
+    assert len(rows) > 10  # engine confs included

@@ -170,6 +170,10 @@ _EXECUTE_RE = re.compile(
 _DEALLOCATE_RE = re.compile(
     r"^\s*DEALLOCATE\s+(?:PREPARE\s+)?(?P<name>[A-Za-z_]\w*)\s*;?\s*$", re.IGNORECASE
 )
+
+# DataFusion's `SHOW ALL` lists every session setting (the CLI staple);
+# Spark's SHOW grammar has no ALL — route to the df_settings emulation.
+_SHOW_ALL_RE = re.compile(r"^\s*SHOW\s+ALL\s*;?\s*$", re.IGNORECASE)
 # one EXECUTE argument: quoted string / number / TRUE/FALSE/NULL
 _EXEC_ARG_RE = re.compile(
     r"\s*(?:'(?P<s>(?:[^']|'')*)'|(?P<n>-?\d+(?:\.\d+)?)|(?P<w>\w+))\s*(?:,|$)"
@@ -619,6 +623,8 @@ class Engine:
         m = _DEALLOCATE_RE.match(text)
         if m:
             return self._deallocate_statement(m)
+        if _SHOW_ALL_RE.match(text):
+            return self.settings()
         # scan/rewrite only outside string literals (ADVICE r04): a
         # literal mentioning information_schema.* must pass through intact
         scannable = _SQL_LITERAL_RE.sub("''", text)
