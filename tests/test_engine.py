@@ -394,3 +394,57 @@ def test_show_all_lists_settings(engine):
     names = {r.name for r in rows}
     assert any(n.startswith("torchfusion.") for n in names)
     assert len(rows) > 10  # engine confs included
+
+
+def test_run_script_multi_statement(engine, tables):
+    """Porting a DataFusion-CLI .sql file: statements split on ';' outside
+    literals, -- comments stripped (but not inside literals), one result
+    per statement, front-door forms included."""
+    out = engine.run_script(
+        """
+        -- a ported script
+        SET torchfusion.batch_size = 32;
+        SELECT 'a;b -- not a comment' AS s;
+        SELECT count(*) AS n FROM region
+        """
+    )
+    assert len(out) == 3
+    assert out[1].collect()[0].s == "a;b -- not a comment"
+    assert out[2].collect()[0].n == 5
+
+
+def test_execute_binding_property():
+    """Property: EXECUTE literal re-rendering round-trips arbitrary
+    strings (quotes included) and numbers through the $n binding."""
+    from hypothesis import given, settings as hsettings
+    from hypothesis import strategies as st
+
+    import torchfusion_spark.engine as eng
+
+    @hsettings(max_examples=200, deadline=None)
+    @given(
+        s=st.text(
+            alphabet=st.characters(blacklist_categories=("Cs",), blacklist_characters="\x00"),
+            max_size=30,
+        ),
+        n=st.integers(min_value=-10**12, max_value=10**12),
+    )
+    def roundtrip(s, n):
+        rendered = "'" + s.replace("'", "''") + "'"
+        raw = f"{rendered}, {n}"
+        # parse the arg list exactly as _execute_statement does
+        args, pos = [], 0
+        while pos < len(raw):
+            am = eng._EXEC_ARG_RE.match(raw, pos)
+            assert am, raw[pos:]
+            if am.group("s") is not None:
+                args.append("'" + am.group("s") + "'")
+            elif am.group("n") is not None:
+                args.append(am.group("n"))
+            else:
+                args.append(am.group("w").upper())
+            pos = am.end()
+        assert args[0] == rendered
+        assert args[-1] == str(n)
+
+    roundtrip()

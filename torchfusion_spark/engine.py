@@ -408,6 +408,41 @@ class Engine:
             [(f"{plan}\n{summary}",)], "plan string"
         )
 
+    # -- scripts ------------------------------------------------------------
+
+    def run_script(self, script: str) -> list[DataFrame]:
+        """Execute a multi-statement SQL script (the DataFusion-CLI usage
+        shape: a ported ``.sql`` file). Statements split on ``;`` outside
+        single-quoted literals; empty statements and ``--`` line comments
+        are dropped. Returns one DataFrame per executed statement."""
+        # blank out literals for the split scan, split the original text
+        mask = list(script)
+        for lit in _SQL_LITERAL_RE.finditer(script):
+            for i in range(lit.start(), lit.end()):
+                mask[i] = "x"
+        masked = "".join(mask)
+        # strip -- comments (on the masked text, applied to the original)
+        keep_parts: list[str] = []
+        for orig_line, masked_line in zip(script.splitlines(), masked.splitlines()):
+            cut = masked_line.find("--")
+            keep_parts.append(orig_line[:cut] if cut >= 0 else orig_line)
+        script = "\n".join(keep_parts)
+        masked = "\n".join(
+            ml[: ml.find("--")] if ml.find("--") >= 0 else ml for ml in masked.splitlines()
+        )
+        results = []
+        start = 0
+        for i, ch in enumerate(masked):
+            if ch == ";":
+                stmt = script[start:i].strip()
+                if stmt:
+                    results.append(self.sql(stmt))
+                start = i + 1
+        tail = script[start:].strip()
+        if tail:
+            results.append(self.sql(tail))
+        return results
+
     # -- prepared statements -----------------------------------------------
 
     def _prepare_statement(self, m: re.Match) -> DataFrame:
