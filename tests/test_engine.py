@@ -448,3 +448,58 @@ def test_execute_binding_property():
         assert args[-1] == str(n)
 
     roundtrip()
+
+
+def test_reference_example_script_end_to_end(engine, tmp_path):
+    """Replays the reference's example (examples/torchfusion.rs) statement
+    for statement through Engine.run_script — the complete user journey a
+    torchfusion user ports: external table DDL, SET, df_settings
+    introspection, CREATE FUNCTION ... LANGUAGE TORCH, then inference with
+    argmax over both a stored feature array and a constructed one."""
+    import numpy as np
+
+    from torchfusion_spark.models.fixtures import oracle_predict, write_demo_model
+
+    # an iris-shaped table: 4 feature columns + the assembled array
+    rng = np.random.default_rng(11)
+    x = rng.standard_normal((40, 4)).astype("float32")
+    pdf = {
+        "sl": x[:, 0], "sw": x[:, 1], "pl": x[:, 2], "pw": x[:, 3],
+        "features": list(map(list, x)), "label": rng.integers(0, 3, 40),
+    }
+    import pandas as pd
+
+    table = str(tmp_path / "iris.parquet")
+    pd.DataFrame(pdf).to_parquet(table)
+    model = write_demo_model(str(tmp_path / "iris.npz"), in_dim=4, hidden=8, out_dim=3, seed=5)
+
+    out = engine.run_script(
+        f"""
+        CREATE EXTERNAL TABLE iris STORED AS PARQUET LOCATION '{table}';
+        SET torchfusion.device = cpu;
+        SELECT * FROM information_schema.df_settings WHERE NAME LIKE 'torch%';
+        CREATE FUNCTION iris(FLOAT[])
+        RETURNS FLOAT[]
+        LANGUAGE TORCH
+        AS '{model}';
+        SELECT
+        sl, sw, pl, pw,
+        features,
+        argmax(iris(features)) as f_inferred,
+        argmax(iris(array(sl, sw, pl, pw))) as inferred,
+        label
+        FROM iris
+        LIMIT 50
+        """
+    )
+    assert len(out) == 5
+    settings = {r.name for r in out[2].collect()}
+    assert "torchfusion.device" in settings
+    rows = out[4].collect()
+    assert len(rows) == 40
+    # inference matches the numpy oracle, and both argmax forms agree
+    want = np.argmax(oracle_predict(x, in_dim=4, hidden=8, out_dim=3, seed=5), axis=1)
+    got = [r.f_inferred for r in rows]
+    assert got == list(want)
+    assert [r.inferred for r in rows] == got
+    engine.spark.catalog.dropTempView("iris")
