@@ -1,0 +1,173 @@
+"""Differential fuzzing: randomized query shapes compiled to ONE ANSI SQL
+string, executed by both Catalyst and DuckDB on the same parquet, results
+compared exactly.
+
+The fixed registry witnesses each operator once; this sweeps the
+combinatorial space between witnesses (predicate × aggregate × grouping ×
+ordering) that no hand-written list covers. Derandomized (fixed seed) so
+the gate never sees a flaky example; the grammar is restricted to
+constructs both engines define identically:
+
+* money/quantity aggregates through DECIMAL (exact, order-independent),
+  surfaced as DOUBLE;
+* no float division, no order-dependent float aggs;
+* every ORDER BY is total (group keys are the sort keys);
+* LIKE patterns without escapes; IN lists of literals; BETWEEN on ints.
+
+A failure here is a real cross-engine divergence — exactly what the
+oracle gate exists to catch (SURVEY §5 strategy).
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+SF_DIR = "/root/testdata/sf0.001"
+
+NUM_PREDS = [
+    "l_quantity > {q}",
+    "l_quantity <= {q}",
+    "l_orderkey % 7 = {m}",
+    "l_extendedprice BETWEEN {lo} AND {hi}",
+    "l_orderkey BETWEEN {ok_lo} AND {ok_hi}",
+]
+STR_PREDS = [
+    "l_returnflag = '{flag}'",
+    "l_returnflag IN ('A', 'R')",
+    "l_linestatus = '{status}'",
+    "l_shipdate >= TIMESTAMP '{year}-0{month}-01'",
+    "l_shipdate < TIMESTAMP '{year}-0{month}-01'",
+]
+AGGS = [
+    "CAST(COUNT(*) AS BIGINT) AS n",
+    "CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty",
+    "CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price",
+    "CAST(MIN(l_orderkey) AS BIGINT) AS min_ok",
+    "CAST(MAX(l_orderkey) AS BIGINT) AS max_ok",
+    "MIN(l_returnflag) AS min_flag",
+    "CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts",
+]
+GROUPS = [None, "l_returnflag", "l_linestatus", "l_returnflag, l_linestatus"]
+
+
+@st.composite
+def query_case(draw):
+    preds = []
+    if draw(st.booleans()):
+        tmpl = draw(st.sampled_from(NUM_PREDS))
+        lo = draw(st.integers(900, 40000))
+        preds.append(
+            tmpl.format(
+                q=draw(st.integers(1, 50)),
+                m=draw(st.integers(0, 6)),
+                lo=lo,
+                hi=lo + draw(st.integers(0, 40000)),
+                ok_lo=draw(st.integers(0, 3000)),
+                ok_hi=draw(st.integers(3000, 60000)),
+            )
+        )
+    if draw(st.booleans()):
+        tmpl = draw(st.sampled_from(STR_PREDS))
+        preds.append(
+            tmpl.format(
+                flag=draw(st.sampled_from(["A", "N", "R"])),
+                status=draw(st.sampled_from(["O", "F"])),
+                year=draw(st.integers(1994, 1998)),
+                month=draw(st.integers(1, 9)),
+            )
+        )
+    aggs = draw(
+        st.lists(st.sampled_from(AGGS), min_size=1, max_size=3, unique=True)
+    )
+    group = draw(st.sampled_from(GROUPS))
+    sql = "SELECT "
+    if group:
+        sql += group + ", "
+    sql += ", ".join(aggs) + " FROM lineitem"
+    if preds:
+        sql += " WHERE " + " AND ".join(preds)
+    if group:
+        sql += f" GROUP BY {group} ORDER BY {group}"
+    return sql
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in ("lineitem", "orders"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    return con
+
+
+@settings(
+    max_examples=60,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(sql=query_case())
+def test_differential_agg_queries(spark, tables, duck, sql):
+    got = [tuple(r) for r in spark.sql(sql).collect()]
+    want = [tuple(r) for r in duck.execute(sql).fetchall()]
+    assert got == want, f"divergence on: {sql}"
+
+
+# bare SEMI/ANTI spellings: the dialect intersection (DuckDB rejects the
+# LEFT SEMI prefix Spark also accepts)
+JOIN_TYPES = ["JOIN", "LEFT JOIN", "SEMI JOIN", "ANTI JOIN"]
+O_PREDS = [
+    "o_orderpriority = '{prio}'",
+    "o_orderstatus = '{status}'",
+    "o_totalprice > {price}",
+]
+
+
+@st.composite
+def join_case(draw):
+    jt = draw(st.sampled_from(JOIN_TYPES))
+    o_pred = draw(st.sampled_from(O_PREDS)).format(
+        prio=draw(st.sampled_from(["1-URGENT", "2-HIGH", "3-MEDIUM"])),
+        status=draw(st.sampled_from(["O", "F", "P"])),
+        price=draw(st.integers(50_000, 400_000)),
+    )
+    l_pred = draw(st.sampled_from(NUM_PREDS)).format(
+        q=draw(st.integers(1, 50)),
+        m=draw(st.integers(0, 6)),
+        lo=1000,
+        hi=1000 + draw(st.integers(0, 40000)),
+        ok_lo=draw(st.integers(0, 3000)),
+        ok_hi=draw(st.integers(3000, 60000)),
+    )
+    semi = "SEMI" in jt or "ANTI" in jt
+    if semi:
+        # semi/anti expose only the left side
+        agg = "CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty"
+        group = "l_returnflag"
+    else:
+        agg = "CAST(COUNT(*) AS BIGINT) AS n, CAST(MIN(o_orderkey) AS BIGINT) AS min_ok"
+        group = draw(st.sampled_from(["l_returnflag", "o_orderpriority"]))
+    sub = f"(SELECT * FROM orders WHERE {o_pred}) o"
+    sql = (
+        f"SELECT {group}, {agg} FROM lineitem l {jt} {sub} "
+        f"ON l.l_orderkey = o.o_orderkey WHERE {l_pred} "
+        f"GROUP BY {group} ORDER BY {group}"
+    )
+    return sql
+
+
+@settings(
+    max_examples=40,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(sql=join_case())
+def test_differential_join_queries(spark, tables, duck, sql):
+    # python-side total sort: engines disagree on default NULL placement
+    # in ORDER BY (Spark NULLS FIRST, DuckDB NULLS LAST)
+    got = sorted((tuple(r) for r in spark.sql(sql).collect()), key=repr)
+    want = sorted((tuple(r) for r in duck.execute(sql).fetchall()), key=repr)
+    assert got == want, f"divergence on: {sql}"
