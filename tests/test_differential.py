@@ -171,3 +171,102 @@ def test_differential_join_queries(spark, tables, duck, sql):
     got = sorted((tuple(r) for r in spark.sql(sql).collect()), key=repr)
     want = sorted((tuple(r) for r in duck.execute(sql).fetchall()), key=repr)
     assert got == want, f"divergence on: {sql}"
+
+
+WIN_FUNCS = [
+    "ROW_NUMBER()",
+    "RANK()",
+    "LAG(l_orderkey, {k}) ",
+    "LEAD(l_orderkey, {k}) ",
+    "CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) OVER w2 AS DOUBLE)",
+    "CAST(COUNT(*) OVER w2 AS BIGINT)",
+]
+
+
+_WIN_COLS = (
+    "l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity, "
+    "l_extendedprice, l_returnflag, l_linestatus"
+)
+
+
+@st.composite
+def window_case(draw):
+    k = draw(st.integers(1, 3))
+    fn = draw(st.sampled_from(WIN_FUNCS)).format(k=k)
+    part = draw(st.sampled_from(["l_returnflag", "l_linestatus"]))
+    frame = draw(st.integers(0, 5))
+    over = "OVER w" if "OVER" not in fn else ""
+    # the synthetic testdata has duplicate (l_orderkey, l_linenumber) pairs,
+    # so the source is a DISTINCT projection and every window orders by ALL
+    # its columns — a total order, making rank/lag/frames deterministic in
+    # both engines
+    return (
+        f"WITH t AS (SELECT DISTINCT {_WIN_COLS} FROM lineitem WHERE l_orderkey < 2000) "
+        f"SELECT l_orderkey, l_linenumber, l_partkey, {fn} {over} AS v FROM t "
+        f"WINDOW w AS (PARTITION BY {part} ORDER BY {_WIN_COLS}), "
+        f"w2 AS (PARTITION BY {part} ORDER BY {_WIN_COLS} "
+        f"ROWS BETWEEN {frame} PRECEDING AND CURRENT ROW) "
+        f"ORDER BY {_WIN_COLS}"
+    )
+
+
+@settings(
+    max_examples=30,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(sql=window_case())
+def test_differential_window_queries(spark, tables, duck, sql):
+    got = [tuple(r) for r in spark.sql(sql).collect()]
+    want = [tuple(r) for r in duck.execute(sql).fetchall()]
+    assert got == want, f"divergence on: {sql}"
+
+
+SCALAR_EXPRS = [
+    "upper(l_returnflag)",
+    "lower(l_linestatus)",
+    "length(l_returnflag || l_linestatus)",
+    "substr(l_returnflag || l_linestatus, {pos}, 1)",
+    "replace(l_returnflag, 'A', 'X')",
+    "reverse(l_returnflag || l_linestatus)",
+    "abs(l_orderkey - {off})",
+    "CAST(l_orderkey % {mod} AS BIGINT)",
+    "CAST(round(CAST(l_quantity AS DECIMAL(12,2)) / 7, 2) AS DOUBLE)",
+    "coalesce(nullif(l_returnflag, 'N'), '-')",
+    "CASE WHEN l_quantity > {q} THEN 'hi' ELSE 'lo' END",
+    "greatest(l_orderkey, l_partkey)",
+    "least(l_orderkey, l_partkey)",
+]
+
+
+@st.composite
+def scalar_case(draw):
+    exprs = draw(st.lists(st.sampled_from(SCALAR_EXPRS), min_size=1, max_size=4, unique=True))
+    rendered = [
+        e.format(
+            pos=draw(st.integers(1, 2)),
+            off=draw(st.integers(0, 5000)),
+            mod=draw(st.integers(2, 13)),
+            q=draw(st.integers(1, 50)),
+        )
+        + f" AS e{i}"
+        for i, e in enumerate(exprs)
+    ]
+    return (
+        "SELECT l_orderkey, l_linenumber, " + ", ".join(rendered)
+        + " FROM lineitem WHERE l_orderkey < 1000 ORDER BY l_orderkey, l_linenumber"
+    )
+
+
+@settings(
+    max_examples=40,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(sql=scalar_case())
+def test_differential_scalar_exprs(spark, tables, duck, sql):
+    got = [tuple(r) for r in spark.sql(sql).collect()]
+    want = [tuple(r) for r in duck.execute(sql).fetchall()]
+    assert got == want, f"divergence on: {sql}"
