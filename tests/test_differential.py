@@ -270,3 +270,55 @@ def test_differential_scalar_exprs(spark, tables, duck, sql):
     got = [tuple(r) for r in spark.sql(sql).collect()]
     want = [tuple(r) for r in duck.execute(sql).fetchall()]
     assert got == want, f"divergence on: {sql}"
+
+
+SETOPS = ["UNION", "UNION ALL", "INTERSECT", "EXCEPT", "INTERSECT ALL", "EXCEPT ALL"]
+
+
+@st.composite
+def setop_case(draw):
+    op = draw(st.sampled_from(SETOPS))
+    q1 = draw(st.integers(1, 30))
+    q2 = draw(st.integers(10, 50))
+    cols = "l_returnflag, l_linestatus, CAST(l_quantity AS DOUBLE) AS q"
+    return (
+        f"SELECT {cols} FROM lineitem WHERE l_quantity <= {q1} "
+        f"{op} "
+        f"SELECT {cols} FROM lineitem WHERE l_quantity >= {q2}"
+    )
+
+
+@st.composite
+def rollup_case(draw):
+    form = draw(
+        st.sampled_from(
+            ["ROLLUP", "CUBE", "GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())"]
+        )
+    )
+    grouping = (
+        f"{form}(l_returnflag, l_linestatus)" if form in ("ROLLUP", "CUBE") else form
+    )
+    agg = draw(st.sampled_from(AGGS[:5]))
+    pred = draw(st.sampled_from(NUM_PREDS[:3])).format(
+        q=draw(st.integers(1, 50)), m=draw(st.integers(0, 6)), lo=0, hi=0
+    )
+    return (
+        f"SELECT l_returnflag, l_linestatus, {agg}, "
+        f"CAST(GROUPING(l_returnflag) AS BIGINT) AS g1 "
+        f"FROM lineitem WHERE {pred} GROUP BY {grouping}"
+    )
+
+
+@settings(
+    max_examples=30,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(sql=st.one_of(setop_case(), rollup_case()))
+def test_differential_setops_and_grouping(spark, tables, duck, sql):
+    # multiset compare (set-op result order is undefined; rollup emits NULL
+    # indicator rows both engines order differently)
+    got = sorted((tuple(r) for r in spark.sql(sql).collect()), key=repr)
+    want = sorted((tuple(r) for r in duck.execute(sql).fetchall()), key=repr)
+    assert got == want, f"divergence on: {sql}"
