@@ -322,3 +322,45 @@ def test_differential_setops_and_grouping(spark, tables, duck, sql):
     got = sorted((tuple(r) for r in spark.sql(sql).collect()), key=repr)
     want = sorted((tuple(r) for r in duck.execute(sql).fetchall()), key=repr)
     assert got == want, f"divergence on: {sql}"
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(
+    texts=st.lists(
+        st.text(
+            # printable unicode incl. multibyte, but no quotes/backslashes:
+            # the fuzz feeds a VALUES literal; quoting rules differ and are
+            # not the property under test (the hash portability is)
+            alphabet=st.characters(
+                blacklist_categories=("Cs", "Cc"),
+                blacklist_characters="'\\\"",
+            ),
+            min_size=0,
+            max_size=80,
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_portable_shingle_hashes_cross_engine(spark, duck, texts):
+    """The portable md5-int56 shingle hash is the trust anchor of every
+    dedup/decontamination oracle: the same document must produce the SAME
+    hashed-shingle set in Catalyst and DuckDB, including multibyte
+    unicode, empty strings and whitespace runs. Exercises the shared
+    sqlgen fragments directly rather than through a fixed corpus."""
+    from torchfusion_spark.operators.dedup import hashed_shingle_sql
+
+    rows = ", ".join(
+        f"({i}, '{t}', 'xx', {len(t)})" for i, t in enumerate(texts)
+    )
+    rel = f"(SELECT * FROM (VALUES {rows}) AS v(doc_id, text, lang, n_chars))"
+    s_sql = f"SELECT doc_id, hx FROM ({hashed_shingle_sql('spark', rel=rel)}) ORDER BY doc_id"
+    d_sql = f"SELECT doc_id, hx FROM ({hashed_shingle_sql('duck', rel=rel)}) ORDER BY doc_id"
+    got = [(r.doc_id, sorted(r.hx)) for r in spark.sql(s_sql).collect()]
+    want = [(i, sorted(h)) for i, h in duck.execute(d_sql).fetchall()]
+    assert got == want, f"hash divergence on texts: {texts!r}"
