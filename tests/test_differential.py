@@ -364,3 +364,54 @@ def test_portable_shingle_hashes_cross_engine(spark, duck, texts):
     got = [(r.doc_id, sorted(r.hx)) for r in spark.sql(s_sql).collect()]
     want = [(i, sorted(h)) for i, h in duck.execute(d_sql).fetchall()]
     assert got == want, f"hash divergence on texts: {texts!r}"
+
+
+SUBQ_SHAPES = [
+    # correlated scalar (no division — MIN/MAX/COUNT only)
+    "SELECT l_orderkey, l_linenumber, CAST(l_quantity AS DOUBLE) AS q FROM lineitem l "
+    "WHERE l_quantity = (SELECT MAX(l2.l_quantity) FROM lineitem l2 "
+    "WHERE l2.l_orderkey = l.l_orderkey) AND l_orderkey < {cap}",
+    # EXISTS
+    "SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS n FROM lineitem l "
+    "WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey "
+    "AND o.o_totalprice > {price}) AND l_orderkey < {cap} "
+    "GROUP BY l_orderkey",
+    # NOT EXISTS
+    "SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS n FROM lineitem l "
+    "WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey "
+    "AND o.o_orderpriority = '{prio}') AND l_orderkey < {cap} "
+    "GROUP BY l_orderkey",
+    # IN over a grouped HAVING subquery
+    "SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n FROM lineitem "
+    "WHERE l_orderkey IN (SELECT o_orderkey FROM orders GROUP BY o_orderkey "
+    "HAVING CAST(MAX(o_totalprice) AS DECIMAL(14,2)) > {price}) "
+    "GROUP BY l_returnflag",
+    # uncorrelated scalar compare
+    "SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n FROM lineitem "
+    "WHERE l_extendedprice > (SELECT MIN(o_totalprice) FROM orders "
+    "WHERE o_orderstatus = '{status}') GROUP BY l_returnflag",
+]
+
+
+@st.composite
+def subquery_case(draw):
+    tmpl = draw(st.sampled_from(SUBQ_SHAPES))
+    return tmpl.format(
+        cap=draw(st.integers(200, 3000)),
+        price=draw(st.integers(50_000, 300_000)),
+        prio=draw(st.sampled_from(["1-URGENT", "5-LOW"])),
+        status=draw(st.sampled_from(["O", "F"])),
+    )
+
+
+@settings(
+    max_examples=30,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(sql=subquery_case())
+def test_differential_subqueries(spark, tables, duck, sql):
+    got = sorted((tuple(r) for r in spark.sql(sql).collect()), key=repr)
+    want = sorted((tuple(r) for r in duck.execute(sql).fetchall()), key=repr)
+    assert got == want, f"divergence on: {sql}"

@@ -153,7 +153,9 @@ def main() -> int:
     passed, rows_only, failed = [], [], []
     timings: dict[str, float] = {}
     for name, q in items:
-        if only and name not in only:
+        # --driver-order keys carry the c{rank}_ prefix; accept either form
+        canonical = name.split("_", 1)[1] if driver_order and "_" in name else name
+        if only and name not in only and canonical not in only:
             continue
         t0 = time.monotonic()
         try:
