@@ -415,3 +415,46 @@ def test_differential_subqueries(spark, tables, duck, sql):
     got = sorted((tuple(r) for r in spark.sql(sql).collect()), key=repr)
     want = sorted((tuple(r) for r in duck.execute(sql).fetchall()), key=repr)
     assert got == want, f"divergence on: {sql}"
+
+
+DT_EXPRS = [
+    "CAST(EXTRACT(YEAR FROM l_shipdate) AS BIGINT)",
+    "CAST(EXTRACT(MONTH FROM l_shipdate) AS BIGINT)",
+    "CAST(EXTRACT(DAY FROM l_shipdate) AS BIGINT)",
+    "CAST(EXTRACT(HOUR FROM l_shipdate) AS BIGINT)",
+    # CAST: DuckDB returns DATE for day-or-coarser units, Spark TIMESTAMP
+    "CAST(date_trunc('{unit}', l_shipdate) AS TIMESTAMP)",
+    "CAST(l_shipdate AS DATE)",
+    "l_shipdate + INTERVAL '{days}' DAY",
+]
+
+
+@st.composite
+def datetime_case(draw):
+    exprs = draw(st.lists(st.sampled_from(DT_EXPRS), min_size=1, max_size=3, unique=True))
+    rendered = [
+        e.format(
+            unit=draw(st.sampled_from(["year", "month", "day", "hour"])),
+            days=draw(st.integers(1, 90)),
+        )
+        + f" AS e{i}"
+        for i, e in enumerate(exprs)
+    ]
+    return (
+        "SELECT l_orderkey, l_linenumber, " + ", ".join(rendered)
+        + " FROM lineitem WHERE l_orderkey < 800 ORDER BY l_orderkey, l_linenumber, "
+        + ", ".join(f"e{i}" for i in range(len(rendered)))
+    )
+
+
+@settings(
+    max_examples=30,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(sql=datetime_case())
+def test_differential_datetime_exprs(spark, tables, duck, sql):
+    got = sorted((tuple(r) for r in spark.sql(sql).collect()), key=repr)
+    want = sorted((tuple(r) for r in duck.execute(sql).fetchall()), key=repr)
+    assert got == want, f"divergence on: {sql}"
