@@ -503,3 +503,67 @@ def test_reference_example_script_end_to_end(engine, tmp_path):
     assert got == list(want)
     assert [r.inferred for r in rows] == got
     engine.spark.catalog.dropTempView("iris")
+
+
+def test_run_script_tokenizer_edge_cases(engine, tables):
+    """Round-5 review findings: a newline inside a literal must not shift
+    statement boundaries; an apostrophe inside a comment must not open a
+    bogus literal; '' escapes survive."""
+    out = engine.run_script(
+        "SELECT 'line1\nline2' AS s; -- it's a comment\n"
+        "SELECT 2 AS two;\n"
+        "SELECT 'x''y' AS esc"
+    )
+    assert len(out) == 3
+    assert out[0].collect()[0].s == "line1\nline2"
+    assert out[1].collect()[0].two == 2
+    assert out[2].collect()[0].esc == "x'y"
+
+
+def test_external_table_schema_keeps_column_named_text(engine, tmp_path):
+    """A column NAMED text/varchar (the documents table has one) must not
+    have its NAME rewritten by the VARCHAR->STRING type mapping."""
+    p = tmp_path / "docs.csv"
+    p.write_text("doc_id,text,lang\n1,hello world,en\n")
+    engine.sql(
+        f"CREATE EXTERNAL TABLE docs_named (doc_id BIGINT, text VARCHAR, lang VARCHAR) "
+        f"STORED AS CSV WITH HEADER ROW LOCATION '{p}'"
+    )
+    row = engine.sql("SELECT doc_id, text, lang FROM docs_named").collect()[0]
+    assert (row.doc_id, row.text, row.lang) == (1, "hello world", "en")
+    engine.spark.catalog.dropTempView("docs_named")
+
+
+def test_external_table_options_after_location(engine, tmp_path):
+    """DataFusion's documented clause order (LOCATION then OPTIONS)."""
+    p = tmp_path / "after.csv"
+    p.write_text("a|b\n1|x\n")
+    engine.sql(
+        f"CREATE EXTERNAL TABLE opts_after (a BIGINT, b VARCHAR) STORED AS CSV "
+        f"LOCATION '{p}' OPTIONS ('format.has_header' 'true', 'format.delimiter' '|')"
+    )
+    assert engine.sql("SELECT a, b FROM opts_after").collect()[0].b == "x"
+    engine.spark.catalog.dropTempView("opts_after")
+
+
+def test_execute_out_of_range_multidigit_placeholder_errors(engine):
+    """$12 with 2 args must raise unbound, not be spliced as $1 + '2'."""
+    import pytest
+
+    engine.sql("PREPARE p12 AS SELECT $1 AS a, $12 AS b")
+    with pytest.raises(ValueError, match=r"\$12"):
+        engine.sql("EXECUTE p12(5, 7)")
+    engine.sql("DEALLOCATE p12")
+
+
+def test_if_not_exists_case_insensitive(engine):
+    engine.sql(
+        "CREATE EXTERNAL TABLE MixedCase STORED AS PARQUET "
+        "LOCATION '/root/testdata/sf0.001/region.parquet'"
+    )
+    engine.sql(
+        "CREATE EXTERNAL TABLE IF NOT EXISTS mixedcase STORED AS PARQUET "
+        "LOCATION '/root/testdata/sf0.001/nation.parquet'"
+    )
+    assert engine.sql("SELECT count(*) AS n FROM MixedCase").collect()[0].n == 5
+    engine.spark.catalog.dropTempView("MixedCase")

@@ -147,7 +147,7 @@ def _at_scale(sf_dir: str) -> bool:
     set (ADVICE r04). ``PLAN_AUDIT_AT_SCALE=0|1`` overrides."""
     env = os.environ.get("PLAN_AUDIT_AT_SCALE")
     if env is not None:
-        return env not in ("0", "false", "")
+        return env.strip().lower() not in ("0", "false", "no", "")
     try:
         import pyarrow.parquet as pq
 
@@ -209,8 +209,18 @@ def main() -> None:
     out = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLAN_AUDIT.json"
     )
+    if names and os.path.exists(out):
+        # partial re-measure (explicit name filter): merge into the full
+        # artifact instead of clobbering it — tests derive their shuffle
+        # ceilings from every recorded entry
+        with open(out) as f:
+            merged = json.load(f)
+        merged.update(rows)
+        rows_out = merged
+    else:
+        rows_out = rows
     with open(out, "w") as f:
-        json.dump(rows, f, indent=1, sort_keys=True)
+        json.dump(rows_out, f, indent=1, sort_keys=True)
 
     flagged = {k: v for k, v in rows.items() if v.get("unexpected") or "error" in v}
     print(f"{len(rows)} plans audited; {len(flagged)} flagged")

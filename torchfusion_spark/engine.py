@@ -67,7 +67,11 @@ _EXTERNAL_TABLE_RE = re.compile(
     r"(?:\s*WITH\s+ORDER\s*\(\s*(?P<order>[^)]*?)\s*\)\s*)?"
     r"(?:\s*PARTITIONED\s+BY\s*\(\s*(?P<parts>[^)]*?)\s*\)\s*)?"
     r"(?:\s*OPTIONS\s*\(\s*(?P<opts>.*?)\s*\)\s*)?"
-    r"\s*LOCATION\s+(?P<loc>'[^']*')\s*;?\s*$",
+    r"\s*LOCATION\s+(?P<loc>'[^']*')"
+    # DataFusion also accepts OPTIONS after LOCATION (the order its docs
+    # show); either position, not both
+    r"(?:\s*OPTIONS\s*\(\s*(?P<opts2>.*?)\s*\)\s*)?"
+    r"\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
 
@@ -413,35 +417,52 @@ class Engine:
     def run_script(self, script: str) -> list[DataFrame]:
         """Execute a multi-statement SQL script (the DataFusion-CLI usage
         shape: a ported ``.sql`` file). Statements split on ``;`` outside
-        single-quoted literals; empty statements and ``--`` line comments
-        are dropped. Returns one DataFrame per executed statement."""
-        # blank out literals for the split scan, split the original text
-        mask = list(script)
-        for lit in _SQL_LITERAL_RE.finditer(script):
-            for i in range(lit.start(), lit.end()):
-                mask[i] = "x"
-        masked = "".join(mask)
-        # strip -- comments (on the masked text, applied to the original)
-        keep_parts: list[str] = []
-        for orig_line, masked_line in zip(script.splitlines(), masked.splitlines()):
-            cut = masked_line.find("--")
-            keep_parts.append(orig_line[:cut] if cut >= 0 else orig_line)
-        script = "\n".join(keep_parts)
-        masked = "\n".join(
-            ml[: ml.find("--")] if ml.find("--") >= 0 else ml for ml in masked.splitlines()
-        )
-        results = []
-        start = 0
-        for i, ch in enumerate(masked):
-            if ch == ";":
-                stmt = script[start:i].strip()
-                if stmt:
-                    results.append(self.sql(stmt))
-                start = i + 1
-        tail = script[start:].strip()
-        if tail:
-            results.append(self.sql(tail))
-        return results
+        single-quoted literals; ``--`` line comments (outside literals) and
+        empty statements are dropped. Returns one DataFrame per executed
+        statement.
+
+        Single char-scan tokenizer: literal state toggles on ``'`` (the
+        ``''`` escape stays inside the literal), comment state starts at
+        ``--`` outside a literal and ends at newline. This keeps an
+        apostrophe inside a comment from opening a bogus literal and a
+        newline inside a literal from shifting statement boundaries —
+        both real failure modes of line- or regex-based splitting."""
+        statements: list[str] = []
+        buf: list[str] = []
+        in_literal = in_comment = False
+        i, n = 0, len(script)
+        while i < n:
+            ch = script[i]
+            if in_comment:
+                if ch == "\n":
+                    in_comment = False
+                    buf.append(ch)
+                i += 1
+                continue
+            if in_literal:
+                buf.append(ch)
+                if ch == "'":
+                    if i + 1 < n and script[i + 1] == "'":
+                        buf.append("'")
+                        i += 1
+                    else:
+                        in_literal = False
+                i += 1
+                continue
+            if ch == "'":
+                in_literal = True
+                buf.append(ch)
+            elif ch == "-" and i + 1 < n and script[i + 1] == "-":
+                in_comment = True
+                i += 1
+            elif ch == ";":
+                statements.append("".join(buf))
+                buf = []
+            else:
+                buf.append(ch)
+            i += 1
+        statements.append("".join(buf))
+        return [self.sql(stmt) for s in statements if (stmt := s.strip())]
 
     # -- prepared statements -----------------------------------------------
 
@@ -472,12 +493,21 @@ class Engine:
                 args.append(word)
             pos = am.end()
         body = prepared[name]
-        # bind $n markers outside string literals, highest index first so
-        # $12 is never clobbered by $1
+        # bind $n markers outside string literals in ONE regex pass — a
+        # sequential str.replace would let $1 clobber the prefix of an
+        # out-of-range $12, silently splicing a corrupted literal instead
+        # of raising the unbound error
+        unbound: list[str] = []
+
         def bind(segment: str) -> str:
-            for i in range(len(args), 0, -1):
-                segment = segment.replace(f"${i}", args[i - 1])
-            return segment
+            def sub(mm: re.Match) -> str:
+                idx = int(mm.group(1))
+                if 1 <= idx <= len(args):
+                    return args[idx - 1]
+                unbound.append(mm.group(0))
+                return mm.group(0)
+
+            return re.sub(r"\$(\d+)", sub, segment)
 
         out, last = [], 0
         for lit in _SQL_LITERAL_RE.finditer(body):
@@ -485,14 +515,12 @@ class Engine:
             out.append(lit.group(0))
             last = lit.end()
         out.append(bind(body[last:]))
-        bound = "".join(out)
-        unbound = re.search(r"\$\d+", _SQL_LITERAL_RE.sub("''", bound))
         if unbound:
             raise ValueError(
-                f"EXECUTE {name}: placeholder {unbound.group(0)} not bound "
+                f"EXECUTE {name}: placeholder {unbound[0]} not bound "
                 f"({len(args)} argument(s) given)"
             )
-        return self.sql(bound)
+        return self.sql("".join(out))
 
     def _deallocate_statement(self, m: re.Match) -> DataFrame:
         name = m.group("name").lower()
@@ -525,10 +553,34 @@ class Engine:
     def _spark_ddl_schema(cols: str) -> str:
         """DataFusion column list → Spark DDL schema string. The type
         grammar mostly coincides; bare VARCHAR/TEXT (no length) are the
-        exceptions Spark's parser rejects — map them to STRING."""
-        ddl = re.sub(r"\bVARCHAR\b(?!\s*\()", "STRING", cols, flags=re.IGNORECASE)
-        ddl = re.sub(r"\bTEXT\b", "STRING", ddl, flags=re.IGNORECASE)
-        return re.sub(r"\s+", " ", ddl).strip()
+        exceptions Spark's parser rejects — map them to STRING.
+
+        The substitution applies only to the TYPE part of each column
+        (everything after the first token): a column NAMED ``text`` or
+        ``varchar`` — this repo's own documents table has one — must keep
+        its name. Columns split on top-level commas so DECIMAL(p,s)
+        survives."""
+        parts, depth, start = [], 0, 0
+        for i, ch in enumerate(cols):
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            elif ch == "," and depth == 0:
+                parts.append(cols[start:i])
+                start = i + 1
+        parts.append(cols[start:])
+        out = []
+        for part in parts:
+            tokens = part.strip().split(None, 1)
+            if len(tokens) == 2:
+                name, rest = tokens
+                rest = re.sub(r"\bVARCHAR\b(?!\s*\()", "STRING", rest, flags=re.IGNORECASE)
+                rest = re.sub(r"\bTEXT\b", "STRING", rest, flags=re.IGNORECASE)
+                out.append(f"{name} {rest}")
+            elif tokens:
+                out.append(tokens[0])
+        return re.sub(r"\s+", " ", ", ".join(out)).strip()
 
     def _create_external_table(self, m: re.Match) -> DataFrame:
         """CREATE EXTERNAL TABLE (short and long form) → a reader-backed
@@ -541,10 +593,10 @@ class Engine:
         name, fmt = m.group("name"), m.group("fmt").lower()
         path = m.group("loc")[1:-1]
         if m.group("if_not_exists") and any(
-            t.name == name for t in self.spark.catalog.listTables()
+            t.name.lower() == name.lower() for t in self.spark.catalog.listTables()
         ):
             return self.spark.table(name)
-        opts = self._parse_ddl_options(m.group("opts"))
+        opts = self._parse_ddl_options(m.group("opts") or m.group("opts2"))
         if m.group("header") is not None:
             opts.setdefault("header", "true")
         if m.group("delim"):

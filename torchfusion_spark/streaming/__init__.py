@@ -143,10 +143,16 @@ def stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     def update(key, pdfs, state: GroupState):
+        import numpy as np
+
         n, hundredths = state.get if state.exists else (0, 0)
         for pdf in pdfs:
             n += len(pdf)
-            hundredths += int((pdf["value"] * 100).round().astype("int64").sum())
+            # half-away-from-zero, matching SQL ROUND in the oracle —
+            # pandas .round() is banker's (half-to-even) and would diverge
+            # on an exact .5 hundredth
+            v = pdf["value"].to_numpy() * 100
+            hundredths += int(np.sum(np.sign(v) * np.floor(np.abs(v) + 0.5)).astype("int64"))
         state.update((n, hundredths))
         import pandas as pd
 
