@@ -458,3 +458,70 @@ def test_differential_datetime_exprs(spark, tables, duck, sql):
     got = sorted((tuple(r) for r in spark.sql(sql).collect()), key=repr)
     want = sorted((tuple(r) for r in duck.execute(sql).fetchall()), key=repr)
     assert got == want, f"divergence on: {sql}"
+
+
+@pytest.fixture()
+def restore_documents(spark, tables):
+    """Tests that clobber the documents view force a clean reload (the
+    registration-generation key re-stages every dependent cached
+    relation)."""
+    yield
+    spark._tf_tables_loaded = None
+    from torchfusion_spark.sources import load_tables
+
+    load_tables(spark, tables)
+
+
+TEXT_SQLS = ["quality", "tokens", "fingerprint"]
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet=st.characters(
+                blacklist_categories=("Cs", "Cc"), blacklist_characters="'\\\"",
+            ),
+            min_size=0,
+            max_size=60,
+        ),
+        min_size=1,
+        max_size=6,
+    ),
+    which=st.sampled_from(TEXT_SQLS),
+)
+def test_differential_textstats_primitives(spark, duck, restore_documents, texts, which):
+    """The text-quality/token/fingerprint sqlgen fragments on RANDOM
+    unicode docs: the fixed-corpus oracle proves them on driver data;
+    this sweeps tokenizer/regex/hash behavior over arbitrary strings —
+    any engine disagreement on whitespace splitting, regex counting, or
+    md5 hashing surfaces here."""
+    from torchfusion_spark.operators.textstats import (
+        fingerprint_sql,
+        text_quality_sql,
+        token_count_sql,
+    )
+
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(len(texts)),
+            "text": texts,
+            "lang": ["en"] * len(texts),
+            "n_chars": [len(t) for t in texts],
+        }
+    )
+    spark.createDataFrame(pdf).createOrReplaceTempView("documents")
+    duck.execute("CREATE OR REPLACE VIEW documents AS SELECT * FROM pdf")
+    gen = {"quality": text_quality_sql, "tokens": token_count_sql, "fingerprint": fingerprint_sql}[
+        which
+    ]
+    got = [tuple(r) for r in spark.sql(gen("spark")).collect()]
+    want = [tuple(r) for r in duck.execute(gen("duck")).fetchall()]
+    assert got == want, f"textstats divergence ({which}) on texts: {texts!r}"
