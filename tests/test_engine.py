@@ -345,7 +345,9 @@ def test_prepare_execute_deallocate(engine, tables):
     row = engine.sql("EXECUTE lit(7)").collect()[0]
     assert row.s == "$1 stays" and row.v == 7
 
-    with pytest.raises(ValueError, match="not bound"):
+    # typed PREPARE: arity is checked against the declared type list
+    # (DataFusion: "expects N parameters, but M provided")
+    with pytest.raises(ValueError, match="declared parameter type"):
         engine.sql("EXECUTE top_orders(1)")
     engine.sql("DEALLOCATE top_orders")
     with pytest.raises(ValueError, match="does not exist"):
@@ -544,6 +546,88 @@ def test_external_table_options_after_location(engine, tmp_path):
     )
     assert engine.sql("SELECT a, b FROM opts_after").collect()[0].b == "x"
     engine.spark.catalog.dropTempView("opts_after")
+
+
+def test_run_script_block_comments_and_quoted_identifiers(engine, tables):
+    """ADVICE r05: DataFusion's sqlparser accepts /* */ block comments and
+    double-quoted identifiers; a ';' or apostrophe inside either must not
+    split statements."""
+    out = engine.run_script(
+        '/* header; it\'s got a semicolon */\n'
+        'SELECT r_name AS "the;name" FROM region ORDER BY r_name LIMIT 1;\n'
+        "SELECT 2 /* mid; comment */ AS two;\n"
+        'SELECT \'a\' AS "with""escape"'
+    )
+    assert len(out) == 3
+    assert out[0].columns == ["the;name"]
+    assert out[1].collect()[0].two == 2
+    assert out[2].columns == ['with"escape']
+
+
+def test_prepare_declared_types_bind_as_casts(engine, tables):
+    """ADVICE r05: EXECUTE wraps each bound literal in CAST(x AS <declared
+    type>), so a DATE parameter compares as a date (not a string) and a
+    DECIMAL(p,s) type list parses despite its nested parens."""
+    engine.sql(
+        "PREPARE by_date(DATE) AS SELECT count(*) AS n FROM orders "
+        "WHERE o_orderdate < $1"
+    )
+    n = engine.sql("EXECUTE by_date('1995-06-15')").collect()[0].n
+    want = engine.spark.sql(
+        "SELECT count(*) AS n FROM orders WHERE o_orderdate < DATE '1995-06-15'"
+    ).collect()[0].n
+    assert n == want and want > 0
+    engine.sql("DEALLOCATE by_date")
+
+    engine.sql(
+        "PREPARE by_price(DECIMAL(12,2), VARCHAR) AS "
+        "SELECT count(*) AS n FROM orders "
+        "WHERE o_totalprice > $1 AND o_orderpriority = $2"
+    )
+    n = engine.sql("EXECUTE by_price(100000.50, '1-URGENT')").collect()[0].n
+    assert n >= 0
+    engine.sql("DEALLOCATE by_price")
+
+
+def test_execute_immediate_falls_through_to_spark(engine):
+    """Spark's own EXECUTE IMMEDIATE ('...') shares the EXECUTE prefix but
+    must reach spark.sql, not the prepared-statement registry."""
+    row = engine.sql("EXECUTE IMMEDIATE 'SELECT 41 + 1 AS answer'").collect()[0]
+    assert row.answer == 42
+
+
+def test_copy_to_infers_format_from_extension(engine, tables, tmp_path):
+    """ADVICE r05: COPY without STORED AS/(FORMAT) infers the format from
+    the target extension like DataFusion 45; a missing extension errors
+    instead of silently defaulting to parquet."""
+    import pytest
+
+    csvp = str(tmp_path / "region_inferred.csv")
+    out = engine.sql(f"COPY region TO '{csvp}' OPTIONS ('format.has_header' 'true')").collect()
+    assert out[0]["count"] == 5
+    back = engine.spark.read.option("header", "true").csv(csvp)  # real CSV, not parquet
+    assert back.count() == 5 and "r_name" in back.columns
+
+    pqp = str(tmp_path / "region_inferred.parquet")
+    out = engine.sql(f"COPY region TO '{pqp}'").collect()
+    assert out[0]["count"] == 5
+    assert engine.spark.read.parquet(pqp).count() == 5
+
+    with pytest.raises(ValueError, match="extension"):
+        engine.sql(f"COPY region TO '{tmp_path / 'noext'}'")
+
+
+def test_copy_to_csv_embedded_newline_count(engine, tables, tmp_path):
+    """ADVICE r05: COPY's returned count comes from the source plan for
+    text formats — a naive read-back without multiLine would miscount CSV
+    rows containing embedded newlines."""
+    engine.spark.createDataFrame(
+        [(1, "line1\nline2"), (2, "plain")], "id int, s string"
+    ).createOrReplaceTempView("nl_rows")
+    csvp = str(tmp_path / "nl.csv")
+    out = engine.sql(f"COPY nl_rows TO '{csvp}' STORED AS CSV").collect()
+    assert out[0]["count"] == 2
+    engine.spark.catalog.dropTempView("nl_rows")
 
 
 def test_execute_out_of_range_multidigit_placeholder_errors(engine):

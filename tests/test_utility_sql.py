@@ -370,3 +370,21 @@ def test_broadcast_gate_drops_hint_when_dim_outgrows_threshold(spark, tables):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     assert fits_broadcast(spark, "supplier")  # memo keyed on threshold conf
+
+
+def test_broadcast_gate_survives_disabled_auto_broadcast(spark, tables):
+    """ADVICE r05: an explicit F.broadcast hint is independent of
+    autoBroadcastJoinThreshold in Spark, so disabling auto-broadcast
+    (threshold -1 or 0) must NOT silently drop the curated dim hints —
+    the gate falls back to an absolute 128 MB OOM bound instead."""
+    from torchfusion_spark.plans.registry import bcast_dim, fits_broadcast
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        for disabled in ("-1", "0"):
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", disabled)
+            assert fits_broadcast(spark, "supplier"), disabled
+            dim = bcast_dim(spark, spark.table("supplier"), "supplier")
+            assert "ResolvedHint" in dim._jdf.queryExecution().analyzed().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)

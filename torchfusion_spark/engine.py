@@ -112,6 +112,30 @@ _INFO_SCHEMA_RE = re.compile(
 # rewritten too).
 _SQL_LITERAL_RE = re.compile(r"'(?:[^']|'')*'")
 
+# double-quoted identifier with "" escape (DataFusion/ANSI dialect)
+_DQUOTE_IDENT_RE = re.compile(r'"(?:[^"]|"")*"')
+
+
+def _dquote_idents_to_backticks(stmt: str) -> str:
+    """DataFusion's dialect reads ``"name"`` as a quoted identifier;
+    Spark's default dialect reads it as a string literal. Scripts ported
+    through :meth:`Engine.run_script` are DataFusion-dialect by contract,
+    so rewrite double-quoted identifiers (outside single-quoted literals)
+    to Spark backtick form, mapping the ``""`` escape to a literal ``"``
+    and doubling any embedded backtick."""
+
+    def to_backtick(m: re.Match) -> str:
+        inner = m.group(0)[1:-1].replace('""', '"').replace("`", "``")
+        return f"`{inner}`"
+
+    out, last = [], 0
+    for lit in _SQL_LITERAL_RE.finditer(stmt):
+        out.append(_DQUOTE_IDENT_RE.sub(to_backtick, stmt[last : lit.start()]))
+        out.append(lit.group(0))
+        last = lit.end()
+    out.append(_DQUOTE_IDENT_RE.sub(to_backtick, stmt[last:]))
+    return "".join(out)
+
 
 def _sub_outside_literals(pattern: re.Pattern, repl, text: str) -> str:
     """``pattern.sub(repl, ...)`` applied only to the segments of ``text``
@@ -163,7 +187,8 @@ _EXPLAIN_ANALYZE_RE = re.compile(
 # door so prepared statements compose with df_settings/DDL handling.
 _PREPARE_RE = re.compile(
     r"^\s*PREPARE\s+(?P<name>[A-Za-z_]\w*)\s*"
-    r"(?:\(\s*(?P<types>[^)]*)\s*\)\s*)?AS\s+(?P<body>.+?)\s*;?\s*$",
+    # one paren-nesting level so DECIMAL(10,2) in the type list parses
+    r"(?:\(\s*(?P<types>(?:[^()]|\([^()]*\))*?)\s*\)\s*)?AS\s+(?P<body>.+?)\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
 _EXECUTE_RE = re.compile(
@@ -421,15 +446,16 @@ class Engine:
         empty statements are dropped. Returns one DataFrame per executed
         statement.
 
-        Single char-scan tokenizer: literal state toggles on ``'`` (the
-        ``''`` escape stays inside the literal), comment state starts at
-        ``--`` outside a literal and ends at newline. This keeps an
-        apostrophe inside a comment from opening a bogus literal and a
-        newline inside a literal from shifting statement boundaries —
-        both real failure modes of line- or regex-based splitting."""
+        Single char-scan tokenizer with four states (all accepted by
+        DataFusion's sqlparser, ADVICE r05): ``'`` literals (the ``''``
+        escape stays inside), ``"`` double-quoted identifiers (``""``
+        escape likewise), ``--`` line comments ending at newline, and
+        ``/* */`` block comments. A ``;`` or apostrophe inside any of the
+        quoted/comment states must not split statements — the real
+        failure modes of line- or regex-based splitting."""
         statements: list[str] = []
         buf: list[str] = []
-        in_literal = in_comment = False
+        in_literal = in_comment = in_block = in_ident = False
         i, n = 0, len(script)
         while i < n:
             ch = script[i]
@@ -439,21 +465,36 @@ class Engine:
                     buf.append(ch)
                 i += 1
                 continue
-            if in_literal:
+            if in_block:
+                if ch == "*" and i + 1 < n and script[i + 1] == "/":
+                    in_block = False
+                    i += 1
+                i += 1
+                continue
+            if in_literal or in_ident:
+                quote = "'" if in_literal else '"'
                 buf.append(ch)
-                if ch == "'":
-                    if i + 1 < n and script[i + 1] == "'":
-                        buf.append("'")
+                if ch == quote:
+                    if i + 1 < n and script[i + 1] == quote:
+                        buf.append(quote)
                         i += 1
-                    else:
+                    elif in_literal:
                         in_literal = False
+                    else:
+                        in_ident = False
                 i += 1
                 continue
             if ch == "'":
                 in_literal = True
                 buf.append(ch)
+            elif ch == '"':
+                in_ident = True
+                buf.append(ch)
             elif ch == "-" and i + 1 < n and script[i + 1] == "-":
                 in_comment = True
+                i += 1
+            elif ch == "/" and i + 1 < n and script[i + 1] == "*":
+                in_block = True
                 i += 1
             elif ch == ";":
                 statements.append("".join(buf))
@@ -462,12 +503,42 @@ class Engine:
                 buf.append(ch)
             i += 1
         statements.append("".join(buf))
-        return [self.sql(stmt) for s in statements if (stmt := s.strip())]
+        return [
+            self.sql(_dquote_idents_to_backticks(stmt))
+            for s in statements
+            if (stmt := s.strip())
+        ]
 
     # -- prepared statements -----------------------------------------------
 
+    @staticmethod
+    def _split_type_list(raw: str | None) -> list[str]:
+        """PREPARE's declared parameter types, split on top-level commas
+        (DECIMAL(10,2) survives) and mapped onto Spark type spellings."""
+        if not raw or not raw.strip():
+            return []
+        parts, depth, start = [], 0, 0
+        for i, ch in enumerate(raw):
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            elif ch == "," and depth == 0:
+                parts.append(raw[start:i])
+                start = i + 1
+        parts.append(raw[start:])
+        out = []
+        for p in parts:
+            t = re.sub(r"\bVARCHAR\b(?!\s*\()", "STRING", p.strip(), flags=re.IGNORECASE)
+            t = re.sub(r"\bTEXT\b", "STRING", t, flags=re.IGNORECASE)
+            out.append(t)
+        return out
+
     def _prepare_statement(self, m: re.Match) -> DataFrame:
-        self.__dict__.setdefault("_prepared", {})[m.group("name").lower()] = m.group("body")
+        self.__dict__.setdefault("_prepared", {})[m.group("name").lower()] = (
+            m.group("body"),
+            self._split_type_list(m.group("types")),
+        )
         return self.spark.createDataFrame([], "result string")
 
     def _execute_statement(self, m: re.Match) -> DataFrame:
@@ -492,7 +563,17 @@ class Engine:
                     raise ValueError(f"unsupported EXECUTE argument: {am.group('w')!r}")
                 args.append(word)
             pos = am.end()
-        body = prepared[name]
+        body, types = prepared[name]
+        if types:
+            # DataFusion casts each bound literal to the type declared in
+            # PREPARE (sqlparser data_type list), so e.g. a DATE parameter
+            # compares as a date, not a string (ADVICE r05)
+            if len(args) != len(types):
+                raise ValueError(
+                    f"EXECUTE {name}: {len(args)} argument(s) for "
+                    f"{len(types)} declared parameter type(s)"
+                )
+            args = [f"CAST({a} AS {t})" for a, t in zip(args, types)]
         # bind $n markers outside string literals in ONE regex pass — a
         # sequential str.replace would let $1 clobber the prefix of an
         # out-of-range $12, silently splicing a corrupted literal instead
@@ -660,9 +741,27 @@ class Engine:
         df.createOrReplaceTempView(name)
         return self.spark.table(name)
 
+    # extensions DataFusion's FileType::from_str recognizes when COPY has
+    # no explicit STORED AS / (FORMAT) clause
+    _COPY_EXT_FMT = {
+        "parquet": "parquet",
+        "csv": "csv",
+        "json": "json",
+        "ndjson": "json",
+        "arrow": "arrow",
+        "avro": "avro",
+        "orc": "orc",
+    }
+
     def _copy_to_statement(self, m: re.Match) -> DataFrame:
         """COPY <rel|(query)> TO '<path>' → :func:`sinks.copy_to`. Returns
-        a one-row (count bigint) DataFrame, DataFusion's COPY output."""
+        a one-row (count bigint) DataFrame, DataFusion's COPY output.
+
+        Format resolution matches DataFusion 45 (ADVICE r05): an explicit
+        STORED AS / (FORMAT) clause wins; otherwise the format is inferred
+        from the target path's extension, and a missing/unrecognized
+        extension is an error — never a silent parquet default under a
+        ``.csv`` path."""
         from torchfusion_spark.sources import sinks
 
         df = (
@@ -670,7 +769,18 @@ class Engine:
             if m.group("query")
             else self.spark.table(m.group("rel"))
         )
-        fmt = (m.group("fmt") or m.group("fmt2") or "parquet").lower()
+        path = m.group("loc")[1:-1]
+        fmt = (m.group("fmt") or m.group("fmt2") or "").lower()
+        if not fmt:
+            ext = path.rstrip("/").rsplit(".", 1)[-1].lower() if "." in path.rstrip("/").rsplit("/", 1)[-1] else ""
+            fmt = self._COPY_EXT_FMT.get(ext, "")
+            if not fmt:
+                raise ValueError(
+                    f"COPY TO {path!r}: no STORED AS/FORMAT clause and the "
+                    "path extension does not name a known format "
+                    f"({sorted(self._COPY_EXT_FMT)}) — DataFusion infers the "
+                    "file type from the extension and errors likewise"
+                )
         opts = self._parse_ddl_options(m.group("opts"))
         # PARTITIONED BY clause (DataFusion's COPY grammar), with the
         # option-spelled fallback some scripts use
@@ -678,9 +788,15 @@ class Engine:
             "partition_by", None
         )
         partition_by = [c.strip() for c in pb.split(",") if c.strip()] if pb else None
-        path = m.group("loc")[1:-1]
         sinks.copy_to(df, path, fmt=fmt, partition_by=partition_by, **opts)
-        n = sinks.read_back(self.spark, path, fmt=fmt, **opts).count()
+        # row count: parquet/orc answer from file-footer metadata (cheap,
+        # exact); text formats count the source plan instead — a read-back
+        # without multiLine would miscount CSV embedded newlines, and the
+        # extra full scan doubles every COPY (ADVICE r05)
+        if fmt in ("parquet", "orc"):
+            n = sinks.read_back(self.spark, path, fmt=fmt, **opts).count()
+        else:
+            n = df.count()
         return self.spark.createDataFrame([(n,)], "count bigint")
 
     # -- dispatch -----------------------------------------------------------
@@ -705,7 +821,9 @@ class Engine:
         if m:
             return self._prepare_statement(m)
         m = _EXECUTE_RE.match(text)
-        if m:
+        if m and m.group("name").upper() != "IMMEDIATE":
+            # Spark's own `EXECUTE IMMEDIATE ('...')` shares the prefix;
+            # let it fall through to spark.sql (ADVICE r05)
             return self._execute_statement(m)
         m = _DEALLOCATE_RE.match(text)
         if m:

@@ -46,6 +46,14 @@ def fits_broadcast(spark: SparkSession, table: str, slack: float = 4.0) -> bool:
     executor at 100 TB, where a forced broadcast is an OOM, not a plan
     choice. nation/region (fixed 25/5 rows) never need the gate.
 
+    In Spark an explicit ``F.broadcast`` hint is *independent* of
+    autoBroadcastJoinThreshold, so a user who disables auto-broadcast
+    (threshold -1/0) must not silently lose the curated hints: a
+    non-positive threshold switches the gate to an absolute
+    executor-memory-derived ceiling (128 MB — a conservative fraction of
+    a 1-4 GB executor heap) instead of treating "disabled" as a ~0-byte
+    budget (ADVICE r05).
+
     Memoized per (session, loaded tables, table, threshold conf): the
     answer only changes when the sf_dir or the broadcast threshold
     changes, and the stats call re-optimizes the scan."""
@@ -65,6 +73,11 @@ def fits_broadcast(spark: SparkSession, table: str, slack: float = 4.0) -> bool:
         raw = raw[:-1] if raw.endswith("b") else raw
         mult = units.get(raw[-1:], 1)
         threshold = int(raw[:-1] if mult > 1 else raw) * mult
+        if threshold <= 0:
+            # auto-broadcast disabled: explicit hints stay, gated on the
+            # absolute OOM bound only (slack already charged below)
+            threshold = 128 * 1024 * 1024
+            slack = 1.0
         memo[key] = size <= slack * max(threshold, 1)
     except Exception:
         # stats unavailable (non-JVM-backed relation): preserve the
