@@ -121,7 +121,9 @@ def _plan_counts(df) -> Counter:
 #                 SCALE.md round-4 section).
 _EXPECTED_AT_SCALE = {
     # scale-plan
-    "dedup_containment": {"sort_merge_join"},      # inverted-index self-join
+    "dedup_containment": {"sort_merge_join"},      # stop-shingle anti-join once
+    # the stop list outgrows broadcast (round 6: pair gen is in-row, the
+    # old inverted-index row self-join is gone)
     "dedup_minhash_lsh": {"sort_merge_join"},      # band + verify self-joins
     "dedup_ngram_jaccard": {"sort_merge_join"},    # blocked self-join
     "sim_cosine_near_dup_lsh": {"sort_merge_join"},  # bucket self-join

@@ -262,7 +262,12 @@ BLOOM_A = (741_721, 523_131)
 BLOOM_B = (98_765, 12_345)
 
 
-def decontaminate_bloom_sql(d: str, sh_rel: str | None = None) -> str:
+def decontaminate_bloom_sql(
+    d: str,
+    sh_rel: str | None = None,
+    bench_rel: str | None = None,
+    bloom_rel: str | None = None,
+) -> str:
     """Bloom-prefiltered benchmark decontamination — identical OUTPUT to
     :func:`decontaminate_sql` (the exact-join verify removes Bloom false
     positives; false negatives are impossible), different SCALE shape:
@@ -285,7 +290,15 @@ def decontaminate_bloom_sql(d: str, sh_rel: str | None = None) -> str:
     final answer.
 
     ``sh_rel``: pre-staged (doc_id, hx) relation (see
-    :func:`decontaminate_sql`)."""
+    :func:`decontaminate_sql`).
+
+    ``bench_rel``/``bloom_rel``: pre-staged benchmark-hash and filter
+    relations (round 6, VERDICT r05 item 4) — the Spark builder stages
+    both once per session via :func:`_staged_bloom`, because at 100 TB
+    the filter is built ONCE against the (fixed) benchmark suite and
+    persisted; the steady-state query is only the codegen probe + exact
+    verify. The oracle always builds inline, so the driver row still
+    certifies the filter construction bit-for-bit."""
     from torchfusion_spark.operators import dedup
 
     hs = sh_rel or f"({dedup.hashed_shingle_sql(d)})"
@@ -293,51 +306,27 @@ def decontaminate_bloom_sql(d: str, sh_rel: str | None = None) -> str:
         exploded = f"SELECT doc_id, h FROM {hs} LATERAL VIEW explode(hx) AS h"
     else:
         exploded = f"SELECT doc_id, UNNEST(hx) AS h FROM {hs}"
-    m = BLOOM_WORDS * 32
 
-    def idx(j: int, h: str = "h") -> str:
-        return f"((({h} % {G.MINHASH_P}) * {BLOOM_A[j]} + {BLOOM_B[j]}) % {m})"
-
-    # one pass over bench_h emitting all k probe rows per shingle (an
-    # inlined struct array, not k UNION ALL re-derivations of bench_h)
-    probe_structs = ", ".join(
-        "named_struct('w', {w}, 'mask', {mask})".format(
-            w=G.shr(idx(j), "5", d),
-            mask=G.shl("CAST(1 AS BIGINT)", idx(j) + " & 31", d),
-        )
-        if d == "spark"
-        else "{{'w': {w}, 'mask': {mask}}}".format(
-            w=G.shr(idx(j), "5", d),
-            mask=G.shl("CAST(1 AS BIGINT)", idx(j) + " & 31", d),
-        )
-        for j in range(BLOOM_K)
-    )
-    if d == "spark":
-        probes = (
-            f"SELECT w, mask FROM bench_h "
-            f"LATERAL VIEW inline(array({probe_structs})) AS w, mask"
-        )
-    else:
-        probes = (
-            f"SELECT UNNEST(pl, recursive := true) "
-            f"FROM (SELECT [{probe_structs}] AS pl FROM bench_h)"
-        )
     cand_joins = "\n        ".join(
         "JOIN bloom b{j} ON b{j}.w = {w} AND (b{j}.bits & {mask}) <> 0".format(
             j=j,
-            w=G.shr(idx(j, "sh.h"), "5", d),
-            mask=G.shl("CAST(1 AS BIGINT)", idx(j, "sh.h") + " & 31", d),
+            w=G.shr(_bloom_idx(j, "sh.h"), "5", d),
+            mask=G.shl("CAST(1 AS BIGINT)", _bloom_idx(j, "sh.h") + " & 31", d),
         )
         for j in range(BLOOM_K)
     )
     hint = "/*+ BROADCAST(b0, b1) */ " if d == "spark" else ""
     mat = "MATERIALIZED " if d == "duck" else ""
+    if bench_rel and bloom_rel:
+        bench_cte = f"bench_h AS (SELECT h FROM {bench_rel})"
+        bloom_cte = f"bloom AS (SELECT w, bits FROM {bloom_rel})"
+    else:
+        bench_cte = f"bench_h AS {mat}(SELECT DISTINCT h FROM sh WHERE doc_id % 50 = 0)"
+        bloom_cte = f"bloom AS {mat}({bloom_fold_sql(d, 'bench_h')})"
     return f"""
     WITH sh AS {mat}({exploded}),
-    bench_h AS {mat}(SELECT DISTINCT h FROM sh WHERE doc_id % 50 = 0),
-    bloom AS {mat}(
-        SELECT w, CAST(bit_or(mask) AS BIGINT) AS bits
-        FROM ({probes}) GROUP BY w),
+    {bench_cte},
+    {bloom_cte},
     cand AS (
         SELECT {hint}sh.doc_id, sh.h FROM sh
         {cand_joins}
@@ -348,6 +337,73 @@ def decontaminate_bloom_sql(d: str, sh_rel: str | None = None) -> str:
     HAVING COUNT(DISTINCT cand.h) >= {DECONTAM_MIN_OVERLAP}
     ORDER BY cand.doc_id
     """
+
+
+def _bloom_idx(j: int, h: str = "h") -> str:
+    """Bit index j for shingle hash ``h`` (same LCG family as MinHash)."""
+    return f"((({h} % {G.MINHASH_P}) * {BLOOM_A[j]} + {BLOOM_B[j]}) % {BLOOM_WORDS * 32})"
+
+
+def bloom_fold_sql(d: str, bench_rel: str) -> str:
+    """(w, bits): fold the benchmark hashes in ``bench_rel(h)`` into the
+    64 KB filter — one pass emitting all k probe rows per shingle (an
+    inlined struct array, not k UNION ALL re-derivations), bit_or per
+    32-bit word index. Shared by the inline (oracle) and staged (Spark
+    steady-state) paths so the filter arithmetic has one spelling."""
+    probe_structs = ", ".join(
+        "named_struct('w', {w}, 'mask', {mask})".format(
+            w=G.shr(_bloom_idx(j), "5", d),
+            mask=G.shl("CAST(1 AS BIGINT)", _bloom_idx(j) + " & 31", d),
+        )
+        if d == "spark"
+        else "{{'w': {w}, 'mask': {mask}}}".format(
+            w=G.shr(_bloom_idx(j), "5", d),
+            mask=G.shl("CAST(1 AS BIGINT)", _bloom_idx(j) + " & 31", d),
+        )
+        for j in range(BLOOM_K)
+    )
+    if d == "spark":
+        probes = (
+            f"SELECT w, mask FROM {bench_rel} "
+            f"LATERAL VIEW inline(array({probe_structs})) AS w, mask"
+        )
+    else:
+        probes = (
+            f"SELECT UNNEST(pl, recursive := true) "
+            f"FROM (SELECT [{probe_structs}] AS pl FROM {bench_rel})"
+        )
+    return f"SELECT w, CAST(bit_or(mask) AS BIGINT) AS bits FROM ({probes}) GROUP BY w"
+
+
+def _staged_bloom(spark) -> tuple[str, str]:
+    """Stage the benchmark-hash set and its Bloom filter once per
+    (session, loaded tables) — the 100 TB deployment shape: the filter
+    depends only on the (fixed) benchmark suite, so it is built once and
+    persisted while the corpus-side probe runs per batch. Memo discipline
+    identical to ``dedup._staged_hx``. Returns (bench_view, bloom_view)."""
+    from torchfusion_spark.operators import dedup
+    from torchfusion_spark.session import staged_cache
+
+    key = getattr(spark, "_tf_tables_loaded", None)
+    if getattr(spark, "_tf_bloom_key", object()) != key:
+        hx = dedup._staged_hx(spark)
+        bench = staged_cache(
+            spark,
+            "tf_bench_h",
+            spark.sql(
+                f"SELECT DISTINCT h FROM {hx} LATERAL VIEW explode(hx) AS h "
+                f"WHERE doc_id % 50 = 0"
+            ),
+        )
+        bench.count()
+        bench.createOrReplaceTempView("__tf_bench_h")
+        bloom = staged_cache(
+            spark, "tf_bloom", spark.sql(bloom_fold_sql("spark", "__tf_bench_h"))
+        )
+        bloom.count()
+        bloom.createOrReplaceTempView("__tf_bloom")
+        spark._tf_bloom_key = key
+    return "__tf_bench_h", "__tf_bloom"
 
 
 # PII-ish patterns, backslash-free so one spelling survives BOTH Spark's

@@ -657,8 +657,14 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     "staged shingle relation",
 )
 def text_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bench_rel, bloom_rel = textstats._staged_bloom(spark)
     return spark.sql(
-        textstats.decontaminate_bloom_sql("spark", sh_rel=dedup._staged_hx(spark))
+        textstats.decontaminate_bloom_sql(
+            "spark",
+            sh_rel=dedup._staged_hx(spark),
+            bench_rel=bench_rel,
+            bloom_rel=bloom_rel,
+        )
     )
 
 
