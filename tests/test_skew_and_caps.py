@@ -166,6 +166,48 @@ def test_parquet_float16_upcast_argmax(spark, tmp_path):
     assert got == exp
 
 
+def test_parquet_float16_argmax_edge_values(spark, tmp_path):
+    """VERDICT r05 item 7: pin the half-precision argmax fast path
+    (reference src/argmax.rs:72-75) on the f16 edge inventory — ties
+    (first max index, both engines), ±inf, subnormals, negative zero,
+    and the f16 rounding grid itself (values distinct in f32 that
+    collapse to equal halves must argmax as EQUAL, i.e. first index) —
+    against a numpy float16 oracle. NaN is excluded: that divergence is
+    documented (README 'Known engine differences')."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from torchfusion_spark.functions import argmax
+    from torchfusion_spark.sources.arrow_ipc import read_parquet_float16
+
+    cases = np.array(
+        [
+            [1.0, 2.0, 2.0, 0.5],            # tie -> first max index (1)
+            [-np.inf, -1.0, np.inf, 3.0],    # +inf wins
+            [-np.inf, -65504.0, -0.0, 0.0],  # -0 == 0 -> first of the pair
+            [6e-8, 5.96e-8, 0.0, -6e-8],     # subnormal half values
+            [2.0009766, 2.0, 1.0, 0.0],      # adjacent f16 grid points stay distinct
+            [2.0004, 2.0, 1.0, 0.0],         # f32-distinct, f16-EQUAL -> tie, first
+            [-65504.0, -65504.0, -65500.0, -65504.0],  # min-normal ties
+        ],
+        dtype=np.float16,
+    )
+    flat = pa.array(cases.ravel(), type=pa.float16())
+    emb = pa.FixedSizeListArray.from_arrays(flat, 4).cast(pa.list_(pa.float16()))
+    t = pa.table({"vec_id": pa.array(range(len(cases)), pa.int64()), "embedding": emb})
+    p = str(tmp_path / "half_edge.parquet")
+    pq.write_table(t, p)
+
+    df = read_parquet_float16(spark, p)
+    got = {r.vec_id: r.am for r in df.select("vec_id", argmax("embedding").alias("am")).collect()}
+    exp = {i: int(np.argmax(v)) for i, v in enumerate(cases)}
+    assert got == exp
+    # the f16-collapse row really did collapse: its first two elements are
+    # equal halves even though the python literals differ in f32
+    assert cases[5][0] == cases[5][1]
+
+
 def test_ngram_block_cap_bounds_boilerplate_block(spark, tables):
     """A (lang, len_bucket) block stuffed with boilerplate docs is
     excluded from the n-gram self-join (no quadratic stage); normal-sized
