@@ -6,6 +6,13 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 Headline set: the TPC-H-shaped queries (scan/join/agg/window/TopK paths)
 plus the inference flagship — the plans whose physical shape matters at
 100 TB (shuffle count, broadcast choice, pushdown).
+
+Round-6 methodology (VERDICT r05 items 5+6): each query runs twice and
+reports its best ("queries") plus |run1-run2| ("spread") so scheduler
+jitter at the sub-second floor is distinguishable from a real
+regression; streaming witnesses are timed but reported in a separate
+"streaming" section and excluded from "value" and the DuckDB ratio —
+micro-batch machinery vs a batch GROUP BY is not a plan comparison.
 """
 
 from __future__ import annotations

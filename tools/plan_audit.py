@@ -208,7 +208,7 @@ def main() -> None:
     spark = session(app_name="torchfusion_plan_audit")
     rows = audit(spark, sf_dir, names)
 
-    out = os.path.join(
+    out = os.environ.get("PLAN_AUDIT_OUT") or os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLAN_AUDIT.json"
     )
     if names and os.path.exists(out):
