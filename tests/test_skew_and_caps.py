@@ -280,12 +280,48 @@ def test_staged_lifecycle_no_storage_leak(spark, tables):
     assert jsc.getPersistentRDDs().size() == before + 1
 
     # operators: persistent-RDD count is stable across repeat invocations
+    from torchfusion_spark.operators import textstats
+
     dedup.containment(spark).count()
     similarity.kmeans(spark).count()
+    textstats._staged_bloom(spark)
     steady = jsc.getPersistentRDDs().size()
     dedup.containment(spark).count()
     similarity.kmeans(spark).count()
+    textstats._staged_bloom(spark)
     assert jsc.getPersistentRDDs().size() == steady
+
+
+def test_staged_bloom_rebuilds_on_table_reload(spark, tables):
+    """The session-staged Bloom filter (round 6) is keyed by the
+    load_tables generation: swapping the documents relation must rebuild
+    the benchmark-hash set and filter, not serve the stale corpus's —
+    the failure mode would be silently decontaminating against the wrong
+    benchmark suite."""
+    from torchfusion_spark.operators import textstats
+
+    textstats._staged_bloom(spark)
+    before = spark.table("__tf_bench_h").count()
+
+    orig_docs = spark.table("documents")
+    orig_key = spark._tf_tables_loaded
+    try:
+        # a different corpus: keep only every 4th doc
+        orig_docs.where("doc_id % 4 = 0").createOrReplaceTempView("documents")
+        spark._tf_tables_loaded = (orig_key, "bloom-switch-probe")
+        textstats._staged_bloom(spark)
+        after = spark.table("__tf_bench_h").count()
+        assert after < before  # fewer bench docs -> fewer bench hashes
+        # and the filter matches a from-scratch fold over the new set
+        want = spark.sql(
+            textstats.bloom_fold_sql("spark", "__tf_bench_h")
+        ).collect()
+        got = spark.table("__tf_bloom").collect()
+        assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+    finally:
+        orig_docs.createOrReplaceTempView("documents")
+        spark._tf_tables_loaded = orig_key
+        textstats._staged_bloom(spark)  # restore the real staging
 
 
 def test_cap_recall_loss_exact_counts(spark, tables):
