@@ -162,10 +162,12 @@ def main() -> None:
     for name in HEADLINE:
         run_timed(name)
     streaming_timings: dict[str, float] = {}
+    streaming_spreads: dict[str, float] = {}
     for name in STREAMING:
         run_timed(name)
         if name in timings:
             streaming_timings[name] = timings.pop(name)
+            streaming_spreads[name] = spreads.pop(name)
 
     total = round(sum(timings.values()), 4)
     payload = {
@@ -180,6 +182,7 @@ def main() -> None:
         "staging_warm_sec": staging_warm,
         "streaming": {
             "queries": streaming_timings,
+            "spread": streaming_spreads,
             "total_sec": round(sum(streaming_timings.values()), 4),
         },
     }

@@ -564,6 +564,33 @@ def test_run_script_block_comments_and_quoted_identifiers(engine, tables):
     assert out[2].columns == ['with"escape']
 
 
+def test_run_script_block_comment_separates_tokens(engine):
+    """Round-6 review: a block comment between two tokens must act as a
+    separator (one space), not fuse them into a single token."""
+    out = engine.run_script("SELECT 1/*c*/AS/*c*/n")
+    assert out[0].collect()[0].n == 1
+
+
+def test_run_script_identifier_with_apostrophe_before_literal(engine):
+    """Round-6 review: an apostrophe inside a double-quoted identifier
+    must not be misread as a literal boundary — the in-scanner rewrite
+    keeps quoting state, unlike a post-hoc literal-first regex."""
+    out = engine.run_script("SELECT 'y' AS \"it's\", 'z' AS plain")
+    row = out[0].collect()[0]
+    assert out[0].columns == ["it's", "plain"]
+    assert (row["it's"], row.plain) == ("y", "z")
+
+
+def test_prepared_statement_named_immediate_still_executes(engine):
+    """Round-6 review: a prepared statement the user names `immediate`
+    must win over the EXECUTE IMMEDIATE passthrough."""
+    engine.sql("PREPARE immediate(INT) AS SELECT $1 + 1 AS n")
+    assert engine.sql("EXECUTE immediate(41)").collect()[0].n == 42
+    engine.sql("DEALLOCATE immediate")
+    # with no such prepared statement, Spark's own form still works
+    assert engine.sql("EXECUTE IMMEDIATE 'SELECT 5 AS n'").collect()[0].n == 5
+
+
 def test_prepare_declared_types_bind_as_casts(engine, tables):
     """ADVICE r05: EXECUTE wraps each bound literal in CAST(x AS <declared
     type>), so a DATE parameter compares as a date (not a string) and a

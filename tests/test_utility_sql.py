@@ -376,7 +376,8 @@ def test_broadcast_gate_survives_disabled_auto_broadcast(spark, tables):
     """ADVICE r05: an explicit F.broadcast hint is independent of
     autoBroadcastJoinThreshold in Spark, so disabling auto-broadcast
     (threshold -1 or 0) must NOT silently drop the curated dim hints —
-    the gate falls back to an absolute 128 MB OOM bound instead."""
+    the gate falls back to the default 10 MB threshold (same slack), no
+    more permissive than any enabled setting."""
     from torchfusion_spark.plans.registry import bcast_dim, fits_broadcast
 
     prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")

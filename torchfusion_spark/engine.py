@@ -112,29 +112,30 @@ _INFO_SCHEMA_RE = re.compile(
 # rewritten too).
 _SQL_LITERAL_RE = re.compile(r"'(?:[^']|'')*'")
 
-# double-quoted identifier with "" escape (DataFusion/ANSI dialect)
-_DQUOTE_IDENT_RE = re.compile(r'"(?:[^"]|"")*"')
+
+def _split_top_level_commas(raw: str) -> list[str]:
+    """Split on commas outside parentheses, so DECIMAL(p,s) survives —
+    shared by DDL column lists and PREPARE type lists."""
+    parts, depth, start = [], 0, 0
+    for i, ch in enumerate(raw):
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            parts.append(raw[start:i])
+            start = i + 1
+    parts.append(raw[start:])
+    return parts
 
 
-def _dquote_idents_to_backticks(stmt: str) -> str:
-    """DataFusion's dialect reads ``"name"`` as a quoted identifier;
-    Spark's default dialect reads it as a string literal. Scripts ported
-    through :meth:`Engine.run_script` are DataFusion-dialect by contract,
-    so rewrite double-quoted identifiers (outside single-quoted literals)
-    to Spark backtick form, mapping the ``""`` escape to a literal ``"``
-    and doubling any embedded backtick."""
-
-    def to_backtick(m: re.Match) -> str:
-        inner = m.group(0)[1:-1].replace('""', '"').replace("`", "``")
-        return f"`{inner}`"
-
-    out, last = [], 0
-    for lit in _SQL_LITERAL_RE.finditer(stmt):
-        out.append(_DQUOTE_IDENT_RE.sub(to_backtick, stmt[last : lit.start()]))
-        out.append(lit.group(0))
-        last = lit.end()
-    out.append(_DQUOTE_IDENT_RE.sub(to_backtick, stmt[last:]))
-    return "".join(out)
+def _map_df_type(t: str) -> str:
+    """DataFusion type spelling → Spark. The grammars mostly coincide;
+    bare VARCHAR/TEXT (no length) are the exceptions Spark's parser
+    rejects — one mapping shared by DDL schemas and PREPARE casts so the
+    two surfaces can never drift."""
+    t = re.sub(r"\bVARCHAR\b(?!\s*\()", "STRING", t, flags=re.IGNORECASE)
+    return re.sub(r"\bTEXT\b", "STRING", t, flags=re.IGNORECASE)
 
 
 def _sub_outside_literals(pattern: re.Pattern, repl, text: str) -> str:
@@ -450,9 +451,18 @@ class Engine:
         DataFusion's sqlparser, ADVICE r05): ``'`` literals (the ``''``
         escape stays inside), ``"`` double-quoted identifiers (``""``
         escape likewise), ``--`` line comments ending at newline, and
-        ``/* */`` block comments. A ``;`` or apostrophe inside any of the
-        quoted/comment states must not split statements — the real
-        failure modes of line- or regex-based splitting."""
+        ``/* */`` block comments (replaced by one space, so
+        ``x/*c*/y`` stays two tokens). A ``;`` or apostrophe inside any
+        of the quoted/comment states must not split statements — the
+        real failure modes of line- or regex-based splitting.
+
+        Double-quoted identifiers are rewritten to Spark backtick form
+        INSIDE the scan (DataFusion's dialect reads ``"name"`` as an
+        identifier; Spark's default dialect reads it as a string
+        literal): the ``""`` escape becomes a literal ``"`` and embedded
+        backticks are doubled. Doing this in the scanner — not a post-hoc
+        regex — keeps an apostrophe inside an identifier from being
+        misread as a literal boundary."""
         statements: list[str] = []
         buf: list[str] = []
         in_literal = in_comment = in_block = in_ident = False
@@ -468,20 +478,32 @@ class Engine:
             if in_block:
                 if ch == "*" and i + 1 < n and script[i + 1] == "/":
                     in_block = False
+                    buf.append(" ")
                     i += 1
                 i += 1
                 continue
-            if in_literal or in_ident:
-                quote = "'" if in_literal else '"'
+            if in_literal:
                 buf.append(ch)
-                if ch == quote:
-                    if i + 1 < n and script[i + 1] == quote:
-                        buf.append(quote)
+                if ch == "'":
+                    if i + 1 < n and script[i + 1] == "'":
+                        buf.append("'")
                         i += 1
-                    elif in_literal:
+                    else:
                         in_literal = False
+                i += 1
+                continue
+            if in_ident:
+                if ch == '"':
+                    if i + 1 < n and script[i + 1] == '"':
+                        buf.append('"')  # "" escape -> literal quote
+                        i += 1
                     else:
                         in_ident = False
+                        buf.append("`")
+                elif ch == "`":
+                    buf.append("``")  # embedded backtick survives quoting
+                else:
+                    buf.append(ch)
                 i += 1
                 continue
             if ch == "'":
@@ -489,7 +511,7 @@ class Engine:
                 buf.append(ch)
             elif ch == '"':
                 in_ident = True
-                buf.append(ch)
+                buf.append("`")
             elif ch == "-" and i + 1 < n and script[i + 1] == "-":
                 in_comment = True
                 i += 1
@@ -503,36 +525,17 @@ class Engine:
                 buf.append(ch)
             i += 1
         statements.append("".join(buf))
-        return [
-            self.sql(_dquote_idents_to_backticks(stmt))
-            for s in statements
-            if (stmt := s.strip())
-        ]
+        return [self.sql(stmt) for s in statements if (stmt := s.strip())]
 
     # -- prepared statements -----------------------------------------------
 
     @staticmethod
     def _split_type_list(raw: str | None) -> list[str]:
-        """PREPARE's declared parameter types, split on top-level commas
-        (DECIMAL(10,2) survives) and mapped onto Spark type spellings."""
+        """PREPARE's declared parameter types: top-level-comma split
+        (DECIMAL(10,2) survives) + the shared DataFusion→Spark type map."""
         if not raw or not raw.strip():
             return []
-        parts, depth, start = [], 0, 0
-        for i, ch in enumerate(raw):
-            if ch == "(":
-                depth += 1
-            elif ch == ")":
-                depth -= 1
-            elif ch == "," and depth == 0:
-                parts.append(raw[start:i])
-                start = i + 1
-        parts.append(raw[start:])
-        out = []
-        for p in parts:
-            t = re.sub(r"\bVARCHAR\b(?!\s*\()", "STRING", p.strip(), flags=re.IGNORECASE)
-            t = re.sub(r"\bTEXT\b", "STRING", t, flags=re.IGNORECASE)
-            out.append(t)
-        return out
+        return [_map_df_type(p.strip()) for p in _split_top_level_commas(raw)]
 
     def _prepare_statement(self, m: re.Match) -> DataFrame:
         self.__dict__.setdefault("_prepared", {})[m.group("name").lower()] = (
@@ -640,25 +643,13 @@ class Engine:
         (everything after the first token): a column NAMED ``text`` or
         ``varchar`` — this repo's own documents table has one — must keep
         its name. Columns split on top-level commas so DECIMAL(p,s)
-        survives."""
-        parts, depth, start = [], 0, 0
-        for i, ch in enumerate(cols):
-            if ch == "(":
-                depth += 1
-            elif ch == ")":
-                depth -= 1
-            elif ch == "," and depth == 0:
-                parts.append(cols[start:i])
-                start = i + 1
-        parts.append(cols[start:])
+        survives (``_split_top_level_commas`` / ``_map_df_type`` are
+        shared with the PREPARE type-list parser)."""
         out = []
-        for part in parts:
+        for part in _split_top_level_commas(cols):
             tokens = part.strip().split(None, 1)
             if len(tokens) == 2:
-                name, rest = tokens
-                rest = re.sub(r"\bVARCHAR\b(?!\s*\()", "STRING", rest, flags=re.IGNORECASE)
-                rest = re.sub(r"\bTEXT\b", "STRING", rest, flags=re.IGNORECASE)
-                out.append(f"{name} {rest}")
+                out.append(f"{tokens[0]} {_map_df_type(tokens[1])}")
             elif tokens:
                 out.append(tokens[0])
         return re.sub(r"\s+", " ", ", ".join(out)).strip()
@@ -789,14 +780,14 @@ class Engine:
         )
         partition_by = [c.strip() for c in pb.split(",") if c.strip()] if pb else None
         sinks.copy_to(df, path, fmt=fmt, partition_by=partition_by, **opts)
-        # row count: parquet/orc answer from file-footer metadata (cheap,
-        # exact); text formats count the source plan instead — a read-back
-        # without multiLine would miscount CSV embedded newlines, and the
-        # extra full scan doubles every COPY (ADVICE r05)
-        if fmt in ("parquet", "orc"):
-            n = sinks.read_back(self.spark, path, fmt=fmt, **opts).count()
-        else:
-            n = df.count()
+        # row count describes the FILES WRITTEN (DataFusion's COPY
+        # output), so it must come from the sink, not a re-execution of
+        # the source plan — a nondeterministic source query would report
+        # a count describing nothing. parquet/orc answer from footer
+        # metadata (cheap); CSV reads back with multiLine so rows
+        # containing embedded newlines count once (ADVICE r05).
+        back_opts = dict(opts, multiLine="true") if fmt == "csv" else opts
+        n = sinks.read_back(self.spark, path, fmt=fmt, **back_opts).count()
         return self.spark.createDataFrame([(n,)], "count bigint")
 
     # -- dispatch -----------------------------------------------------------
@@ -821,9 +812,13 @@ class Engine:
         if m:
             return self._prepare_statement(m)
         m = _EXECUTE_RE.match(text)
-        if m and m.group("name").upper() != "IMMEDIATE":
-            # Spark's own `EXECUTE IMMEDIATE ('...')` shares the prefix;
-            # let it fall through to spark.sql (ADVICE r05)
+        if m and (
+            m.group("name").upper() != "IMMEDIATE"
+            # a prepared statement the user actually named `immediate`
+            # still wins; only otherwise does Spark's own
+            # `EXECUTE IMMEDIATE ('...')` fall through to spark.sql
+            or m.group("name").lower() in self.__dict__.get("_prepared", {})
+        ):
             return self._execute_statement(m)
         m = _DEALLOCATE_RE.match(text)
         if m:

@@ -49,10 +49,12 @@ def fits_broadcast(spark: SparkSession, table: str, slack: float = 4.0) -> bool:
     In Spark an explicit ``F.broadcast`` hint is *independent* of
     autoBroadcastJoinThreshold, so a user who disables auto-broadcast
     (threshold -1/0) must not silently lose the curated hints: a
-    non-positive threshold switches the gate to an absolute
-    executor-memory-derived ceiling (128 MB — a conservative fraction of
-    a 1-4 GB executor heap) instead of treating "disabled" as a ~0-byte
-    budget (ADVICE r05).
+    non-positive threshold falls back to gating against the DEFAULT
+    10 MB threshold (same ``slack``) instead of treating "disabled" as a
+    ~0-byte budget (ADVICE r05). Deliberately no more permissive than
+    any enabled setting — a user disabling auto-broadcast on a
+    memory-tight cluster must not see *larger* forced broadcasts than
+    the default config would allow.
 
     Memoized per (session, loaded tables, table, threshold conf): the
     answer only changes when the sf_dir or the broadcast threshold
@@ -74,10 +76,9 @@ def fits_broadcast(spark: SparkSession, table: str, slack: float = 4.0) -> bool:
         mult = units.get(raw[-1:], 1)
         threshold = int(raw[:-1] if mult > 1 else raw) * mult
         if threshold <= 0:
-            # auto-broadcast disabled: explicit hints stay, gated on the
-            # absolute OOM bound only (slack already charged below)
-            threshold = 128 * 1024 * 1024
-            slack = 1.0
+            # auto-broadcast disabled: explicit hints stay, gated as if
+            # the threshold were at its 10 MB default
+            threshold = 10 * 1024 * 1024
         memo[key] = size <= slack * max(threshold, 1)
     except Exception:
         # stats unavailable (non-JVM-backed relation): preserve the
