@@ -525,3 +525,153 @@ def test_differential_textstats_primitives(spark, duck, restore_documents, texts
     got = [tuple(r) for r in spark.sql(gen("spark")).collect()]
     want = [tuple(r) for r in duck.execute(gen("duck")).fetchall()]
     assert got == want, f"textstats divergence ({which}) on texts: {texts!r}"
+
+
+# -- round-6 grammar widening ------------------------------------------------
+
+COND_AGGS = [
+    # CASE-conditional and FILTER-clause aggregation — both dialects
+    # define them identically; DECIMAL discipline as everywhere
+    "CAST(SUM(CASE WHEN l_quantity > {q} THEN CAST(l_extendedprice AS DECIMAL(12,2)) ELSE 0 END) AS DOUBLE) AS cond_sum",
+    "CAST(COUNT(CASE WHEN l_returnflag = '{flag}' THEN 1 END) AS BIGINT) AS cond_n",
+    "CAST(COUNT(*) FILTER (WHERE l_quantity <= {q}) AS BIGINT) AS filt_n",
+    "CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) FILTER (WHERE l_linestatus = '{status}') AS DOUBLE) AS filt_sum",
+    "CAST(MAX(l_orderkey) FILTER (WHERE l_orderkey % {mod} = 0) AS BIGINT) AS filt_max",
+]
+HAVINGS = [
+    "COUNT(*) > {n}",
+    "SUM(CAST(l_quantity AS DECIMAL(12,2))) > {qty}",
+    "MIN(l_orderkey) < {ok}",
+]
+
+
+@st.composite
+def having_case(draw):
+    aggs = draw(st.lists(st.sampled_from(COND_AGGS), min_size=1, max_size=3, unique=True))
+    rendered = [
+        a.format(
+            q=draw(st.integers(1, 50)),
+            flag=draw(st.sampled_from(["A", "N", "R"])),
+            status=draw(st.sampled_from(["O", "F"])),
+            mod=draw(st.integers(2, 9)),
+        )
+        for a in aggs
+    ]
+    having = draw(st.sampled_from(HAVINGS)).format(
+        n=draw(st.integers(0, 3000)),
+        qty=draw(st.integers(0, 60000)),
+        ok=draw(st.integers(100, 50000)),
+    )
+    group = draw(st.sampled_from(["l_returnflag", "l_returnflag, l_linestatus"]))
+    return (
+        f"SELECT {group}, " + ", ".join(rendered)
+        + f" FROM lineitem GROUP BY {group} HAVING {having} ORDER BY {group}"
+    )
+
+
+@settings(
+    max_examples=30,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(sql=having_case())
+def test_differential_conditional_agg_having(spark, tables, duck, sql):
+    """CASE- and FILTER-conditional aggregation under HAVING — the shape
+    every quality-gating pipeline query takes (count docs passing a
+    predicate per group, keep groups above a floor)."""
+    got = [tuple(r) for r in spark.sql(sql).collect()]
+    want = [tuple(r) for r in duck.execute(sql).fetchall()]
+    assert got == want, f"divergence on: {sql}"
+
+
+@st.composite
+def cte_chain_case(draw):
+    """Two chained CTEs (filter -> aggregate) consumed with a total-order
+    LIMIT/OFFSET — pagination over derived relations, where an engine
+    disagreement on intermediate row order would silently return a
+    different page if the final order were not total."""
+    q = draw(st.integers(1, 50))
+    lim = draw(st.integers(1, 20))
+    off = draw(st.integers(0, 10))
+    agg = draw(st.sampled_from(AGGS[:5]))
+    return (
+        f"WITH f AS (SELECT * FROM lineitem WHERE l_quantity <= {q}), "
+        f"a AS (SELECT l_returnflag, l_linestatus, {agg} FROM f "
+        f"GROUP BY l_returnflag, l_linestatus) "
+        f"SELECT * FROM a ORDER BY l_returnflag, l_linestatus "
+        f"LIMIT {lim} OFFSET {off}"
+    )
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(sql=cte_chain_case())
+def test_differential_cte_limit_offset(spark, tables, duck, sql):
+    got = [tuple(r) for r in spark.sql(sql).collect()]
+    want = [tuple(r) for r in duck.execute(sql).fetchall()]
+    assert got == want, f"divergence on: {sql}"
+
+
+NULL_EXPRS = [
+    # NULLs manufactured by NULLIF, consumed by three-valued logic —
+    # the semantics both engines inherit from the standard
+    "coalesce(nullif(l_returnflag, '{flag}'), 'X')",
+    "CAST(nullif(l_orderkey % {mod}, 0) AS BIGINT)",
+    "(nullif(l_returnflag, '{flag}') IS NULL)",
+    "(nullif(l_returnflag, '{flag}') IS DISTINCT FROM nullif(l_linestatus, '{status}'))",
+    "CASE WHEN nullif(l_orderkey % {mod}, 0) IS NOT NULL THEN 'set' ELSE 'null' END",
+]
+NULL_AGGS = [
+    # COUNT skips NULLs, COUNT(*) does not; SUM over all-NULL is NULL
+    "CAST(COUNT(nullif(l_orderkey % {mod}, 0)) AS BIGINT) AS n_nonnull",
+    "CAST(COUNT(*) AS BIGINT) AS n_all",
+    "CAST(SUM(CAST(nullif(l_quantity, {q}) AS DECIMAL(12,2))) AS DOUBLE) AS sum_nullable",
+    "CAST(MAX(nullif(l_orderkey % {mod}, 0)) AS BIGINT) AS max_nonnull",
+]
+
+
+@st.composite
+def null_semantics_case(draw):
+    mode = draw(st.booleans())
+    if mode:  # scalar projection
+        exprs = draw(st.lists(st.sampled_from(NULL_EXPRS), min_size=1, max_size=3, unique=True))
+        rendered = [
+            e.format(
+                flag=draw(st.sampled_from(["A", "N", "R"])),
+                status=draw(st.sampled_from(["O", "F"])),
+                mod=draw(st.integers(2, 9)),
+            )
+            + f" AS e{i}"
+            for i, e in enumerate(exprs)
+        ]
+        return (
+            "SELECT l_orderkey, l_linenumber, " + ", ".join(rendered)
+            + " FROM lineitem WHERE l_orderkey < 1000 "
+            "ORDER BY l_orderkey, l_linenumber"
+        )
+    aggs = draw(st.lists(st.sampled_from(NULL_AGGS), min_size=1, max_size=3, unique=True))
+    rendered = [
+        a.format(mod=draw(st.integers(2, 9)), q=draw(st.integers(1, 50))) for a in aggs
+    ]
+    return (
+        "SELECT l_returnflag, " + ", ".join(rendered)
+        + " FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"
+    )
+
+
+@settings(
+    max_examples=30,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(sql=null_semantics_case())
+def test_differential_null_semantics(spark, tables, duck, sql):
+    got = [tuple(r) for r in spark.sql(sql).collect()]
+    want = [tuple(r) for r in duck.execute(sql).fetchall()]
+    assert got == want, f"divergence on: {sql}"
