@@ -644,16 +644,22 @@ def test_copy_to_infers_format_from_extension(engine, tables, tmp_path):
         engine.sql(f"COPY region TO '{tmp_path / 'noext'}'")
 
 
-def test_copy_to_csv_embedded_newline_count(engine, tables, tmp_path):
-    """ADVICE r05: COPY's returned count comes from the source plan for
-    text formats — a naive read-back without multiLine would miscount CSV
-    rows containing embedded newlines."""
+def test_copy_to_embedded_newline_count(engine, tables, tmp_path):
+    """ADVICE r05 + round-6 review: COPY's returned count must describe
+    the files written. CSV reads back with multiLine (embedded newlines
+    count once); JSON lines escape newlines so a plain read-back is
+    already exact."""
     engine.spark.createDataFrame(
         [(1, "line1\nline2"), (2, "plain")], "id int, s string"
     ).createOrReplaceTempView("nl_rows")
     csvp = str(tmp_path / "nl.csv")
     out = engine.sql(f"COPY nl_rows TO '{csvp}' STORED AS CSV").collect()
     assert out[0]["count"] == 2
+    jp = str(tmp_path / "nl.json")
+    out = engine.sql(f"COPY nl_rows TO '{jp}'").collect()  # ext-inferred json
+    assert out[0]["count"] == 2
+    back = engine.spark.read.json(jp)
+    assert {r.s for r in back.collect()} == {"line1\nline2", "plain"}
     engine.spark.catalog.dropTempView("nl_rows")
 
 
