@@ -127,6 +127,24 @@ def test_pipeline_operators_on_degenerate_corpus(
     assert not failures, failures
 
 
+def test_streams_on_empty_source(spark, tables, tmp_path, restore_real_tables):
+    """Streaming cold start: a micro-batch pipeline over an EMPTY events
+    source must complete its (zero) batches and emit an empty result
+    with the usual schema — the first-deploy state of every streaming
+    job, before any event has arrived."""
+    from torchfusion_spark import streaming
+
+    deg = str(tmp_path / "deg_stream")
+    _make_degenerate_dir(tables, deg, 0)
+    wc = streaming.windowed_counts(spark, deg)
+    assert wc.count() == 0
+    assert wc.columns  # schema survives a zero-batch run
+    st = streaming.stateful_user_stats(spark, deg)
+    assert st.count() == 0
+    dd = streaming.stream_dedup(spark, deg)
+    assert dd.count() == 0
+
+
 def test_kmeans_on_empty_embeddings_degrades_gracefully(
     spark, tables, tmp_path, restore_real_tables
 ):
