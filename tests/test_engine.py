@@ -564,6 +564,55 @@ def test_run_script_block_comments_and_quoted_identifiers(engine, tables):
     assert out[2].columns == ['with"escape']
 
 
+def test_split_script_property():
+    """Property-test the script tokenizer WITHOUT Spark: build scripts
+    from known statements whose payloads contain hostile characters
+    (semicolons, apostrophes, quotes) inside literals/identifiers, glue
+    them with random comments/whitespace, and assert the split recovers
+    exactly the statements with identifiers rewritten to backticks."""
+    from hypothesis import given, settings as hsettings
+    from hypothesis import strategies as st
+
+    from torchfusion_spark.engine import split_script
+
+    payload = st.text(
+        alphabet=st.characters(blacklist_categories=("Cs",), blacklist_characters="\x00"),
+        max_size=12,
+    )
+
+    @st.composite
+    def statement(draw):
+        kind = draw(st.sampled_from(["lit", "ident", "plain"]))
+        if kind == "lit":
+            p = draw(payload).replace("'", "''")
+            return f"SELECT '{p}' AS c", f"SELECT '{p}' AS c"
+        if kind == "ident":
+            p = draw(payload).replace('"', '""')
+            want_inner = p.replace('""', '"').replace("`", "``")
+            return f'SELECT 1 AS "{p}x"', f"SELECT 1 AS `{want_inner}x`"
+        return "SELECT 1 AS n", "SELECT 1 AS n"
+
+    glue = st.sampled_from(
+        ["\n", "  ", "\n-- it's; a comment\n", "/* block; 'comment' */", "\n\t"]
+    )
+
+    @hsettings(max_examples=300, deadline=None)
+    @given(stmts=st.lists(statement(), min_size=1, max_size=5), seps=st.lists(glue, min_size=6, max_size=6))
+    def roundtrip(stmts, seps):
+        script = ""
+        for i, (src, _) in enumerate(stmts):
+            script += seps[i] + src + ";"
+        script += seps[-1]
+        got = split_script(script)
+        want = []
+        for src, expect in stmts:
+            want.append(expect)
+        # glue may prepend a space from a block comment; compare stripped
+        assert [g.strip() for g in got] == [w.strip() for w in want], script
+
+    roundtrip()
+
+
 def test_run_script_block_comment_separates_tokens(engine):
     """Round-6 review: a block comment between two tokens must act as a
     separator (one space), not fuse them into a single token."""

@@ -138,6 +138,90 @@ def _map_df_type(t: str) -> str:
     return re.sub(r"\bTEXT\b", "STRING", t, flags=re.IGNORECASE)
 
 
+def split_script(script: str) -> list[str]:
+    """Split a DataFusion-dialect SQL script into statements.
+
+    Single char-scan tokenizer with four states (all accepted by
+    DataFusion's sqlparser, ADVICE r05): ``'`` literals (the ``''``
+    escape stays inside), ``"`` double-quoted identifiers (``""`` escape
+    likewise), ``--`` line comments ending at newline, and ``/* */``
+    block comments (replaced by one space, so ``x/*c*/y`` stays two
+    tokens). A ``;`` or apostrophe inside any of the quoted/comment
+    states must not split statements — the real failure modes of line-
+    or regex-based splitting. Empty statements are dropped.
+
+    Double-quoted identifiers are rewritten to Spark backtick form
+    INSIDE the scan (DataFusion's dialect reads ``"name"`` as an
+    identifier; Spark's default dialect reads it as a string literal):
+    the ``""`` escape becomes a literal ``"`` and embedded backticks are
+    doubled. Doing this in the scanner — not a post-hoc regex — keeps an
+    apostrophe inside an identifier from being misread as a literal
+    boundary."""
+    statements: list[str] = []
+    buf: list[str] = []
+    in_literal = in_comment = in_block = in_ident = False
+    i, n = 0, len(script)
+    while i < n:
+        ch = script[i]
+        if in_comment:
+            if ch == "\n":
+                in_comment = False
+                buf.append(ch)
+            i += 1
+            continue
+        if in_block:
+            if ch == "*" and i + 1 < n and script[i + 1] == "/":
+                in_block = False
+                buf.append(" ")
+                i += 1
+            i += 1
+            continue
+        if in_literal:
+            buf.append(ch)
+            if ch == "'":
+                if i + 1 < n and script[i + 1] == "'":
+                    buf.append("'")
+                    i += 1
+                else:
+                    in_literal = False
+            i += 1
+            continue
+        if in_ident:
+            if ch == '"':
+                if i + 1 < n and script[i + 1] == '"':
+                    buf.append('"')  # "" escape -> literal quote
+                    i += 1
+                else:
+                    in_ident = False
+                    buf.append("`")
+            elif ch == "`":
+                buf.append("``")  # embedded backtick survives quoting
+            else:
+                buf.append(ch)
+            i += 1
+            continue
+        if ch == "'":
+            in_literal = True
+            buf.append(ch)
+        elif ch == '"':
+            in_ident = True
+            buf.append("`")
+        elif ch == "-" and i + 1 < n and script[i + 1] == "-":
+            in_comment = True
+            i += 1
+        elif ch == "/" and i + 1 < n and script[i + 1] == "*":
+            in_block = True
+            i += 1
+        elif ch == ";":
+            statements.append("".join(buf))
+            buf = []
+        else:
+            buf.append(ch)
+        i += 1
+    statements.append("".join(buf))
+    return [stmt for s in statements if (stmt := s.strip())]
+
+
 def _sub_outside_literals(pattern: re.Pattern, repl, text: str) -> str:
     """``pattern.sub(repl, ...)`` applied only to the segments of ``text``
     outside single-quoted SQL string literals."""
@@ -442,90 +526,10 @@ class Engine:
 
     def run_script(self, script: str) -> list[DataFrame]:
         """Execute a multi-statement SQL script (the DataFusion-CLI usage
-        shape: a ported ``.sql`` file). Statements split on ``;`` outside
-        single-quoted literals; ``--`` line comments (outside literals) and
-        empty statements are dropped. Returns one DataFrame per executed
-        statement.
-
-        Single char-scan tokenizer with four states (all accepted by
-        DataFusion's sqlparser, ADVICE r05): ``'`` literals (the ``''``
-        escape stays inside), ``"`` double-quoted identifiers (``""``
-        escape likewise), ``--`` line comments ending at newline, and
-        ``/* */`` block comments (replaced by one space, so
-        ``x/*c*/y`` stays two tokens). A ``;`` or apostrophe inside any
-        of the quoted/comment states must not split statements — the
-        real failure modes of line- or regex-based splitting.
-
-        Double-quoted identifiers are rewritten to Spark backtick form
-        INSIDE the scan (DataFusion's dialect reads ``"name"`` as an
-        identifier; Spark's default dialect reads it as a string
-        literal): the ``""`` escape becomes a literal ``"`` and embedded
-        backticks are doubled. Doing this in the scanner — not a post-hoc
-        regex — keeps an apostrophe inside an identifier from being
-        misread as a literal boundary."""
-        statements: list[str] = []
-        buf: list[str] = []
-        in_literal = in_comment = in_block = in_ident = False
-        i, n = 0, len(script)
-        while i < n:
-            ch = script[i]
-            if in_comment:
-                if ch == "\n":
-                    in_comment = False
-                    buf.append(ch)
-                i += 1
-                continue
-            if in_block:
-                if ch == "*" and i + 1 < n and script[i + 1] == "/":
-                    in_block = False
-                    buf.append(" ")
-                    i += 1
-                i += 1
-                continue
-            if in_literal:
-                buf.append(ch)
-                if ch == "'":
-                    if i + 1 < n and script[i + 1] == "'":
-                        buf.append("'")
-                        i += 1
-                    else:
-                        in_literal = False
-                i += 1
-                continue
-            if in_ident:
-                if ch == '"':
-                    if i + 1 < n and script[i + 1] == '"':
-                        buf.append('"')  # "" escape -> literal quote
-                        i += 1
-                    else:
-                        in_ident = False
-                        buf.append("`")
-                elif ch == "`":
-                    buf.append("``")  # embedded backtick survives quoting
-                else:
-                    buf.append(ch)
-                i += 1
-                continue
-            if ch == "'":
-                in_literal = True
-                buf.append(ch)
-            elif ch == '"':
-                in_ident = True
-                buf.append("`")
-            elif ch == "-" and i + 1 < n and script[i + 1] == "-":
-                in_comment = True
-                i += 1
-            elif ch == "/" and i + 1 < n and script[i + 1] == "*":
-                in_block = True
-                i += 1
-            elif ch == ";":
-                statements.append("".join(buf))
-                buf = []
-            else:
-                buf.append(ch)
-            i += 1
-        statements.append("".join(buf))
-        return [self.sql(stmt) for s in statements if (stmt := s.strip())]
+        shape: a ported ``.sql`` file) — see :func:`split_script` for the
+        tokenizer contract. Returns one DataFrame per executed
+        statement."""
+        return [self.sql(stmt) for stmt in split_script(script)]
 
     # -- prepared statements -----------------------------------------------
 
