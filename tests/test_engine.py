@@ -609,6 +609,11 @@ def test_split_script_property():
             want.append(expect)
         # glue may prepend a space from a block comment; compare stripped
         assert [g.strip() for g in got] == [w.strip() for w in want], script
+        # idempotency: Engine.sql re-scans statements run_script already
+        # canonicalized, so a second pass must be the identity (the
+        # backtick pass-through state, round-6 review)
+        for g in got:
+            assert split_script(g) == [g.strip()], g
 
     roundtrip()
 
@@ -733,3 +738,75 @@ def test_if_not_exists_case_insensitive(engine):
     )
     assert engine.sql("SELECT count(*) AS n FROM MixedCase").collect()[0].n == 5
     engine.spark.catalog.dropTempView("MixedCase")
+
+
+def test_split_script_nested_block_comments():
+    """Round-6 review: sqlparser-rs tokenizes NESTED block comments
+    (depth-tracked), so `/* a /* b */ c */` is one comment — the scanner
+    must not exit at the first `*/` and leak the tail into a statement."""
+    from torchfusion_spark.engine import split_script
+
+    got = split_script("/* a /* b */ c */ SELECT 1;SELECT 2")
+    assert [s.strip() for s in got] == ["SELECT 1", "SELECT 2"]
+    # deeper nesting with hostile payloads; note quotes are NOT special
+    # inside a comment, so '/*' in a literal-looking span still nests
+    got = split_script("/* x /* y; ';' /* z */ ; */ q */SELECT 3 AS n")
+    assert [s.strip() for s in got] == ["SELECT 3 AS n"]
+    # unterminated nested comment swallows the rest (sqlparser errors;
+    # here the remainder simply never becomes a statement)
+    assert split_script("/* a /* b */ SELECT 1") == []
+
+
+def test_engine_sql_rewrites_quoted_identifiers(engine, tables):
+    """Round-6 review: the double-quoted-identifier rewrite must apply at
+    the shared Engine.sql entry, not only inside run_script — the same
+    DataFusion-dialect statement behaves identically on both front
+    doors."""
+    df = engine.sql('SELECT r_name AS "the;name" FROM region ORDER BY r_name LIMIT 1')
+    assert df.columns == ["the;name"]
+    # a predicate with a double-quoted column reference (Spark's default
+    # dialect would read "r_name" as a string literal and compare
+    # constants, silently returning every row)
+    n = engine.sql('SELECT count(*) AS n FROM region WHERE "r_name" = \'AFRICA\'').collect()[0].n
+    assert n == 1
+    # trailing comment + semicolon tolerated on the single-statement door
+    assert engine.sql("SELECT 2 AS two; -- done").collect()[0].two == 2
+
+
+def test_prepare_empty_type_list_enforces_zero_arity(engine):
+    """Round-6 review: `PREPARE p()` declares arity 0 — DataFusion errors
+    'expects 0 parameters, but 1 provided' on EXECUTE p(5); only the
+    untyped `PREPARE p` form skips the arity check."""
+    import pytest
+
+    engine.sql("PREPARE pz() AS SELECT 41 AS n")
+    assert engine.sql("EXECUTE pz").collect()[0].n == 41
+    with pytest.raises(ValueError, match="0 declared parameter"):
+        engine.sql("EXECUTE pz(5)")
+    engine.sql("DEALLOCATE pz")
+    # untyped form: extra args still bind positionally (no declared arity)
+    engine.sql("PREPARE pu AS SELECT $1 AS n")
+    assert engine.sql("EXECUTE pu(7)").collect()[0].n == 7
+    engine.sql("DEALLOCATE pu")
+
+
+def test_copy_to_arrow_roundtrip(engine, tables, tmp_path):
+    """Round-6 review: COPY ... STORED AS ARROW (and the inferred .arrow
+    extension) must route through the IPC writer like CREATE EXTERNAL
+    TABLE does, not die in df.write with Spark's datasource lookup
+    error."""
+    from torchfusion_spark.sources.arrow_ipc import read_arrow_ipc
+
+    p = str(tmp_path / "region_out.arrow")
+    out = engine.sql(f"COPY region TO '{p}' STORED AS ARROW").collect()
+    assert out[0]["count"] == 5
+    back = read_arrow_ipc(engine.spark, p)
+    assert back.count() == 5 and "r_name" in back.columns
+    # inferred from extension; overwrite of the prior output
+    out = engine.sql(f"COPY (SELECT * FROM region WHERE r_regionkey < 2) TO '{p}'").collect()
+    assert out[0]["count"] == 2
+    assert read_arrow_ipc(engine.spark, p).count() == 2
+    # external-table round trip through the engine's own arrow reader
+    engine.sql(f"CREATE EXTERNAL TABLE region_copyback STORED AS ARROW LOCATION '{p}'")
+    assert engine.sql("SELECT count(*) AS n FROM region_copyback").collect()[0].n == 2
+    engine.spark.catalog.dropTempView("region_copyback")

@@ -17,7 +17,9 @@ reference's — SURVEY §0 layer B):
 
 from __future__ import annotations
 
+import os
 import re
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -146,9 +148,12 @@ def split_script(script: str) -> list[str]:
     escape stays inside), ``"`` double-quoted identifiers (``""`` escape
     likewise), ``--`` line comments ending at newline, and ``/* */``
     block comments (replaced by one space, so ``x/*c*/y`` stays two
-    tokens). A ``;`` or apostrophe inside any of the quoted/comment
-    states must not split statements — the real failure modes of line-
-    or regex-based splitting. Empty statements are dropped.
+    tokens). Block comments NEST, as in sqlparser-rs's tokenizer:
+    ``/* a /* b */ c */`` is one comment, so the scanner tracks depth
+    rather than exiting at the first ``*/``. A ``;`` or apostrophe
+    inside any of the quoted/comment states must not split statements —
+    the real failure modes of line- or regex-based splitting. Empty
+    statements are dropped.
 
     Double-quoted identifiers are rewritten to Spark backtick form
     INSIDE the scan (DataFusion's dialect reads ``"name"`` as an
@@ -159,7 +164,8 @@ def split_script(script: str) -> list[str]:
     boundary."""
     statements: list[str] = []
     buf: list[str] = []
-    in_literal = in_comment = in_block = in_ident = False
+    in_literal = in_comment = in_ident = in_btick = False
+    block_depth = 0
     i, n = 0, len(script)
     while i < n:
         ch = script[i]
@@ -169,10 +175,14 @@ def split_script(script: str) -> list[str]:
                 buf.append(ch)
             i += 1
             continue
-        if in_block:
+        if block_depth:
             if ch == "*" and i + 1 < n and script[i + 1] == "/":
-                in_block = False
-                buf.append(" ")
+                block_depth -= 1
+                if block_depth == 0:
+                    buf.append(" ")
+                i += 1
+            elif ch == "/" and i + 1 < n and script[i + 1] == "*":
+                block_depth += 1
                 i += 1
             i += 1
             continue
@@ -200,17 +210,34 @@ def split_script(script: str) -> list[str]:
                 buf.append(ch)
             i += 1
             continue
+        if in_btick:
+            # backtick identifiers pass through verbatim (`` escape
+            # included) — they are the scanner's OWN output, so this
+            # state is what makes split_script idempotent: Engine.sql
+            # re-scans statements run_script already canonicalized
+            buf.append(ch)
+            if ch == "`":
+                if i + 1 < n and script[i + 1] == "`":
+                    buf.append("`")
+                    i += 1
+                else:
+                    in_btick = False
+            i += 1
+            continue
         if ch == "'":
             in_literal = True
             buf.append(ch)
         elif ch == '"':
             in_ident = True
             buf.append("`")
+        elif ch == "`":
+            in_btick = True
+            buf.append(ch)
         elif ch == "-" and i + 1 < n and script[i + 1] == "-":
             in_comment = True
             i += 1
         elif ch == "/" and i + 1 < n and script[i + 1] == "*":
-            in_block = True
+            block_depth = 1
             i += 1
         elif ch == ";":
             statements.append("".join(buf))
@@ -542,9 +569,15 @@ class Engine:
         return [_map_df_type(p.strip()) for p in _split_top_level_commas(raw)]
 
     def _prepare_statement(self, m: re.Match) -> DataFrame:
+        # None = untyped `PREPARE p AS ...` (EXECUTE arity unchecked);
+        # an explicit paren list — even empty, `PREPARE p() AS ...` —
+        # declares the arity, and DataFusion errors on a mismatch
+        # ("expects 0 parameters, but 1 provided"), so [] must stay
+        # distinguishable from None
+        raw_types = m.group("types")
         self.__dict__.setdefault("_prepared", {})[m.group("name").lower()] = (
             m.group("body"),
-            self._split_type_list(m.group("types")),
+            None if raw_types is None else self._split_type_list(raw_types),
         )
         return self.spark.createDataFrame([], "result string")
 
@@ -571,7 +604,7 @@ class Engine:
                 args.append(word)
             pos = am.end()
         body, types = prepared[name]
-        if types:
+        if types is not None:
             # DataFusion casts each bound literal to the type declared in
             # PREPARE (sqlparser data_type list), so e.g. a DATE parameter
             # compares as a date, not a string (ADVICE r05)
@@ -783,7 +816,40 @@ class Engine:
             "partition_by", None
         )
         partition_by = [c.strip() for c in pb.split(",") if c.strip()] if pb else None
-        sinks.copy_to(df, path, fmt=fmt, partition_by=partition_by, **opts)
+        if fmt == "arrow":
+            # Spark has no arrow-file datasource; route through the IPC
+            # writer/reader pair, mirroring CREATE EXTERNAL TABLE's arrow
+            # handling — without this the format-inference gate would
+            # pass and then die in df.write with Spark's generic
+            # 'Failed to find data source' error
+            if partition_by or opts:
+                raise ValueError(
+                    "COPY ... STORED AS ARROW supports neither "
+                    "PARTITIONED BY nor OPTIONS in this engine (the IPC "
+                    "sink writes one file per partition)"
+                )
+            from torchfusion_spark.sources.arrow_ipc import (
+                read_arrow_ipc,
+                write_arrow_ipc,
+            )
+
+            if os.path.isdir(path):  # COPY overwrites, like sinks.copy_to
+                shutil.rmtree(path)
+            write_arrow_ipc(df, path)
+            n = read_arrow_ipc(self.spark, path).count()
+            return self.spark.createDataFrame([(n,)], "count bigint")
+        try:
+            sinks.copy_to(df, path, fmt=fmt, partition_by=partition_by, **opts)
+        except Exception as exc:  # noqa: BLE001 — classify, then re-raise
+            if fmt == "avro" and "Failed to find data source" in str(exc):
+                raise RuntimeError(
+                    "COPY ... STORED AS AVRO requires the spark-avro "
+                    "package, which is not bundled with pip-installed "
+                    "PySpark: start the session with spark.jars.packages="
+                    "org.apache.spark:spark-avro_2.13:<spark-version> "
+                    "(reference parity: DataFusion enables Avro by default)"
+                ) from exc
+            raise
         # row count describes the FILES WRITTEN (DataFusion's COPY
         # output), so it must come from the sink, not a re-execution of
         # the source plan — a nondeterministic source query would report
@@ -797,6 +863,16 @@ class Engine:
     # -- dispatch -----------------------------------------------------------
 
     def sql(self, text: str) -> DataFrame:
+        # Canonicalize through the same scanner run_script uses, so the
+        # two front doors can't diverge on dialect: double-quoted
+        # identifiers become backticks (DataFusion reads "name" as an
+        # identifier; Spark's default dialect reads it as a string
+        # literal) and comments are stripped. Only a clean single
+        # statement is substituted — multi-statement input falls through
+        # unchanged to fail with Spark's own parse error, same as before.
+        stmts = split_script(text)
+        if len(stmts) == 1:
+            text = stmts[0]
         m = _EXPLAIN_ANALYZE_RE.match(text)
         if m:
             return self._explain_analyze(m.group("q"))

@@ -670,6 +670,22 @@ def containment_pruned_sql(d: str, max_df: int = CONTAIN_MAX_DF, sh_rel: str | N
     """
 
 
+def containment_score_sql(threshold: float) -> str:
+    """Scoring tail over CTEs named ``sizes(doc_id, n)`` and
+    ``shared(id_a, id_b, ins)`` — ONE spelling of the ROUND precision,
+    the ``least`` denominator, and the threshold comparison, shared by
+    the relational form (oracle) and the staged Spark builder so the two
+    paths cannot silently drift on a future edit."""
+    return f"""
+    SELECT id_a, id_b, ins,
+           ROUND(CAST(ins AS DOUBLE) / least(sa.n, sb.n), 6) AS containment
+    FROM shared JOIN sizes sa ON id_a = sa.doc_id
+                JOIN sizes sb ON id_b = sb.doc_id
+    WHERE CAST(ins AS DOUBLE) / least(sa.n, sb.n) >= {threshold}
+    ORDER BY id_a, id_b
+    """
+
+
 def containment_body_sql(d: str, threshold: float, pruned_rel: str) -> str:
     """Pipeline downstream of the pruned relation ``pruned_rel(doc_id, h)``
     — referenced on THREE sides (size count + both join sides), which is
@@ -681,12 +697,7 @@ def containment_body_sql(d: str, threshold: float, pruned_rel: str) -> str:
         SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS ins
         FROM {pruned_rel} a JOIN {pruned_rel} b ON a.h = b.h AND a.doc_id < b.doc_id
         GROUP BY a.doc_id, b.doc_id)
-    SELECT id_a, id_b, ins,
-           ROUND(CAST(ins AS DOUBLE) / least(sa.n, sb.n), 6) AS containment
-    FROM shared JOIN sizes sa ON id_a = sa.doc_id
-                JOIN sizes sb ON id_b = sb.doc_id
-    WHERE CAST(ins AS DOUBLE) / least(sa.n, sb.n) >= {threshold}
-    ORDER BY id_a, id_b
+    {containment_score_sql(threshold)}
     """
 
 
@@ -762,12 +773,7 @@ def containment(spark, threshold: float = CONTAIN_THRESHOLD, max_df: int = CONTA
             LATERAL VIEW explode(docs) B AS id_b
             WHERE id_a < id_b
             GROUP BY id_a, id_b)
-        SELECT id_a, id_b, ins,
-               ROUND(CAST(ins AS DOUBLE) / least(sa.n, sb.n), 6) AS containment
-        FROM shared JOIN sizes sa ON id_a = sa.doc_id
-                    JOIN sizes sb ON id_b = sb.doc_id
-        WHERE CAST(ins AS DOUBLE) / least(sa.n, sb.n) >= {threshold}
-        ORDER BY id_a, id_b
+        {containment_score_sql(threshold)}
         """
     )
 
