@@ -143,6 +143,9 @@ def test_streams_on_empty_source(spark, tables, tmp_path, restore_real_tables):
     assert st.count() == 0
     dd = streaming.stream_dedup(spark, deg)
     assert dd.count() == 0
+    eo = streaming.exactly_once_sink(spark, deg, str(tmp_path / "deg_sink"))
+    assert eo.count() == 0
+    assert eo.columns == ["window_start", "event_type", "n", "cents", "batch"]
 
 
 def test_kmeans_on_empty_embeddings_degrades_gracefully(

@@ -44,10 +44,13 @@ def test_stateful_user_stats_match_batch(spark, tables):
 
 
 def test_exactly_once_sink_idempotent_rerun(spark, tables, tmp_path):
-    """foreachBatch idempotent sink: a second full replay (same bounded
-    source, fresh stream) leaves the sink EXACTLY as after the first run
-    — batch-keyed dynamic partition overwrite, no duplicate rows — and
-    the content matches the batch aggregation."""
+    """foreachBatch idempotent sink. First run processes the source and
+    lands batch-keyed snapshots; the SECOND run resumes from the real
+    checkpoint, sees no new offsets, runs ZERO batches, and leaves the
+    sink byte-identical — genuine restart-resume, not a lucky same-split
+    rewrite. A third run on a FRESH checkpoint replays from batch 0 and
+    must overwrite to the same content (the idempotent-rewrite half).
+    Content matches the batch aggregation with half-away cents."""
     from pyspark.sql import functions as F
 
     from torchfusion_spark import streaming
@@ -60,16 +63,58 @@ def test_exactly_once_sink_idempotent_rerun(spark, tables, tmp_path):
     key = ["window_start", "event_type"]
     a = first.sort_values(key).reset_index(drop=True)
     b = second.sort_values(key).reset_index(drop=True)
-    assert a.equals(b), "replay must be a no-op rewrite, not an append"
+    assert a.equals(b), "checkpoint resume must be a zero-batch no-op"
+
+    third = (
+        streaming.exactly_once_sink(
+            spark, sf_dir, out, checkpoint_dir=str(tmp_path / "fresh_ckpt")
+        )
+        .drop("batch")
+        .toPandas()
+        .sort_values(key)
+        .reset_index(drop=True)
+    )
+    assert a.equals(third), "full replay must be a no-op rewrite, not an append"
 
     batch = (
         spark.table("events")
         .withWatermark("ts", "30 minutes")
         .groupBy(F.window("ts", "15 minutes").alias("w"), "event_type")
-        .agg(F.count(F.lit(1)).alias("n"), F.sum(F.expr("CAST(value * 100 AS BIGINT)")).alias("cents"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.expr("CAST(ROUND(value * 100) AS BIGINT)")).alias("cents"),
+        )
         .select(F.col("w.start").alias("window_start"), "event_type", "n", "cents")
         .toPandas()
         .sort_values(key)
         .reset_index(drop=True)
     )
     assert a[["n", "cents"]].astype("int64").equals(batch[["n", "cents"]].astype("int64"))
+
+
+def test_stateful_user_stats_skips_null_values(spark, tables, tmp_path):
+    """A NULL value must be SKIPPED by the running total (as the oracle's
+    SUM does), not ride through numpy as NaN and collapse the state to
+    INT64_MIN; the row itself still counts toward n_events."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from torchfusion_spark import streaming
+
+    deg = tmp_path / "null_events"
+    deg.mkdir()
+    tbl = pa.table(
+        {
+            "event_id": pa.array([1, 2, 3], pa.int64()),
+            "ts": pa.array([1_700_000_000_000_000 + i for i in range(3)], pa.timestamp("us")),
+            "user_id": pa.array([7, 7, 7], pa.int64()),
+            "event_type": pa.array(["click"] * 3),
+            "value": pa.array([1.25, None, 0.29], pa.float64()),
+            "props": pa.array(["{}"] * 3),
+        }
+    )
+    pq.write_table(tbl, str(deg / "events.parquet"))
+    rows = streaming.stateful_user_stats(spark, str(deg)).collect()
+    assert len(rows) == 1
+    assert rows[0].n_events == 3  # NULL row still counted
+    assert rows[0].total_value == 1.54  # 125 + 29 hundredths; NULL skipped

@@ -51,15 +51,29 @@ _NANOS_TS_COLUMNS = {
 }
 
 
-def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def nanos_to_timestamp(col: str):
+    """Rebuild an INT64-nanos column (read as bigint under
+    ``nanosAsLong``) into a microsecond TIMESTAMP. Integer div: double
+    division would lose precision on ~1e18 ns values. ONE spelling shared
+    by the batch reader and the streaming source so a vintage fix cannot
+    land in only one of them (round-2 postmortem class)."""
+    return F.timestamp_micros(F.expr(f"`{col}` div 1000"))
+
+
+def set_ts_normalize_confs(spark: SparkSession) -> None:
+    """Apply the two-vintage parquet-timestamp session confs (see
+    ``_TS_NORMALIZE_CONFS``) — shared entry for batch and streaming."""
     for k, v in _TS_NORMALIZE_CONFS.items():
         spark.conf.set(k, v)
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    set_ts_normalize_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     dtypes = dict(df.dtypes)
     for c in _NANOS_TS_COLUMNS.get(name, ()):
         if c in df.columns and dtypes[c] == "bigint":
-            # integer div: double division would lose precision on ~1e18 ns values
-            df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+            df = df.withColumn(c, nanos_to_timestamp(c))
     for c, dt in dtypes.items():
         if dt == "timestamp_ntz":
             df = df.withColumn(c, F.col(c).cast("timestamp"))

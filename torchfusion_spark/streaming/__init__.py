@@ -74,10 +74,12 @@ def _event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     tripping the canary test."""
     import pyarrow.parquet as pq
 
+    from torchfusion_spark.sources import nanos_to_timestamp, set_ts_normalize_confs
+
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    set_ts_normalize_confs(spark)  # same confs as the batch reader — shared
     ts_type = str(pq.read_schema(f"{sf_dir}/events.parquet").field("ts").type)
     if ts_type in ("timestamp[ns]", "int64"):
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         raw_schema = (
             "event_id bigint, ts bigint, user_id bigint, event_type string, "
             "value double, props string"
@@ -86,9 +88,8 @@ def _event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.readStream.schema(raw_schema)
             .option("pathGlobFilter", "events.parquet")  # file source wants a dir
             .parquet(sf_dir)
-            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+            .withColumn("ts", nanos_to_timestamp("ts"))
         )
-    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     return (
         spark.readStream.schema(EVENTS_SCHEMA)
         .option("pathGlobFilter", "events.parquet")
@@ -150,8 +151,10 @@ def stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             n += len(pdf)
             # half-away-from-zero, matching SQL ROUND in the oracle —
             # pandas .round() is banker's (half-to-even) and would diverge
-            # on an exact .5 hundredth
-            v = pdf["value"].to_numpy() * 100
+            # on an exact .5 hundredth. NULL values must be dropped first:
+            # the oracle's SUM skips them, while a NaN would poison np.sum
+            # and .astype('int64') silently turns that NaN into INT64_MIN
+            v = pdf["value"].dropna().to_numpy() * 100
             hundredths += int(np.sum(np.sign(v) * np.floor(np.abs(v) + 0.5)).astype("int64"))
         state.update((n, hundredths))
         import pandas as pd
@@ -172,17 +175,8 @@ def stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     name = "tf_stream_user_stats"
-    # in update mode the memory sink may hold several emissions per key;
-    # the final state per user is the row with the max n_events
     latest = _run_to_memory(spark, out, name, "update")
-    from pyspark.sql import Window as W
-
-    rn = F.row_number().over(
-        W.partitionBy("user_id").orderBy(F.col("n_events").desc())
-    )
-    return (
-        latest.withColumn("_rn", rn).filter(F.col("_rn") == 1).drop("_rn").orderBy("user_id")
-    )
+    return _latest_per_user(latest)
 
 
 def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -406,7 +400,9 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_memory(spark, j, name, "append").orderBy("purchase_id", "click_id")
 
 
-def exactly_once_sink(spark: SparkSession, sf_dir: str, out_dir: str) -> DataFrame:
+def exactly_once_sink(
+    spark: SparkSession, sf_dir: str, out_dir: str, checkpoint_dir: str | None = None
+) -> DataFrame:
     """Idempotent foreachBatch parquet sink — the exactly-once delivery
     pattern for streaming ETL: each micro-batch overwrites its OWN
     partition directory (``batch=<id>``), so a replayed batch (failure →
@@ -414,15 +410,29 @@ def exactly_once_sink(spark: SparkSession, sf_dir: str, out_dir: str) -> DataFra
     instead of appending duplicates. Dynamic partition overwrite keeps
     other batches' output untouched.
 
-    At scale this is the standard recipe when the sink isn't
-    transactional: checkpoint tracks the offset → batchId mapping,
-    batchId keys the output path, re-delivery is a no-op rewrite.
-    Returns the read-back DataFrame for verification."""
+    The query runs on a REAL checkpoint (``checkpoint_dir``, defaulting
+    to ``<out_dir>_ckpt``): that is where the offset → batchId mapping
+    lives, so a restart resumes from the committed offsets instead of
+    replaying from batch 0 — without it the recipe's recovery guarantee
+    is words, not behavior. A rerun over the same bounded source is
+    therefore a zero-batch no-op.
+
+    Because the aggregation runs in complete mode, every batch directory
+    holds the FULL snapshot as of that batch; the canonical result is the
+    NEWEST batch only (unioning directories would multiply counts), and
+    older snapshots remain on disk as the idempotent-rewrite targets.
+    Returns that newest snapshot — schema-stable and empty on a zero-data
+    source, the first-deploy state of every streaming job."""
     agg = (
         _event_stream(spark, sf_dir)
         .withWatermark("ts", "30 minutes")
         .groupBy(F.window("ts", "15 minutes").alias("w"), "event_type")
-        .agg(F.count(F.lit(1)).alias("n"), F.sum(F.expr("CAST(value * 100 AS BIGINT)")).alias("cents"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            # ROUND, not CAST-truncation: 0.29*100 is 28.999… in float64,
+            # and the module's fixed-point discipline is half-away cents
+            F.sum(F.expr("CAST(ROUND(value * 100) AS BIGINT)")).alias("cents"),
+        )
         .select(F.col("w.start").alias("window_start"), "event_type", "n", "cents")
     )
 
@@ -438,9 +448,19 @@ def exactly_once_sink(spark: SparkSession, sf_dir: str, out_dir: str) -> DataFra
     with _scaled_state_partitions(spark):
         q = (
             agg.writeStream.outputMode("complete")
+            .option("checkpointLocation", checkpoint_dir or out_dir.rstrip("/") + "_ckpt")
             .foreachBatch(write_batch)
             .trigger(availableNow=True)
             .start()
         )
         q.awaitTermination()
-    return spark.read.parquet(out_dir)
+    try:
+        snap = spark.read.parquet(out_dir)
+    except Exception:  # zero batches ran: nothing written, not even a schema
+        return spark.createDataFrame(
+            [], "window_start timestamp, event_type string, n bigint, cents bigint, batch int"
+        )
+    # 1-value driver fetch (like the CC convergence signature): selects
+    # the newest snapshot partition, never materializes data on the driver
+    newest = snap.agg(F.max("batch")).collect()[0][0]
+    return snap.filter(F.col("batch") == newest)
