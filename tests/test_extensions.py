@@ -633,3 +633,103 @@ def test_decontaminate_bloom_matches_exact(spark, tables):
     }
     assert exact, "fixture corpus should contain contaminated docs"
     assert bloom == exact
+
+
+def test_multimodal_null_text_rows(spark, tables, tmp_path):
+    """Round-6 review: a documents row with NULL text must flow through
+    all three multimodal operators with SQL semantics (NULL n_bytes /
+    checksum, -1 byte probes, zero frames, empty thumb) instead of
+    crashing mapInPandas on len(None)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from torchfusion_spark.operators.multimodal import (
+        features_query,
+        frames_query,
+        thumbnail_query,
+    )
+
+    d = tmp_path / "null_docs"
+    d.mkdir()
+    src = pq.read_table(f"{tables}/documents.parquet").slice(0, 3)
+    texts = src.column("text").to_pylist()
+    texts[1] = None
+    cols = {name: src.column(name) for name in src.column_names}
+    cols["text"] = pa.array(texts, pa.string())
+    pq.write_table(pa.table(cols), str(d / "documents.parquet"))
+    # the other tables must exist for load_tables
+    for t in ("region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "embeddings"):
+        pq.write_table(pq.read_table(f"{tables}/{t}.parquet").slice(0, 1), str(d / f"{t}.parquet"))
+    from torchfusion_spark.sources import load_tables
+
+    spark._tf_tables_loaded = None
+    load_tables(spark, str(d))
+    try:
+        feats = {r.doc_id: r for r in features_query(spark).collect()}
+        null_id = src.column("doc_id").to_pylist()[1]
+        assert len(feats) == 3
+        r = feats[null_id]
+        assert r.n_bytes is None and r.checksum16 is None
+        assert r.first_byte == -1 and r.last_byte == -1
+        assert null_id not in {row.doc_id for row in frames_query(spark).collect()}
+        thumbs = {row.doc_id: row.thumb for row in thumbnail_query(spark).collect()}
+        assert thumbs[null_id] == ""
+    finally:  # re-point the session at the real fixture data
+        spark._tf_tables_loaded = None
+        load_tables(spark, tables)
+
+
+def test_staging_release_protects_inflight_sibling_thread(spark):
+    """Round-6 review: release_staged_group must not release a staging
+    group whose nonce belongs to ANOTHER thread that is still running —
+    an in-flight sibling is concurrent, not superseded."""
+    import threading
+
+    from torchfusion_spark.session import (
+        release_staged_group,
+        staged_checkpoint,
+        staging_nonce,
+    )
+
+    started = threading.Event()
+    finish = threading.Event()
+
+    sibling_nonce = []
+
+    def sibling():
+        n = staging_nonce(spark)
+        sibling_nonce.append(n)
+        staged_checkpoint(spark, f"tst_{n}_data", spark.range(5).toDF("x"))
+        started.set()
+        finish.wait(timeout=30)
+
+    t = threading.Thread(target=sibling)
+    t.start()
+    try:
+        assert started.wait(timeout=30)
+        my_nonce = staging_nonce(spark)
+        # sweep from the main thread: the sibling's group must survive
+        release_staged_group(spark, "tst_", keep_nonce=my_nonce)
+        pool = spark.__dict__.get("_tf_ck_pool", {})
+        assert f"tst_{sibling_nonce[0]}_data" in pool
+    finally:
+        finish.set()
+        t.join()
+    # sibling thread done -> its group is now releasable
+    assert release_staged_group(spark, "tst_", keep_nonce=None) >= 1
+
+
+def test_arrow_ipc_empty_relation_roundtrip(spark, tables, tmp_path):
+    """Round-6 review: writing an EMPTY relation must publish a
+    schema-only IPC file so the paired reader (and COPY's count) see an
+    empty relation instead of crashing schema inference."""
+    from torchfusion_spark.sources.arrow_ipc import read_arrow_ipc, write_arrow_ipc
+
+    empty = spark.table("region").filter("r_regionkey < 0")
+    path = str(tmp_path / "empty_arrow")
+    n_files, n_rows = write_arrow_ipc(empty, path)
+    assert (n_files, n_rows) == (1, 0)
+    back = read_arrow_ipc(spark, path)
+    assert back.count() == 0
+    assert back.schema == empty.schema

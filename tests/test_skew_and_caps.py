@@ -125,8 +125,9 @@ def test_arrow_ipc_roundtrip(spark, tables, tmp_path):
 
     docs = spark.table("documents")
     path = str(tmp_path / "docs_arrow")
-    n_files = write_arrow_ipc(docs.repartition(4), path)
+    n_files, n_rows = write_arrow_ipc(docs.repartition(4), path)
     assert n_files >= 1
+    assert n_rows == docs.count()
     back = read_arrow_ipc(spark, path)
     assert back.schema == docs.schema
     got = sorted(r.doc_id for r in back.select("doc_id").collect())

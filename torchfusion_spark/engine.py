@@ -828,15 +828,13 @@ class Engine:
                     "PARTITIONED BY nor OPTIONS in this engine (the IPC "
                     "sink writes one file per partition)"
                 )
-            from torchfusion_spark.sources.arrow_ipc import (
-                read_arrow_ipc,
-                write_arrow_ipc,
-            )
+            from torchfusion_spark.sources.arrow_ipc import write_arrow_ipc
 
             if os.path.isdir(path):  # COPY overwrites, like sinks.copy_to
                 shutil.rmtree(path)
-            write_arrow_ipc(df, path)
-            n = read_arrow_ipc(self.spark, path).count()
+            # n_rows is tallied from the batches actually written, so it
+            # describes the files (the COPY contract) with no re-read
+            _, n = write_arrow_ipc(df, path)
             return self.spark.createDataFrame([(n,)], "count bigint")
         try:
             sinks.copy_to(df, path, fmt=fmt, partition_by=partition_by, **opts)

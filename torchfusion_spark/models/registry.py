@@ -79,6 +79,29 @@ def fetch_bytes(uri: str) -> bytes:
     raise ValueError(f"unsupported model URI scheme: {scheme!r} ({uri})")
 
 
+# Per-WORKER predictor cache (module-level: Spark reuses Python worker
+# processes across tasks, so this dict outlives a task). Keyed by a
+# driver-generated registration token — unique per registration, so
+# CREATE OR REPLACE with new bytes gets a fresh entry while every task of
+# one registration shares one deserialized model instead of re-loading
+# per task (src/udf.rs loads once per UDF instance; 32 partitions ≠ 32
+# torch.jit.loads).
+_PREDICTOR_CACHE: dict[tuple, object] = {}
+
+
+def _worker_predictor(bc, uri: str, reg_token: str, device: str, cuda_device: int):
+    from torchfusion_spark.models.backends import load_predictor
+
+    key = (reg_token, device, cuda_device)
+    p = _PREDICTOR_CACHE.get(key)
+    if p is None:
+        if len(_PREDICTOR_CACHE) >= 8:  # bound worker memory across re-registrations
+            _PREDICTOR_CACHE.clear()
+        p = load_predictor(bc.value, uri, device, cuda_device)
+        _PREDICTOR_CACHE[key] = p
+    return p
+
+
 def register_torch_udf(
     spark: SparkSession,
     name: str,
@@ -95,25 +118,32 @@ def register_torch_udf(
     cfg = TorchConfig.from_spark(spark)  # freeze-at-create (src/lib.rs:81-94)
     model_bytes = fetch_bytes(uri)
     bc = spark.sparkContext.broadcast(model_bytes)
+    import uuid
+
+    reg_token = uuid.uuid4().hex  # per-registration worker-cache key
     in_dtype = _element_dtype(input_type)
     out_dtype = _element_dtype(return_type)
     batch_size = cfg.batch_size
     device, cuda_device = cfg.device, cfg.cuda_device
 
     def infer(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
-        from torchfusion_spark.models.backends import load_predictor
+        from torchfusion_spark.models.batching import create_batched, flatten_batched
 
-        predictor = load_predictor(bc.value, uri, device, cuda_device)
+        predictor = _worker_predictor(bc, uri, reg_token, device, cuda_device)
         for series in it:
             if series.empty:
                 yield pd.Series([], dtype=object)
                 continue
-            x = np.stack(series.to_numpy()).astype(in_dtype, copy=False)
-            outs = [
-                predictor(x[i : i + batch_size])
-                for i in range(0, len(x), batch_size)
-            ]
-            y = np.concatenate(outs).astype(out_dtype, copy=False)
+            # flat values + Arrow-style offsets, so the mini-batch loop IS
+            # models.batching — the kernels the reference's unit tests
+            # translate against, not a parallel re-implementation
+            arrs = series.to_numpy()
+            offsets = np.zeros(len(arrs) + 1, dtype=np.int64)
+            np.cumsum([len(a) for a in arrs], out=offsets[1:])
+            values = np.concatenate(arrs).astype(in_dtype, copy=False)
+            outs = [predictor(b) for b in create_batched(values, offsets, batch_size)]
+            flat, _ = flatten_batched(outs)
+            y = flat.reshape(len(arrs), -1).astype(out_dtype, copy=False)
             yield pd.Series(list(y))
 
     udf = F.pandas_udf(infer, returnType=_parse_datatype_string(return_type))

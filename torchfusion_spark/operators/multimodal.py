@@ -65,14 +65,23 @@ def extract_features(df: DataFrame) -> DataFrame:
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             payloads = pdf["payload"]
+            # a NULL text row arrives as payload None — the row must come
+            # through with SQL semantics (NULL n_bytes/checksum, the CASE
+            # ELSE -1 for the byte probes), not die in len(None)
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
                     "mime": [m["mime"] for m in pdf["meta"]],
-                    "n_bytes": payloads.map(len),
-                    "first_byte": payloads.map(lambda b: b[0] if len(b) else -1),
-                    "last_byte": payloads.map(lambda b: b[-1] if len(b) else -1),
-                    "checksum16": payloads.map(lambda b: sum(b[:16]) % 256),
+                    "n_bytes": payloads.map(len, na_action="ignore"),
+                    "first_byte": payloads.map(
+                        lambda b: b[0] if b is not None and len(b) else -1
+                    ),
+                    "last_byte": payloads.map(
+                        lambda b: b[-1] if b is not None and len(b) else -1
+                    ),
+                    "checksum16": payloads.map(
+                        lambda b: sum(b[:16]) % 256, na_action="ignore"
+                    ),
                 }
             )
 
@@ -99,6 +108,8 @@ def sample_frames(df: DataFrame) -> DataFrame:
         for pdf in batches:
             rows: dict[str, list] = {k: [] for k in ("doc_id", "frame_idx", "frame_offset", "frame_sum")}
             for did, b in zip(pdf["doc_id"], pdf["payload"]):
+                if b is None:  # NULL payload: no frames (oracle: range(NULL) unnests to 0 rows)
+                    continue
                 for idx, off in enumerate(range(0, len(b), step)):
                     rows["doc_id"].append(did)
                     rows["frame_idx"].append(idx)
@@ -147,7 +158,7 @@ def byte_thumbnail(df: DataFrame) -> DataFrame:
         for pdf in batches:
             thumbs = []
             for b in pdf["payload"]:
-                n = len(b)
+                n = len(b) if b is not None else 0  # NULL → '' (oracle's COALESCE arm)
                 if n == 0:
                     thumbs.append("")
                     continue

@@ -11,6 +11,7 @@ shuffle parallelism sized from the environment instead of the 200 default.
 from __future__ import annotations
 
 import os
+import threading
 
 from pyspark.sql import SparkSession
 
@@ -101,20 +102,41 @@ def staged_checkpoint(spark, slot: str, df):
     return ck
 
 
+def _protected_nonces(spark, keep_nonce: int | None) -> set[int]:
+    """Nonces whose staging groups must survive a release sweep: the
+    caller's own (``keep_nonce``) plus any nonce issued to a DIFFERENT
+    thread that is still alive — its builder may be mid-loop, and
+    localCheckpoint lineage truncation makes a premature release
+    unrecoverable. A dead thread's nonce is by definition superseded
+    (one thread cannot have two in-flight iterative builders)."""
+    live = {t.ident for t in threading.enumerate()}
+    me = threading.get_ident()
+    out = {
+        n
+        for tid, n in spark.__dict__.get("_tf_thread_nonces", {}).items()
+        if tid != me and tid in live
+    }
+    if keep_nonce is not None:
+        out.add(keep_nonce)
+    return out
+
+
 def release_staged_group(spark, prefix: str, keep_nonce: int | None = None) -> int:
-    """Release every checkpoint-pool slot starting with ``prefix`` (except
-    slots carrying ``keep_nonce``) — the cross-call half of the staging
-    lifecycle: a nonce isolates one iterative call's slots from a
-    concurrent call's, and the *next* call (or the downstream consumer
-    that has materialized the result) releases the superseded group.
+    """Release every checkpoint-pool slot starting with ``prefix`` except
+    protected groups — the cross-call half of the staging lifecycle: a
+    nonce isolates one iterative call's slots from a concurrent call's,
+    and the *next* call (or the downstream consumer that has materialized
+    the result) releases the superseded group. Protected = the caller's
+    ``keep_nonce`` AND any nonce belonging to another still-running
+    thread (an in-flight sibling is concurrent, not superseded).
     Callers must materialize a builder's returned DataFrame before
     invoking the same builder again — all registry/gate flows do.
     Returns the number of slots released."""
     pool = spark.__dict__.get("_tf_ck_pool", {})
-    tag = f"_{keep_nonce}" if keep_nonce is not None else None
+    tags = {f"_{n}" for n in _protected_nonces(spark, keep_nonce)}
     released = 0
     for slot in [s for s in pool if s.startswith(prefix)]:
-        if tag is not None and (slot.endswith(tag) or f"{tag}_" in slot):
+        if any(slot.endswith(t) or f"{t}_" in slot for t in tags):
             continue
         try:
             pool.pop(slot).unpersist(False)
@@ -124,14 +146,23 @@ def release_staged_group(spark, prefix: str, keep_nonce: int | None = None) -> i
     return released
 
 
+_STAGING_NONCE_LOCK = threading.Lock()
+
+
 def staging_nonce(spark) -> int:
     """Monotonic per-session counter for temp-view names of *iterative*
     staged builders (k-means): fixed global view names would let two
     concurrent calls in one session clobber each other's state mid-loop
-    (ADVICE r03)."""
-    n = getattr(spark, "_tf_staging_nonce", 0) + 1
-    spark._tf_staging_nonce = n
-    return n
+    (ADVICE r03). Lock-guarded — the bare read-modify-write is two
+    bytecode ops, so two threads could otherwise draw the SAME nonce and
+    share loop state, exactly the clobbering the nonce exists to prevent.
+    The issuing thread is recorded so release sweeps can recognize
+    in-flight sibling groups (see :func:`_protected_nonces`)."""
+    with _STAGING_NONCE_LOCK:
+        n = getattr(spark, "_tf_staging_nonce", 0) + 1
+        spark._tf_staging_nonce = n
+        spark.__dict__.setdefault("_tf_thread_nonces", {})[threading.get_ident()] = n
+        return n
 
 
 def session(

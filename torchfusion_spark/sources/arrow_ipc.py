@@ -30,12 +30,14 @@ import pyarrow as pa
 from pyspark.sql import DataFrame, SparkSession
 
 
-def _first_file(path: str) -> str:
+def _first_with_suffix(path: str, suffix: str) -> str:
+    """First file under ``path`` with ``suffix`` (or ``path`` itself if it
+    is a file) — the footer-read target for driver-side schema sniffing."""
     if os.path.isfile(path):
         return path
-    names = sorted(n for n in os.listdir(path) if n.endswith(".arrow"))
+    names = sorted(n for n in os.listdir(path) if n.endswith(suffix))
     if not names:
-        raise FileNotFoundError(f"no .arrow files under {path!r}")
+        raise FileNotFoundError(f"no {suffix} files under {path!r}")
     return os.path.join(path, names[0])
 
 
@@ -43,7 +45,7 @@ def read_arrow_ipc(spark: SparkSession, path: str) -> DataFrame:
     """Read a directory of Arrow IPC files as a DataFrame."""
     from pyspark.sql.pandas.types import from_arrow_schema
 
-    with pa.ipc.open_file(_first_file(path)) as rd:
+    with pa.ipc.open_file(_first_with_suffix(path, ".arrow")) as rd:
         arrow_schema = rd.schema
     spark_schema = from_arrow_schema(arrow_schema)
 
@@ -53,37 +55,74 @@ def read_arrow_ipc(spark: SparkSession, path: str) -> DataFrame:
     def decode(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for batch in batches:
             for buf in batch.column(0):
-                with pa.ipc.open_file(pa.BufferReader(buf.as_py())) as rd:
+                # as_buffer: zero-copy view over the binaryFile content —
+                # as_py() would duplicate every file's bytes in Python
+                with pa.ipc.open_file(pa.BufferReader(buf.as_buffer())) as rd:
                     for i in range(rd.num_record_batches):
                         yield rd.get_batch(i)
 
     return files.mapInArrow(decode, schema=spark_schema)
 
 
-def write_arrow_ipc(df: DataFrame, path: str) -> int:
-    """Write one Arrow IPC file per partition under ``path``; returns the
-    number of files written. Executor-local writes — point ``path`` at
-    shared storage on a real cluster."""
+def write_arrow_ipc(df: DataFrame, path: str) -> tuple[int, int]:
+    """Write one Arrow IPC file per non-empty partition under ``path``;
+    returns ``(n_files, n_rows)`` — both tallied during the write itself,
+    so sinks (COPY) never re-read the output just to count it.
+    Executor-local writes — point ``path`` at shared storage on a real
+    cluster.
+
+    Task-failure safety: each partition streams into a ``.inprogress``
+    temp name invisible to the reader's ``*.arrow`` glob and is renamed
+    only after a successful close — a killed task leaves no footer-less
+    partial for ``pa.ipc.open_file`` to choke on, and a retried task's
+    fresh uuid never duplicates a file the failed attempt already
+    published. An empty relation publishes ONE schema-only file from the
+    driver so the write/read pair round-trips emptiness instead of
+    crashing schema inference."""
     os.makedirs(path, exist_ok=True)
 
     def encode(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         writer = None
-        fname = os.path.join(path, f"part-{uuid.uuid4().hex}.arrow")
+        tmp = final = None
         n = 0
-        for batch in batches:
-            if writer is None:
-                writer = pa.ipc.new_file(fname, batch.schema)
-            writer.write_batch(batch)
-            n += batch.num_rows
-        if writer is not None:
-            writer.close()
+        try:
+            for batch in batches:
+                if writer is None:
+                    final = os.path.join(path, f"part-{uuid.uuid4().hex}.arrow")
+                    tmp = final + ".inprogress"
+                    writer = pa.ipc.new_file(tmp, batch.schema)
+                writer.write_batch(batch)
+                n += batch.num_rows
+            if writer is not None:
+                writer.close()
+                writer = None
+                os.rename(tmp, final)
+        finally:
+            if writer is not None:  # error path: drop the partial file
+                writer.close()
+                try:
+                    os.remove(tmp)
+                except OSError:
+                    pass
         yield pa.RecordBatch.from_pydict(
-            {"file": [fname if n else ""], "n_rows": [n]},
+            {"file": [final if n else ""], "n_rows": [n]},
             schema=pa.schema([("file", pa.string()), ("n_rows", pa.int64())]),
         )
 
     out = df.mapInArrow(encode, schema="file string, n_rows bigint")
-    return out.filter("n_rows > 0").count()
+    res = out.selectExpr(
+        "count(if(n_rows > 0, 1, NULL)) AS files", "coalesce(sum(n_rows), 0) AS rows"
+    ).collect()[0]
+    n_files, n_rows = int(res["files"]), int(res["rows"])
+    if n_files == 0:
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        with pa.ipc.new_file(
+            os.path.join(path, "part-empty.arrow"), to_arrow_schema(df.schema)
+        ):
+            pass
+        n_files = 1
+    return n_files, n_rows
 
 
 def _upcast_f16(t: pa.DataType) -> pa.DataType:
@@ -114,7 +153,7 @@ def read_parquet_float16(spark: SparkSession, path: str) -> DataFrame:
     import pyarrow.parquet as pq
     from pyspark.sql.pandas.types import from_arrow_schema
 
-    first = path if os.path.isfile(path) else _first_parquet(path)
+    first = _first_with_suffix(path, ".parquet")
     src_schema = pq.read_schema(first)
     out_schema = pa.schema([f.with_type(_upcast_f16(f.type)) for f in src_schema])
     spark_schema = from_arrow_schema(out_schema)
@@ -125,15 +164,8 @@ def read_parquet_float16(spark: SparkSession, path: str) -> DataFrame:
     def decode(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for batch in batches:
             for buf in batch.column(0):
-                table = pq.read_table(pa.BufferReader(buf.as_py()))
+                table = pq.read_table(pa.BufferReader(buf.as_buffer()))
                 for rb in table.cast(out_schema).to_batches():
                     yield rb
 
     return files.mapInArrow(decode, schema=spark_schema)
-
-
-def _first_parquet(path: str) -> str:
-    names = sorted(n for n in os.listdir(path) if n.endswith(".parquet"))
-    if not names:
-        raise FileNotFoundError(f"no .parquet files under {path!r}")
-    return os.path.join(path, names[0])
