@@ -78,9 +78,22 @@ STREAMING = [
 ]
 
 
+def parse_sf(sf_dir: str) -> float:
+    """Best-effort scale factor from a dir name like .../sf0.1 — never
+    crashes: a path merely containing 'sf' (or a suffix like
+    sf1_rehearsal) yields its numeric part or 0.0, not a ValueError at
+    startup. Shared with tools/duckdb_baseline.py; plan_audit detects
+    scale from parquet footers instead (the robust path, ADVICE r04) —
+    here sf is a report label only, so the name parse is acceptable."""
+    import re
+
+    m = re.search(r"sf(\d+(?:\.\d+)?)", os.path.basename(sf_dir.rstrip("/")))
+    return float(m.group(1)) if m else 0.0
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else 0.0
+    sf = parse_sf(sf_dir)
 
     from torchfusion_spark.plans import REGISTRY
     from torchfusion_spark.session import session
@@ -145,9 +158,12 @@ def main() -> None:
     errors: dict[str, str] = {}
 
     def run_timed(name: str) -> None:
-        q = REGISTRY[name]
         runs: list[float] = []
         try:
+            # inside the try: a stale HEADLINE entry (renamed/removed
+            # registry query) must record an error row, not KeyError the
+            # whole bench into publishing nothing (round-2 postmortem)
+            q = REGISTRY[name]
             for _ in range(2):
                 t0 = time.perf_counter()
                 df = q.builder(spark, sf_dir)

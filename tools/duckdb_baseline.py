@@ -29,22 +29,29 @@ from tools.verify_local import duck_connection  # noqa: E402
 
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-    runs = int(sys.argv[2]) if len(sys.argv) > 2 else 3
-    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else 0.0
+    runs = max(1, int(sys.argv[2])) if len(sys.argv) > 2 else 3
 
-    from bench import HEADLINE
+    from bench import HEADLINE, parse_sf
     from torchfusion_spark.plans import REGISTRY
 
+    sf = parse_sf(sf_dir)
     con = duck_connection(sf_dir)
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in HEADLINE:
-        q = REGISTRY[name]
-        if q.oracle is None:
-            continue  # not SQL-expressible (model inference) — no oracle to time
-        con.execute(q.oracle).fetchall()  # warm (buffer pool, plan cache)
-        best = min(
-            _timed(con, q.oracle) for _ in range(runs)
-        )
+        # per-query fault isolation, same as bench.py (round-2 postmortem):
+        # one rejected oracle or stale HEADLINE name must cost one row, not
+        # abort the run after minutes of collected timings
+        try:
+            q = REGISTRY[name]
+            if q.oracle is None:
+                continue  # not SQL-expressible (model inference) — no oracle to time
+            con.execute(q.oracle).fetchall()  # warm (buffer pool, plan cache)
+            best = min(_timed(con, q.oracle) for _ in range(runs))
+        except Exception as exc:  # noqa: BLE001 — isolate, record, continue
+            errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+            print(f"{name:32s} FAILED {errors[name]}", file=sys.stderr)
+            continue
         timings[name] = round(best, 4)
         print(f"{name:32s} {best:7.3f}s", file=sys.stderr)
 
@@ -54,6 +61,7 @@ def main() -> None:
         "runs": runs,
         "total_sec": round(sum(timings.values()), 4),
         "queries": timings,
+        **({"errors": errors} if errors else {}),
     }
     out_path = os.environ.get(
         "BASELINE_DUCKDB_OUT",

@@ -87,9 +87,24 @@ def main() -> None:
     emb = pq.read_table(f"{src}/embeddings.parquet")
     span = pc.max(emb["vec_id"]).as_py() + 1
     rng = np.random.default_rng(42)
-    vals = np.asarray(emb["embedding"].combine_chunks().flatten(), dtype=np.float32)
-    dim = len(vals) // emb.num_rows
-    offsets = pa.array(np.arange(0, len(vals) + 1, dim, dtype=np.int32))
+    arr = emb["embedding"].combine_chunks()
+    if arr.null_count:
+        # a synthesized uniform-offset rebuild would silently shift every
+        # vector after the first NULL — fail loudly instead
+        raise ValueError(
+            "embeddings contain NULL rows; the rehearsal perturbation "
+            "assumes dense vectors"
+        )
+    vals = np.asarray(arr.flatten(), dtype=np.float32)
+    # reuse the SOURCE offsets (exact even for ragged rows, and the right
+    # offset width) rather than synthesizing uniform int32 ones
+    offsets = (
+        arr.offsets
+        if hasattr(arr, "offsets")
+        else pa.array(
+            np.arange(0, len(vals) + 1, arr.type.list_size, dtype=np.int64)
+        )
+    )
     parts = []
     for i in range(COPIES):
         e = _shift(emb, "vec_id", i * span)

@@ -85,11 +85,18 @@ def _plan_counts(df) -> Counter:
     def walk(node) -> None:
         name = node.nodeName()
         if name == "AdaptiveSparkPlan":
-            try:
-                walk(node.initialPlan())
-                return
-            except Exception:  # noqa: BLE001 — fall through to children
-                pass
+            # AdaptiveSparkPlanExec exposes no children() — if the inner
+            # plan accessor fails, record a VISIBLE marker instead of
+            # falling through to an empty walk that would report the
+            # query as a falsely clean 0-shuffle plan
+            for accessor in ("initialPlan", "executedPlan"):
+                try:
+                    walk(getattr(node, accessor)())
+                    return
+                except Exception:  # noqa: BLE001 — try the next accessor
+                    continue
+            counts["__aqe_unresolved__"] += 1
+            return
         counts[name.strip()] += 1
         if any(m in name for m in _LEAF_MARKERS):
             return
@@ -194,6 +201,8 @@ def audit(spark, sf_dir: str, names=None) -> dict[str, dict]:
                 if flag not in ("arrow_python",) and flag not in expected:
                     if flag not in flags:
                         flags.append(flag)
+        if counts.get("__aqe_unresolved__"):
+            flags.append("aqe_plan_unreadable")  # audit row is incomplete, not clean
         row["unexpected"] = flags
         rows[name] = row
     return rows
@@ -214,9 +223,13 @@ def main() -> None:
     if names and os.path.exists(out):
         # partial re-measure (explicit name filter): merge into the full
         # artifact instead of clobbering it — tests derive their shuffle
-        # ceilings from every recorded entry
+        # ceilings from every recorded entry. Entries whose query no
+        # longer exists in the registry are pruned, so a rename can't
+        # leave a ghost row that tests keep consuming.
+        from torchfusion_spark.plans import REGISTRY
+
         with open(out) as f:
-            merged = json.load(f)
+            merged = {k: v for k, v in json.load(f).items() if k in REGISTRY}
         merged.update(rows)
         rows_out = merged
     else:

@@ -75,9 +75,8 @@ def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[
         )
     if problems:
         return problems
-    bad = complex_columns(spark_pdf) + [
-        c for c in complex_columns(duck_pdf) if c not in complex_columns(spark_pdf)
-    ]
+    sp_bad = complex_columns(spark_pdf)
+    bad = sp_bad + [c for c in complex_columns(duck_pdf) if c not in sp_bad]
     if bad:
         return [
             f"complex-typed column(s) {bad} would crash the driver canonicalizer "
@@ -127,8 +126,11 @@ def _driver_order_items():
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = {a for a in sys.argv[2:] if not a.startswith("--")}
+    # sf_dir is optional even when flags are given: a leading --flag must
+    # not be consumed as the directory
+    positional = [a for a in sys.argv[1:] if not a.startswith("--")]
+    sf_dir = positional[0] if positional else "/root/testdata/sf0.01"
+    only = set(positional[1:])
     timed = "--time" in sys.argv
     driver_order = "--driver-order" in sys.argv
 
