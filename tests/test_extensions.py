@@ -733,3 +733,79 @@ def test_arrow_ipc_empty_relation_roundtrip(spark, tables, tmp_path):
     back = read_arrow_ipc(spark, path)
     assert back.count() == 0
     assert back.schema == empty.schema
+
+
+def test_salted_aggregate_rejects_bare_nondecomposable(spark):
+    """Round-6 review: a bare avg/min/first Column silently recombines
+    partials with SUM (~n_salts x wrong for avg) — the recognizable cases
+    must be rejected up front like the tuple-path combiner check."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from torchfusion_spark.operators.skew import salted_aggregate
+
+    with pytest.raises(ValueError, match="avg"):
+        salted_aggregate(None, ["k"], {"m": F.avg("x")})
+    with pytest.raises(ValueError, match="min"):
+        salted_aggregate(None, ["k"], {"m": F.min("x")})
+
+
+def test_salted_join_accepts_left_outer_spelling(spark, tables):
+    """left_outer/leftouter are Spark-equivalent spellings of left."""
+    from pyspark.sql import functions as F
+
+    from torchfusion_spark.operators.skew import salted_join
+
+    nation = spark.table("nation").select(F.col("n_regionkey").alias("k"), "n_name")
+    region = spark.table("region").select(F.col("r_regionkey").alias("k"), "r_name")
+    a = salted_join(nation, region, "k", how="left").orderBy("n_name").collect()
+    b = salted_join(nation, region, "k", how="left_outer").orderBy("n_name").collect()
+    assert a == b and len(a) == 25
+
+
+def test_sessionize_null_ts_matches_oracle(spark, tables, tmp_path):
+    """Round-6 review: a NULL-ts event must not diverge the engines
+    (Spark windows sort NULLS FIRST, DuckDB NULLS LAST) — both spellings
+    now exclude no-event-time rows up front."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from torchfusion_spark.operators.events_ops import sessionize_sql
+    from torchfusion_spark.sources import load_tables
+
+    d = tmp_path / "null_ts"
+    d.mkdir()
+    base = 1_700_000_000_000_000
+    tbl = pa.table(
+        {
+            "event_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "ts": pa.array([base, None, base + 10_000_000, base + 7_200_000_000], pa.timestamp("us")),
+            "user_id": pa.array([7, 7, 7, 7], pa.int64()),
+            "event_type": pa.array(["click"] * 4),
+            "value": pa.array([1.0] * 4, pa.float64()),
+            "props": pa.array(["{}"] * 4),
+        }
+    )
+    pq.write_table(tbl, str(d / "events.parquet"))
+    for t in ("region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "documents", "embeddings"):
+        pq.write_table(pq.read_table(f"{tables}/{t}.parquet").slice(0, 1), str(d / f"{t}.parquet"))
+    spark._tf_tables_loaded = None
+    load_tables(spark, str(d))
+    try:
+        got = [
+            (r.user_id, r.session_id, r.n_events)
+            for r in spark.sql(sessionize_sql("spark")).collect()
+        ]
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW events AS SELECT * FROM '{d}/events.parquet'")
+        want = [
+            (u, s, n)
+            for u, s, n, _, _ in con.execute(sessionize_sql("duck")).fetchall()
+        ]
+        # 2 sessions: [base, base+10s] then [base+2h]; the NULL-ts row in neither
+        assert got == want == [(7, 1, 2), (7, 2, 1)]
+    finally:
+        spark._tf_tables_loaded = None
+        load_tables(spark, tables)

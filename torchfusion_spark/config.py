@@ -47,12 +47,19 @@ class TorchConfigError(ValueError):
     """Configuration error (maps DataFusionError::Configuration)."""
 
 
+# The probes catch broad Exception, not just ImportError: a
+# present-but-broken torch (OSError importing CUDA libs) or an older
+# torch without torch.backends.mps (AttributeError) must read as "device
+# unavailable" — so validate() raises its documented TorchConfigError —
+# rather than leak a raw exception through the SET front door.
+
+
 def _has_cuda() -> bool:
     try:
         import torch
 
         return torch.cuda.is_available()
-    except ImportError:
+    except Exception:  # noqa: BLE001
         return False
 
 
@@ -60,8 +67,8 @@ def _has_mps() -> bool:
     try:
         import torch
 
-        return torch.backends.mps.is_available()
-    except ImportError:
+        return bool(getattr(torch.backends, "mps", None)) and torch.backends.mps.is_available()
+    except Exception:  # noqa: BLE001
         return False
 
 
@@ -70,7 +77,7 @@ def _has_vulkan() -> bool:
         import torch
 
         return bool(getattr(torch, "is_vulkan_available", lambda: False)())
-    except ImportError:
+    except Exception:  # noqa: BLE001
         return False
 
 

@@ -24,7 +24,12 @@ def _epoch_us(expr: str, d: str) -> str:
 
 
 def sessionize_sql(d: str) -> str:
-    """Per-user sessions split on >30 min inactivity; one row per session."""
+    """Per-user sessions split on >30 min inactivity; one row per session.
+
+    NULL-ts rows are excluded up front: an event without a time has no
+    event-time semantics, and leaving it in would diverge the engines
+    (Spark sorts NULLS FIRST in an ASC window, DuckDB NULLS LAST, and the
+    ``lag(ts) IS NULL`` first-row test would conflate the two)."""
     e = _epoch_us("ts", d)
     el = _epoch_us("lag(ts) OVER w", d)
     return f"""
@@ -33,7 +38,7 @@ def sessionize_sql(d: str) -> str:
                CASE WHEN lag(ts) OVER w IS NULL
                          OR {e} - {el} > {SESSION_GAP_S} * 1000000
                     THEN 1 ELSE 0 END AS new_session
-        FROM events
+        FROM events WHERE ts IS NOT NULL
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ),
     sess AS (
@@ -57,6 +62,7 @@ def session_window_agg(spark: SparkSession) -> DataFrame:
     merges windows that strictly overlap)."""
     return (
         spark.table("events")
+        .filter(F.col("ts").isNotNull())  # no event-time, no session (parity w/ oracle)
         .groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
         .agg(F.count(F.lit(1)).alias("n_events"))
         .select(
@@ -75,7 +81,7 @@ WITH gaps AS (
            CASE WHEN lag(ts) OVER w IS NULL
                      OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= {SESSION_GAP_S} * 1000000
                 THEN 1 ELSE 0 END AS new_session
-    FROM events
+    FROM events WHERE ts IS NOT NULL
     WINDOW w AS (PARTITION BY user_id ORDER BY ts)
 ),
 sess AS (
@@ -94,16 +100,18 @@ ORDER BY user_id, session_start
 def asof_join(spark: SparkSession) -> DataFrame:
     """For each purchase event: the most recent click (ts <= purchase ts)
     by the same user. Union-tag + last(ignoreNulls) running window."""
-    ev = spark.table("events")
+    ev = spark.table("events").filter(F.col("ts").isNotNull())
     clicks = (
         ev.filter(F.col("event_type") == "click")
-        # collapse same-(user, ts) clicks so the as-of answer is unique
-        .groupBy("user_id", "ts").agg(F.max("event_id").alias("click_id"))
-        .select("user_id", "ts", "click_id", F.lit(0).alias("is_purchase"),
+        # collapse same-(user, ts) clicks so the as-of answer is unique;
+        # only the ts matters downstream (the oracle's clicks CTE is the
+        # same DISTINCT user_id, ts)
+        .select("user_id", "ts").distinct()
+        .select("user_id", "ts", F.lit(0).alias("is_purchase"),
                 F.lit(None).cast("bigint").alias("purchase_id"))
     )
     purchases = ev.filter(F.col("event_type") == "purchase").select(
-        "user_id", "ts", F.lit(None).cast("bigint").alias("click_id"),
+        "user_id", "ts",
         F.lit(1).alias("is_purchase"), F.col("event_id").alias("purchase_id"),
     )
     tagged = clicks.unionByName(purchases)
@@ -123,10 +131,12 @@ def asof_join(spark: SparkSession) -> DataFrame:
 
 ASOF_ORACLE = """
 WITH clicks AS (
-    SELECT user_id, ts FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+    SELECT user_id, ts FROM events
+    WHERE event_type = 'click' AND ts IS NOT NULL GROUP BY user_id, ts
 ),
 purchases AS (
-    SELECT event_id AS purchase_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    SELECT event_id AS purchase_id, user_id, ts FROM events
+    WHERE event_type = 'purchase' AND ts IS NOT NULL
 )
 SELECT p.purchase_id, p.user_id, p.ts, c.ts AS prev_click_ts
 FROM purchases p ASOF LEFT JOIN clicks c

@@ -148,6 +148,34 @@ def cosine_near_dup_lsh_sql(d: str, threshold: float = 0.30, rel: str | None = N
     """
 
 
+def _assign_body(d: str, n_src: str, c_src: str) -> str:
+    """Shared nearest-centroid argmax over ``n_src`` (vec_id, v, nrm) and
+    ``c_src`` (c_id, cv, cn) — ONE spelling of the 6dp-rounded similarity
+    and the -c_id tie-break, used by both the assignment CTE and the IVF
+    top-k plan so the tie-break discipline cannot drift between copies.
+
+    Spark: aggregate argmax, not a window — max(struct(sim, -c_id))
+    partially combines MAP-SIDE, collapsing the N×k broadcast-join output
+    back to N rows *before* the shuffle; ROW_NUMBER() OVER (PARTITION BY
+    vec_id) would sort-shuffle all N×k rows. Same winner: max sim, then
+    lowest c_id (negated for the tie-break direction)."""
+    sim = f"ROUND({_dot('n.v', 'c.cv', d)} / (n.nrm * c.cn), 6)"
+    if d == "spark":
+        return f"""
+        SELECT /*+ BROADCAST(c) */ n.vec_id,
+               any_value(n.v) AS v, any_value(n.nrm) AS nrm,
+               -max(struct({sim} AS s, -c.c_id AS nc)).nc AS c_id
+        FROM {n_src} n CROSS JOIN {c_src} c GROUP BY n.vec_id"""
+    return f"""
+    SELECT vec_id, v, nrm, c_id FROM (
+        SELECT n.vec_id, n.v, n.nrm, c.c_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY n.vec_id
+                   ORDER BY {sim} DESC, c.c_id
+               ) AS rn
+        FROM {n_src} n CROSS JOIN {c_src} c) WHERE rn = 1"""
+
+
 def ivf_topk_sql(
     d: str,
     k: int = 10,
@@ -175,25 +203,7 @@ def ivf_topk_sql(
     hint = "/*+ BROADCAST(c) */" if d == "spark" else ""
     qhint = "/*+ BROADCAST(q, p) */" if d == "spark" else ""
     mat = "MATERIALIZED " if d == "duck" else ""
-    sim = f"ROUND({_dot('n.v', 'c.cv', d)} / (n.nrm * c.cn), 6)"
-    if d == "spark":
-        # map-side-combinable argmax (see assign_cte_sql): collapses the
-        # N×k broadcast-join rows to N before the shuffle — the window
-        # form would sort-shuffle all N×k
-        assign = f"""
-        SELECT {hint} n.vec_id,
-               any_value(n.v) AS v, any_value(n.nrm) AS nrm,
-               -max(struct({sim} AS s, -c.c_id AS nc)).nc AS c_id
-        FROM n CROSS JOIN c GROUP BY n.vec_id"""
-    else:
-        assign = f"""
-        SELECT vec_id, v, nrm, c_id FROM (
-            SELECT n.vec_id, n.v, n.nrm, c.c_id,
-                   ROW_NUMBER() OVER (
-                       PARTITION BY n.vec_id
-                       ORDER BY {sim} DESC, c.c_id
-                   ) AS rn
-            FROM n CROSS JOIN c) WHERE rn = 1"""
+    assign = _assign_body(d, "n", "c")
     return f"""
     WITH n AS {mat}(SELECT * FROM {n_rel}),
     c AS (SELECT vec_id AS c_id, v AS cv, nrm AS cn FROM n WHERE vec_id < {n_centroids}),
@@ -229,34 +239,12 @@ def assign_cte_sql(d: str, n_centroids: int = 16, rel: str | None = None) -> str
     a k-means sample and the same SQL applies. The centroid side is tiny →
     broadcast; the assignment pass never shuffles the big side."""
     n_rel = rel or f"(SELECT * FROM ({norm_cte(d)}))"
-    sim = f"ROUND({_dot('n.v', 'c.cv', d)} / (n.nrm * c.cn), 6)"
-    if d == "spark":
-        # Aggregate argmax, not a window: max(struct(sim, -c_id)) partially
-        # combines MAP-SIDE, collapsing the N×k broadcast-join output back
-        # to N rows *before* the shuffle — a ROW_NUMBER() OVER (PARTITION
-        # BY vec_id) would sort-shuffle all N×k rows instead. Same winner:
-        # max sim, then lowest c_id (negated for the tie-break direction).
-        return f"""
-        SELECT /*+ BROADCAST(c) */ n.vec_id,
-               any_value(n.v) AS v, any_value(n.nrm) AS nrm,
-               -max(struct({sim} AS s, -c.c_id AS nc)).nc AS c_id
-        FROM (SELECT * FROM {n_rel}) n
-        CROSS JOIN (SELECT vec_id AS c_id, v AS cv, nrm AS cn
-                    FROM {n_rel} WHERE vec_id < {n_centroids}) c
-        GROUP BY n.vec_id
-        """
-    return f"""
-    SELECT vec_id, v, nrm, c_id FROM (
-        SELECT n.vec_id, n.v, n.nrm, c.c_id,
-               ROW_NUMBER() OVER (
-                   PARTITION BY n.vec_id
-                   ORDER BY {sim} DESC, c.c_id
-               ) AS rn
-        FROM (SELECT * FROM {n_rel}) n
-        CROSS JOIN (SELECT vec_id AS c_id, v AS cv, nrm AS cn
-                    FROM {n_rel} WHERE vec_id < {n_centroids}) c
-    ) WHERE rn = 1
-    """
+    return _assign_body(
+        d,
+        f"(SELECT * FROM {n_rel})",
+        f"(SELECT vec_id AS c_id, v AS cv, nrm AS cn "
+        f"FROM {n_rel} WHERE vec_id < {n_centroids})",
+    )
 
 
 def semantic_dedup_sql(
@@ -311,16 +299,28 @@ def ivf_topk(spark, k: int = 10, n_queries: int = 4):
 
 def semantic_dedup(spark, threshold: float = 0.42, n_centroids: int = 16):
     """Staged Spark path: the assignment relation is referenced three
-    times (both pair sides + the verdict scan) — materialize it once."""
+    times (both pair sides + the verdict scan) — materialize it once.
+
+    The assignment view/slot is scoped by ``n_centroids``: the staged
+    similarity views are content-deterministic per parameter set, so two
+    concurrent calls with the same parameters replace a view with
+    identical content (harmless), and calls with DIFFERENT parameters use
+    different names — without the scope, a concurrent 4-centroid call
+    could swap the view out from under a 16-centroid call mid-query (the
+    ADVICE-r03 clobbering class; kmeans uses a nonce because its loop
+    state is content-nondeterministic mid-flight)."""
     from torchfusion_spark.session import staged_cache
 
     _staged_norms(spark)
+    view = f"__sim_assign_{n_centroids}"
     a = staged_cache(
-        spark, "sim_assign", spark.sql(assign_cte_sql("spark", n_centroids, rel="__sim_norms"))
+        spark,
+        f"sim_assign_{n_centroids}",
+        spark.sql(assign_cte_sql("spark", n_centroids, rel="__sim_norms")),
     )
     a.count()
-    a.createOrReplaceTempView("__sim_assign")
-    return spark.sql(semantic_dedup_sql("spark", threshold, assign_rel="__sim_assign"))
+    a.createOrReplaceTempView(view)
+    return spark.sql(semantic_dedup_sql("spark", threshold, assign_rel=view))
 
 
 def cosine_near_dup_lsh(spark, threshold: float = 0.30):
@@ -562,13 +562,18 @@ def ivf_probe_index(spark, path: str, k: int = 10, n_queries: int = 4,
     list directory. Same ranking discipline as ivf_topk_sql (6dp-rounded
     cosine, vec_id tie-breaks) so results are identical to the inline
     query."""
-    spark.read.parquet(path).createOrReplaceTempView("__ivf_idx")
+    import hashlib
+
+    # view scoped by the index path: concurrent probes of DIFFERENT
+    # indexes in one session must not swap the relation under each other
+    idx = f"__ivf_idx_{hashlib.md5(path.encode()).hexdigest()[:8]}"
+    spark.read.parquet(path).createOrReplaceTempView(idx)
     sim_qc = f"ROUND({_dot('q.qv', 'c.cv', 'spark')} / (q.qn * c.cn), 6)"
     sim_qa = f"ROUND({_dot('q.qv', 'a.v', 'spark')} / (q.qn * a.nrm), 6)"
     return spark.sql(f"""
-    WITH q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM __ivf_idx
+    WITH q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM {idx}
                WHERE vec_id < {n_queries}),
-    c AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cn FROM __ivf_idx
+    c AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cn FROM {idx}
           WHERE vec_id < {n_centroids}),
     probe AS (
         SELECT q_id, cent_id FROM (
@@ -579,7 +584,7 @@ def ivf_probe_index(spark, path: str, k: int = 10, n_queries: int = 4,
     sims AS (
         SELECT /*+ BROADCAST(q, p) */ q.q_id, a.vec_id AS cand_id, {sim_qa} AS cosine
         FROM q JOIN probe p ON q.q_id = p.q_id
-               JOIN __ivf_idx a ON a.c_id = p.cent_id
+               JOIN {idx} a ON a.c_id = p.cent_id
         WHERE a.vec_id <> q.q_id)
     SELECT q_id, cand_id, cosine FROM (
         SELECT q_id, cand_id, cosine,

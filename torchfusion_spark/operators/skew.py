@@ -58,10 +58,26 @@ def salted_aggregate(
     aggregates belong here — the combiner argument is what makes min/max
     recombine correctly instead of silently summing their partials.
     """
+    import re
+
     partials: list[Column] = []
     finals: list[Column] = []
     for name, spec in aggs.items():
         expr, combiner = spec if isinstance(spec, tuple) else (spec, "sum")
+        if not isinstance(spec, tuple):
+            # the bare-Column shorthand implies SUM recombination; a bare
+            # avg/first/min/... would silently return the sum of partials
+            # (~n_salts× wrong for avg) — reject the recognizable ones up
+            # front, same class as the tuple-path combiner check
+            m = re.match(r"Column<'(\w+)\(", str(expr))
+            fn = (m.group(1).lower() if m else None)
+            if fn is not None and fn not in ("sum", "count"):
+                raise ValueError(
+                    f"aggregate {name!r}: bare Column {fn}(...) would recombine "
+                    "partials with SUM — pass (expr, combiner) with an explicit "
+                    f"combiner from {sorted(_COMBINERS)}, or decompose "
+                    "non-decomposable aggregates (avg = sum/count) yourself"
+                )
         if combiner not in _COMBINERS:
             raise ValueError(
                 f"aggregate {name!r}: combiner must be one of {sorted(_COMBINERS)}, "
@@ -83,6 +99,8 @@ def salted_join(
     Only ``inner`` and ``left`` joins are salt-invariant: a right/full
     outer join would emit every unmatched small-side row once per salt
     replica, changing the result."""
+    if how.replace("_", "").lower() == "leftouter":  # Spark-equivalent spellings
+        how = "left"
     if how not in ("inner", "left"):
         raise ValueError(
             f"salted_join supports how='inner'|'left' (got {how!r}): outer joins "
