@@ -809,3 +809,105 @@ def test_sessionize_null_ts_matches_oracle(spark, tables, tmp_path):
     finally:
         spark._tf_tables_loaded = None
         load_tables(spark, tables)
+
+
+def test_ngram_jaccard_empty_shingle_pair_no_crash(spark, tables, tmp_path):
+    """Round-6 review: two docs shorter than the gram width share a block
+    with n=0 shingles each — Spark's ANSI mode previously threw
+    DIVIDE_BY_ZERO on the 0/0 jaccard while DuckDB NULLed the row out;
+    both engines must now agree (pair dropped)."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from torchfusion_spark.operators.dedup import ngram_jaccard_sql
+    from torchfusion_spark.sources import load_tables
+
+    d = tmp_path / "tiny_docs"
+    d.mkdir()
+    src = pq.read_table(f"{tables}/documents.parquet")
+    cols = {name: src.column(name).slice(0, 2) for name in src.column_names}
+    cols["text"] = pa.array(["hi", "ok"], pa.string())
+    if "lang" in cols:
+        cols["lang"] = pa.array(["en", "en"], pa.string())
+    if "n_chars" in cols:
+        cols["n_chars"] = pa.array([2, 2], src.column("n_chars").type)
+    pq.write_table(pa.table(cols), str(d / "documents.parquet"))
+    for t in ("region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "embeddings"):
+        pq.write_table(pq.read_table(f"{tables}/{t}.parquet").slice(0, 1), str(d / f"{t}.parquet"))
+    spark._tf_tables_loaded = None
+    load_tables(spark, str(d))
+    try:
+        got = spark.sql(ngram_jaccard_sql("spark")).collect()  # must not throw
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW documents AS SELECT * FROM '{d}/documents.parquet'")
+        want = con.execute(ngram_jaccard_sql("duck")).fetchall()
+        assert [tuple(r) for r in got] == want == []
+    finally:
+        spark._tf_tables_loaded = None
+        load_tables(spark, tables)
+
+
+def test_winnow_short_doc_still_fingerprinted(spark, tables, tmp_path):
+    """Round-6 review: a doc with 1..w-1 k-grams gets the min-of-all-
+    hashes fingerprint (winnowing's degenerate window), not NO row —
+    identical short docs must share a fingerprint."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from torchfusion_spark.operators.textstats import winnow_fingerprint_sql
+    from torchfusion_spark.sources import load_tables
+
+    d = tmp_path / "short_docs"
+    d.mkdir()
+    src = pq.read_table(f"{tables}/documents.parquet")
+    cols = {name: src.column(name).slice(0, 3) for name in src.column_names}
+    # k=8: "abcdefghij" has 3 grams (< w=4); twin short docs + one empty
+    cols["text"] = pa.array(["abcdefghij", "abcdefghij", ""], pa.string())
+    pq.write_table(pa.table(cols), str(d / "documents.parquet"))
+    for t in ("region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "embeddings"):
+        pq.write_table(pq.read_table(f"{tables}/{t}.parquet").slice(0, 1), str(d / f"{t}.parquet"))
+    spark._tf_tables_loaded = None
+    load_tables(spark, str(d))
+    try:
+        rows = {r.doc_id: r for r in spark.sql(winnow_fingerprint_sql("spark")).collect()}
+        ids = src.column("doc_id").to_pylist()[:3]
+        assert ids[0] in rows and ids[1] in rows  # short docs fingerprinted
+        assert rows[ids[0]].fp_checksum == rows[ids[1]].fp_checksum  # twins match
+        assert ids[2] not in rows  # truly empty doc has no grams at all
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW documents AS SELECT * FROM '{d}/documents.parquet'")
+        want = con.execute(winnow_fingerprint_sql("duck")).fetchall()
+        got = sorted((r.doc_id, r.n_grams, r.n_fingerprints, r.fp_checksum) for r in rows.values())
+        assert got == sorted(tuple(r) for r in want)
+    finally:
+        spark._tf_tables_loaded = None
+        load_tables(spark, tables)
+
+
+def test_connected_components_raises_on_nonconvergence(spark):
+    """Round-6 review: exhausting max_iter with labels still changing
+    must raise, not silently return partially propagated components."""
+    import pytest
+
+    from torchfusion_spark.operators import dedup
+
+    # chain 0-1-2-...-9 has diameter 9 > max_iter=2; force the iterative
+    # path by dropping the small-graph exact short-circuit
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(9)], "id_a bigint, id_b bigint"
+    )
+    orig = dedup.SMALL_GRAPH_EDGES
+    dedup.SMALL_GRAPH_EDGES = 0
+    try:
+        with pytest.raises(RuntimeError, match="did not converge"):
+            dedup.connected_components(pairs, max_iter=2)
+        # and with enough rounds the same graph resolves exactly
+        got = {r.doc_id: r.component for r in
+               dedup.connected_components(pairs, max_iter=15).collect()}
+        assert got == {i: 0 for i in range(10)}
+    finally:
+        dedup.SMALL_GRAPH_EDGES = orig

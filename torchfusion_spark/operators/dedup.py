@@ -85,21 +85,7 @@ def minhash_body_sql(d: str, sig_rel: str, threshold: float, max_bucket: int = M
     lost (near-identical boilerplate — which exact dedup upstream already
     removes). The oracle applies the same cap, so the gate checks the
     capped semantics exactly."""
-    bands = G.band_exprs("sig", d)
-    if d == "spark":
-        structs = ", ".join(
-            f"named_struct('band', {i}, 'bkey', {b})" for i, b in enumerate(bands)
-        )
-        band_rel = (
-            f"SELECT doc_id, band, bkey FROM {sig_rel} "
-            f"LATERAL VIEW inline(array({structs})) AS band, bkey"
-        )
-    else:
-        structs = ", ".join("{'band': %d, 'bkey': %s}" % (i, b) for i, b in enumerate(bands))
-        band_rel = (
-            f"SELECT doc_id, UNNEST(bl, recursive := true) "
-            f"FROM (SELECT doc_id, [{structs}] AS bl FROM {sig_rel})"
-        )
+    band_rel = G.band_explode(sig_rel, G.band_exprs("sig", d), d)
     inter = G.arr_intersect_size("x.hx", "y.hx", d)
     mat = "MATERIALIZED " if d == "duck" else ""
     return f"""
@@ -165,18 +151,18 @@ def minhash_lsh(spark, threshold: float = 0.6):
     after ``minhash_lsh`` in gate order, and recomputing the one expensive
     pass (shingle + md5 + fold) would double its cost for nothing. The key
     follows ``load_tables``' memo, so switching sf_dir rebuilds."""
-    from torchfusion_spark.session import cpu_fanout
-
     from torchfusion_spark.session import staged_cache
 
     key = getattr(spark, "_tf_tables_loaded", None)
     if getattr(spark, "_tf_minhash_sig_key", object()) != key:
-        docs = cpu_fanout(spark.table("documents"))
-        docs.createOrReplaceTempView("__minhash_docs")
+        # derive from the SESSION-STAGED hashed-shingle relation shared
+        # with containment/decontaminate — the shingle+md5 pass is the
+        # dominant cost of every shingle-based operator and previously ran
+        # a second time here over a private docs view
         sig = staged_cache(
             spark,
             "minhash_sig",
-            spark.sql(sig_rel_sql("spark", f"({hashed_shingle_sql('spark', rel='__minhash_docs')})")),
+            spark.sql(sig_rel_sql("spark", _staged_hx(spark))),
         )
         sig.count()  # materialize before the self-join races both sides into the fill
         sig.createOrReplaceTempView("__minhash_sig")
@@ -214,6 +200,12 @@ def _staged_hx(spark) -> str:
         hx.createOrReplaceTempView("__tf_hx")
         spark._tf_hx_key = key
     return "__tf_hx"
+
+
+def _simhash_band_keys(bands: int, d: str) -> list[str]:
+    """8-bit band keys sliced out of the simhash word — one spelling for
+    the batch join, the cap stats, and any persisted variant."""
+    return [f"({G.shr('simhash', str(8 * i), d)} & 255)" for i in range(bands)]
 
 
 def simhash_sig_sql(d: str, rel: str = "documents", bits: int = 32) -> str:
@@ -264,24 +256,9 @@ def simhash_body_sql(
     boilerplate that upstream exact dedup already removed). The oracle
     runs the identical capped SQL."""
     bands = bits // 8
-    if d == "spark":
-        structs = ", ".join(
-            f"named_struct('band', {i}, 'bkey', ({G.shr('simhash', str(8 * i), d)} & 255))"
-            for i in range(bands)
-        )
-        band_rel = (
-            f"SELECT doc_id, simhash, band, bkey FROM {s_rel} "
-            f"LATERAL VIEW inline(array({structs})) AS band, bkey"
-        )
-    else:
-        structs = ", ".join(
-            "{'band': %d, 'bkey': (%s & 255)}" % (i, G.shr("simhash", str(8 * i), d))
-            for i in range(bands)
-        )
-        band_rel = (
-            f"SELECT doc_id, simhash, UNNEST(bl, recursive := true) "
-            f"FROM (SELECT doc_id, simhash, [{structs}] AS bl FROM {s_rel})"
-        )
+    band_rel = G.band_explode(
+        s_rel, _simhash_band_keys(bands, d), d, carry="doc_id, simhash"
+    )
     ham = f"bit_count({G.xor('sim_a', 'sim_b', d)})"
     return f"""
     WITH bands AS ({band_rel}),
@@ -314,18 +291,33 @@ def simhash_sql(d: str, bits: int = 32, max_hamming: int = 2) -> str:
     )
 
 
+def _staged_simhash_sig(spark, bits: int = 32) -> str:
+    """The SimHash signature relation staged once per (session, loaded
+    tables, bits) — memoized like the MinHash signature so the banded
+    join and the cap-stats observer share one per-token hash + bit-vote
+    pass instead of each re-running it."""
+    from torchfusion_spark.session import staged_cache
+
+    key = (getattr(spark, "_tf_tables_loaded", None), bits)
+    if getattr(spark, "_tf_simhash_sig_key", object()) != key:
+        s = staged_cache(
+            spark,
+            "simhash_sig",
+            spark.sql(simhash_sig_sql("spark", rel=_staged_docs(spark), bits=bits)),
+        )
+        s.count()
+        s.createOrReplaceTempView("__simhash_sig")
+        spark._tf_simhash_sig_key = key
+    return "__simhash_sig"
+
+
 def simhash(spark, bits: int = 32, max_hamming: int = 2):
     """Staged Spark execution: signatures computed once over the fanned-out
     input (the CPU-heavy pass), cached, then the banded self-join runs
     over the 12-byte-per-doc signature relation."""
-    from torchfusion_spark.session import staged_cache
-
-    s = staged_cache(
-        spark, "simhash_sig", spark.sql(simhash_sig_sql("spark", rel=_staged_docs(spark), bits=bits))
+    return spark.sql(
+        simhash_body_sql("spark", _staged_simhash_sig(spark, bits), bits, max_hamming)
     )
-    s.count()
-    s.createOrReplaceTempView("__simhash_sig")
-    return spark.sql(simhash_body_sql("spark", "__simhash_sig", bits, max_hamming))
 
 
 def simhash_capped_bucket_stats(spark, bits: int = 32, max_bucket: int = SIMHASH_MAX_BUCKET):
@@ -337,17 +329,12 @@ def simhash_capped_bucket_stats(spark, bits: int = 32, max_bucket: int = SIMHASH
     ``sum(bsz*(bsz-1)/2)`` bounds the per-band candidate pairs the cap
     dropped (a pair is truly lost only if EVERY shared band is capped).
     tests/test_skew_and_caps.py pins the fixture-corpus value."""
-    s = spark.sql(simhash_sig_sql("spark", rel=_staged_docs(spark), bits=bits))
-    s.createOrReplaceTempView("__simhash_capstat_sig")
-    bands = bits // 8
-    structs = ", ".join(
-        f"named_struct('band', {i}, 'bkey', ({G.shr('simhash', str(8 * i), 'spark')} & 255))"
-        for i in range(bands)
+    exploded = G.band_explode(
+        _staged_simhash_sig(spark, bits), _simhash_band_keys(bits // 8, "spark"), "spark"
     )
     return spark.sql(f"""
     SELECT band, bkey, CAST(COUNT(*) AS BIGINT) AS bsz
-    FROM (SELECT doc_id, band, bkey FROM __simhash_capstat_sig
-          LATERAL VIEW inline(array({structs})) AS band, bkey)
+    FROM ({exploded})
     GROUP BY band, bkey HAVING COUNT(*) > {max_bucket}
     ORDER BY band, bkey
     """)
@@ -357,14 +344,10 @@ def minhash_capped_bucket_stats(spark, max_bucket: int = MAX_BUCKET):
     """MinHash-LSH twin of :func:`simhash_capped_bucket_stats`: the
     (band, bkey) buckets whose size exceeds the hot-bucket cap."""
     minhash_lsh(spark)  # ensure __minhash_sig is staged (memoized)
-    bands = G.band_exprs("sig", "spark")
-    structs = ", ".join(
-        f"named_struct('band', {i}, 'bkey', {b})" for i, b in enumerate(bands)
-    )
+    exploded = G.band_explode("__minhash_sig", G.band_exprs("sig", "spark"), "spark")
     return spark.sql(f"""
     SELECT band, bkey, CAST(COUNT(*) AS BIGINT) AS bsz
-    FROM (SELECT doc_id, band, bkey FROM __minhash_sig
-          LATERAL VIEW inline(array({structs})) AS band, bkey)
+    FROM ({exploded})
     GROUP BY band, bkey HAVING COUNT(*) > {max_bucket}
     ORDER BY band, bkey
     """)
@@ -416,7 +399,13 @@ def ngram_body_sql(d: str, g_rel: str, threshold: float, max_block: int = NGRAM_
             FROM {g_rel})
         WHERE blk <= {max_block})
     SELECT id_a, id_b, jaccard FROM (
-        SELECT id_a, id_b, ROUND(CAST(ins AS DOUBLE) / (na + nb - ins), 6) AS jaccard FROM (
+        -- greatest(union, 1): two empty-shingle docs (text shorter than
+        -- the gram width) pass the size-ratio prefilter with n=0 on both
+        -- sides; the bare denominator is then 0 — Spark's default ANSI
+        -- mode throws DIVIDE_BY_ZERO while DuckDB NULLs the row out. The
+        -- guard makes both engines emit jaccard 0, dropped by the
+        -- threshold filter identically.
+        SELECT id_a, id_b, ROUND(CAST(ins AS DOUBLE) / greatest(na + nb - ins, 1), 6) AS jaccard FROM (
             SELECT a.doc_id AS id_a, b.doc_id AS id_b, {inter} AS ins,
                    a.n AS na, b.n AS nb
             FROM gn a JOIN gn b
@@ -571,6 +560,17 @@ def connected_components(pairs, max_iter: int = 25):
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # exhausting max_iter with changes still propagating would return
+        # silently WRONG components (partially propagated labels) that the
+        # memoizing callers then cache — fail loudly instead; the exact
+        # oracle would disagree anyway, but with no hint of the cause
+        raise RuntimeError(
+            f"connected_components: label propagation did not converge in "
+            f"{max_iter} rounds ({changed} labels still changing) — the "
+            "graph has a component of diameter > max_iter; raise max_iter "
+            "or use connected_components_star (O(log n) rounds)"
+        )
     out = labels.select(F.col("node").alias("doc_id"), F.col("comp").alias("component")).orderBy(
         "doc_id"
     )
@@ -846,10 +846,7 @@ def build_minhash_index(spark, path: str) -> None:
     sig.count()
     sig.createOrReplaceTempView("__mhidx_sig")
     sig.write.mode("overwrite").parquet(f"{path}/sig")
-    bands = G.band_exprs("sig", "spark")
-    structs = ", ".join(
-        f"named_struct('band', {i}, 'bkey', {b})" for i, b in enumerate(bands)
-    )
+    exploded = G.band_explode("__mhidx_sig", G.band_exprs("sig", "spark"), "spark")
     # same hot-bucket cap as the batch LSH path (minhash_body_sql): an
     # uncapped boilerplate bucket in the index would make every future
     # ingest probe quadratic against it
@@ -858,8 +855,7 @@ def build_minhash_index(spark, path: str) -> None:
         SELECT doc_id, band, bkey FROM (
             SELECT doc_id, band, bkey,
                    COUNT(*) OVER (PARTITION BY band, bkey) AS bsz
-            FROM (SELECT doc_id, band, bkey FROM __mhidx_sig
-                  LATERAL VIEW inline(array({structs})) AS band, bkey))
+            FROM ({exploded}))
         WHERE bsz <= {MAX_BUCKET}
         """
     ).write.mode("overwrite").parquet(f"{path}/bands")
@@ -884,13 +880,8 @@ def dedup_incremental(spark, new_rel: str, path: str, threshold: float = 0.6):
     )
     new_sig.count()
     new_sig.createOrReplaceTempView("__mhinc_sig")
-    bands = G.band_exprs("sig", "spark")
-    structs = ", ".join(
-        f"named_struct('band', {i}, 'bkey', {b})" for i, b in enumerate(bands)
-    )
     spark.sql(
-        f"SELECT doc_id, band, bkey FROM __mhinc_sig "
-        f"LATERAL VIEW inline(array({structs})) AS band, bkey"
+        G.band_explode("__mhinc_sig", G.band_exprs("sig", "spark"), "spark")
     ).createOrReplaceTempView("__mhinc_bands")
     spark.read.parquet(f"{path}/sig").createOrReplaceTempView("__mhidx_sig_r")
     spark.read.parquet(f"{path}/bands").createOrReplaceTempView("__mhidx_bands_r")

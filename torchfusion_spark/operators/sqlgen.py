@@ -196,3 +196,26 @@ def band_exprs(sig_expr: str, d: str) -> list[str]:
         + ")"
         for i in range(_BANDS)
     ]
+
+
+def band_explode(rel: str, keys: list[str], d: str, carry: str = "doc_id") -> str:
+    """Exploded band relation: one (``carry``…, band, bkey) row per input
+    row per band — ONE spelling of the {'band': i, 'bkey': expr} encoding
+    shared by every LSH family member (batch self-join, cap stats, the
+    persisted index builder, and the incremental probe). The encoding is
+    load-bearing across PERSISTED data: a drift between the index
+    builder's spelling and the probe's silently yields zero candidates,
+    so the helper exists to make that drift impossible."""
+    if d == "spark":
+        structs = ", ".join(
+            f"named_struct('band', {i}, 'bkey', {b})" for i, b in enumerate(keys)
+        )
+        return (
+            f"SELECT {carry}, band, bkey FROM {rel} "
+            f"LATERAL VIEW inline(array({structs})) AS band, bkey"
+        )
+    structs = ", ".join("{'band': %d, 'bkey': %s}" % (i, b) for i, b in enumerate(keys))
+    return (
+        f"SELECT {carry}, UNNEST(bl, recursive := true) "
+        f"FROM (SELECT {carry}, [{structs}] AS bl FROM {rel})"
+    )

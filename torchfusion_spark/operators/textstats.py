@@ -144,7 +144,6 @@ SAMPLE_DEFAULT = 75
 
 
 def hash_stratified_sample_sql(d: str) -> str:
-    from torchfusion_spark.operators import sqlgen as G
 
     str_t = "STRING" if d == "spark" else "VARCHAR"
     bucket = f"{G.hash56(f'CAST(doc_id AS {str_t})', d)} % 100"
@@ -161,7 +160,6 @@ def top_tokens_sql(d: str, k: int = 5) -> str:
     count-then-token ordering. Two shuffles — (lang, token) count then
     per-lang top-k window; at scale the count is map-side-combined so the
     exploded token stream never shuffles raw."""
-    from torchfusion_spark.operators import sqlgen as G
 
     toks = G.split_ws("lower(text)", d)
     if d == "spark":
@@ -188,7 +186,6 @@ def repetition_sql(d: str) -> str:
     combine — the token stream shuffles pre-aggregated, then one
     per-doc rollup. High top_token_ratio / low distinct_ratio flags
     low-quality repetitive text for corpus filtering."""
-    from torchfusion_spark.operators import sqlgen as G
 
     toks = G.split_ws("lower(text)", d)
     if d == "spark":
@@ -809,8 +806,12 @@ def winnow_fingerprint_sql(d: str, k: int = WINNOW_K, w: int = WINNOW_W) -> str:
                             ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING) AS sel
         FROM e),
     fp AS (
+        -- greatest(..., 1): a doc with 1..w-1 k-grams still has a
+        -- fingerprint (the min of all its hashes — winnowing's standard
+        -- short-input degenerate case); the bare bound emitted NO row,
+        -- making a 10-char doc indistinguishable from an empty one
         SELECT DISTINCT doc_id, n_pos, sel
-        FROM wmin WHERE pos <= n_pos - {w} + 1)
+        FROM wmin WHERE pos <= greatest(n_pos - {w} + 1, 1) AND n_pos > 0)
     SELECT doc_id,
            CAST(MIN(n_pos) AS BIGINT) AS n_grams,
            CAST(COUNT(*) AS BIGINT) AS n_fingerprints,
