@@ -118,3 +118,28 @@ def test_stateful_user_stats_skips_null_values(spark, tables, tmp_path):
     assert len(rows) == 1
     assert rows[0].n_events == 3  # NULL row still counted
     assert rows[0].total_value == 1.54  # 125 + 29 hundredths; NULL skipped
+
+
+def test_stream_dedup_oracle_data_contract(spark, tables):
+    """Round-6 review: the stream_dedup_counts oracle (global DISTINCT
+    event_id, event_type) equals dropDuplicatesWithinWatermark(['event_id'])
+    only if duplicate event_ids are same-type and watermark-close. Pin
+    that assumption on the shipped fixtures so a testdata regeneration
+    that breaks it fails HERE with a named cause, not as an opaque
+    driver-row hash mismatch."""
+    from pyspark.sql import functions as F
+
+    bad = (
+        spark.table("events")
+        .groupBy("event_id")
+        .agg(
+            F.countDistinct("event_type").alias("n_types"),
+            (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).alias("span_us"),
+        )
+        .filter((F.col("n_types") > 1) | (F.col("span_us") > 3600 * 1_000_000))
+        .count()
+    )
+    assert bad == 0, (
+        "events fixture violates the stream-dedup oracle contract: "
+        f"{bad} event_ids duplicated across types or >1h apart"
+    )

@@ -815,6 +815,17 @@ class Engine:
         pb = m.group("parts") or opts.pop("partitioned_by", None) or opts.pop(
             "partition_by", None
         )
+        # user options are forwarded as **kwargs into sinks.copy_to — a
+        # key colliding with its named parameters would silently rebind
+        # the write mode (OPTIONS('mode' 'append')) or crash with an
+        # opaque TypeError; reject with a clear message instead
+        reserved = {"df", "path", "fmt", "mode", "partition_by"} & set(opts)
+        if reserved:
+            raise ValueError(
+                f"COPY OPTIONS may not override writer parameter(s) "
+                f"{sorted(reserved)} — COPY always overwrites the target; "
+                "use CREATE EXTERNAL TABLE + INSERT for append semantics"
+            )
         partition_by = [c.strip() for c in pb.split(",") if c.strip()] if pb else None
         if fmt == "arrow":
             # Spark has no arrow-file datasource; route through the IPC

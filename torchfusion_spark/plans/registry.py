@@ -66,20 +66,27 @@ def fits_broadcast(spark: SparkSession, table: str, slack: float = 4.0) -> bool:
     key = (getattr(spark, "_tf_tables_loaded", None), table, slack, raw)
     if key in memo:
         return memo[key]
+    # parse the threshold OUTSIDE the stats try-block: an unrecognized
+    # byte-size suffix must fall back to the documented 10 MB default
+    # explicitly, not be swallowed as 'stats unavailable' and silently
+    # disable the gate (force-broadcast regardless of size)
+    units = {"k": 1024, "m": 1024**2, "g": 1024**3, "t": 1024**4}
+    num = raw[:-1] if raw.endswith("b") else raw
+    mult = units.get(num[-1:], 1)
+    try:
+        threshold = int(num[:-1] if mult > 1 else num) * mult
+    except ValueError:
+        threshold = 10 * 1024 * 1024
+    if threshold <= 0:
+        # auto-broadcast disabled: explicit hints stay, gated as if
+        # the threshold were at its 10 MB default
+        threshold = 10 * 1024 * 1024
     try:
         # py4j converts the Scala BigInt to a Python int directly
         size = int(
             spark.table(table)._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
         )
-        units = {"k": 1024, "m": 1024**2, "g": 1024**3, "t": 1024**4}
-        raw = raw[:-1] if raw.endswith("b") else raw
-        mult = units.get(raw[-1:], 1)
-        threshold = int(raw[:-1] if mult > 1 else raw) * mult
-        if threshold <= 0:
-            # auto-broadcast disabled: explicit hints stay, gated as if
-            # the threshold were at its 10 MB default
-            threshold = 10 * 1024 * 1024
-        memo[key] = size <= slack * max(threshold, 1)
+        memo[key] = size <= slack * threshold
     except Exception:
         # stats unavailable (non-JVM-backed relation): preserve the
         # pre-gate behavior rather than silently changing plans
@@ -108,6 +115,10 @@ def query(name: str, oracle: str | None, doc: str = "") -> Callable[[Builder], B
             load_tables(spark, sf_dir)
             return fn(spark, sf_dir)
 
+        if name in REGISTRY:
+            # a silent overwrite drops an operator from the driver surface
+            # with set/length-based contract tests none the wiser
+            raise ValueError(f"duplicate registry query name: {name!r}")
         REGISTRY[name] = Query(name=name, builder=bound, oracle=oracle, doc=doc or (fn.__doc__ or ""))
         return bound
 

@@ -229,6 +229,11 @@ def tune_runtime(spark: SparkSession) -> SparkSession:
     """
     if getattr(spark, "_tf_runtime_tuned", False):
         return spark
+    # the parquet-timestamp vintage confs come from sources' ONE shared
+    # spelling — a vintage fix edited there must reach this memoized
+    # (runs-first-in-every-builder) path too, not leave a stale copy
+    from torchfusion_spark.sources import _TS_NORMALIZE_CONFS
+
     for k, v in {
         "spark.sql.shuffle.partitions": str(default_parallelism()),
         "spark.sql.adaptive.enabled": "true",
@@ -237,8 +242,7 @@ def tune_runtime(spark: SparkSession) -> SparkSession:
         "spark.sql.session.timeZone": "UTC",
         "spark.sql.execution.arrow.pyspark.enabled": "true",
         "spark.sql.parquet.aggregatePushdown": "true",
-        "spark.sql.legacy.parquet.nanosAsLong": "true",
-        "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
+        **_TS_NORMALIZE_CONFS,
     }.items():
         spark.conf.set(k, v)
     spark._tf_runtime_tuned = True

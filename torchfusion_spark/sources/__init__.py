@@ -43,12 +43,22 @@ _TS_NORMALIZE_CONFS = {
     "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
 }
 
-# legacy-vintage INT64-nanos columns that must be rebuilt from bigint
-_NANOS_TS_COLUMNS = {
-    "lineitem": ("l_shipdate",),
-    "orders": ("o_orderdate",),
-    "events": ("ts",),
-}
+def _nanos_ts_columns(path: str) -> tuple[str, ...]:
+    """Columns stored as TIMESTAMP(NANOS) in the parquet footer — read as
+    bigint under ``nanosAsLong`` and rebuilt to µs. Footer-sniffed per
+    file (driver-side metadata read, no data), NOT a hard-coded
+    (table, column) allowlist: a regeneration that ships a nanos column
+    in a new table or under a new name is normalized the same way —
+    the round-2 'subset of tables silently broke' class can't recur."""
+    import pyarrow.parquet as pq
+
+    try:
+        schema = pq.read_schema(path)
+    except Exception:  # noqa: BLE001 — let spark.read surface the real error
+        return ()
+    return tuple(
+        f.name for f in schema if str(f.type) in ("timestamp[ns]", "timestamp[ns, tz=UTC]")
+    )
 
 
 def nanos_to_timestamp(col: str):
@@ -69,9 +79,15 @@ def set_ts_normalize_confs(spark: SparkSession) -> None:
 
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     set_ts_normalize_confs(spark)
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    # pinned here, not only in load_tables: the NTZ→TIMESTAMP cast below
+    # reads naive values under the SESSION timezone, so a direct
+    # read_table caller on a non-UTC host session would silently shift
+    # every timestamp relative to the oracle's naive-as-UTC reading
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    path = f"{sf_dir}/{name}.parquet"
+    df = spark.read.parquet(path)
     dtypes = dict(df.dtypes)
-    for c in _NANOS_TS_COLUMNS.get(name, ()):
+    for c in _nanos_ts_columns(path):
         if c in df.columns and dtypes[c] == "bigint":
             df = df.withColumn(c, nanos_to_timestamp(c))
     for c, dt in dtypes.items():
@@ -96,6 +112,12 @@ def load_tables(spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = TABL
     key = (sf_dir, tables, gen)
     if getattr(spark, "_tf_tables_loaded", None) == key:
         return
+    # invalidate BEFORE registering: a mid-loop failure (missing/corrupt
+    # file in the new dir) must not leave the memo claiming the previous
+    # dir is fully loaded while the views are mixed across dirs — a
+    # caught-and-retried load would then memo-hit and silently join
+    # half-new against half-old tables
+    spark._tf_tables_loaded = None
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     for name in tables:
         read_table(spark, sf_dir, name).createOrReplaceTempView(name)
