@@ -209,7 +209,10 @@ def fn_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def fn_time_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = spark.table("events")
-    bucket = F.timestamp_micros((F.unix_micros("ts") / F.lit(900000000)).cast("bigint") * 900000000)
+    # F.floor, not cast(bigint): the oracle's // FLOORS while a cast
+    # truncates toward zero — a pre-1970 timestamp would land one bucket
+    # later on the truncating side (latent: fixtures start at 2024)
+    bucket = F.timestamp_micros(F.floor(F.unix_micros("ts") / F.lit(900000000)) * 900000000)
     return (
         e.groupBy(bucket.alias("bucket"), "event_type")
         .agg(

@@ -471,8 +471,11 @@ def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def join_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
     s, c = spark.table("supplier"), spark.table("customer")
+    # stats-gated: supplier grows with scale factor and AQE never demotes
+    # an explicit hint — an unconditional broadcast here would ship the
+    # whole table to every executor at fact scale (registry policy)
     return (
-        c.join(F.broadcast(s), c.c_acctbal > s.s_acctbal)
+        c.join(bcast_dim(spark, s, "supplier"), c.c_acctbal > s.s_acctbal)
         .groupBy("s_suppkey")
         .agg(F.count(F.lit(1)).alias("n_richer"))
         .orderBy("s_suppkey")
@@ -897,7 +900,11 @@ def setop_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
 def setop_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = spark.table("nation").select(F.col("n_nationkey").alias("nationkey"))
     s = spark.table("supplier").select(F.col("s_nationkey").alias("nationkey"))
-    return n.exceptAll(s.distinct()).distinct().orderBy("nationkey")
+    # subtract IS SQL EXCEPT (distinct, absent-if-present-at-all);
+    # exceptAll(s.distinct()).distinct() only coincides when the left
+    # side is unique — repointing at a non-unique relation would keep
+    # rows the oracle excludes
+    return n.subtract(s).orderBy("nationkey")
 
 
 @query(

@@ -41,20 +41,29 @@ def cte_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_min_max_by",
     """
     SELECT c_nationkey,
-           MAX_BY(c_name, c_acctbal) AS richest,
-           MIN_BY(c_name, c_acctbal) AS poorest,
+           MAX_BY(c_name, CONCAT(LPAD(CAST(CAST(c_acctbal * 100 AS BIGINT) + 100000 AS VARCHAR), 8, '0'), '|', c_name)) AS richest,
+           MIN_BY(c_name, CONCAT(LPAD(CAST(CAST(c_acctbal * 100 AS BIGINT) + 100000 AS VARCHAR), 8, '0'), '|', c_name)) AS poorest,
            CAST(MAX(c_acctbal) AS DOUBLE) AS top_bal
     FROM customer GROUP BY c_nationkey ORDER BY c_nationkey
     """,
-    doc="argmax-style aggregates (min_by/max_by ↔ DataFusion first_value family)",
+    doc="argmax-style aggregates (min_by/max_by ↔ DataFusion first_value "
+    "family). The by-key is a sortable composite (exact cents, offset "
+    "non-negative, fixed-width LPAD, then name): bare max_by(c_name, "
+    "c_acctbal) picks an ARBITRARY row on a balance tie — and varies "
+    "with Spark's partial-agg merge order — so ties break by name on "
+    "both engines deterministically (registry determinism discipline).",
 )
 def agg_min_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    by_key = (
+        "concat(lpad(cast(cast(c_acctbal * 100 as bigint) + 100000 as string), "
+        "8, '0'), '|', c_name)"
+    )
     return (
         spark.table("customer")
         .groupBy("c_nationkey")
         .agg(
-            F.max_by("c_name", "c_acctbal").alias("richest"),
-            F.min_by("c_name", "c_acctbal").alias("poorest"),
+            F.expr(f"max_by(c_name, {by_key})").alias("richest"),
+            F.expr(f"min_by(c_name, {by_key})").alias("poorest"),
             F.max("c_acctbal").cast("double").alias("top_bal"),
         )
         .orderBy("c_nationkey")
@@ -425,8 +434,6 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     p_size part filter. One fact-wide exchange total; every dim join is
     a broadcast. Oracle unchanged (DuckDB runs the textbook correlated
     form)."""
-    from pyspark.sql import Window
-    from pyspark.sql import functions as F
 
     eu_supp = (
         spark.table("supplier")
@@ -447,7 +454,7 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(F.col("l_partkey"))
         .distinct()
     )
-    w = Window.partitionBy("l_partkey")
+    w = W.partitionBy("l_partkey")
     best = (
         ps.join(bcast_dim(spark, eu_supp, "supplier"), F.col("l_suppkey") == F.col("s_suppkey"))
         .withColumn("min_bal", F.min("s_acctbal").over(w))
@@ -570,8 +577,6 @@ def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation-filtered supplier dim. numwait sums the survivor's 'R'-row
     counts, which is exactly COUNT(*) of qualifying l1 rows. Oracle
     unchanged (DuckDB runs the textbook correlated form)."""
-    from pyspark.sql import Window
-    from pyspark.sql import functions as F
 
     per_os = (
         spark.table("lineitem")
@@ -580,7 +585,7 @@ def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_orderkey", "l_suppkey")
         .agg(F.count(F.when(F.col("l_returnflag") == "R", 1)).alias("r_rows"))
     )
-    w = Window.partitionBy("l_orderkey")
+    w = W.partitionBy("l_orderkey")
     sole_r = (
         per_os.withColumn("n_supp", F.count(F.lit(1)).over(w))
         .withColumn("n_r_supp", F.sum(F.when(F.col("r_rows") > 0, 1).otherwise(0)).over(w))
@@ -629,7 +634,9 @@ def events_rollup_two_level(spark: SparkSession, sf_dir: str) -> DataFrame:
     minute = (
         spark.table("events")
         .groupBy(
-            F.timestamp_micros((F.unix_micros("ts") / 60_000_000).cast("bigint") * 60_000_000).alias(
+            # floor, not cast-truncate: matches the oracle's // on
+            # pre-1970 timestamps (same fix as fn_time_bucket)
+            F.timestamp_micros(F.floor(F.unix_micros("ts") / 60_000_000) * 60_000_000).alias(
                 "minute_start"
             ),
             "event_type",
@@ -642,7 +649,7 @@ def events_rollup_two_level(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         minute.groupBy(
             F.timestamp_micros(
-                (F.unix_micros("minute_start") / 3_600_000_000).cast("bigint") * 3_600_000_000
+                F.floor(F.unix_micros("minute_start") / 3_600_000_000) * 3_600_000_000
             ).alias("hour_start"),
             "event_type",
         )

@@ -296,17 +296,11 @@ def q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("s_name", "s_suppkey")
     )
-    # conditional hint: sup is dim-sized by construction, but as a JOIN
-    # result its static size estimate is the product of its inputs
-    # (no-CBO multiplication blowup), which pushes it past the broadcast
-    # threshold and would fall back to SMJ. F.broadcast is a HARD hint
-    # AQE never demotes, so it is only applied when the base supplier
-    # table's own file-size stats prove the filtered dim fits an
-    # executor; past that scale the hint is withheld and the inner join
-    # (distinct qual side, so planning stays flexible) lands on the
-    # co-partitioned suppkey join — the shape the docstring promises.
-    if fits_broadcast(spark, "supplier"):
-        sup = F.broadcast(sup)
+    # stats-gated hint (bcast_dim): sup is dim-sized by construction, but
+    # as a JOIN result its static size estimate is the product of its
+    # inputs, which would push it past the broadcast threshold toward SMJ
+    # — gate on the base supplier table's own file-size stats instead
+    sup = bcast_dim(spark, sup, "supplier")
     return (
         qual.join(sup, F.col("s_suppkey") == F.col("l_suppkey"))
         .select("s_name", "s_suppkey")
@@ -322,8 +316,8 @@ _both(
         SELECT CAST(c_nationkey % 10 AS INT) AS cntrycode, c_acctbal
         FROM customer
         WHERE c_nationkey % 10 IN (1, 3, 5, 7)
-          AND c_acctbal > (SELECT AVG(c_acctbal) FROM customer
-                           WHERE c_acctbal > 0)
+          AND c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*)
+                           FROM customer WHERE c_acctbal > 0)
           AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
                           AND o_orderpriority = '1-URGENT'))
     GROUP BY cntrycode ORDER BY cntrycode
