@@ -1,0 +1,103 @@
+"""NULL-bearing corpus parity: pipeline operators on data with NULL
+text / NULL embeddings / NULL event values must neither crash nor
+diverge from the DuckDB oracle.
+
+The NULL classes fixed in round 6 were all engine-specific code paths
+(mapInPandas len(None), numpy NaN→INT64_MIN, window NULL-ordering,
+NULL-vector k-means training); the shared-SQL operators are parity-safe
+by construction. This sweep pins a representative operator from each
+family against its oracle on a corpus where every 7th text, every 11th
+embedding, and every 7th event value is NULL — the realistic dirty-data
+state of a 100 TB ingest."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import duckdb
+import pytest
+
+NULL_OPS = [
+    # family representative per NULL-risk class
+    "text_quality_stats",       # shared-SQL scan over NULL text
+    "dedup_exact",              # md5(NULL) grouping
+    "dedup_minhash_lsh",        # staged shingle pipeline skips NULL docs
+    "dedup_containment",        # staged inverted index
+    "sample_hash_stratified",   # hash of doc_id, NULL-text rows kept
+    "sim_cosine_topk",          # NULL embeddings excluded at norm_cte
+    "sim_kmeans",               # iterative trainer vs unrolled oracle
+    "sim_semantic_dedup",       # cluster-confined quadratic
+    "events_histogram",         # NULL value bucketing
+    "events_sessionize",        # NULL ts already excluded (ts is clean here)
+    "fn_time_bucket",           # DECIMAL agg over NULL values
+    "multimodal_features",      # mapInPandas NULL payload guards
+]
+
+
+@pytest.fixture(scope="module")
+def null_sf_dir(tmp_path_factory):
+    src = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    dst = str(tmp_path_factory.mktemp("null_corpus"))
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    for t in ("region", "nation", "customer", "supplier", "part", "orders", "lineitem"):
+        shutil.copy(f"{src}/{t}.parquet", f"{dst}/{t}.parquet")
+    docs = pq.read_table(f"{src}/documents.parquet")
+    texts = docs.column("text").to_pylist()
+    for i in range(0, len(texts), 7):
+        texts[i] = None
+    cols = {n: docs.column(n) for n in docs.column_names}
+    cols["text"] = pa.array(texts, pa.string())
+    pq.write_table(pa.table(cols), f"{dst}/documents.parquet")
+    ev = pq.read_table(f"{src}/events.parquet")
+    vals = ev.column("value").to_pylist()
+    for i in range(0, len(vals), 7):
+        vals[i] = None
+    cols = {n: ev.column(n) for n in ev.column_names}
+    cols["value"] = pa.array(vals, pa.float64())
+    pq.write_table(pa.table(cols), f"{dst}/events.parquet")
+    emb = pq.read_table(f"{src}/embeddings.parquet")
+    arrs = emb.column("embedding").to_pylist()
+    for i in range(0, len(arrs), 11):
+        arrs[i] = None
+    cols = {n: emb.column(n) for n in emb.column_names}
+    cols["embedding"] = pa.array(arrs, emb.column("embedding").type)
+    pq.write_table(pa.table(cols), f"{dst}/embeddings.parquet")
+    return dst
+
+
+def _canon(df):
+    df = df.reindex(sorted(df.columns), axis=1)
+    return df.astype(str).sort_values(by=list(df.columns)).reset_index(drop=True)
+
+
+def test_null_corpus_parity(spark, tables, null_sf_dir):
+    from torchfusion_spark.plans import REGISTRY
+    from torchfusion_spark.sources import load_tables
+
+    con = duckdb.connect()
+    for t in ("region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{null_sf_dir}/{t}.parquet'")
+    spark._tf_tables_loaded = None
+    load_tables(spark, null_sf_dir)
+    failures = {}
+    try:
+        for name in NULL_OPS:
+            q = REGISTRY[name]
+            try:
+                sp = q.builder(spark, null_sf_dir).toPandas()
+                du = con.execute(q.oracle).fetchdf()
+                a, b = _canon(sp), _canon(du)
+                if len(a) != len(b):
+                    failures[name] = f"rowcount {len(a)} vs {len(b)}"
+                elif not a.equals(b):
+                    failures[name] = f"{int((a != b).any(axis=1).sum())} differing rows"
+            except Exception as exc:  # noqa: BLE001 — collect, assert once
+                failures[name] = f"{type(exc).__name__}: {exc}"[:160]
+    finally:
+        spark._tf_tables_loaded = None
+        load_tables(spark, tables)
+    assert not failures, failures

@@ -37,10 +37,16 @@ def _norm(v: str, d: str) -> str:
 
 
 def norm_cte(d: str, rel: str = "embeddings") -> str:
-    """The shared normalized-vector relation (vec_id, v double[], nrm)."""
+    """The shared normalized-vector relation (vec_id, v double[], nrm).
+
+    NULL vectors are excluded at the root: a row with no embedding can
+    participate in no similarity op, and leaving it in diverges the
+    engines downstream (the iterative k-means trainer and the unrolled
+    oracle order NULL similarities differently — observed as a 64-vs-512
+    row split on a NULL-bearing corpus)."""
     return (
         f"SELECT vec_id, v, {_norm('v', d)} AS nrm FROM "
-        f"(SELECT vec_id, {_vec(d)} AS v FROM {rel})"
+        f"(SELECT vec_id, {_vec(d)} AS v FROM {rel}) WHERE v IS NOT NULL"
     )
 
 
