@@ -752,9 +752,19 @@ def test_split_script_nested_block_comments():
     # inside a comment, so '/*' in a literal-looking span still nests
     got = split_script("/* x /* y; ';' /* z */ ; */ q */SELECT 3 AS n")
     assert [s.strip() for s in got] == ["SELECT 3 AS n"]
-    # unterminated nested comment swallows the rest (sqlparser errors;
-    # here the remainder simply never becomes a statement)
-    assert split_script("/* a /* b */ SELECT 1") == []
+    # unterminated nested comment raises, matching sqlparser-rs's EOF
+    # error — silently executing a truncated prefix would run the wrong
+    # statement on a user typo (ADVICE r06)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unterminated"):
+        split_script("/* a /* b */ SELECT 1")
+    with _pytest.raises(ValueError, match="unterminated"):
+        split_script("SELECT a /* oops FROM t")
+    with _pytest.raises(ValueError, match="unterminated"):
+        split_script("SELECT 'open")
+    with _pytest.raises(ValueError, match="unterminated"):
+        split_script('SELECT 1 AS "open')
 
 
 def test_engine_sql_rewrites_quoted_identifiers(engine, tables):

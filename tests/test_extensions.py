@@ -748,6 +748,17 @@ def test_salted_aggregate_rejects_bare_nondecomposable(spark):
         salted_aggregate(None, ["k"], {"m": F.avg("x")})
     with pytest.raises(ValueError, match="min"):
         salted_aggregate(None, ["k"], {"m": F.min("x")})
+    # ADVICE r06: sum/count DISTINCT pass the function-name guard as
+    # 'sum'/'count' but double-count values appearing under multiple
+    # salts — reject them, bare or tuple-spelled, for sum/count combiners
+    with pytest.raises(ValueError, match="DISTINCT"):
+        salted_aggregate(None, ["k"], {"m": F.sum_distinct(F.col("x"))})
+    with pytest.raises(ValueError, match="DISTINCT"):
+        salted_aggregate(None, ["k"], {"m": (F.count_distinct("x"), "sum")})
+    # min(DISTINCT x) == min(x): idempotent combiners stay accepted
+    tiny = spark.createDataFrame([("a", 3), ("a", 1), ("b", 2)], "k string, x int")
+    got = salted_aggregate(tiny, ["k"], {"m": (F.expr("min(DISTINCT x)"), "min")})
+    assert {(r.k, r.m) for r in got.collect()} == {("a", 1), ("b", 2)}
 
 
 def test_salted_join_accepts_left_outer_spelling(spark, tables):

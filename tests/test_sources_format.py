@@ -80,3 +80,30 @@ def test_event_stream_normalizes_both_vintages(spark, tmp_path, unit):
     row = _run_to_memory(spark, agg, f"tf_canary_{unit}", "complete").collect()[0]
     # the round-2 failure mode produced ~1970 values (µs div 1000); pin exact
     assert (row["lo"], row["hi"]) == (min(_EPOCH_MICROS), max(_EPOCH_MICROS))
+
+
+def test_nanos_sniff_handles_part_file_directory(spark, tmp_path):
+    """ADVICE r06: a table shipped as a DIRECTORY of part files (which
+    spark.read.parquet accepts) must still have its TIMESTAMP(NANOS)
+    columns detected — pq.read_schema can't open a directory, and the
+    old blanket except returned (), silently leaving ts as bigint."""
+    d = tmp_path / "events.parquet"  # table path IS the directory
+    d.mkdir()
+    table = pa.table(
+        {
+            "event_id": pa.array([1, 2, 3], pa.int64()),
+            "ts": pa.array(_TS, pa.timestamp("ns")),
+        }
+    )
+    pq.write_table(table, str(d / "part-00000.parquet"), version="2.6")
+
+    from torchfusion_spark.sources import _nanos_ts_columns, read_table
+
+    assert _nanos_ts_columns(str(d)) == ("ts",)
+    df = read_table(spark, str(tmp_path), "events")
+    assert dict(df.dtypes)["ts"] == "timestamp"
+    got = [
+        r["m"]
+        for r in df.orderBy("event_id").select(F.unix_micros("ts").alias("m")).collect()
+    ]
+    assert got == _EPOCH_MICROS

@@ -43,6 +43,55 @@ def test_stateful_user_stats_match_batch(spark, tables):
     assert got == want
 
 
+def test_exactly_once_sink_source_switch_recomputes(spark, tables, tmp_path):
+    """ADVICE r06: reusing ONE out_dir against a DIFFERENT source must
+    recompute for the new source, not resume from the foreign
+    checkpoint's committed offsets (a zero-batch no-op silently
+    returning the stale snapshot). The default checkpoint is keyed on
+    sf_dir, and a from-scratch batch 0 purges foreign snapshots."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from torchfusion_spark import streaming
+
+    out = str(tmp_path / "switch_sink")
+    key = ["window_start", "event_type"]
+    full = (
+        streaming.exactly_once_sink(spark, tables, out)
+        .drop("batch")
+        .toPandas()
+        .sort_values(key)
+        .reset_index(drop=True)
+    )
+    assert len(full) > 0
+
+    # second source: the first half of the events table
+    half_dir = str(tmp_path / "half_src")
+    os.makedirs(half_dir, exist_ok=True)
+    tbl = pq.read_table(f"{tables}/events.parquet")
+    pq.write_table(tbl.slice(0, tbl.num_rows // 2), f"{half_dir}/events.parquet")
+
+    got = (
+        streaming.exactly_once_sink(spark, half_dir, out)
+        .drop("batch")
+        .toPandas()
+        .sort_values(key)
+        .reset_index(drop=True)
+    )
+    assert not got.equals(full), "foreign-checkpoint resume returned the stale snapshot"
+    assert 0 < got["n"].sum() < full["n"].sum()
+    # and the half-source run is itself resumable: rerun = no-op
+    again = (
+        streaming.exactly_once_sink(spark, half_dir, out)
+        .drop("batch")
+        .toPandas()
+        .sort_values(key)
+        .reset_index(drop=True)
+    )
+    assert got.equals(again)
+
+
 def test_exactly_once_sink_idempotent_rerun(spark, tables, tmp_path):
     """foreachBatch idempotent sink. First run processes the source and
     lands batch-keyed snapshots; the SECOND run resumes from the real

@@ -245,6 +245,18 @@ def split_script(script: str) -> list[str]:
         else:
             buf.append(ch)
         i += 1
+    # EOF inside an open state: sqlparser-rs raises at EOF for an
+    # unterminated multi-line comment / string / quoted identifier, and
+    # silently executing a truncated prefix of 'SELECT a /* oops FROM t'
+    # is exactly the typo class the error exists to catch (ADVICE r06).
+    if block_depth:
+        raise ValueError("unterminated /* block comment in SQL script")
+    if in_literal:
+        raise ValueError("unterminated string literal in SQL script")
+    if in_ident:
+        raise ValueError('unterminated " quoted identifier in SQL script')
+    if in_btick:
+        raise ValueError("unterminated ` quoted identifier in SQL script")
     statements.append("".join(buf))
     return [stmt for s in statements if (stmt := s.strip())]
 

@@ -44,6 +44,18 @@ def _salt_col(n_salts: int) -> Column:
     return (F.rand(_SALT_SEED) * n_salts).cast("int")
 
 
+def _node_is_distinct(expr: Column) -> bool:
+    """True when the Column's underlying UnresolvedFunction node carries
+    the isDistinct flag (F.sum_distinct / F.count_distinct — their repr
+    is just 'sum(x)', hiding the flag). Defensive: any backend that does
+    not expose ``_jc.node().isDistinct`` simply reports False, leaving
+    the string-based check as the only (repr-visible) detector there."""
+    try:
+        return bool(expr._jc.node().isDistinct())
+    except Exception:  # noqa: BLE001 — connect/other backends
+        return False
+
+
 def salted_aggregate(
     df: DataFrame,
     keys: list[str],
@@ -82,6 +94,25 @@ def salted_aggregate(
             raise ValueError(
                 f"aggregate {name!r}: combiner must be one of {sorted(_COMBINERS)}, "
                 f"got {combiner!r} — non-decomposable aggregates cannot be salted"
+            )
+        # DISTINCT inside the aggregate defeats salting for sum/count: a
+        # value appearing under multiple salts is de-duplicated per
+        # (key, salt) partial but re-counted when the partials are SUMmed
+        # — the same silent-wrong-result class as a bare avg (ADVICE
+        # r06). min/max are idempotent, so DISTINCT is harmless there.
+        # Two detection paths: F.expr("sum(DISTINCT x)") keeps the word
+        # in the Column repr, but F.sum_distinct()/count_distinct() hide
+        # it (repr 'sum(x)') — their flag lives on the UnresolvedFunction
+        # node, so ask the node directly when the backend exposes it.
+        if combiner in ("sum", "count") and (
+            re.search(r"\bDISTINCT\b", str(expr), re.IGNORECASE)
+            or _node_is_distinct(expr)
+        ):
+            raise ValueError(
+                f"aggregate {name!r}: DISTINCT partials recombined with SUM "
+                "double-count values appearing under multiple salts — "
+                "decompose the distinct aggregate yourself (e.g. pre-dedup "
+                "on (key, value) before salting)"
             )
         partials.append(expr.alias(f"_p_{name}"))
         finals.append(_COMBINERS[combiner](f"_p_{name}").alias(name))

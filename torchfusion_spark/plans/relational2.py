@@ -41,8 +41,8 @@ def cte_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_min_max_by",
     """
     SELECT c_nationkey,
-           MAX_BY(c_name, CONCAT(LPAD(CAST(CAST(c_acctbal * 100 AS BIGINT) + 100000 AS VARCHAR), 8, '0'), '|', c_name)) AS richest,
-           MIN_BY(c_name, CONCAT(LPAD(CAST(CAST(c_acctbal * 100 AS BIGINT) + 100000 AS VARCHAR), 8, '0'), '|', c_name)) AS poorest,
+           MAX_BY(c_name, CONCAT(LPAD(CAST(CAST(ROUND(c_acctbal * 100) AS BIGINT) + 100000 AS VARCHAR), 8, '0'), '|', c_name)) AS richest,
+           MIN_BY(c_name, CONCAT(LPAD(CAST(CAST(ROUND(c_acctbal * 100) AS BIGINT) + 100000 AS VARCHAR), 8, '0'), '|', c_name)) AS poorest,
            CAST(MAX(c_acctbal) AS DOUBLE) AS top_bal
     FROM customer GROUP BY c_nationkey ORDER BY c_nationkey
     """,
@@ -51,11 +51,15 @@ def cte_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
     "non-negative, fixed-width LPAD, then name): bare max_by(c_name, "
     "c_acctbal) picks an ARBITRARY row on a balance tie — and varies "
     "with Spark's partial-agg merge order — so ties break by name on "
-    "both engines deterministically (registry determinism discipline).",
+    "both engines deterministically (registry determinism discipline). "
+    "ROUND before the BIGINT cast (ADVICE r06): double→bigint casts "
+    "truncate in Spark but round in DuckDB, so an exact-cent double "
+    "stored as 123.45 = 12344.999… would yield different cent keys — "
+    "ROUND maps it to the same integer in both engines.",
 )
 def agg_min_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
     by_key = (
-        "concat(lpad(cast(cast(c_acctbal * 100 as bigint) + 100000 as string), "
+        "concat(lpad(cast(cast(round(c_acctbal * 100) as bigint) + 100000 as string), "
         "8, '0'), '|', c_name)"
     )
     return (

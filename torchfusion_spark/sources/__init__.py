@@ -50,10 +50,20 @@ def _nanos_ts_columns(path: str) -> tuple[str, ...]:
     (table, column) allowlist: a regeneration that ships a nanos column
     in a new table or under a new name is normalized the same way —
     the round-2 'subset of tables silently broke' class can't recur."""
+    import os
+
     import pyarrow.parquet as pq
 
+    from .arrow_ipc import _first_with_suffix
+
     try:
-        schema = pq.read_schema(path)
+        # spark.read.parquet accepts a DIRECTORY of part files; pyarrow's
+        # read_schema does not. Sniff the first part file's footer in that
+        # case — swallowing the failure and returning () would leave any
+        # TIMESTAMP(NANOS) column as bigint, the exact silent-vintage-break
+        # class this function exists to prevent (ADVICE r06).
+        target = _first_with_suffix(path, ".parquet") if os.path.isdir(path) else path
+        schema = pq.read_schema(target)
     except Exception:  # noqa: BLE001 — let spark.read surface the real error
         return ()
     return tuple(

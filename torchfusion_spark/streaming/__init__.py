@@ -12,6 +12,8 @@ production the source swaps to Kafka/files-on-arrival with the same plan.
 
 from __future__ import annotations
 
+import hashlib
+import os
 from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
@@ -411,7 +413,10 @@ def exactly_once_sink(
     other batches' output untouched.
 
     The query runs on a REAL checkpoint (``checkpoint_dir``, defaulting
-    to ``<out_dir>_ckpt``): that is where the offset → batchId mapping
+    to ``<out_dir>_ckpt_<hash(sf_dir)>`` — source-keyed so reusing one
+    out_dir against a different source recomputes instead of resuming
+    from the foreign checkpoint's offsets, ADVICE r06): that is where
+    the offset → batchId mapping
     lives, so a restart resumes from the committed offsets instead of
     replaying from batch 0 — without it the recipe's recovery guarantee
     is words, not behavior. A rerun over the same bounded source is
@@ -437,18 +442,32 @@ def exactly_once_sink(
     )
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        (
-            batch_df.withColumn("batch", F.lit(batch_id))
-            .write.mode("overwrite")
-            .partitionBy("batch")
-            .option("partitionOverwriteMode", "dynamic")
-            .parquet(out_dir)
-        )
+        # batch 0 = a run starting from scratch (fresh checkpoint): purge
+        # the whole out_dir with a STATIC overwrite so snapshots left by a
+        # prior run against a different source can't outlive this one and
+        # win the newest-batch selection below. Replaying batch 0 after a
+        # pre-commit failure repeats the purge — idempotent. Later batches
+        # keep the dynamic per-partition overwrite.
+        writer = batch_df.withColumn("batch", F.lit(batch_id)).write.mode(
+            "overwrite"
+        ).partitionBy("batch")
+        if batch_id != 0:
+            writer = writer.option("partitionOverwriteMode", "dynamic")
+        writer.parquet(out_dir)
+
+    if checkpoint_dir is None:
+        # key the DEFAULT checkpoint on the source too (ADVICE r06):
+        # <out_dir>_ckpt alone means reusing one out_dir against a
+        # different sf_dir resumes from the FOREIGN checkpoint's committed
+        # offsets — a zero-batch no-op returning the stale snapshot
+        # instead of recomputing the new source
+        src_key = hashlib.sha256(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+        checkpoint_dir = f"{out_dir.rstrip('/')}_ckpt_{src_key}"
 
     with _scaled_state_partitions(spark):
         q = (
             agg.writeStream.outputMode("complete")
-            .option("checkpointLocation", checkpoint_dir or out_dir.rstrip("/") + "_ckpt")
+            .option("checkpointLocation", checkpoint_dir)
             .foreachBatch(write_batch)
             .trigger(availableNow=True)
             .start()
