@@ -44,6 +44,7 @@ DOC_OPS = [
     "dedup_minhash_lsh",
     "dedup_minhash_clusters",
     "dedup_containment",
+    "dedup_substring",
     "pipeline_dedup_canonical",
     "text_quality_stats",
     "text_lang_id",

@@ -76,6 +76,17 @@ def test_priority_order_is_total_and_stable():
     if vintage:
         head = max(50, len(uncertified | vintage))
         assert (uncertified | vintage) <= set(names[:head])
+    # round-7 rotation policy: the vintage problem being solved, the
+    # weakest evidence is the OLDEST current-vintage rows. While r03 is
+    # the minimum latest-green round across the registry, the r03-latest
+    # names (plus uncertified newcomers) must occupy the earliest budget
+    # slots. Goes vacuous once CORRECTNESS_r07 lands (min becomes r04)
+    # — the r8 rotation then re-pins against the new oldest block.
+    certified_latest = [latest[n] for n in names if n in latest]
+    if certified_latest and min(certified_latest) == 3:
+        stale3 = {n for n in names if latest.get(n, 99) == 3}
+        head = max(50, len(uncertified | stale3))
+        assert (uncertified | stale3) <= set(names[:head])
 
 
 def test_entry_runs(spark):

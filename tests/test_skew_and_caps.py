@@ -399,3 +399,66 @@ def test_cap_recall_loss_exact_counts(spark, tables):
         from torchfusion_spark.sources import load_tables
 
         load_tables(spark, tables)
+
+
+def test_substring_dedup_span_semantics(spark):
+    """Pin the exact-substring span algebra on a hand-built corpus
+    (round-7 addition): full-document duplication yields one maximal
+    span; an embedded shared run yields exactly the k-token span; two
+    shared runs separated by more than a k-gap stay two spans; runs
+    overlapping by one position merge (gaps-and-islands boundary).
+    Cross-engine: the same corpus through the DuckDB spelling must match
+    row-for-row."""
+    import duckdb
+    import pandas as pd
+
+    from torchfusion_spark.operators.dedup import substring_sql
+
+    a = [f"alpha{i}" for i in range(20)]  # shared vocabulary run
+    uniq = lambda tag, n: [f"{tag}uniq{i}" for i in range(n)]  # noqa: E731
+    docs = {
+        0: a,                                   # full dup with doc 1
+        1: a,
+        2: uniq("b", 9) + a[:8] + uniq("c", 9),  # one embedded 8-run (pos 10)
+        3: uniq("d", 30),                        # no duplication
+        4: a[:8] + uniq("e", 10) + a[:8],        # two separated shared runs
+        5: a[:9] + uniq("f", 8),                 # 9-run: grams at pos 1,2 merge
+    }
+    pdf = pd.DataFrame(
+        {
+            "doc_id": list(docs),
+            "text": [" ".join(w) for w in docs.values()],
+            "lang": "en",
+            "source": "fixture",
+            "n_chars": [len(" ".join(w)) for w in docs.values()],
+        }
+    )
+    spark.createDataFrame(pdf).createOrReplaceTempView("documents")
+    try:
+        got = spark.sql(substring_sql("spark")).toPandas()
+    finally:
+        spark.catalog.dropTempView("documents")
+
+    want = pd.DataFrame(
+        [
+            (0, 1, 20, 20),   # maximal span covers the whole doc
+            (1, 1, 20, 20),
+            (2, 10, 17, 8),   # exactly the embedded run
+            (4, 1, 8, 8),     # two islands: gap 18 - 1 > k
+            (4, 19, 26, 8),
+            (5, 1, 9, 9),     # adjacent grams merged into one 9-token span
+        ],
+        columns=["doc_id", "span_start", "span_end", "span_tokens"],
+    )
+    pd.testing.assert_frame_equal(
+        got.sort_values(["doc_id", "span_start"]).reset_index(drop=True).astype("int64"),
+        want.astype("int64"),
+    )
+
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    exp = con.execute(substring_sql("duck")).df()
+    pd.testing.assert_frame_equal(
+        exp.sort_values(["doc_id", "span_start"]).reset_index(drop=True).astype("int64"),
+        want.astype("int64"),
+    )

@@ -778,6 +778,122 @@ def containment(spark, threshold: float = CONTAIN_THRESHOLD, max_df: int = CONTA
     )
 
 
+# --- exact-substring dedup (suffix-grouping formulation) -------------------
+
+SUBSTRING_K = 8  # minimum duplicated-span length, in word tokens
+
+
+def substring_grams_sql(d: str, k: int = SUBSTRING_K, rel: str = "documents") -> str:
+    """(doc_id, pos, hx): POSITIONAL word-k-gram hashes — one row per
+    token offset, unlike the distinct-shingle relations (position is the
+    whole point: spans are reconstructed from it). Docs shorter than k
+    tokens emit nothing (``seq`` is empty-guarded). ``pos`` is cast to
+    BIGINT for cross-engine schema parity (Spark ``sequence`` yields INT,
+    DuckDB ``range`` BIGINT)."""
+    toks = G.split_ws("lower(text)", d)
+    n_pos = f"{G.arr_size('toks', d)} - {k - 1}"
+    pos_gen = G.seq("1", n_pos, d)
+    pos = f"explode({pos_gen})" if d == "spark" else f"UNNEST({pos_gen})"
+    gram = G.arr_join(G.arr_slice("toks", "pos", k, d), " ", d)
+    return f"""
+    SELECT doc_id, CAST(pos AS BIGINT) AS pos, {G.hash56(gram, d)} AS hx
+    FROM (
+        SELECT doc_id, toks, {pos} AS pos
+        FROM (SELECT doc_id, {toks} AS toks FROM {rel})
+    )
+    """
+
+
+def substring_body_sql(d: str, grams_rel: str, k: int = SUBSTRING_K) -> str:
+    """Maximal cross-document duplicated spans from a positional-gram
+    relation ``grams_rel(doc_id, pos, hx)``.
+
+    Exact-substring dedup à la the public suffix-array method
+    ("Deduplicating Training Data Makes Language Models Better", Lee et
+    al. 2022), re-expressed relationally so a distributed engine never
+    builds a corpus-wide suffix array: a k-gram hash appearing in >= 2
+    DISTINCT documents witnesses a duplicated substring of >= k tokens,
+    and overlapping/adjacent duplicated k-grams within a document merge
+    into maximal spans by gaps-and-islands (new island when the gap
+    exceeds k, i.e. coverage [pos, pos+k-1] no longer touches the
+    previous span). Within-doc self-repetition is deliberately out of
+    scope here — `text_dup_gram_fraction` / `text_repetition` cover it —
+    so the duplicate test is MIN(doc_id) <> MAX(doc_id), which is
+    map-combinable (no COUNT(DISTINCT ...) shuffle).
+
+    Scale shape — linear, never pairwise: the classic failure mode of
+    substring dedup at 100 TB is emitting one row per *pair* of
+    documents sharing a boilerplate gram (C(df,2) per hot gram). This
+    formulation never forms pairs at all: the hot gram costs one
+    aggregate row in ``dup`` plus its own positional rows back from the
+    join — O(occurrences), not O(occurrences²). Three shuffles total
+    (gram-hash aggregate, gram⋈dup equi-join, per-doc window) and the
+    final per-(doc, island) aggregate reuses the window's doc_id
+    exchange."""
+    return f"""
+    WITH dup AS (
+        SELECT hx FROM {grams_rel} GROUP BY hx HAVING MIN(doc_id) <> MAX(doc_id)
+    ),
+    marked AS (
+        SELECT g.doc_id, g.pos FROM {grams_rel} g JOIN dup ON g.hx = dup.hx
+    ),
+    runs AS (
+        SELECT doc_id, pos,
+               LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+        FROM marked
+    ),
+    islands AS (
+        SELECT doc_id, pos,
+               SUM(CASE WHEN prev IS NULL OR pos > prev + {k} THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY doc_id ORDER BY pos) AS island
+        FROM runs
+    )
+    SELECT doc_id,
+           CAST(MIN(pos) AS BIGINT) AS span_start,
+           CAST(MAX(pos) + {k - 1} AS BIGINT) AS span_end,
+           CAST(MAX(pos) - MIN(pos) + {k} AS BIGINT) AS span_tokens
+    FROM islands
+    GROUP BY doc_id, island
+    ORDER BY doc_id, span_start
+    """
+
+
+def substring_sql(d: str, k: int = SUBSTRING_K) -> str:
+    """Relational (oracle) composition: positional grams inline."""
+    mat = "MATERIALIZED " if d == "duck" else ""
+    body = substring_body_sql(d, "grams", k)
+    return body.replace(
+        "WITH dup AS",
+        f"WITH grams AS {mat}({substring_grams_sql(d, k)}),\n    dup AS",
+        1,
+    )
+
+
+def _staged_substring_grams(spark, k: int = SUBSTRING_K) -> str:
+    """Positional-gram relation staged once per (session, loaded tables):
+    the plan references it on both the aggregate and the join side, and
+    Catalyst inlines CTEs — without staging the tokenize+md5 pass runs
+    twice (same discipline as ``_staged_hx``; param-scoped on k)."""
+    from torchfusion_spark.session import staged_cache
+
+    key = (getattr(spark, "_tf_tables_loaded", None), k)
+    if getattr(spark, "_tf_subgram_key", object()) != key:
+        g = staged_cache(
+            spark,
+            "tf_subgrams",
+            spark.sql(substring_grams_sql("spark", k, rel=_staged_docs(spark))),
+        )
+        g.count()
+        g.createOrReplaceTempView("__tf_subgrams")
+        spark._tf_subgram_key = key
+    return "__tf_subgrams"
+
+
+def dedup_substring(spark, k: int = SUBSTRING_K):
+    """Spark path: staged positional grams, then the shared body SQL."""
+    return spark.sql(substring_body_sql("spark", _staged_substring_grams(spark, k), k))
+
+
 _CANON_SELECT = """
     SELECT component,
            CAST(n_members AS BIGINT) AS n_members,

@@ -66,6 +66,20 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_substring",
+    dedup.substring_sql("duck"),
+    doc="exact-substring dedup (public suffix-array method re-expressed "
+    "relationally): positional word-8-gram hashes, cross-document "
+    "duplicated grams merged into maximal spans by gaps-and-islands — "
+    "linear (never pairwise) in hot-gram occurrences; Spark side stages "
+    "the positional-gram relation referenced on both aggregate and join "
+    "sides",
+)
+def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.dedup_substring(spark)
+
+
+@query(
     "sim_cosine_topk",
     similarity.cosine_topk_sql("duck"),
     doc="exact top-k cosine ANN baseline: broadcast queries, per-query TopK "

@@ -9,17 +9,20 @@ valuable queries first.
 
 Ordering policy (documented so the ranking is auditable, not gamed) --
 ROTATED each round so the budget certifies the weakest evidence first.
-Round 6 (rotated against the CORRECTNESS_r01..r05 union -- all 156 registry
-names are cumulatively driver-green, but 49 have their *latest* green row in
-r01/r02, before the round-2->3 testdata regeneration):
-1. ranks 1-49: those 49 vintage names, cheap-first (pure scalar /
-   join / agg / window witnesses lead; the heavier inference, similarity
-   and dedup pipelines close the block) so a *time*-capped run still
-   re-certifies the maximum number of stale rows on current data;
-2. rank 50: ``q6_revenue_forecast`` -- a cheap r03-vintage re-cert filling
-   the remaining budget slot;
-3. ranks 51+: the r03-r05 greens, cheap-first in their prior-round order,
-   with the expensive dedup pipelines last.
+Round 7 (rotated against the CORRECTNESS_r01..r06 union): every registry
+name is cumulatively green on the current testdata vintage, so the weakest
+evidence is now (a) the one NEW query with no row at all and (b) the 49
+names whose *latest* green row is r03 -- the oldest current-vintage
+certifications:
+1. ranks 1-49: the 49 r03-latest names, cheap-first (scalar-function /
+   join / set-op / agg / window witnesses lead; events, text, streaming
+   and the LSH pipeline close the block) so a *time*-capped run still
+   re-certifies the maximum number of stale rows;
+2. rank 50: ``dedup_substring`` -- the round-7 addition (exact-substring
+   dedup), uncertified, so it must sit inside the driver budget;
+3. ranks 51+: the r04 greens, then r05, then r06 (freshest evidence
+   last), cheap-first within each block with the expensive dedup
+   pipelines at the very end.
 
 The suffix after the prefix is the canonical registry name used everywhere
 else (bench.py, tools/verify_local.py, tests).
@@ -28,79 +31,7 @@ else (bench.py, tools/verify_local.py, tests).
 from __future__ import annotations
 
 PRIORITY: list[str] = [
-    # -- ranks 1-49: r01/r02-vintage re-certifications (cheap-first) --
-    "select_distinct",
-    "sort_limit_offset",
-    "filter_like_family",
-    "values_inline_table",
-    "fn_cast_try_cast",
-    "fn_conditional",
-    "fn_math",
-    "fn_string_basics",
-    "fn_array_ops",
-    "fn_struct_map",
-    "fn_json",
-    "join_left_outer",
-    "join_right_outer",
-    "join_semi",
-    "join_theta",
-    "join_using",
-    "setop_union_all",
-    "setop_intersect_all",
-    "subq_correlated_scalar",
-    "subq_not_in",
-    "lateral_subquery",
-    "cte_recursive",
-    "agg_distinct_count",
-    "agg_approx",
-    "agg_collect_set",
-    "agg_cube",
-    "win_running_sum",
-    "win_lag_lead",
-    "win_range_interval_frame",
-    "win_groups_frame_rewrite",
-    "pivot_status_by_priority",
-    "unpivot_stack",
-    "udaf_grouped_agg",
-    "udtf_word_positions",
-    "q1_pricing_summary",
-    "sample_hash_stratified",
-    "skew_salted_agg",
-    "skew_salted_join",
-    "text_quality_stats",
-    "pipeline_corpus_clean",
-    "argmax_embeddings",
-    "argmax_constructed_array",
-    "torch_inference_classes",
-    "sim_cosine_topk",
-    "multimodal_features",
-    "dedup_exact",
-    "dedup_simhash",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_clusters",
-    # -- rank 50: cheap r03-vintage re-cert --
-    "q6_revenue_forecast",
-    # -- ranks 51+: r03-r05 greens, cheap-first --
-    "q4_order_priority",
-    "q12_priority_by_status",
-    "q14_promo_revenue",
-    "q19_disjunctive_predicates",
-    "q13_customer_distribution",
-    "q11_important_stock",
-    "q15_top_supplier",
-    "q16_parts_supplier",
-    "q22_global_sales_opportunity",
-    "q3_shipping_priority",
-    "q10_returned_items",
-    "q18_large_volume_customer",
-    "q5_local_supplier_volume",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q2_min_cost_supplier",
-    "q17_small_quantity_revenue",
-    "q20_potential_promotion",
-    "q21_waiting_supplier",
-    "q9_product_profit",
+    # -- ranks 1-49: r03-latest re-certifications (cheap-first) --
     "fn_time_bucket",
     "fn_string_extras",
     "fn_string_regex_hash",
@@ -138,35 +69,61 @@ PRIORITY: list[str] = [
     "win_percent_cume",
     "win_range_frame",
     "applyinpandas_spread",
+    "q9_product_profit",
+    "events_sessionize",
+    "events_session_window",
+    "events_rollup_two_level",
+    "events_range_join",
+    "events_asof_join",
+    "events_funnel",
+    "events_retention",
+    "text_lang_id",
+    "text_token_count",
+    "stream_windowed_counts",
+    "dedup_minhash_lsh",
+    # -- rank 50: the round-7 addition, no CORRECTNESS row yet --
+    "dedup_substring",
+    # -- ranks 51+: r04 greens (cheap-first) --
+    "q3_shipping_priority",
+    "q10_returned_items",
+    "q11_important_stock",
+    "q15_top_supplier",
+    "q16_parts_supplier",
+    "q18_large_volume_customer",
+    "q22_global_sales_opportunity",
+    # -- r05 greens (cheap-first; heavy dedup/pipeline last) --
+    "q4_order_priority",
+    "q12_priority_by_status",
+    "q13_customer_distribution",
+    "q14_promo_revenue",
+    "q19_disjunctive_predicates",
+    "q5_local_supplier_volume",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q2_min_cost_supplier",
+    "q17_small_quantity_revenue",
+    "q20_potential_promotion",
+    "q21_waiting_supplier",
     "events_histogram",
     "events_winsorize",
     "events_anomaly_zscore",
-    "events_sessionize",
-    "events_rollup_two_level",
-    "events_range_join",
-    "events_retention",
-    "events_asof_join",
-    "events_session_window",
-    "events_funnel",
-    "text_lang_id",
-    "text_token_count",
-    "text_fingerprint",
     "text_top_tokens",
     "text_repetition",
-    "text_decontaminate",
-    "text_pii_redact",
     "text_entropy",
+    "text_fingerprint",
+    "text_pii_redact",
     "text_dup_gram_fraction",
     "text_winnow_fingerprint",
+    "text_decontaminate",
     "corpus_bpe_pairs",
     "sample_weighted_topk",
     "sample_group_quota",
+    "sample_train_split",
     "corpus_token_budget",
     "corpus_pack_sequences",
     "corpus_chunk_overlap",
     "corpus_mixture_plan",
     "corpus_shuffle_shards",
-    "sample_train_split",
     "multimodal_resize",
     "multimodal_frame_sample",
     "sim_quantize_int8",
@@ -175,7 +132,6 @@ PRIORITY: list[str] = [
     "sim_ivf_topk",
     "sim_kmeans",
     "sim_semantic_dedup",
-    "stream_windowed_counts",
     "stream_sliding_counts",
     "stream_session_window",
     "stream_dedup_counts",
@@ -184,9 +140,59 @@ PRIORITY: list[str] = [
     "stream_stateful_cents",
     "stream_stateful_user_stats",
     "text_decontaminate_bloom",
-    "dedup_minhash_lsh",
     "dedup_containment",
     "pipeline_dedup_canonical",
+    # -- r06 greens (freshest evidence; cheap-first, pipelines last) --
+    "select_distinct",
+    "sort_limit_offset",
+    "filter_like_family",
+    "values_inline_table",
+    "fn_cast_try_cast",
+    "fn_conditional",
+    "fn_math",
+    "fn_string_basics",
+    "fn_array_ops",
+    "fn_struct_map",
+    "fn_json",
+    "join_left_outer",
+    "join_right_outer",
+    "join_semi",
+    "join_theta",
+    "join_using",
+    "setop_union_all",
+    "setop_intersect_all",
+    "subq_correlated_scalar",
+    "subq_not_in",
+    "lateral_subquery",
+    "cte_recursive",
+    "agg_distinct_count",
+    "agg_approx",
+    "agg_collect_set",
+    "agg_cube",
+    "win_running_sum",
+    "win_lag_lead",
+    "win_range_interval_frame",
+    "win_groups_frame_rewrite",
+    "pivot_status_by_priority",
+    "unpivot_stack",
+    "udaf_grouped_agg",
+    "udtf_word_positions",
+    "q1_pricing_summary",
+    "q6_revenue_forecast",
+    "sample_hash_stratified",
+    "skew_salted_agg",
+    "skew_salted_join",
+    "text_quality_stats",
+    "pipeline_corpus_clean",
+    "argmax_embeddings",
+    "argmax_constructed_array",
+    "torch_inference_classes",
+    "sim_cosine_topk",
+    "multimodal_features",
+    "dedup_exact",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_clusters",
 ]
 
 
