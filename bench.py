@@ -13,6 +13,14 @@ jitter at the sub-second floor is distinguishable from a real
 regression; streaming witnesses are timed but reported in a separate
 "streaming" section and excluded from "value" and the DuckDB ratio —
 micro-batch machinery vs a batch GROUP BY is not a plan comparison.
+
+Round-7 methodology (VERDICT r06 items 3/4/7): "cold" publishes each
+query's FIRST-run time so per-query warm/cold attribution is explicit
+(the connected-components checkpoint chain is nonce-scoped and cannot
+be pre-warmed — its cost now shows in `cold`, not buried in `spread`);
+the complete payload is also written to BENCH_LOCAL.json (the driver
+records only a stdout tail, which truncated most r6 per-query rows);
+the streaming section adds input_rows + rows_per_sec throughput.
 """
 
 from __future__ import annotations
@@ -67,6 +75,9 @@ HEADLINE = [
     "dedup_containment",
     "text_decontaminate_bloom",
     "pipeline_dedup_canonical",
+    # round-7 addition: exact-substring dedup (the last member of the
+    # mandated dedup family) — benched from day one
+    "dedup_substring",
 ]
 
 # Streaming witnesses carry round-over-round timing accountability but are
@@ -130,7 +141,11 @@ def main() -> None:
     # it is paid once per session, amortized across every family query.
     staging_warm = time.perf_counter()
     try:
-        from torchfusion_spark.operators.dedup import _staged_hx, minhash_lsh
+        from torchfusion_spark.operators.dedup import (
+            _staged_hx,
+            _staged_substring_grams,
+            minhash_lsh,
+        )
         from torchfusion_spark.operators.similarity import _staged_norms
         from torchfusion_spark.operators.textstats import _staged_bloom
 
@@ -141,6 +156,8 @@ def main() -> None:
         _staged_bloom(spark)  # benchmark-hash set + 64 KB Bloom filter —
         # at 100 TB the filter is built once against the fixed benchmark
         # suite and persisted; steady state is the codegen probe only
+        _staged_substring_grams(spark)  # positional-gram relation for
+        # dedup_substring (round-7 headline addition)
     except Exception:  # noqa: BLE001 — prewarm is best-effort, never fatal
         pass
     staging_warm = round(time.perf_counter() - staging_warm, 4)
@@ -155,6 +172,7 @@ def main() -> None:
     # `spread` reports |run1 - run2| so a noisy row is visibly noisy.
     timings: dict[str, float] = {}
     spreads: dict[str, float] = {}
+    colds: dict[str, float] = {}
     errors: dict[str, str] = {}
 
     def run_timed(name: str) -> None:
@@ -172,6 +190,13 @@ def main() -> None:
                 runs.append(time.perf_counter() - t0)
             timings[name] = round(min(runs), 4)
             spreads[name] = round(abs(runs[0] - runs[1]), 4)
+            # explicit warm/cold attribution (VERDICT r06 item 3): run 1
+            # carries any per-query first-use cost staging_warm_sec does
+            # not cover (e.g. the connected-components checkpoint chain,
+            # nonce-scoped so it cannot be pre-warmed) — publishing it
+            # per query means the reader never has to reverse-engineer
+            # the cold path from `spread`
+            colds[name] = round(runs[0], 4)
         except Exception as exc:  # noqa: BLE001 — isolate, record, continue
             errors[name] = f"{type(exc).__name__}: {exc}"[:500]
 
@@ -179,11 +204,26 @@ def main() -> None:
         run_timed(name)
     streaming_timings: dict[str, float] = {}
     streaming_spreads: dict[str, float] = {}
+    streaming_colds: dict[str, float] = {}
     for name in STREAMING:
         run_timed(name)
         if name in timings:
             streaming_timings[name] = timings.pop(name)
             streaming_spreads[name] = spreads.pop(name)
+            streaming_colds[name] = colds.pop(name)
+
+    # streaming throughput (VERDICT r06 item 7): rows/sec over the input
+    # cardinality so round-over-round streaming comparisons measure data
+    # throughput, not just micro-batch machinery overhead
+    try:
+        stream_input_rows = spark.table("events").count()
+    except Exception:  # noqa: BLE001
+        stream_input_rows = None
+    streaming_rps = {
+        k: round(stream_input_rows / v, 1)
+        for k, v in streaming_timings.items()
+        if stream_input_rows and v > 0
+    }
 
     total = round(sum(timings.values()), 4)
     payload = {
@@ -192,6 +232,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "spread": spreads,
+        "cold": colds,
         "sf": sf,
         "queries_ok": len(timings) + len(streaming_timings),
         "queries_failed": len(errors),
@@ -199,6 +240,9 @@ def main() -> None:
         "streaming": {
             "queries": streaming_timings,
             "spread": streaming_spreads,
+            "cold": streaming_colds,
+            "input_rows": stream_input_rows,
+            "rows_per_sec": streaming_rps,
             "total_sec": round(sum(streaming_timings.values()), 4),
         },
     }
@@ -230,6 +274,18 @@ def main() -> None:
                 if duck_total
                 else None,
             }
+
+    # the driver keeps only a tail window of stdout (BENCH_r06 lost ~22 of
+    # 36 per-query timings to truncation — VERDICT r06 item 4): persist
+    # the COMPLETE payload to a repo artifact so round-over-round
+    # per-query comparison never depends on the driver's tail window
+    out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json")
+    try:
+        with open(out_path, "w") as f:
+            json.dump(payload, f, indent=1)
+            f.write("\n")
+    except Exception:  # noqa: BLE001 — the stdout line is the contract
+        pass
 
     print(json.dumps(payload))
     spark.stop()

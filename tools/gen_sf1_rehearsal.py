@@ -8,7 +8,26 @@ the dedup operators see realistic candidate growth instead of pure exact
 dups) and embeddings get σ=0.02 per-copy Gaussian noise (near-neighbor
 structure for the similarity family).
 
-Usage: python tools/gen_sf1_rehearsal.py [src_sf_dir] [dst_dir]
+Round-7 (VERDICT r06 item 1): the rehearsal is SKEWED by default —
+uniform replication never exercised the AQE skew-join story or the
+hot-bucket caps that SCALE.md's 100 TB arguments lean on. Real corpora
+are Zipfian, so deterministic hot keys are injected:
+  * hot customer  — ~1% of orders reassigned to one custkey
+                    (o_orderkey % 100 == 7);
+  * hot orderkey  — ~0.5% of lineitems reassigned to one orderkey
+                    (row % 200 == 0) → a fat join/agg key;
+  * hot event user — ~5% of events reassigned to one user_id
+                    (event_id % 20 == 3) → a fat sessionize partition;
+  * boilerplate paragraph — a fixed 40-word paragraph prepended to ~5%
+    of documents (doc_id % 20 == 11) → hot shingles/band buckets, so the
+    MinHash/SimHash bucket caps and the containment df-prune ENGAGE;
+  * hot embedding cluster — ~5% of vectors (vec_id % 20 == 5) replaced
+    by one fixed vector + tiny noise → a hot LSH bucket / IVF list.
+All rules are key-modulus deterministic (reproducible without an RNG
+ordering dependency). Pass --uniform to reproduce the old unskewed
+build.
+
+Usage: python tools/gen_sf1_rehearsal.py [src_sf_dir] [dst_dir] [--uniform]
 Defaults: /root/testdata/sf0.1 → .scratch/sf1 (gitignored). Then:
   SPARK_GRAFT_SF_DIR=$PWD/.scratch/sf1 python bench.py
   BASELINE_DUCKDB_OUT=.scratch/duckdb_sf1.json \
@@ -28,6 +47,16 @@ import pyarrow.parquet as pq
 COPIES = 10
 DIMS = ("region", "nation", "customer", "supplier", "part")
 
+# one fixed 40-word paragraph — long enough that every word-3-gram window
+# inside it is identical across the docs that carry it (hot shingles), and
+# longer than SUBSTRING_K so the substring operator sees a real hot span
+BOILERPLATE = (
+    "this document is provided as is without warranty of any kind either "
+    "expressed or implied including but not limited to the implied "
+    "warranties of merchantability and fitness for a particular purpose "
+    "the entire risk arising out of use remains with you"
+)
+
 
 def _shift(tbl: pa.Table, col: str, off: int) -> pa.Table:
     arr = tbl[col]
@@ -41,10 +70,22 @@ def _replicate_shifted(tbl: pa.Table, key: str) -> pa.Table:
     return pa.concat_tables(_shift(tbl, key, i * span) for i in range(COPIES))
 
 
+def _reassign_mod(tbl: pa.Table, rule_col: str, mod: int, residue: int, target_col: str, value) -> pa.Table:
+    """Deterministically reassign ``target_col`` to ``value`` on rows where
+    ``rule_col % mod == residue`` — the Zipfian hot-key injection."""
+    vals = np.asarray(tbl[rule_col].combine_chunks())
+    mask = pa.array((vals % mod) == residue)
+    col = tbl[target_col]
+    hot = pc.if_else(mask, pa.scalar(value, type=col.type), col)
+    return tbl.set_column(tbl.schema.get_field_index(target_col), target_col, hot)
+
+
 def main() -> None:
-    src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    args = [a for a in sys.argv[1:] if a != "--uniform"]
+    skew = "--uniform" not in sys.argv[1:]
+    src = args[0] if len(args) > 0 else "/root/testdata/sf0.1"
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    dst = sys.argv[2] if len(sys.argv) > 2 else os.path.join(repo, ".scratch", "sf1")
+    dst = args[1] if len(args) > 1 else os.path.join(repo, ".scratch", "sf1")
     os.makedirs(dst, exist_ok=True)
 
     for t in DIMS:
@@ -55,19 +96,29 @@ def main() -> None:
     okey_span = pc.max(orders["o_orderkey"]).as_py() + 1
     # orderkeys shift consistently across orders/lineitem so the join
     # holds; custkey/partkey/suppkey still reference the unscaled dims
-    pq.write_table(
-        pa.concat_tables(_shift(orders, "o_orderkey", i * okey_span) for i in range(COPIES)),
-        f"{dst}/orders.parquet",
+    orders_out = pa.concat_tables(
+        _shift(orders, "o_orderkey", i * okey_span) for i in range(COPIES)
     )
-    pq.write_table(
-        pa.concat_tables(_shift(li, "l_orderkey", i * okey_span) for i in range(COPIES)),
-        f"{dst}/lineitem.parquet",
-    )
+    li_out = pa.concat_tables(_shift(li, "l_orderkey", i * okey_span) for i in range(COPIES))
+    if skew:
+        hot_cust = pc.min(orders["o_custkey"]).as_py()
+        orders_out = _reassign_mod(orders_out, "o_orderkey", 100, 7, "o_custkey", hot_cust)
+        # hot orderkey: ~0.5% of lineitems collapse onto one EXISTING
+        # orderkey (residue 7 keeps it among the hot customer's orders) —
+        # a fat orders⋈lineitem join key and a fat groupBy(l_orderkey) key
+        hot_okey = 7 if 7 < okey_span else pc.min(li["l_orderkey"]).as_py()
+        idx = pa.array(np.arange(li_out.num_rows, dtype=np.int64))
+        li_out = li_out.add_column(li_out.num_columns, "_row", idx)
+        li_out = _reassign_mod(li_out, "_row", 200, 0, "l_orderkey", hot_okey)
+        li_out = li_out.drop_columns(["_row"])
+    pq.write_table(orders_out, f"{dst}/orders.parquet")
+    pq.write_table(li_out, f"{dst}/lineitem.parquet")
 
-    pq.write_table(
-        _replicate_shifted(pq.read_table(f"{src}/events.parquet"), "event_id"),
-        f"{dst}/events.parquet",
-    )
+    ev_out = _replicate_shifted(pq.read_table(f"{src}/events.parquet"), "event_id")
+    if skew:
+        hot_user = pc.min(ev_out["user_id"]).as_py()
+        ev_out = _reassign_mod(ev_out, "event_id", 20, 3, "user_id", hot_user)
+    pq.write_table(ev_out, f"{dst}/events.parquet")
 
     docs = pq.read_table(f"{src}/documents.parquet")
     span = pc.max(docs["doc_id"]).as_py() + 1
@@ -82,7 +133,33 @@ def main() -> None:
                 nc = pc.add(d["n_chars"], pa.scalar(len(tag), type=d["n_chars"].type))
                 d = d.set_column(d.schema.get_field_index("n_chars"), "n_chars", nc)
         parts.append(d)
-    pq.write_table(pa.concat_tables(parts), f"{dst}/documents.parquet")
+    docs_out = pa.concat_tables(parts)
+    if skew:
+        # boilerplate paragraph on ~5% of docs: every doc carrying it
+        # shares its word-3-grams → hot shingles (containment df-prune),
+        # hot MinHash/SimHash band buckets (bucket caps), one hot
+        # substring span shared corpus-wide
+        mask = pa.array((np.asarray(docs_out["doc_id"].combine_chunks()) % 20) == 11)
+        pre = pc.binary_join_element_wise(
+            pa.scalar(BOILERPLATE), docs_out["text"], " "
+        )
+        txt = pc.if_else(mask, pre, docs_out["text"])
+        docs_out = docs_out.set_column(
+            docs_out.schema.get_field_index("text"), "text", txt
+        )
+        if "n_chars" in docs_out.schema.names:
+            nc = pc.if_else(
+                mask,
+                pc.add(
+                    docs_out["n_chars"],
+                    pa.scalar(len(BOILERPLATE) + 1, type=docs_out["n_chars"].type),
+                ),
+                docs_out["n_chars"],
+            )
+            docs_out = docs_out.set_column(
+                docs_out.schema.get_field_index("n_chars"), "n_chars", nc
+            )
+    pq.write_table(docs_out, f"{dst}/documents.parquet")
 
     emb = pq.read_table(f"{src}/embeddings.parquet")
     span = pc.max(emb["vec_id"]).as_py() + 1
@@ -115,7 +192,30 @@ def main() -> None:
                 e.schema.get_field_index("embedding"), "embedding", pert.cast(e["embedding"].type)
             )
         parts.append(e)
-    pq.write_table(pa.concat_tables(parts), f"{dst}/embeddings.parquet")
+    emb_out = pa.concat_tables(parts)
+    if skew:
+        # hot embedding cluster: ~5% of vectors collapse onto the first
+        # source vector plus tiny noise — one hot sign-LSH bucket / IVF
+        # list, and a fat SemDeDup cluster
+        n_rows = emb_out.num_rows
+        dim = len(vals) // max(1, emb.num_rows)
+        base = vals[:dim]
+        hot_mask = (np.asarray(emb_out["vec_id"].combine_chunks()) % 20) == 5
+        all_vals = np.array(
+            emb_out["embedding"].combine_chunks().flatten(), dtype=np.float32
+        ).reshape(n_rows, dim)
+        hot_noise = rng.normal(0, 0.005, size=(int(hot_mask.sum()), dim)).astype(np.float32)
+        all_vals[hot_mask] = base + hot_noise
+        flat_off = pa.array(np.arange(0, n_rows * dim + 1, dim, dtype=np.int64))
+        hot_arr = pa.ListArray.from_arrays(
+            flat_off, pa.array(all_vals.reshape(-1), type=pa.float32())
+        )
+        emb_out = emb_out.set_column(
+            emb_out.schema.get_field_index("embedding"),
+            "embedding",
+            hot_arr.cast(emb_out["embedding"].type),
+        )
+    pq.write_table(emb_out, f"{dst}/embeddings.parquet")
 
     for t in DIMS + ("orders", "lineitem", "events", "documents", "embeddings"):
         print(t, pq.ParquetFile(f"{dst}/{t}.parquet").metadata.num_rows)
