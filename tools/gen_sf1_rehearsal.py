@@ -105,12 +105,28 @@ def main() -> None:
         orders_out = _reassign_mod(orders_out, "o_orderkey", 100, 7, "o_custkey", hot_cust)
         # hot orderkey: ~0.5% of lineitems collapse onto one EXISTING
         # orderkey (residue 7 keeps it among the hot customer's orders) —
-        # a fat orders⋈lineitem join key and a fat groupBy(l_orderkey) key
+        # a fat orders⋈lineitem join key and a fat groupBy(l_orderkey) key.
+        # The (l_orderkey, l_linenumber) PRIMARY KEY must survive the
+        # reassignment (several registry queries key on it — a duplicate
+        # key makes them nondeterministic across engines), so reassigned
+        # rows get fresh linenumbers 1000, 1001, ... within the hot order.
         hot_okey = 7 if 7 < okey_span else pc.min(li["l_orderkey"]).as_py()
-        idx = pa.array(np.arange(li_out.num_rows, dtype=np.int64))
-        li_out = li_out.add_column(li_out.num_columns, "_row", idx)
-        li_out = _reassign_mod(li_out, "_row", 200, 0, "l_orderkey", hot_okey)
-        li_out = li_out.drop_columns(["_row"])
+        row_idx = np.arange(li_out.num_rows, dtype=np.int64)
+        hot_mask = (row_idx % 200) == 0
+        okeys = np.array(li_out["l_orderkey"].combine_chunks(), dtype=np.int64)
+        lnums = np.array(li_out["l_linenumber"].combine_chunks())
+        okeys[hot_mask] = hot_okey
+        lnums[hot_mask] = 1000 + np.arange(int(hot_mask.sum()))
+        li_out = li_out.set_column(
+            li_out.schema.get_field_index("l_orderkey"),
+            "l_orderkey",
+            pa.array(okeys, type=li_out["l_orderkey"].type),
+        )
+        li_out = li_out.set_column(
+            li_out.schema.get_field_index("l_linenumber"),
+            "l_linenumber",
+            pa.array(lnums, type=li_out["l_linenumber"].type),
+        )
     pq.write_table(orders_out, f"{dst}/orders.parquet")
     pq.write_table(li_out, f"{dst}/lineitem.parquet")
 

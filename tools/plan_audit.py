@@ -133,6 +133,10 @@ _EXPECTED_AT_SCALE = {
     # old inverted-index row self-join is gone)
     "dedup_minhash_lsh": {"sort_merge_join"},      # band + verify self-joins
     "dedup_ngram_jaccard": {"sort_merge_join"},    # blocked self-join
+    "dedup_substring": {"sort_merge_join"},        # grams ⋈ dup-grams: both
+    # sides grow with the corpus (the dup set is corpus-wide duplicated
+    # grams); SMJ on the gram hash IS the 100 TB plan — broadcast of the
+    # dup relation only fits at small sf (AQE picks it there)
     "sim_cosine_near_dup_lsh": {"sort_merge_join"},  # bucket self-join
     "text_dup_gram_fraction": {"sort_merge_join"},   # gram self-join
     "q3_shipping_priority": {"sort_merge_join"},   # lineitem ⋈ orders
