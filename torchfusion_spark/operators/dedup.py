@@ -739,33 +739,21 @@ def containment(spark, threshold: float = CONTAIN_THRESHOLD, max_df: int = CONTA
     it; the cache manager historically failed to substitute these CTE
     shapes back into the plan, while a checkpoint truncates lineage
     outright. At cluster scale swap to ``checkpoint()`` with a reliable
-    dir if the job must survive executor loss mid-query."""
-    from torchfusion_spark.session import staged_checkpoint
+    dir if the job must survive executor loss mid-query.
 
-    hx = _staged_hx(spark)
-    grouped = staged_checkpoint(
-        spark,
-        "contain_sh",
-        spark.sql(
-            f"""
-            WITH exploded AS (
-                SELECT doc_id, h
-                FROM {hx} LATERAL VIEW explode(array_distinct(hx)) AS h),
-            stop AS (
-                SELECT h FROM exploded GROUP BY h HAVING COUNT(*) > {max_df})
-            SELECT e.h, collect_list(e.doc_id) AS docs
-            FROM exploded e LEFT ANTI JOIN stop s ON e.h = s.h
-            GROUP BY e.h
-            """
-        ),
-    )
-    grouped.createOrReplaceTempView("__contain_sh")
+    Round 7 (VERDICT r06 item 6): the inverted index (__contain_sh) and
+    the per-doc sizes (__contain_sizes) are MEMOIZED per (session,
+    loaded tables, max_df) like every other staged signature relation —
+    the index of a 100 TB corpus is built once and probed by every
+    downstream containment query, not rebuilt per invocation. The sizes
+    aggregate is folded into the staging pass (it used to re-explode
+    __contain_sh inside every timed query), so the steady-state query is
+    in-row pair generation + one pair aggregate + the two
+    pairs⋈sizes joins (pair side tiny → AQE broadcast)."""
+    _staged_containment(spark, max_df)
     return spark.sql(
         f"""
-        WITH sizes AS (
-            SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
-            FROM __contain_sh LATERAL VIEW explode(docs) AS doc_id
-            GROUP BY doc_id),
+        WITH sizes AS (SELECT doc_id, n FROM __contain_sizes),
         shared AS (
             SELECT id_a, id_b, CAST(COUNT(*) AS BIGINT) AS ins
             FROM __contain_sh
@@ -776,6 +764,51 @@ def containment(spark, threshold: float = CONTAIN_THRESHOLD, max_df: int = CONTA
         {containment_score_sql(threshold)}
         """
     )
+
+
+def _staged_containment(spark, max_df: int = CONTAIN_MAX_DF) -> tuple[str, str]:
+    """Stage the containment inverted index once per (session, tables,
+    max_df): ``__contain_sh`` (h, docs≤max_df — localCheckpoint, see
+    ``containment``) and ``__contain_sizes`` (doc_id, n — cache; derived
+    from the SAME pruned exploded pass so the df-prune can never drift
+    between the index and the denominator)."""
+    from torchfusion_spark.session import staged_cache, staged_checkpoint
+
+    key = (getattr(spark, "_tf_tables_loaded", None), max_df)
+    if getattr(spark, "_tf_contain_key", object()) != key:
+        hx = _staged_hx(spark)
+        grouped = staged_checkpoint(
+            spark,
+            "contain_sh",
+            spark.sql(
+                f"""
+                WITH exploded AS (
+                    SELECT doc_id, h
+                    FROM {hx} LATERAL VIEW explode(array_distinct(hx)) AS h),
+                stop AS (
+                    SELECT h FROM exploded GROUP BY h HAVING COUNT(*) > {max_df})
+                SELECT e.h, collect_list(e.doc_id) AS docs
+                FROM exploded e LEFT ANTI JOIN stop s ON e.h = s.h
+                GROUP BY e.h
+                """
+            ),
+        )
+        grouped.createOrReplaceTempView("__contain_sh")
+        sizes = staged_cache(
+            spark,
+            "contain_sizes",
+            spark.sql(
+                """
+                SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
+                FROM __contain_sh LATERAL VIEW explode(docs) AS doc_id
+                GROUP BY doc_id
+                """
+            ),
+        )
+        sizes.count()
+        sizes.createOrReplaceTempView("__contain_sizes")
+        spark._tf_contain_key = key
+    return "__contain_sh", "__contain_sizes"
 
 
 # --- exact-substring dedup (suffix-grouping formulation) -------------------
