@@ -401,7 +401,7 @@ def test_cap_recall_loss_exact_counts(spark, tables):
         load_tables(spark, tables)
 
 
-def test_substring_dedup_span_semantics(spark):
+def test_substring_dedup_span_semantics(spark, tables):
     """Pin the exact-substring span algebra on a hand-built corpus
     (round-7 addition): full-document duplication yields one maximal
     span; an embedded shared run yields exactly the k-token span; two
@@ -433,11 +433,15 @@ def test_substring_dedup_span_semantics(spark):
             "n_chars": [len(" ".join(w)) for w in docs.values()],
         }
     )
+    # swap the shared session's documents view for the fixture and RESTORE
+    # it after (dropTempView would leave every later test in the session
+    # without a documents relation — the tables fixture is session-scoped)
+    orig_docs = spark.table("documents")
     spark.createDataFrame(pdf).createOrReplaceTempView("documents")
     try:
         got = spark.sql(substring_sql("spark")).toPandas()
     finally:
-        spark.catalog.dropTempView("documents")
+        orig_docs.createOrReplaceTempView("documents")
 
     want = pd.DataFrame(
         [
