@@ -78,6 +78,9 @@ HEADLINE = [
     # round-7 addition: exact-substring dedup (the last member of the
     # mandated dedup family) — benched from day one
     "dedup_substring",
+    # round-7 addition: per-source (domain-level) quality gate — benched
+    # from day one; its fingerprint shuffle is the corpus-wide dup check
+    "corpus_source_filter",
 ]
 
 # Streaming witnesses carry round-over-round timing accountability but are

@@ -68,6 +68,7 @@ DOC_OPS = [
     "corpus_chunk_overlap",
     "corpus_shuffle_shards",
     "pipeline_corpus_clean",
+    "corpus_source_filter",
 ]
 EMB_OPS = [
     "sim_cosine_topk",

@@ -922,3 +922,62 @@ def test_connected_components_raises_on_nonconvergence(spark):
         assert got == {i: 0 for i in range(10)}
     finally:
         dedup.SMALL_GRAPH_EDGES = orig
+
+
+def test_source_filter_matches_python(spark, tables):
+    """Per-source quality gate: recompute the per-doc micro-quality, the
+    corpus-wide fingerprint dup counts and the integer cross-multiplied
+    keep decision in Python and compare exactly (the flag and all counts
+    are integers by construction; mean_quality to 1e-6)."""
+    import hashlib
+    import re
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from torchfusion_spark.operators.textstats import source_filter_sql
+
+    def r6(x: float) -> float:
+        return float(Decimal(repr(x)).quantize(Decimal("0.000001"), ROUND_HALF_UP))
+
+    docs = spark.table("documents").select("doc_id", "source", "text").collect()
+    stop = {"the", "and", "of", "to", "a"}
+    fp_counts: dict[str, int] = {}
+    per_doc = []
+    for row in docs:
+        text = row.text
+        norm = re.sub(r"[^a-z0-9 ]", "", text.lower()).strip()
+        fp = hashlib.md5(norm.encode()).hexdigest()[:14]
+        fp_counts[fp] = fp_counts.get(fp, 0) + 1
+        toks = text.lower().split(" ")
+        n_tok = len(toks)
+        n_char = len(text)
+        avg_tl = r6(n_char / max(n_tok, 1))
+        punct = len(re.findall(r"[.,!?;:]", text))
+        stop_n = sum(1 for t in toks if t in stop)
+        score = (
+            (0.4 if 10 <= n_tok <= 100000 else 0.0)
+            + (0.3 if 3 <= avg_tl <= 12 else 0.0)
+            + (0.15 if r6(punct / max(n_char, 1)) < 0.1 else 0.0)
+            + min(r6(stop_n / max(n_tok, 1)) * 3, 0.15)
+        )
+        q6 = int(Decimal(repr(score * 1000000)).quantize(Decimal("1"), ROUND_HALF_UP))
+        per_doc.append((row.source, fp, q6))
+
+    srcs: dict[str, list[int]] = {}
+    for source, fp, q6 in per_doc:
+        n, s, d = srcs.get(source, (0, 0, 0)) or (0, 0, 0)
+        srcs[source] = [n + 1, s + q6, d + (1 if fp_counts[fp] > 1 else 0)]
+    tot_docs = sum(v[0] for v in srcs.values())
+    tot_q6 = sum(v[1] for v in srcs.values())
+
+    got = {r.source: r for r in spark.sql(source_filter_sql("spark")).collect()}
+    assert set(got) == set(srcs)
+    for source, (n, s, d) in srcs.items():
+        row = got[source]
+        assert row.n_docs == n
+        assert row.dup_docs == d
+        want_kept = 1 if (s * tot_docs >= tot_q6 * n and d * 2 <= n) else 0
+        assert row.kept == want_kept, source
+        assert abs(row.mean_quality - s / 1e6 / n) < 2e-6
+    # the gate must actually discriminate on the shipped corpus
+    kept = sum(r.kept for r in got.values())
+    assert 0 < kept < len(got)

@@ -63,6 +63,10 @@ _EXPECTED = {
     # centroid/medoid relations broadcast (BNL over tiny side is the
     # argmin scan); assignments ⋈ vectors on vec_id is embeddings-scale
     # on both sides → SMJ correct
+    # 1-row corpus-total relation CROSS JOINed back onto the per-source
+    # aggregate (|sources| rows) — a broadcast of a single row, the same
+    # shape as a scalar subquery
+    "corpus_source_filter": {"bnl_join"},
     "sim_kmeans": {"sort_merge_join", "bnl_join"},
     "sim_ivf_topk": {"sort_merge_join", "bnl_join"},
     "sim_semantic_dedup": {"sort_merge_join", "bnl_join"},

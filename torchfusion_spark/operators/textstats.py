@@ -134,6 +134,84 @@ def corpus_clean_sql(d: str) -> str:
     """
 
 
+def source_filter_sql(d: str) -> str:
+    """Per-source (domain-level) quality gating — the RefinedWeb/CCNet
+    move of scoring whole *sources* and dropping every document from a
+    source whose aggregate quality fails the bar, rather than filtering
+    document-by-document. ``source`` is this corpus's domain analogue.
+
+    Per source: doc count, mean quality score (same per-doc formula as
+    :func:`text_quality_sql`), and the fraction of docs that are exact
+    duplicates corpus-wide (fingerprint appears >1×). The gate is
+    data-adaptive — a source is kept when its mean quality is at or above
+    the corpus-wide mean AND at most half its docs are duplicates — so it
+    discriminates on any vintage without hand-tuned thresholds.
+
+    Cross-engine float discipline: the per-doc score is rounded to 6
+    decimals, scaled to an exact BIGINT (micro-quality ``q6``), and all
+    aggregation/comparison happens on integers — the keep decision is a
+    BIGINT cross-multiplication (``sum_q6 * tot_docs >= tot_q6 * n_docs``),
+    never a float compare, so Spark and DuckDB cannot diverge on
+    summation order. (At 100 TB promote q6 sums to DECIMAL(38,0); the
+    cross-multiply bound is docs × 1e6 × docs.)
+
+    Scale shape: one scan computes per-doc (q6, fingerprint); ONE shuffle
+    on fingerprint (window count — the unavoidable global dup check); one
+    map-combinable shuffle on source (tiny: |sources| rows); the 1-row
+    corpus total broadcasts back. No joins against the fact table."""
+    toks = G.split_ws("lower(text)", d)
+    n_toks = G.arr_size("toks", d)
+    stop_lit = G.array_lit([f"'{w}'" for w in _LANG_MARKERS["en"]], d)
+    contains = "array_contains" if d == "spark" else "list_contains"
+    n_stop = G.arr_size(G.afilter("toks", f"t -> {contains}({stop_lit}, t)", d), d)
+    punct = G.regex_count("text", "[.,!?;:]", d)
+    norm = (
+        "trim(regexp_replace(lower(text), '[^a-z0-9 ]', ''))"
+        if d == "spark"
+        else "trim(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'))"
+    )
+    fp = G.hash56(norm, d)
+    return f"""
+    WITH t AS (
+        SELECT doc_id, source, text, length(text) AS n_char, {toks} AS toks
+        FROM documents),
+    m AS (
+        SELECT doc_id, source, {fp} AS fingerprint,
+               {n_toks} AS n_tokens,
+               ROUND(CAST(n_char AS DOUBLE) / greatest({n_toks}, 1), 6) AS avg_token_len,
+               ROUND(CAST({punct} AS DOUBLE) / greatest(n_char, 1), 6) AS punct_ratio,
+               ROUND(CAST({n_stop} AS DOUBLE) / greatest({n_toks}, 1), 6) AS stopword_ratio
+        FROM t),
+    q AS (
+        SELECT source, fingerprint,
+               CAST(ROUND((
+                 (CASE WHEN n_tokens BETWEEN 10 AND 100000 THEN 0.4 ELSE 0.0 END)
+                 + (CASE WHEN avg_token_len BETWEEN 3 AND 12 THEN 0.3 ELSE 0.0 END)
+                 + (CASE WHEN punct_ratio < 0.1 THEN 0.15 ELSE 0.0 END)
+                 + least(stopword_ratio * 3, 0.15)) * 1000000) AS BIGINT) AS q6
+        FROM m),
+    fc AS (
+        SELECT source, q6,
+               COUNT(*) OVER (PARTITION BY fingerprint) AS fp_count
+        FROM q),
+    src AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               SUM(q6) AS sum_q6,
+               CAST(SUM(CASE WHEN fp_count > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_docs
+        FROM fc GROUP BY source),
+    tot AS (SELECT SUM(sum_q6) AS tot_q6, SUM(n_docs) AS tot_docs FROM src)
+    SELECT s.source, s.n_docs,
+           ROUND(CAST(s.sum_q6 AS DOUBLE) / 1000000.0 / s.n_docs, 6) AS mean_quality,
+           s.dup_docs,
+           ROUND(CAST(s.dup_docs AS DOUBLE) / s.n_docs, 6) AS dup_fraction,
+           CAST(CASE WHEN s.sum_q6 * t.tot_docs >= t.tot_q6 * s.n_docs
+                      AND s.dup_docs * 2 <= s.n_docs
+                THEN 1 ELSE 0 END AS INT) AS kept
+    FROM src s CROSS JOIN tot t
+    ORDER BY s.source
+    """
+
+
 # per-lang keep-rate (percent): downsample the dominant language — the
 # standard corpus-rebalancing move; hash-based so the sample is
 # deterministic, reproducible across engines/runs, and needs NO shuffle

@@ -124,6 +124,13 @@ _sql_pair(
     "length/punct/stopword/digit ratios + composite quality score",
 )
 _sql_pair(
+    "corpus_source_filter",
+    textstats.source_filter_sql,
+    "per-source (domain-level) quality gate: mean micro-quality + corpus-"
+    "wide dup fraction per source, keep decision by exact BIGINT "
+    "cross-multiplication against the corpus mean",
+)
+_sql_pair(
     "text_lang_id",
     textstats.lang_id_sql,
     "marker-word language ID with deterministic tie-break",

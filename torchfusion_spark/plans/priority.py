@@ -14,13 +14,16 @@ name is cumulatively green on the current testdata vintage, so the weakest
 evidence is now (a) the one NEW query with no row at all and (b) the 49
 names whose *latest* green row is r03 -- the oldest current-vintage
 certifications:
-1. ranks 1-49: the 49 r03-latest names, cheap-first (scalar-function /
-   join / set-op / agg / window witnesses lead; events, text, streaming
-   and the LSH pipeline close the block) so a *time*-capped run still
-   re-certifies the maximum number of stale rows;
-2. rank 50: ``dedup_substring`` -- the round-7 addition (exact-substring
-   dedup), uncertified, so it must sit inside the driver budget;
-3. ranks 51+: the r04 greens, then r05, then r06 (freshest evidence
+1. ranks 1-48: r03-latest names, cheap-first (scalar-function / join /
+   set-op / agg / window witnesses lead; events, text and streaming
+   close the block) so a *time*-capped run still re-certifies the
+   maximum number of stale rows;
+2. ranks 49-50: the round-7 additions (``dedup_substring``,
+   ``corpus_source_filter``) -- no CORRECTNESS row at all, so they
+   outrank stale-but-cumulatively-green re-certs for budget slots;
+3. rank 51: ``dedup_minhash_lsh`` -- the r03-latest name displaced by
+   the second newcomer (still cumulatively green; rotates back round 8);
+4. ranks 52+: the r04 greens, then r05, then r06 (freshest evidence
    last), cheap-first within each block with the expensive dedup
    pipelines at the very end.
 
@@ -80,10 +83,13 @@ PRIORITY: list[str] = [
     "text_lang_id",
     "text_token_count",
     "stream_windowed_counts",
-    "dedup_minhash_lsh",
-    # -- rank 50: the round-7 addition, no CORRECTNESS row yet --
+    # -- ranks 49-50: the round-7 additions, no CORRECTNESS row yet --
     "dedup_substring",
-    # -- ranks 51+: r04 greens (cheap-first) --
+    "corpus_source_filter",
+    # -- rank 51: r03-latest re-cert displaced by the second newcomer
+    # (cumulatively green, so it cedes its budget slot; rotates back r8) --
+    "dedup_minhash_lsh",
+    # -- ranks 52+: r04 greens (cheap-first) --
     "q3_shipping_priority",
     "q10_returned_items",
     "q11_important_stock",
