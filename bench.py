@@ -148,7 +148,7 @@ def main() -> None:
             _staged_containment,
             _staged_hx,
             _staged_substring_grams,
-            minhash_lsh,
+            minhash_clusters,
         )
         from torchfusion_spark.operators.similarity import _staged_norms
         from torchfusion_spark.operators.textstats import _staged_bloom
@@ -176,7 +176,14 @@ def main() -> None:
             ]
             roots[0].result()  # hx must land before its three consumers
             deps = [
-                pool.submit(minhash_lsh, spark),  # caches __minhash_sig
+                # builds __minhash_sig, the LSH pair relation AND the
+                # memoized cluster labels (the CC checkpoint chain) —
+                # VERDICT r06 item 3: staging_warm_sec must cover every
+                # session-staged relation the headline set uses, and the
+                # cluster labels are one (pipeline_dedup_canonical reads
+                # them); leaving the CC loop to the first timed run hid
+                # a ~4s cold cost in `spread`
+                pool.submit(minhash_clusters, spark),
                 pool.submit(_staged_bloom, spark),  # 64 KB benchmark filter
                 pool.submit(_staged_containment, spark),  # inverted index
             ]
