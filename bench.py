@@ -15,9 +15,13 @@ regression; streaming witnesses are timed but reported in a separate
 micro-batch machinery vs a batch GROUP BY is not a plan comparison.
 
 Round-7 methodology (VERDICT r06 items 3/4/7): "cold" publishes each
-query's FIRST-run time so per-query warm/cold attribution is explicit
-(the connected-components checkpoint chain is nonce-scoped and cannot
-be pre-warmed — its cost now shows in `cold`, not buried in `spread`);
+query's FIRST-run time so per-query warm/cold attribution is explicit,
+AND the prewarm now stages every session-memoized relation the headline
+set reads — including the minhash cluster labels, whose connected-
+components checkpoint loop previously ran inside the first timed query
+(per-call nonce scoping isolates the loop's scratch; the memoized label
+RELATION it produces is prewarmable like any other staged relation, so
+its cost is charged to staging_warm_sec, not hidden in `cold`/`spread`);
 the complete payload is also written to BENCH_LOCAL.json (the driver
 records only a stdout tail, which truncated most r6 per-query rows);
 the streaming section adds input_rows + rows_per_sec throughput.
@@ -189,8 +193,14 @@ def main() -> None:
             ]
             for fut in roots + deps:
                 fut.result()
-    except Exception:  # noqa: BLE001 — prewarm is best-effort, never fatal
-        pass
+    except Exception as exc:  # noqa: BLE001 — prewarm is best-effort, never
+        # fatal, but never SILENT either: an aborted prewarm shifts the
+        # unstaged relations' build cost into the first timed queries,
+        # which corrupts the warm/cold attribution the bench publishes —
+        # the payload must say so (code-review r07 finding)
+        staging_error = f"{type(exc).__name__}: {exc}"
+    else:
+        staging_error = None
     staging_warm = round(time.perf_counter() - staging_warm, 4)
 
     # Per-query fault isolation (round-2 postmortem: one AnalysisException
@@ -268,6 +278,7 @@ def main() -> None:
         "queries_ok": len(timings) + len(streaming_timings),
         "queries_failed": len(errors),
         "staging_warm_sec": staging_warm,
+        **({"staging_error": staging_error} if staging_error else {}),
         "streaming": {
             "queries": streaming_timings,
             "spread": streaming_spreads,

@@ -212,19 +212,37 @@ def main() -> None:
     if skew:
         # hot embedding cluster: ~5% of vectors collapse onto the first
         # source vector plus tiny noise — one hot sign-LSH bucket / IVF
-        # list, and a fat SemDeDup cluster
+        # list, and a fat SemDeDup cluster. Offset-driven (no fixed-dim
+        # reshape): the base path above explicitly preserves ragged rows,
+        # so this block must too — hot rows take the base vector's
+        # length, cold rows keep theirs, and the offsets are rebuilt
+        # from the new per-row lengths.
         n_rows = emb_out.num_rows
-        dim = len(vals) // max(1, emb.num_rows)
-        base = vals[:dim]
+        lst = emb_out["embedding"].combine_chunks()
+        flat = np.asarray(lst.flatten(), dtype=np.float32)
+        off = (
+            np.asarray(lst.offsets, dtype=np.int64)
+            if hasattr(lst, "offsets")
+            else np.arange(0, len(flat) + 1, lst.type.list_size, dtype=np.int64)
+        )
+        off = off - off[0]  # raw offsets of a sliced array need not start at 0
+        lens = np.diff(off)
+        base = flat[off[0] : off[1]]  # copy-0 row 0 == the first source vector
         hot_mask = (np.asarray(emb_out["vec_id"].combine_chunks()) % 20) == 5
-        all_vals = np.array(
-            emb_out["embedding"].combine_chunks().flatten(), dtype=np.float32
-        ).reshape(n_rows, dim)
-        hot_noise = rng.normal(0, 0.005, size=(int(hot_mask.sum()), dim)).astype(np.float32)
-        all_vals[hot_mask] = base + hot_noise
-        flat_off = pa.array(np.arange(0, n_rows * dim + 1, dim, dtype=np.int64))
+        n_hot = int(hot_mask.sum())
+        new_lens = np.where(hot_mask, len(base), lens)
+        new_off = np.zeros(n_rows + 1, dtype=np.int64)
+        np.cumsum(new_lens, out=new_off[1:])
+        new_flat = np.empty(int(new_off[-1]), dtype=np.float32)
+        cold_src = ~np.repeat(hot_mask, lens)
+        cold_dst = ~np.repeat(hot_mask, new_lens)
+        new_flat[cold_dst] = flat[cold_src]
+        hot_block = base[None, :] + rng.normal(0, 0.005, size=(n_hot, len(base))).astype(
+            np.float32
+        )
+        new_flat[~cold_dst] = hot_block.reshape(-1)
         hot_arr = pa.ListArray.from_arrays(
-            flat_off, pa.array(all_vals.reshape(-1), type=pa.float32())
+            pa.array(new_off), pa.array(new_flat, type=pa.float32())
         )
         emb_out = emb_out.set_column(
             emb_out.schema.get_field_index("embedding"),

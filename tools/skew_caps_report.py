@@ -95,11 +95,14 @@ def main() -> None:
         "largest_block": max((r.n for r in blocks), default=0),
     }
 
-    # containment stop-shingle df-prune: shingles dropped for df > cap
+    # containment stop-shingle df-prune: shingles dropped for df > cap —
+    # the exploded relation and the prune predicate are the operator's
+    # OWN spellings (dedup.containment_exploded_spark_sql /
+    # containment_stop_body_sql), so this report cannot measure a
+    # different cap than _staged_containment applies
     stop = spark.sql(
-        f"SELECT h, COUNT(DISTINCT doc_id) AS df FROM "
-        f"(SELECT doc_id, h FROM {_staged_hx(spark)} LATERAL VIEW explode(hx) AS h) "
-        f"GROUP BY h HAVING COUNT(DISTINCT doc_id) > {CONTAIN_MAX_DF}"
+        f"WITH exploded AS ({dedup.containment_exploded_spark_sql(_staged_hx(spark))}) "
+        f"{dedup.containment_stop_body_sql('exploded', CONTAIN_MAX_DF)}"
     ).collect()
     report["caps"]["containment_df_prune"] = {
         "max_df": CONTAIN_MAX_DF,

@@ -18,6 +18,8 @@ Scale design (100 TB):
 
 from __future__ import annotations
 
+import threading
+
 from torchfusion_spark.operators import sqlgen as G
 
 
@@ -170,14 +172,29 @@ def minhash_lsh(spark, threshold: float = 0.6):
     return spark.sql(minhash_body_sql("spark", "__minhash_sig", threshold))
 
 
+_DOCS_LOCK = threading.Lock()
+
+
 def _staged_docs(spark):
     """Fan the documents table out to full parallelism once; a single
     small parquet file arrives as ONE split and every dedup signature
     pass is CPU-bound (at cluster scale the input already has enough
-    splits and this shuffle is a no-op-sized rebalance)."""
+    splits and this shuffle is a no-op-sized rebalance).
+
+    Memoized per (session, loaded tables) and lock-guarded: the parallel
+    bench prewarm runs ``_staged_hx`` and ``_staged_substring_grams``
+    concurrently and both prep the docs view — without the memo each
+    pays the fan-out count() job and both write the same
+    ``__dedup_docs`` slot (benign only while the two definitions stay
+    byte-identical; a silent last-writer-wins race the moment one
+    diverges)."""
     from torchfusion_spark.session import cpu_fanout
 
-    cpu_fanout(spark.table("documents")).createOrReplaceTempView("__dedup_docs")
+    key = getattr(spark, "_tf_tables_loaded", None)
+    with _DOCS_LOCK:
+        if getattr(spark, "_tf_dedup_docs_key", object()) != key:
+            cpu_fanout(spark.table("documents")).createOrReplaceTempView("__dedup_docs")
+            spark._tf_dedup_docs_key = key
     return "__dedup_docs"
 
 
@@ -766,6 +783,25 @@ def containment(spark, threshold: float = CONTAIN_THRESHOLD, max_df: int = CONTA
     )
 
 
+def containment_exploded_spark_sql(hx_rel: str) -> str:
+    """Spark spelling of the distinct exploded (doc_id, h) relation —
+    ONE definition shared by the staged index builder and
+    ``tools/skew_caps_report.py`` so the relation the report measures is
+    the relation the operator prunes (code-review r07: the report
+    previously hand-spelled an equivalent-but-different form that could
+    silently drift)."""
+    return f"SELECT doc_id, h FROM {hx_rel} LATERAL VIEW explode(array_distinct(hx)) AS h"
+
+
+def containment_stop_body_sql(exploded_rel: str, max_df: int = CONTAIN_MAX_DF) -> str:
+    """(h, df) stop-shingle rows over an exploded relation — the single
+    spelling of the df-prune predicate (df > max_df ⇔ dropped)."""
+    return (
+        f"SELECT h, CAST(COUNT(*) AS BIGINT) AS df FROM {exploded_rel} "
+        f"GROUP BY h HAVING COUNT(*) > {max_df}"
+    )
+
+
 def _staged_containment(spark, max_df: int = CONTAIN_MAX_DF) -> tuple[str, str]:
     """Stage the containment inverted index once per (session, tables,
     max_df): ``__contain_sh`` (h, docs≤max_df — localCheckpoint, see
@@ -782,11 +818,8 @@ def _staged_containment(spark, max_df: int = CONTAIN_MAX_DF) -> tuple[str, str]:
             "contain_sh",
             spark.sql(
                 f"""
-                WITH exploded AS (
-                    SELECT doc_id, h
-                    FROM {hx} LATERAL VIEW explode(array_distinct(hx)) AS h),
-                stop AS (
-                    SELECT h FROM exploded GROUP BY h HAVING COUNT(*) > {max_df})
+                WITH exploded AS ({containment_exploded_spark_sql(hx)}),
+                stop AS ({containment_stop_body_sql("exploded", max_df)})
                 SELECT e.h, collect_list(e.doc_id) AS docs
                 FROM exploded e LEFT ANTI JOIN stop s ON e.h = s.h
                 GROUP BY e.h

@@ -75,7 +75,8 @@ def staged_checkpoint(spark, slot: str, df):
     truncates lineage, so an iterative builder whose round N+1 plan reads
     round N's blocks would lose data under release-first."""
     pool = spark.__dict__.setdefault("_tf_ck_pool", {})
-    prev = pool.get(slot)
+    with _ck_pool_lock(spark):
+        prev = pool.get(slot)
     ck = df.localCheckpoint()
     if prev is not None:
         # contract: the caller must have materialized any DataFrame built
@@ -96,9 +97,14 @@ def staged_checkpoint(spark, slot: str, df):
         except Exception:  # noqa: BLE001 — release is best-effort
             pass
     try:
-        pool[slot] = ck._jdf.queryExecution().analyzed().rdd()
+        handle = ck._jdf.queryExecution().analyzed().rdd()
     except Exception:  # noqa: BLE001 — never fail staging over the release handle
-        pool.pop(slot, None)
+        handle = None
+    with _ck_pool_lock(spark):
+        if handle is not None:
+            pool[slot] = handle
+        else:
+            pool.pop(slot, None)
     return ck
 
 
@@ -121,6 +127,19 @@ def _protected_nonces(spark, keep_nonce: int | None) -> set[int]:
     return out
 
 
+def _ck_pool_lock(spark) -> threading.Lock:
+    """Session-scoped lock serializing checkpoint-pool mutation against
+    release sweeps. ``staged_checkpoint`` inserts into ``_tf_ck_pool``
+    from builder threads while ``release_staged_group`` iterates it from
+    a consumer thread (the parallel bench prewarm runs minhash_clusters
+    — whose tail releases its CC scratch — concurrently with the
+    containment builder's checkpoint insert); an unguarded insert during
+    the sweep's comprehension raises RuntimeError('dictionary changed
+    size during iteration'). ``setdefault`` on the instance dict is
+    atomic under the GIL, so two threads cannot mint two locks."""
+    return spark.__dict__.setdefault("_tf_ck_pool_lock", threading.Lock())
+
+
 def release_staged_group(spark, prefix: str, keep_nonce: int | None = None) -> int:
     """Release every checkpoint-pool slot starting with ``prefix`` except
     protected groups — the cross-call half of the staging lifecycle: a
@@ -135,13 +154,19 @@ def release_staged_group(spark, prefix: str, keep_nonce: int | None = None) -> i
     pool = spark.__dict__.get("_tf_ck_pool", {})
     tags = {f"_{n}" for n in _protected_nonces(spark, keep_nonce)}
     released = 0
-    for slot in [s for s in pool if s.startswith(prefix)]:
+    with _ck_pool_lock(spark):
+        victims = [s for s in pool if s.startswith(prefix)]
+    for slot in victims:
         if any(slot.endswith(t) or f"{t}_" in slot for t in tags):
             continue
+        with _ck_pool_lock(spark):
+            handle = pool.pop(slot, None)
+        if handle is None:
+            continue
         try:
-            pool.pop(slot).unpersist(False)
+            handle.unpersist(False)
         except Exception:  # noqa: BLE001 — release is best-effort
-            pool.pop(slot, None)
+            pass
         released += 1
     return released
 
