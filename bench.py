@@ -93,6 +93,11 @@ HEADLINE = [
 # overhead, not a query-plan comparison.
 STREAMING = [
     "stream_windowed_counts",
+    # round-7 widening: a stateful aggregation and a stream-stream join
+    # so the throughput section covers the state-store and dual-watermark
+    # paths, not just the stateless tumbling window
+    "stream_stateful_user_stats",
+    "stream_stream_join",
 ]
 
 
@@ -233,10 +238,8 @@ def main() -> None:
             spreads[name] = round(abs(runs[0] - runs[1]), 4)
             # explicit warm/cold attribution (VERDICT r06 item 3): run 1
             # carries any per-query first-use cost staging_warm_sec does
-            # not cover (e.g. the connected-components checkpoint chain,
-            # nonce-scoped so it cannot be pre-warmed) — publishing it
-            # per query means the reader never has to reverse-engineer
-            # the cold path from `spread`
+            # not cover — publishing it per query means the reader never
+            # has to reverse-engineer the cold path from `spread`
             colds[name] = round(runs[0], 4)
         except Exception as exc:  # noqa: BLE001 — isolate, record, continue
             errors[name] = f"{type(exc).__name__}: {exc}"[:500]
@@ -320,8 +323,12 @@ def main() -> None:
     # the driver keeps only a tail window of stdout (BENCH_r06 lost ~22 of
     # 36 per-query timings to truncation — VERDICT r06 item 4): persist
     # the COMPLETE payload to a repo artifact so round-over-round
-    # per-query comparison never depends on the driver's tail window
-    out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json")
+    # per-query comparison never depends on the driver's tail window.
+    # Only the canonical sf0.1 run writes it — a quick sf0.01 smoke run
+    # must not clobber the round-comparison record with mismatched-scale
+    # numbers (non-canonical runs write a sf-suffixed scratch file).
+    name = "BENCH_LOCAL.json" if sf == 0.1 else f"BENCH_LOCAL_sf{sf}.json.scratch"
+    out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), name)
     try:
         with open(out_path, "w") as f:
             json.dump(payload, f, indent=1)
