@@ -85,6 +85,9 @@ HEADLINE = [
     # round-7 addition: per-source (domain-level) quality gate — benched
     # from day one; its fingerprint shuffle is the corpus-wide dup check
     "corpus_source_filter",
+    # round-7 addition: the substring-dedup ACTION step (strip duplicated
+    # spans, keep the earliest occurrence, rebuild the cleaned corpus)
+    "corpus_strip_dup_spans",
 ]
 
 # Streaming witnesses carry round-over-round timing accountability but are

@@ -69,6 +69,7 @@ DOC_OPS = [
     "corpus_shuffle_shards",
     "pipeline_corpus_clean",
     "corpus_source_filter",
+    "corpus_strip_dup_spans",
 ]
 EMB_OPS = [
     "sim_cosine_topk",

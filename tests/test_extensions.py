@@ -981,3 +981,98 @@ def test_source_filter_matches_python(spark, tables):
     # the gate must actually discriminate on the shipped corpus
     kept = sum(r.kept for r in got.values())
     assert 0 < kept < len(got)
+
+
+def test_strip_dup_spans_matches_python(spark, tables, tmp_path):
+    """Action-step substring dedup: a corpus with PLANTED cross-document
+    spans, recomputed exactly in Python (gram ownership = MIN(doc_id),
+    every token covered by a foreign-owned gram removed), compared to
+    the operator per doc — counts AND the reconstructed cleaned text."""
+    import hashlib
+
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from torchfusion_spark.operators.dedup import SUBSTRING_K, strip_dup_spans
+    from torchfusion_spark.sources import load_tables
+
+    k = SUBSTRING_K
+    boiler = " ".join(f"b{i}" for i in range(k + 4))  # 12-token boilerplate
+    mid = " ".join(f"m{i}" for i in range(k))  # exactly-k shared span
+    docs = [
+        (0, f"alpha beta {boiler} gamma"),  # earliest owner: keeps boiler
+        (1, f"{boiler} delta epsilon"),  # loses the boiler copy
+        (2, f"unique words only here {mid}"),  # earliest owner of mid
+        (3, f"{mid} trailing tail tokens"),  # loses mid
+        (4, "short doc"),  # < k tokens: untouched
+        (5, f"prefix {boiler} suffix {mid}"),  # loses both spans
+    ]
+    d = tmp_path / "strip"
+    d.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([i for i, _ in docs], pa.int64()),
+                "text": pa.array([t for _, t in docs]),
+                "lang": pa.array(["en"] * len(docs)),
+                "source": pa.array(["s"] * len(docs)),
+                "n_chars": pa.array([len(t) for _, t in docs], pa.int64()),
+            }
+        ),
+        d / "documents.parquet",
+    )
+    for t in ("region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "embeddings"):
+        pq.write_table(
+            pq.read_table(f"{tables}/{t}.parquet").slice(0, 1), str(d / f"{t}.parquet")
+        )
+
+    # exact Python recompute of the rule
+    toks = {i: t.lower().split(" ") for i, t in docs}
+    owner: dict[str, int] = {}
+    appears: dict[str, set] = {}
+    for i, tk in toks.items():
+        for p in range(len(tk) - k + 1):
+            g = " ".join(tk[p : p + k])
+            appears.setdefault(g, set()).add(i)
+            owner[g] = min(owner.get(g, i), i)
+    removed = {i: set() for i in toks}
+    for i, tk in toks.items():
+        for p in range(len(tk) - k + 1):
+            g = " ".join(tk[p : p + k])
+            if len(appears[g]) > 1 and owner[g] < i:
+                removed[i].update(range(p, p + k))
+    want = {}
+    for i, tk in toks.items():
+        kept = [t for j, t in enumerate(tk) if j not in removed[i]]
+        cleaned = " ".join(kept)
+        fp = int(hashlib.md5(cleaned.encode()).hexdigest()[:14], 16)
+        want[i] = (len(tk), len(tk) - len(kept), len(kept), fp)
+
+    spark._tf_tables_loaded = None
+    load_tables(spark, str(d))
+    try:
+        got = {
+            r.doc_id: (r.n_tokens, r.removed_tokens, r.kept_tokens, r.cleaned_fp)
+            for r in strip_dup_spans(spark).collect()
+        }
+        assert got == want
+        # the planted copies were actually stripped, the owners kept
+        assert got[1][1] >= k + 4 and got[3][1] >= k and got[5][1] >= 2 * k
+        assert got[0][1] == 0 and got[2][1] == 0 and got[4][1] == 0
+        # and DuckDB agrees on the same corpus (oracle parity on planted data)
+        from torchfusion_spark.operators.dedup import strip_dup_spans_sql
+
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM '{d}/documents.parquet'"
+        )
+        duck = {
+            r[0]: (r[1], r[2], r[3], r[4])
+            for r in con.execute(strip_dup_spans_sql("duck")).fetchall()
+        }
+        assert duck == want
+    finally:
+        spark._tf_tables_loaded = None
+        load_tables(spark, tables)

@@ -141,6 +141,10 @@ _EXPECTED_AT_SCALE = {
     # sides grow with the corpus (the dup set is corpus-wide duplicated
     # grams); SMJ on the gram hash IS the 100 TB plan — broadcast of the
     # dup relation only fits at small sf (AQE picks it there)
+    "corpus_strip_dup_spans": {"sort_merge_join"},  # same class as
+    # dedup_substring: grams ⋈ owner-grams, token-stream ANTI covered
+    # positions, and base ⋈ rebuilt-text are all both-sides-corpus-scale
+    # joins on (doc_id, pos) keys — SMJ is the plan you want at 100 TB
     "sim_cosine_near_dup_lsh": {"sort_merge_join"},  # bucket self-join
     "text_dup_gram_fraction": {"sort_merge_join"},   # gram self-join
     "q3_shipping_priority": {"sort_merge_join"},   # lineitem ⋈ orders

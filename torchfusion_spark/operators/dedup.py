@@ -960,6 +960,110 @@ def dedup_substring(spark, k: int = SUBSTRING_K):
     return spark.sql(substring_body_sql("spark", _staged_substring_grams(spark, k), k))
 
 
+def strip_dup_spans_body_sql(d: str, grams_rel: str, k: int = SUBSTRING_K) -> str:
+    """The ACTION step of exact-substring dedup (the public suffix-array
+    method's second half): produce the deduplicated corpus, not just the
+    span report. Every token covered by a duplicated k-gram is removed
+    from all but the gram's EARLIEST document (owner = MIN(doc_id)),
+    which keeps exactly one occurrence of each duplicated substring
+    corpus-wide — the earliest — and emits per doc the before/removed/
+    kept token counts plus a portable fingerprint of the reconstructed
+    (lower-cased, single-space) cleaned text.
+
+    Scale shape — linear like the span reporter: ownership is one
+    map-combinable MIN/MAX aggregate per gram hash (never doc pairs);
+    `foreign` is each non-owner occurrence joined back on the same gram
+    hash; coverage explodes k positions per foreign gram (O(k ×
+    occurrences)); the anti-join removes covered tokens with one
+    (doc_id, tpos) shuffle; reconstruction is a per-doc aggregate whose
+    groups are doc-sized. A hot boilerplate gram in a billion docs costs
+    its occurrences, never C(df, 2). No DISTINCT on coverage — the
+    anti-join is existence-based, so overlapping grams covering the same
+    token are free.
+
+    Tokenization is the gram relation's own (lower + single-space
+    split), so coverage positions and token positions can never drift."""
+    toks = G.split_ws("lower(text)", d)
+    tok_at = G.elem_at("toks", "tpos", d)
+    n_toks = G.arr_size("toks", d)
+    tok_pos = G.seq("1", "n", d)
+    cover_pos = G.seq("pos", f"pos + {k - 1}", d)
+    if d == "spark":
+        tok_explode = f"LATERAL VIEW explode({tok_pos}) AS tpos"
+        cover_explode = f"LATERAL VIEW explode({cover_pos}) AS tpos"
+        anti = "LEFT ANTI JOIN covered c ON t.doc_id = c.doc_id AND t.tpos = c.tpos"
+        where_kept = ""
+        rebuild = (
+            "array_join(transform(array_sort(collect_list(struct(tpos, tok))), "
+            "x -> x.tok), ' ')"
+        )
+    else:
+        tok_explode = f", UNNEST({tok_pos}) AS u(tpos)"
+        cover_explode = f", UNNEST({cover_pos}) AS u(tpos)"
+        anti = ""
+        where_kept = (
+            "WHERE NOT EXISTS (SELECT 1 FROM covered c "
+            "WHERE c.doc_id = t.doc_id AND c.tpos = t.tpos)"
+        )
+        rebuild = "string_agg(tok, ' ' ORDER BY tpos)"
+    mat = "MATERIALIZED " if d == "duck" else ""
+    return f"""
+    WITH own AS {mat}(
+        SELECT hx, MIN(doc_id) AS owner
+        FROM {grams_rel} GROUP BY hx HAVING MIN(doc_id) <> MAX(doc_id)
+    ),
+    foreign_grams AS (
+        SELECT g.doc_id, g.pos FROM {grams_rel} g
+        JOIN own ON g.hx = own.hx AND g.doc_id > own.owner
+    ),
+    covered AS (
+        SELECT doc_id, CAST(tpos AS BIGINT) AS tpos FROM foreign_grams {cover_explode}
+    ),
+    base AS (
+        SELECT doc_id, toks, CAST(n AS BIGINT) AS n FROM (
+            SELECT doc_id, toks, {n_toks} AS n
+            FROM (SELECT doc_id, {toks} AS toks FROM documents))
+    ),
+    tok AS (
+        SELECT doc_id, CAST(tpos AS BIGINT) AS tpos, {tok_at} AS tok
+        FROM base {tok_explode}
+    ),
+    kept AS (
+        SELECT t.doc_id, t.tpos, t.tok FROM tok t {anti} {where_kept}
+    ),
+    agg AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS kept_tokens,
+               {rebuild} AS cleaned
+        FROM kept GROUP BY doc_id
+    )
+    SELECT b.doc_id,
+           b.n AS n_tokens,
+           b.n - COALESCE(a.kept_tokens, 0) AS removed_tokens,
+           COALESCE(a.kept_tokens, 0) AS kept_tokens,
+           {G.hash56("COALESCE(a.cleaned, '')", d)} AS cleaned_fp
+    FROM base b LEFT JOIN agg a ON b.doc_id = a.doc_id
+    ORDER BY b.doc_id
+    """
+
+
+def strip_dup_spans_sql(d: str, k: int = SUBSTRING_K) -> str:
+    """Relational (oracle) composition: positional grams inline."""
+    mat = "MATERIALIZED " if d == "duck" else ""
+    body = strip_dup_spans_body_sql(d, "grams", k)
+    return body.replace(
+        "WITH own AS",
+        f"WITH grams AS {mat}({substring_grams_sql(d, k)}),\n    own AS",
+        1,
+    )
+
+
+def strip_dup_spans(spark, k: int = SUBSTRING_K):
+    """Spark path: staged positional grams, then the shared body SQL."""
+    return spark.sql(
+        strip_dup_spans_body_sql("spark", _staged_substring_grams(spark, k), k)
+    )
+
+
 _CANON_SELECT = """
     SELECT component,
            CAST(n_members AS BIGINT) AS n_members,

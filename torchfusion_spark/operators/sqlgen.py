@@ -118,6 +118,11 @@ def elem(arr: str, i: int, d: str) -> str:
     return f"element_at({arr}, {i})" if d == "spark" else f"{arr}[{i}]"
 
 
+def elem_at(arr: str, idx: str, d: str) -> str:
+    """1-based element access by a dynamic index expression."""
+    return f"element_at({arr}, CAST({idx} AS INT))" if d == "spark" else f"{arr}[{idx}]"
+
+
 def regex_count(expr: str, pattern: str, d: str) -> str:
     if d == "spark":
         return f"size(regexp_extract_all({expr}, '{pattern}', 0))"

@@ -123,6 +123,18 @@ _sql_pair(
     textstats.text_quality_sql,
     "length/punct/stopword/digit ratios + composite quality score",
 )
+@query(
+    "corpus_strip_dup_spans",
+    dedup.strip_dup_spans_sql("duck"),
+    doc="exact-substring dedup ACTION step: remove every duplicated span "
+    "from all but its earliest document (gram-owner = MIN(doc_id)), emit "
+    "per-doc before/removed/kept token counts + cleaned-text fingerprint; "
+    "linear in gram occurrences, never doc-pairwise",
+)
+def corpus_strip_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.strip_dup_spans(spark)
+
+
 _sql_pair(
     "corpus_source_filter",
     textstats.source_filter_sql,
