@@ -88,6 +88,9 @@ HEADLINE = [
     # round-7 addition: the substring-dedup ACTION step (strip duplicated
     # spans, keep the earliest occurrence, rebuild the cleaned corpus)
     "corpus_strip_dup_spans",
+    # round-7 addition: span-level benchmark decontamination (drop the
+    # quote, keep the doc) — shares the strip/rebuild tail
+    "text_decontaminate_spans",
 ]
 
 # Streaming witnesses carry round-over-round timing accountability but are

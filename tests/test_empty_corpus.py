@@ -70,6 +70,7 @@ DOC_OPS = [
     "pipeline_corpus_clean",
     "corpus_source_filter",
     "corpus_strip_dup_spans",
+    "text_decontaminate_spans",
 ]
 EMB_OPS = [
     "sim_cosine_topk",

@@ -1076,3 +1076,94 @@ def test_strip_dup_spans_matches_python(spark, tables, tmp_path):
     finally:
         spark._tf_tables_loaded = None
         load_tables(spark, tables)
+
+
+def test_decontaminate_spans_matches_python(spark, tables, tmp_path):
+    """Span-level decontamination on a corpus with a PLANTED benchmark
+    quote: docs quoting the benchmark item lose exactly the quoted
+    tokens, everything else survives, benchmark docs are excluded —
+    recomputed exactly in Python and cross-checked against DuckDB."""
+    import hashlib
+
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from torchfusion_spark.operators.dedup import SUBSTRING_K
+    from torchfusion_spark.operators.textstats import (
+        decontaminate_spans,
+        decontaminate_spans_sql,
+    )
+    from torchfusion_spark.sources import load_tables
+
+    k = SUBSTRING_K
+    quote = " ".join(f"q{i}" for i in range(k + 2))  # 10-token benchmark item
+    docs = [
+        (0, f"benchmark item {quote} end"),  # doc_id % 50 == 0: the suite
+        (1, f"prose before {quote} prose after"),  # quotes it: loses the quote
+        (2, "entirely clean document with enough words here"),  # untouched
+        (3, f"{quote}"),  # is ONLY the quote: fully stripped
+        (4, "tiny"),  # < k tokens: untouched
+    ]
+    d = tmp_path / "decon"
+    d.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([i for i, _ in docs], pa.int64()),
+                "text": pa.array([t for _, t in docs]),
+                "lang": pa.array(["en"] * len(docs)),
+                "source": pa.array(["s"] * len(docs)),
+                "n_chars": pa.array([len(t) for _, t in docs], pa.int64()),
+            }
+        ),
+        d / "documents.parquet",
+    )
+    for t in ("region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "embeddings"):
+        pq.write_table(
+            pq.read_table(f"{tables}/{t}.parquet").slice(0, 1), str(d / f"{t}.parquet")
+        )
+
+    # exact Python recompute
+    toks = {i: t.lower().split(" ") for i, t in docs}
+    bench_grams = set()
+    for i, tk in toks.items():
+        if i % 50 == 0:
+            for p in range(len(tk) - k + 1):
+                bench_grams.add(" ".join(tk[p : p + k]))
+    want = {}
+    for i, tk in toks.items():
+        if i % 50 == 0:
+            continue
+        removed = set()
+        for p in range(len(tk) - k + 1):
+            if " ".join(tk[p : p + k]) in bench_grams:
+                removed.update(range(p, p + k))
+        kept = [t for j, t in enumerate(tk) if j not in removed]
+        cleaned = " ".join(kept)
+        fp = int(hashlib.md5(cleaned.encode()).hexdigest()[:14], 16)
+        want[i] = (len(tk), len(tk) - len(kept), len(kept), fp)
+
+    spark._tf_tables_loaded = None
+    load_tables(spark, str(d))
+    try:
+        got = {
+            r.doc_id: (r.n_tokens, r.removed_tokens, r.kept_tokens, r.cleaned_fp)
+            for r in decontaminate_spans(spark).collect()
+        }
+        assert got == want
+        assert 0 not in got  # the benchmark doc is excluded
+        assert got[1][1] >= k + 2 and got[1][3] > 0  # quote gone, prose kept
+        assert got[3][1] == got[3][0] and got[3][2] == 0  # all-quote doc fully stripped
+        assert got[2][1] == 0 and got[4][1] == 0  # clean/short docs untouched
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW documents AS SELECT * FROM '{d}/documents.parquet'")
+        duck = {
+            r[0]: (r[1], r[2], r[3], r[4])
+            for r in con.execute(decontaminate_spans_sql("duck")).fetchall()
+        }
+        assert duck == want
+    finally:
+        spark._tf_tables_loaded = None
+        load_tables(spark, tables)

@@ -145,6 +145,9 @@ _EXPECTED_AT_SCALE = {
     # dedup_substring: grams ⋈ owner-grams, token-stream ANTI covered
     # positions, and base ⋈ rebuilt-text are all both-sides-corpus-scale
     # joins on (doc_id, pos) keys — SMJ is the plan you want at 100 TB
+    "text_decontaminate_spans": {"sort_merge_join"},  # shares the strip
+    # tail: the token-stream ANTI join and base ⋈ rebuilt-text grow with
+    # the corpus on both sides (the benchmark probe side stays broadcast)
     "sim_cosine_near_dup_lsh": {"sort_merge_join"},  # bucket self-join
     "text_dup_gram_fraction": {"sort_merge_join"},   # gram self-join
     "q3_shipping_priority": {"sort_merge_join"},   # lineitem ⋈ orders

@@ -983,6 +983,30 @@ def strip_dup_spans_body_sql(d: str, grams_rel: str, k: int = SUBSTRING_K) -> st
 
     Tokenization is the gram relation's own (lower + single-space
     split), so coverage positions and token positions can never drift."""
+    mat = "MATERIALIZED " if d == "duck" else ""
+    return f"""
+    WITH own AS {mat}(
+        SELECT hx, MIN(doc_id) AS owner
+        FROM {grams_rel} GROUP BY hx HAVING MIN(doc_id) <> MAX(doc_id)
+    ),
+    foreign_grams AS (
+        SELECT g.doc_id, g.pos FROM {grams_rel} g
+        JOIN own ON g.hx = own.hx AND g.doc_id > own.owner
+    ),
+    {_strip_tail_sql(d, k)}
+    """
+
+
+def _strip_tail_sql(d: str, k: int, base_where: str = "") -> str:
+    """The shared strip-and-rebuild tail: given a ``foreign_grams``
+    (doc_id, pos) CTE of gram occurrences whose spans must go, explode
+    their k-token coverage, anti-join it out of the positional token
+    stream, and rebuild each doc's cleaned text with counts + portable
+    fingerprint. ONE spelling shared by :func:`strip_dup_spans_body_sql`
+    (foreign = non-earliest duplicated grams) and
+    ``textstats.decontaminate_spans_sql`` (foreign = benchmark-matching
+    grams), so the two action-step operators can never drift on
+    tokenization, coverage arithmetic, or reconstruction."""
     toks = G.split_ws("lower(text)", d)
     tok_at = G.elem_at("toks", "tpos", d)
     n_toks = G.arr_size("toks", d)
@@ -1006,23 +1030,13 @@ def strip_dup_spans_body_sql(d: str, grams_rel: str, k: int = SUBSTRING_K) -> st
             "WHERE c.doc_id = t.doc_id AND c.tpos = t.tpos)"
         )
         rebuild = "string_agg(tok, ' ' ORDER BY tpos)"
-    mat = "MATERIALIZED " if d == "duck" else ""
-    return f"""
-    WITH own AS {mat}(
-        SELECT hx, MIN(doc_id) AS owner
-        FROM {grams_rel} GROUP BY hx HAVING MIN(doc_id) <> MAX(doc_id)
-    ),
-    foreign_grams AS (
-        SELECT g.doc_id, g.pos FROM {grams_rel} g
-        JOIN own ON g.hx = own.hx AND g.doc_id > own.owner
-    ),
-    covered AS (
+    return f"""covered AS (
         SELECT doc_id, CAST(tpos AS BIGINT) AS tpos FROM foreign_grams {cover_explode}
     ),
     base AS (
         SELECT doc_id, toks, CAST(n AS BIGINT) AS n FROM (
             SELECT doc_id, toks, {n_toks} AS n
-            FROM (SELECT doc_id, {toks} AS toks FROM documents))
+            FROM (SELECT doc_id, {toks} AS toks FROM documents {base_where}))
     ),
     tok AS (
         SELECT doc_id, CAST(tpos AS BIGINT) AS tpos, {tok_at} AS tok
@@ -1042,8 +1056,7 @@ def strip_dup_spans_body_sql(d: str, grams_rel: str, k: int = SUBSTRING_K) -> st
            COALESCE(a.kept_tokens, 0) AS kept_tokens,
            {G.hash56("COALESCE(a.cleaned, '')", d)} AS cleaned_fp
     FROM base b LEFT JOIN agg a ON b.doc_id = a.doc_id
-    ORDER BY b.doc_id
-    """
+    ORDER BY b.doc_id"""
 
 
 def strip_dup_spans_sql(d: str, k: int = SUBSTRING_K) -> str:

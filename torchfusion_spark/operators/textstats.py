@@ -450,6 +450,62 @@ def bloom_fold_sql(d: str, bench_rel: str) -> str:
     return f"SELECT w, CAST(bit_or(mask) AS BIGINT) AS bits FROM ({probes}) GROUP BY w"
 
 
+def decontaminate_spans_sql(d: str, grams_rel: str | None = None) -> str:
+    """Span-level benchmark decontamination — the surgical variant of
+    ``decontaminate_sql``: instead of FLAGGING whole corpus docs that
+    overlap the benchmark suite, strip exactly the overlapping spans
+    (every token covered by a positional word-8-gram whose hash appears
+    in a benchmark doc) and rebuild the cleaned text, keeping the rest
+    of the document. The standard move when a long document contains one
+    quoted benchmark item: drop the quote, keep the doc.
+
+    Benchmark set = the deterministic ``doc_id % 50 = 0`` slice (same
+    stand-in convention as the doc-level decontaminate ops); benchmark
+    docs themselves are excluded from the output. The strip/rebuild tail
+    is ``dedup._strip_tail_sql`` — the SAME spelling as
+    ``corpus_strip_dup_spans`` — so the two action-step operators cannot
+    drift on tokenization, coverage arithmetic, or reconstruction.
+
+    Scale shape: the benchmark gram-hash set is tiny and fixed →
+    broadcast side of the probe join; corpus positional grams stream
+    through one equi-join on the gram hash; thereafter identical to the
+    substring strip (existence anti-join + doc-sized rebuild groups). At
+    100 TB the benchmark set is built once and persisted, like the Bloom
+    filter relation."""
+    from torchfusion_spark.operators import dedup
+
+    k = dedup.SUBSTRING_K
+    gs = grams_rel or "grams"
+    inline = (
+        ""
+        if grams_rel
+        else (
+            f"grams AS {'MATERIALIZED ' if d == 'duck' else ''}"
+            f"({dedup.substring_grams_sql(d, k)}),\n    "
+        )
+    )
+    return f"""
+    WITH {inline}bench AS (
+        SELECT DISTINCT hx FROM {gs} WHERE doc_id % 50 = 0
+    ),
+    foreign_grams AS (
+        SELECT g.doc_id, g.pos FROM {gs} g
+        JOIN bench ON g.hx = bench.hx
+        WHERE g.doc_id % 50 <> 0
+    ),
+    {dedup._strip_tail_sql(d, k, base_where="WHERE doc_id % 50 <> 0")}
+    """
+
+
+def decontaminate_spans(spark):
+    """Spark path: session-staged positional grams, shared tail SQL."""
+    from torchfusion_spark.operators import dedup
+
+    return spark.sql(
+        decontaminate_spans_sql("spark", dedup._staged_substring_grams(spark))
+    )
+
+
 def _staged_bloom(spark) -> tuple[str, str]:
     """Stage the benchmark-hash set and its Bloom filter once per
     (session, loaded tables) — the 100 TB deployment shape: the filter

@@ -135,6 +135,18 @@ def corpus_strip_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.strip_dup_spans(spark)
 
 
+@query(
+    "text_decontaminate_spans",
+    textstats.decontaminate_spans_sql("duck"),
+    doc="span-level benchmark decontamination: strip exactly the benchmark-"
+    "overlapping spans (positional 8-gram coverage) from corpus docs and "
+    "rebuild the cleaned text — drop the quote, keep the doc; shares the "
+    "strip/rebuild tail with corpus_strip_dup_spans",
+)
+def text_decontaminate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.decontaminate_spans(spark)
+
+
 _sql_pair(
     "corpus_source_filter",
     textstats.source_filter_sql,

@@ -14,18 +14,18 @@ name is cumulatively green on the current testdata vintage, so the weakest
 evidence is now (a) the one NEW query with no row at all and (b) the 49
 names whose *latest* green row is r03 -- the oldest current-vintage
 certifications:
-1. ranks 1-47: r03-latest names, cheap-first (scalar-function / join /
+1. ranks 1-46: r03-latest names, cheap-first (scalar-function / join /
    set-op / agg / window witnesses lead; events and text close the
    block) so a *time*-capped run still re-certifies the maximum number
    of stale rows;
-2. ranks 48-50: the round-7 additions (``dedup_substring``,
-   ``corpus_source_filter``, ``corpus_strip_dup_spans``) -- no
-   CORRECTNESS row at all, so they outrank stale-but-cumulatively-green
-   re-certs for budget slots;
-3. ranks 51-52: ``stream_windowed_counts`` / ``dedup_minhash_lsh`` --
-   the r03-latest names displaced by the newcomers (still cumulatively
-   green; rotate back round 8);
-4. ranks 53+: the r04 greens, then r05, then r06 (freshest evidence
+2. ranks 47-50: the round-7 additions (``dedup_substring``,
+   ``corpus_source_filter``, ``corpus_strip_dup_spans``,
+   ``text_decontaminate_spans``) -- no CORRECTNESS row at all, so they
+   outrank stale-but-cumulatively-green re-certs for budget slots;
+3. ranks 51-53: ``text_token_count`` / ``stream_windowed_counts`` /
+   ``dedup_minhash_lsh`` -- the r03-latest names displaced by the
+   newcomers (still cumulatively green; rotate back round 8);
+4. ranks 54+: the r04 greens, then r05, then r06 (freshest evidence
    last), cheap-first within each block with the expensive dedup
    pipelines at the very end.
 
@@ -36,7 +36,7 @@ else (bench.py, tools/verify_local.py, tests).
 from __future__ import annotations
 
 PRIORITY: list[str] = [
-    # -- ranks 1-49: r03-latest re-certifications (cheap-first) --
+    # -- ranks 1-46: r03-latest re-certifications (cheap-first) --
     "fn_time_bucket",
     "fn_string_extras",
     "fn_string_regex_hash",
@@ -83,16 +83,17 @@ PRIORITY: list[str] = [
     "events_funnel",
     "events_retention",
     "text_lang_id",
-    "text_token_count",
-    # -- ranks 48-50: the round-7 additions, no CORRECTNESS row yet --
+    # -- ranks 47-50: the round-7 additions, no CORRECTNESS row yet --
     "dedup_substring",
     "corpus_source_filter",
     "corpus_strip_dup_spans",
-    # -- ranks 51-52: r03-latest re-certs displaced by the newcomers
+    "text_decontaminate_spans",
+    # -- ranks 51-53: r03-latest re-certs displaced by the newcomers
     # (cumulatively green, so they cede their budget slots; rotate back r8) --
+    "text_token_count",
     "stream_windowed_counts",
     "dedup_minhash_lsh",
-    # -- ranks 53+: r04 greens (cheap-first) --
+    # -- ranks 54+: r04 greens (cheap-first) --
     "q3_shipping_priority",
     "q10_returned_items",
     "q11_important_stock",
