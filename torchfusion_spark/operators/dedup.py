@@ -153,22 +153,23 @@ def minhash_lsh(spark, threshold: float = 0.6):
     after ``minhash_lsh`` in gate order, and recomputing the one expensive
     pass (shingle + md5 + fold) would double its cost for nothing. The key
     follows ``load_tables``' memo, so switching sf_dir rebuilds."""
-    from torchfusion_spark.session import staged_cache
+    from torchfusion_spark.session import memo_lock, staged_cache
 
     key = getattr(spark, "_tf_tables_loaded", None)
-    if getattr(spark, "_tf_minhash_sig_key", object()) != key:
-        # derive from the SESSION-STAGED hashed-shingle relation shared
-        # with containment/decontaminate — the shingle+md5 pass is the
-        # dominant cost of every shingle-based operator and previously ran
-        # a second time here over a private docs view
-        sig = staged_cache(
-            spark,
-            "minhash_sig",
-            spark.sql(sig_rel_sql("spark", _staged_hx(spark))),
-        )
-        sig.count()  # materialize before the self-join races both sides into the fill
-        sig.createOrReplaceTempView("__minhash_sig")
-        spark._tf_minhash_sig_key = key
+    with memo_lock(spark, "minhash_sig"):
+        if getattr(spark, "_tf_minhash_sig_key", object()) != key:
+            # derive from the SESSION-STAGED hashed-shingle relation shared
+            # with containment/decontaminate — the shingle+md5 pass is the
+            # dominant cost of every shingle-based operator and previously ran
+            # a second time here over a private docs view
+            sig = staged_cache(
+                spark,
+                "minhash_sig",
+                spark.sql(sig_rel_sql("spark", _staged_hx(spark))),
+            )
+            sig.count()  # materialize before the self-join races both sides into the fill
+            sig.createOrReplaceTempView("__minhash_sig")
+            spark._tf_minhash_sig_key = key
     return spark.sql(minhash_body_sql("spark", "__minhash_sig", threshold))
 
 
@@ -181,19 +182,27 @@ def _staged_docs(spark):
     pass is CPU-bound (at cluster scale the input already has enough
     splits and this shuffle is a no-op-sized rebalance).
 
-    Memoized per (session, loaded tables) and lock-guarded: the parallel
-    bench prewarm runs ``_staged_hx`` and ``_staged_substring_grams``
-    concurrently and both prep the docs view — without the memo each
-    pays the fan-out count() job and both write the same
-    ``__dedup_docs`` slot (benign only while the two definitions stay
-    byte-identical; a silent last-writer-wins race the moment one
-    diverges)."""
+    Memoized per (session, loaded tables, SEMANTIC PLAN of the live
+    ``documents`` view) and lock-guarded: the parallel bench prewarm
+    runs ``_staged_hx`` and ``_staged_substring_grams`` concurrently and
+    both prep the docs view — without the memo each pays the fan-out
+    count() job and both write the same ``__dedup_docs`` slot. The
+    semantic-hash component invalidates the memo when a caller swaps
+    the ``documents`` view DIRECTLY (the established pattern in the
+    property/differential tests) without bumping
+    ``spark._tf_tables_loaded`` — a tables-key-only memo would silently
+    serve the PREVIOUS corpus to every downstream consumer (code-review
+    r07)."""
     from torchfusion_spark.session import cpu_fanout
 
-    key = getattr(spark, "_tf_tables_loaded", None)
+    docs = spark.table("documents")
+    try:
+        key = (getattr(spark, "_tf_tables_loaded", None), docs.semanticHash())
+    except Exception:  # noqa: BLE001 — unknown plan identity → always rebuild
+        key = object()
     with _DOCS_LOCK:
         if getattr(spark, "_tf_dedup_docs_key", object()) != key:
-            cpu_fanout(spark.table("documents")).createOrReplaceTempView("__dedup_docs")
+            cpu_fanout(docs).createOrReplaceTempView("__dedup_docs")
             spark._tf_dedup_docs_key = key
     return "__dedup_docs"
 
@@ -206,16 +215,17 @@ def _staged_hx(spark) -> str:
     sides — Catalyst inlines CTEs, so without staging the md5 pass runs
     per reference. Memoized the same way as the MinHash signature memo
     (keyed by load_tables' key, so switching sf_dir rebuilds)."""
-    from torchfusion_spark.session import staged_cache
+    from torchfusion_spark.session import memo_lock, staged_cache
 
     key = getattr(spark, "_tf_tables_loaded", None)
-    if getattr(spark, "_tf_hx_key", object()) != key:
-        hx = staged_cache(
-            spark, "tf_hx", spark.sql(hashed_shingle_sql("spark", rel=_staged_docs(spark)))
-        )
-        hx.count()
-        hx.createOrReplaceTempView("__tf_hx")
-        spark._tf_hx_key = key
+    with memo_lock(spark, "hx"):
+        if getattr(spark, "_tf_hx_key", object()) != key:
+            hx = staged_cache(
+                spark, "tf_hx", spark.sql(hashed_shingle_sql("spark", rel=_staged_docs(spark)))
+            )
+            hx.count()
+            hx.createOrReplaceTempView("__tf_hx")
+            spark._tf_hx_key = key
     return "__tf_hx"
 
 
@@ -313,18 +323,19 @@ def _staged_simhash_sig(spark, bits: int = 32) -> str:
     tables, bits) — memoized like the MinHash signature so the banded
     join and the cap-stats observer share one per-token hash + bit-vote
     pass instead of each re-running it."""
-    from torchfusion_spark.session import staged_cache
+    from torchfusion_spark.session import memo_lock, staged_cache
 
     key = (getattr(spark, "_tf_tables_loaded", None), bits)
-    if getattr(spark, "_tf_simhash_sig_key", object()) != key:
-        s = staged_cache(
-            spark,
-            "simhash_sig",
-            spark.sql(simhash_sig_sql("spark", rel=_staged_docs(spark), bits=bits)),
-        )
-        s.count()
-        s.createOrReplaceTempView("__simhash_sig")
-        spark._tf_simhash_sig_key = key
+    with memo_lock(spark, "simhash_sig"):
+        if getattr(spark, "_tf_simhash_sig_key", object()) != key:
+            s = staged_cache(
+                spark,
+                "simhash_sig",
+                spark.sql(simhash_sig_sql("spark", rel=_staged_docs(spark), bits=bits)),
+            )
+            s.count()
+            s.createOrReplaceTempView("__simhash_sig")
+            spark._tf_simhash_sig_key = key
     return "__simhash_sig"
 
 
@@ -446,7 +457,7 @@ def ngram_jaccard_sql(d: str, n: int = 5, threshold: float = 0.7) -> str:
 
 
 def ngram_jaccard(spark, n: int = 5, threshold: float = 0.7):
-    from torchfusion_spark.session import staged_cache
+    from torchfusion_spark.session import memo_lock, staged_cache
 
     g = staged_cache(
         spark, "ngram_blocks", spark.sql(ngram_blocks_sql("spark", rel=_staged_docs(spark), n=n))
@@ -601,23 +612,24 @@ def minhash_clusters(spark, threshold: float = 0.6):
     tables, threshold) like the signature relation: the canonical-
     selection pipeline runs right after the clusters query in gate order
     and would otherwise repeat the whole iterative CC loop."""
-    from torchfusion_spark.session import release_staged_group, staged_cache
+    from torchfusion_spark.session import memo_lock, release_staged_group, staged_cache
 
     key = (getattr(spark, "_tf_tables_loaded", None), threshold)
-    if getattr(spark, "_tf_clusters_key", object()) != key:
-        cc = connected_components(minhash_lsh(spark, threshold))
-        labels = staged_cache(spark, "minhash_clusters", cc)
-        labels.count()
-        # the cached labels now hold the data — THIS call's CC edge/label
-        # checkpoint scratch is dead weight. Release only the nonce-scoped
-        # group (ADVICE r04): a bare "cc_" release would unpersist a
-        # concurrent connected_components call's live localCheckpoint
-        # blocks mid-loop, which lineage truncation makes unrecoverable.
-        nonce = getattr(cc, "_tf_cc_nonce", None)
-        if nonce is not None:
-            release_staged_group(spark, f"cc_{nonce}_")
-        labels.createOrReplaceTempView("__minhash_clusters")
-        spark._tf_clusters_key = key
+    with memo_lock(spark, "minhash_clusters"):
+        if getattr(spark, "_tf_clusters_key", object()) != key:
+            cc = connected_components(minhash_lsh(spark, threshold))
+            labels = staged_cache(spark, "minhash_clusters", cc)
+            labels.count()
+            # the cached labels now hold the data — THIS call's CC edge/label
+            # checkpoint scratch is dead weight. Release only the nonce-scoped
+            # group (ADVICE r04): a bare "cc_" release would unpersist a
+            # concurrent connected_components call's live localCheckpoint
+            # blocks mid-loop, which lineage truncation makes unrecoverable.
+            nonce = getattr(cc, "_tf_cc_nonce", None)
+            if nonce is not None:
+                release_staged_group(spark, f"cc_{nonce}_")
+            labels.createOrReplaceTempView("__minhash_clusters")
+            spark._tf_clusters_key = key
     return spark.table("__minhash_clusters")
 
 
@@ -808,39 +820,40 @@ def _staged_containment(spark, max_df: int = CONTAIN_MAX_DF) -> tuple[str, str]:
     ``containment``) and ``__contain_sizes`` (doc_id, n — cache; derived
     from the SAME pruned exploded pass so the df-prune can never drift
     between the index and the denominator)."""
-    from torchfusion_spark.session import staged_cache, staged_checkpoint
+    from torchfusion_spark.session import memo_lock, staged_cache, staged_checkpoint
 
     key = (getattr(spark, "_tf_tables_loaded", None), max_df)
-    if getattr(spark, "_tf_contain_key", object()) != key:
-        hx = _staged_hx(spark)
-        grouped = staged_checkpoint(
-            spark,
-            "contain_sh",
-            spark.sql(
-                f"""
-                WITH exploded AS ({containment_exploded_spark_sql(hx)}),
-                stop AS ({containment_stop_body_sql("exploded", max_df)})
-                SELECT e.h, collect_list(e.doc_id) AS docs
-                FROM exploded e LEFT ANTI JOIN stop s ON e.h = s.h
-                GROUP BY e.h
-                """
-            ),
-        )
-        grouped.createOrReplaceTempView("__contain_sh")
-        sizes = staged_cache(
-            spark,
-            "contain_sizes",
-            spark.sql(
-                """
-                SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
-                FROM __contain_sh LATERAL VIEW explode(docs) AS doc_id
-                GROUP BY doc_id
-                """
-            ),
-        )
-        sizes.count()
-        sizes.createOrReplaceTempView("__contain_sizes")
-        spark._tf_contain_key = key
+    with memo_lock(spark, "containment"):
+        if getattr(spark, "_tf_contain_key", object()) != key:
+            hx = _staged_hx(spark)
+            grouped = staged_checkpoint(
+                spark,
+                "contain_sh",
+                spark.sql(
+                    f"""
+                    WITH exploded AS ({containment_exploded_spark_sql(hx)}),
+                    stop AS ({containment_stop_body_sql("exploded", max_df)})
+                    SELECT e.h, collect_list(e.doc_id) AS docs
+                    FROM exploded e LEFT ANTI JOIN stop s ON e.h = s.h
+                    GROUP BY e.h
+                    """
+                ),
+            )
+            grouped.createOrReplaceTempView("__contain_sh")
+            sizes = staged_cache(
+                spark,
+                "contain_sizes",
+                spark.sql(
+                    """
+                    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
+                    FROM __contain_sh LATERAL VIEW explode(docs) AS doc_id
+                    GROUP BY doc_id
+                    """
+                ),
+            )
+            sizes.count()
+            sizes.createOrReplaceTempView("__contain_sizes")
+            spark._tf_contain_key = key
     return "__contain_sh", "__contain_sizes"
 
 
@@ -940,18 +953,19 @@ def _staged_substring_grams(spark, k: int = SUBSTRING_K) -> str:
     the plan references it on both the aggregate and the join side, and
     Catalyst inlines CTEs — without staging the tokenize+md5 pass runs
     twice (same discipline as ``_staged_hx``; param-scoped on k)."""
-    from torchfusion_spark.session import staged_cache
+    from torchfusion_spark.session import memo_lock, staged_cache
 
     key = (getattr(spark, "_tf_tables_loaded", None), k)
-    if getattr(spark, "_tf_subgram_key", object()) != key:
-        g = staged_cache(
-            spark,
-            "tf_subgrams",
-            spark.sql(substring_grams_sql("spark", k, rel=_staged_docs(spark))),
-        )
-        g.count()
-        g.createOrReplaceTempView("__tf_subgrams")
-        spark._tf_subgram_key = key
+    with memo_lock(spark, "subgrams"):
+        if getattr(spark, "_tf_subgram_key", object()) != key:
+            g = staged_cache(
+                spark,
+                "tf_subgrams",
+                spark.sql(substring_grams_sql("spark", k, rel=_staged_docs(spark))),
+            )
+            g.count()
+            g.createOrReplaceTempView("__tf_subgrams")
+            spark._tf_subgram_key = key
     return "__tf_subgrams"
 
 
@@ -960,7 +974,9 @@ def dedup_substring(spark, k: int = SUBSTRING_K):
     return spark.sql(substring_body_sql("spark", _staged_substring_grams(spark, k), k))
 
 
-def strip_dup_spans_body_sql(d: str, grams_rel: str, k: int = SUBSTRING_K) -> str:
+def strip_dup_spans_body_sql(
+    d: str, grams_rel: str, k: int = SUBSTRING_K, docs_rel: str = "documents"
+) -> str:
     """The ACTION step of exact-substring dedup (the public suffix-array
     method's second half): produce the deduplicated corpus, not just the
     span report. Every token covered by a duplicated k-gram is removed
@@ -993,11 +1009,13 @@ def strip_dup_spans_body_sql(d: str, grams_rel: str, k: int = SUBSTRING_K) -> st
         SELECT g.doc_id, g.pos FROM {grams_rel} g
         JOIN own ON g.hx = own.hx AND g.doc_id > own.owner
     ),
-    {_strip_tail_sql(d, k)}
+    {_strip_tail_sql(d, k, docs_rel=docs_rel)}
     """
 
 
-def _strip_tail_sql(d: str, k: int, base_where: str = "") -> str:
+def _strip_tail_sql(
+    d: str, k: int, base_where: str = "", docs_rel: str = "documents"
+) -> str:
     """The shared strip-and-rebuild tail: given a ``foreign_grams``
     (doc_id, pos) CTE of gram occurrences whose spans must go, explode
     their k-token coverage, anti-join it out of the positional token
@@ -1006,11 +1024,19 @@ def _strip_tail_sql(d: str, k: int, base_where: str = "") -> str:
     (foreign = non-earliest duplicated grams) and
     ``textstats.decontaminate_spans_sql`` (foreign = benchmark-matching
     grams), so the two action-step operators can never drift on
-    tokenization, coverage arithmetic, or reconstruction."""
+    tokenization, coverage arithmetic, or reconstruction.
+
+    Scan split (code-review r07): only the HEAVY pass — the per-token
+    explode + element_at, O(total corpus tokens) — reads ``docs_rel``
+    (the Spark builders pass the staged fanned-out docs view so the
+    CPU-bound pass never runs on one parquet split); the LIGHT per-doc
+    token-count relation reads the raw table. Catalyst inlines view
+    references, so routing BOTH through the fan-out view would run its
+    repartition shuffle twice per query."""
     toks = G.split_ws("lower(text)", d)
     tok_at = G.elem_at("toks", "tpos", d)
     n_toks = G.arr_size("toks", d)
-    tok_pos = G.seq("1", "n", d)
+    tok_pos = G.seq("1", n_toks, d)
     cover_pos = G.seq("pos", f"pos + {k - 1}", d)
     if d == "spark":
         tok_explode = f"LATERAL VIEW explode({tok_pos}) AS tpos"
@@ -1034,13 +1060,12 @@ def _strip_tail_sql(d: str, k: int, base_where: str = "") -> str:
         SELECT doc_id, CAST(tpos AS BIGINT) AS tpos FROM foreign_grams {cover_explode}
     ),
     base AS (
-        SELECT doc_id, toks, CAST(n AS BIGINT) AS n FROM (
-            SELECT doc_id, toks, {n_toks} AS n
-            FROM (SELECT doc_id, {toks} AS toks FROM documents {base_where}))
+        SELECT doc_id, CAST({n_toks} AS BIGINT) AS n
+        FROM (SELECT doc_id, {toks} AS toks FROM documents {base_where})
     ),
     tok AS (
         SELECT doc_id, CAST(tpos AS BIGINT) AS tpos, {tok_at} AS tok
-        FROM base {tok_explode}
+        FROM (SELECT doc_id, {toks} AS toks FROM {docs_rel} {base_where}) {tok_explode}
     ),
     kept AS (
         SELECT t.doc_id, t.tpos, t.tok FROM tok t {anti} {where_kept}
@@ -1071,9 +1096,14 @@ def strip_dup_spans_sql(d: str, k: int = SUBSTRING_K) -> str:
 
 
 def strip_dup_spans(spark, k: int = SUBSTRING_K):
-    """Spark path: staged positional grams, then the shared body SQL."""
+    """Spark path: staged positional grams, then the shared body SQL; the
+    token scan reads the staged fanned-out docs view — the per-token
+    explode is CPU-bound and a single parquet split would pin it to one
+    core (code-review r07)."""
     return spark.sql(
-        strip_dup_spans_body_sql("spark", _staged_substring_grams(spark, k), k)
+        strip_dup_spans_body_sql(
+            "spark", _staged_substring_grams(spark, k), k, docs_rel=_staged_docs(spark)
+        )
     )
 
 
@@ -1172,7 +1202,7 @@ def dedup_incremental(spark, new_rel: str, path: str, threshold: float = 0.6):
     This is the production dedup shape: the full-corpus LSH runs once
     (`build_minhash_index`), every subsequent ingest batch is an
     incremental probe."""
-    from torchfusion_spark.session import staged_cache
+    from torchfusion_spark.session import memo_lock, staged_cache
 
     new_sig = staged_cache(
         spark, "mhinc_sig", spark.sql(sig_rel_sql("spark", f"({hashed_shingle_sql('spark', rel=new_rel)})"))

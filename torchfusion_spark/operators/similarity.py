@@ -57,15 +57,16 @@ def _staged_norms(spark):
     Memoized per (session, loaded tables) — five registry queries stage
     the identical relation back-to-back in gate order (same pattern as
     the minhash signature memo)."""
-    from torchfusion_spark.session import cpu_fanout, staged_cache
+    from torchfusion_spark.session import cpu_fanout, memo_lock, staged_cache
 
     key = getattr(spark, "_tf_tables_loaded", None)
-    if getattr(spark, "_tf_sim_norms_key", object()) != key:
-        cpu_fanout(spark.table("embeddings")).createOrReplaceTempView("__sim_emb")
-        n = staged_cache(spark, "sim_norms", spark.sql(norm_cte("spark", "__sim_emb")))
-        n.count()  # materialize before multi-sided reuse
-        n.createOrReplaceTempView("__sim_norms")
-        spark._tf_sim_norms_key = key
+    with memo_lock(spark, "sim_norms"):
+        if getattr(spark, "_tf_sim_norms_key", object()) != key:
+            cpu_fanout(spark.table("embeddings")).createOrReplaceTempView("__sim_emb")
+            n = staged_cache(spark, "sim_norms", spark.sql(norm_cte("spark", "__sim_emb")))
+            n.count()  # materialize before multi-sided reuse
+            n.createOrReplaceTempView("__sim_norms")
+            spark._tf_sim_norms_key = key
     return "__sim_norms"
 
 

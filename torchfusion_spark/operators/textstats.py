@@ -450,7 +450,9 @@ def bloom_fold_sql(d: str, bench_rel: str) -> str:
     return f"SELECT w, CAST(bit_or(mask) AS BIGINT) AS bits FROM ({probes}) GROUP BY w"
 
 
-def decontaminate_spans_sql(d: str, grams_rel: str | None = None) -> str:
+def decontaminate_spans_sql(
+    d: str, grams_rel: str | None = None, docs_rel: str = "documents"
+) -> str:
     """Span-level benchmark decontamination — the surgical variant of
     ``decontaminate_sql``: instead of FLAGGING whole corpus docs that
     overlap the benchmark suite, strip exactly the overlapping spans
@@ -493,7 +495,7 @@ def decontaminate_spans_sql(d: str, grams_rel: str | None = None) -> str:
         JOIN bench ON g.hx = bench.hx
         WHERE g.doc_id % 50 <> 0
     ),
-    {dedup._strip_tail_sql(d, k, base_where="WHERE doc_id % 50 <> 0")}
+    {dedup._strip_tail_sql(d, k, base_where="WHERE doc_id % 50 <> 0", docs_rel=docs_rel)}
     """
 
 
@@ -502,7 +504,11 @@ def decontaminate_spans(spark):
     from torchfusion_spark.operators import dedup
 
     return spark.sql(
-        decontaminate_spans_sql("spark", dedup._staged_substring_grams(spark))
+        decontaminate_spans_sql(
+            "spark",
+            dedup._staged_substring_grams(spark),
+            docs_rel=dedup._staged_docs(spark),
+        )
     )
 
 
@@ -513,27 +519,28 @@ def _staged_bloom(spark) -> tuple[str, str]:
     persisted while the corpus-side probe runs per batch. Memo discipline
     identical to ``dedup._staged_hx``. Returns (bench_view, bloom_view)."""
     from torchfusion_spark.operators import dedup
-    from torchfusion_spark.session import staged_cache
+    from torchfusion_spark.session import memo_lock, staged_cache
 
     key = getattr(spark, "_tf_tables_loaded", None)
-    if getattr(spark, "_tf_bloom_key", object()) != key:
-        hx = dedup._staged_hx(spark)
-        bench = staged_cache(
-            spark,
-            "tf_bench_h",
-            spark.sql(
-                f"SELECT DISTINCT h FROM {hx} LATERAL VIEW explode(hx) AS h "
-                f"WHERE doc_id % 50 = 0"
-            ),
-        )
-        bench.count()
-        bench.createOrReplaceTempView("__tf_bench_h")
-        bloom = staged_cache(
-            spark, "tf_bloom", spark.sql(bloom_fold_sql("spark", "__tf_bench_h"))
-        )
-        bloom.count()
-        bloom.createOrReplaceTempView("__tf_bloom")
-        spark._tf_bloom_key = key
+    with memo_lock(spark, "bloom"):
+        if getattr(spark, "_tf_bloom_key", object()) != key:
+            hx = dedup._staged_hx(spark)
+            bench = staged_cache(
+                spark,
+                "tf_bench_h",
+                spark.sql(
+                    f"SELECT DISTINCT h FROM {hx} LATERAL VIEW explode(hx) AS h "
+                    f"WHERE doc_id % 50 = 0"
+                ),
+            )
+            bench.count()
+            bench.createOrReplaceTempView("__tf_bench_h")
+            bloom = staged_cache(
+                spark, "tf_bloom", spark.sql(bloom_fold_sql("spark", "__tf_bench_h"))
+            )
+            bloom.count()
+            bloom.createOrReplaceTempView("__tf_bloom")
+            spark._tf_bloom_key = key
     return "__tf_bench_h", "__tf_bloom"
 
 

@@ -48,15 +48,16 @@ def staged_cache(spark, slot: str, df):
     DataFrame first. Returns the cached (not yet materialized) DataFrame.
     """
     pool = spark.__dict__.setdefault("_tf_staged_pool", {})
-    prev = pool.get(slot)
-    if prev is not None:
-        try:
-            prev.unpersist()
-        except Exception:  # noqa: BLE001 — release is best-effort
-            pass
-    cached = df.cache()
-    pool[slot] = cached
-    return cached
+    with _slot_lock(spark, slot):
+        prev = pool.get(slot)
+        if prev is not None:
+            try:
+                prev.unpersist()
+            except Exception:  # noqa: BLE001 — release is best-effort
+                pass
+        cached = df.cache()
+        pool[slot] = cached
+        return cached
 
 
 def staged_checkpoint(spark, slot: str, df):
@@ -75,6 +76,11 @@ def staged_checkpoint(spark, slot: str, df):
     truncates lineage, so an iterative builder whose round N+1 plan reads
     round N's blocks would lose data under release-first."""
     pool = spark.__dict__.setdefault("_tf_ck_pool", {})
+    with _slot_lock(spark, slot):
+        return _staged_checkpoint_locked(spark, pool, slot, df)
+
+
+def _staged_checkpoint_locked(spark, pool, slot, df):
     with _ck_pool_lock(spark):
         prev = pool.get(slot)
     ck = df.localCheckpoint()
@@ -117,14 +123,40 @@ def _protected_nonces(spark, keep_nonce: int | None) -> set[int]:
     (one thread cannot have two in-flight iterative builders)."""
     live = {t.ident for t in threading.enumerate()}
     me = threading.get_ident()
-    out = {
-        n
-        for tid, n in spark.__dict__.get("_tf_thread_nonces", {}).items()
-        if tid != me and tid in live
-    }
+    # snapshot under the same lock staging_nonce inserts with — a first
+    # nonce issued to a NEW thread mid-iteration is a dict resize, the
+    # same race class as the _tf_ck_pool sweep (code-review r07)
+    with _STAGING_NONCE_LOCK:
+        items = list(spark.__dict__.get("_tf_thread_nonces", {}).items())
+    out = {n for tid, n in items if tid != me and tid in live}
     if keep_nonce is not None:
         out.add(keep_nonce)
     return out
+
+
+def _slot_lock(spark, slot: str) -> threading.Lock:
+    """Per-slot lock serializing the whole read-prev → build → store
+    sequence of :func:`staged_cache` / :func:`staged_checkpoint`. The
+    pool lock alone only protects the dict operations: two threads
+    staging the SAME slot concurrently would both read the same ``prev``
+    (double unpersist) and the loser's checkpoint blocks would leak when
+    the winner overwrites the pool entry — the unbounded-executor-storage
+    class the slot pool exists to prevent (code-review r07). Distinct
+    slots never contend, so the parallel prewarm keeps its concurrency."""
+    with _ck_pool_lock(spark):
+        locks = spark.__dict__.setdefault("_tf_slot_locks", {})
+        return locks.setdefault(slot, threading.Lock())
+
+
+def memo_lock(spark, name: str) -> threading.Lock:
+    """Named per-session lock for a staged-builder memo's check-then-act
+    (``_staged_hx``, ``_staged_containment``, …): a user query racing the
+    parallel bench prewarm through an unguarded memo would double-build
+    the relation and double-stage the slot. Builder dependency order is
+    acyclic (containment → hx → docs), so nested acquisition cannot
+    deadlock. Backed by the same per-session lock registry as
+    :func:`_slot_lock`, under a ``memo:`` namespace."""
+    return _slot_lock(spark, f"memo:{name}")
 
 
 def _ck_pool_lock(spark) -> threading.Lock:
