@@ -91,6 +91,10 @@ HEADLINE = [
     # round-7 addition: span-level benchmark decontamination (drop the
     # quote, keep the doc) — shares the strip/rebuild tail
     "text_decontaminate_spans",
+    # round-7 additions: BM25 keyword retrieval + CCNet-style LM quality
+    # scoring — both read the session-staged unigram-tf relation
+    "text_bm25_topk",
+    "text_lm_perplexity",
 ]
 
 # Streaming witnesses carry round-over-round timing accountability but are
@@ -166,15 +170,16 @@ def main() -> None:
             minhash_clusters,
         )
         from torchfusion_spark.operators.similarity import _staged_norms
-        from torchfusion_spark.operators.textstats import _staged_bloom
+        from torchfusion_spark.operators.textstats import _staged_bloom, _staged_unigrams
 
-        # Dependency-aware parallel build (round-7): the six staged
+        # Dependency-aware parallel build (round-7): the staged
         # relations are independent Spark jobs apart from the shared
         # hashed-shingle relation (__tf_hx feeds minhash/containment/
-        # bloom). Phase 1 overlaps the three roots — the shingle+md5
-        # pass, the embedding norms and the positional grams scan
-        # different columns and the local[32] scheduler interleaves
-        # their tasks; phase 2 overlaps the three hx consumers. Safe
+        # bloom). Phase 1 overlaps the four roots — the shingle+md5
+        # pass, the embedding norms, the positional grams and the
+        # unigram term-frequency pass scan different columns and the
+        # local[32] scheduler interleaves their tasks; phase 2 overlaps
+        # the three hx consumers. Safe
         # concurrently: each builder runs exactly once here and writes
         # a distinct staged_cache slot / memo attribute, so no two
         # threads ever race on the same slot. Sequential wall was
@@ -188,6 +193,7 @@ def main() -> None:
                 pool.submit(_staged_hx, spark),  # shared shingle+md5 relation
                 pool.submit(_staged_norms, spark),  # __sim_norms
                 pool.submit(_staged_substring_grams, spark),  # positional grams
+                pool.submit(_staged_unigrams, spark),  # BM25/LM term freqs
             ]
             roots[0].result()  # hx must land before its three consumers
             deps = [

@@ -69,6 +69,8 @@ DOC_OPS = [
     "corpus_shuffle_shards",
     "pipeline_corpus_clean",
     "corpus_source_filter",
+    "text_bm25_topk",
+    "text_lm_perplexity",
     "corpus_strip_dup_spans",
     "text_decontaminate_spans",
 ]

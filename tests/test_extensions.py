@@ -1167,3 +1167,136 @@ def test_decontaminate_spans_matches_python(spark, tables, tmp_path):
     finally:
         spark._tf_tables_loaded = None
         load_tables(spark, tables)
+
+
+def test_bm25_topk_matches_python(spark, tables):
+    """BM25: recompute the full Okapi scoring in Python (same 9dp term
+    rounding, exact integer idf/length arithmetic) and compare the
+    per-query rankings and scores."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from torchfusion_spark.operators.textstats import (
+        BM25_QUERIES,
+        BM25_TOP_K,
+        _staged_unigrams,
+        bm25_topk_sql,
+    )
+
+    def r9(x: float) -> Decimal:
+        return Decimal(repr(x)).quantize(Decimal("0.000000001"), ROUND_HALF_UP)
+
+    docs = spark.table("documents").select("doc_id", "text").collect()
+    tf: dict[tuple[int, str], int] = {}
+    dl: dict[int, int] = {}
+    for row in docs:
+        toks = row.text.lower().split(" ")
+        dl[row.doc_id] = len(toks)
+        for t in toks:
+            tf[(row.doc_id, t)] = tf.get((row.doc_id, t), 0) + 1
+    n_docs = len(dl)
+    tot = sum(dl.values())
+    df: dict[str, int] = {}
+    for (_, t) in tf:
+        df[t] = df.get(t, 0) + 1
+
+    k1, b = 1.2, 0.75
+    want: dict[int, list[tuple[int, float, int]]] = {}
+    queries: dict[int, list[str]] = {}
+    for q, t in BM25_QUERIES:
+        queries.setdefault(q, []).append(t)
+    for q, terms in queries.items():
+        scores: dict[int, tuple[Decimal, int]] = {}
+        for term in terms:
+            if term not in df:
+                continue
+            idf = math.log(1.0 + (n_docs - df[term] + 0.5) / (df[term] + 0.5))
+            for d, n_tok in dl.items():
+                f = tf.get((d, term))
+                if not f:
+                    continue
+                s = idf * (f * (k1 + 1)) / (f + k1 * (1 - b + b * (n_tok * n_docs / tot)))
+                prev = scores.get(d, (Decimal(0), 0))
+                scores[d] = (prev[0] + r9(s), prev[1] + 1)
+        ranked = sorted(scores.items(), key=lambda kv: (-kv[1][0], kv[0]))
+        want[q] = [(d, float(s), m) for d, (s, m) in ranked[:BM25_TOP_K]]
+
+    got = spark.sql(
+        bm25_topk_sql("spark", tf_rel=_staged_unigrams(spark))
+    ).collect()
+    by_q: dict[int, list] = {}
+    for r in got:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert set(by_q) == set(want)
+    for q, rows in by_q.items():
+        assert [r.doc_id for r in rows] == [d for d, _, _ in want[q]], q
+        for r, (_, s, m) in zip(rows, want[q]):
+            assert r.n_matched == m
+            assert abs(r.bm25 - s) < 2e-6
+    # the ranking must actually discriminate (not all-equal scores)
+    top = by_q[1]
+    assert top[0].bm25 > top[-1].bm25
+
+
+def test_lm_perplexity_matches_python(spark, tables):
+    """CCNet-style scoring: recompute the add-one unigram LM, per-doc
+    avg negative log-prob, perplexity and the per-language NTILE(3)
+    buckets in Python."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from torchfusion_spark.operators.textstats import _staged_unigrams, lm_perplexity_sql
+
+    def r9(x: float) -> Decimal:
+        return Decimal(repr(x)).quantize(Decimal("0.000000001"), ROUND_HALF_UP)
+
+    docs = spark.table("documents").select("doc_id", "lang", "text").collect()
+    tf: dict[int, dict[str, int]] = {}
+    lang: dict[int, str] = {}
+    corpus: dict[str, int] = {}
+    for row in docs:
+        toks = row.text.lower().split(" ")
+        lang[row.doc_id] = row.lang
+        per = tf.setdefault(row.doc_id, {})
+        for t in toks:
+            per[t] = per.get(t, 0) + 1
+            corpus[t] = corpus.get(t, 0) + 1
+    t_tokens, v_size = sum(corpus.values()), len(corpus)
+
+    per_doc = {}
+    for d, per in tf.items():
+        lp = sum((r9(f * math.log((corpus[t] + 1.0) / (t_tokens + v_size))) for t, f in per.items()), Decimal(0))
+        n = sum(per.values())
+        avg_nll = -float(lp) / n
+        per_doc[d] = (n, round(avg_nll, 6), round(math.exp(avg_nll), 4))
+
+    # NTILE(3) per language ordered by (avg_nll, doc_id): first (n mod 3)
+    # buckets take the extra row
+    buckets = {}
+    by_lang: dict[str, list[int]] = {}
+    for d in per_doc:
+        by_lang.setdefault(lang[d], []).append(d)
+    for members in by_lang.values():
+        members.sort(key=lambda d: (per_doc[d][1], d))
+        n = len(members)
+        base, extra = divmod(n, 3)
+        sizes = [base + (1 if i < extra else 0) for i in range(3)]
+        i = 0
+        for b_i, size in enumerate(sizes):
+            for d in members[i : i + size]:
+                buckets[d] = ["head", "middle", "tail"][b_i]
+            i += size
+
+    got = spark.sql(
+        lm_perplexity_sql("spark", tf_rel=_staged_unigrams(spark))
+    ).collect()
+    assert len(got) == len(per_doc)
+    for r in got:
+        n, avg_nll, ppl = per_doc[r.doc_id]
+        assert r.lang == lang[r.doc_id]
+        assert r.n_tokens == n
+        assert abs(r.avg_nll - avg_nll) < 2e-6
+        assert abs(r.ppl - ppl) < 2e-3
+        assert r.ppl_bucket == buckets[r.doc_id], r.doc_id
+    # buckets must discriminate per language
+    assert {r.ppl_bucket for r in got} == {"head", "middle", "tail"}

@@ -67,6 +67,11 @@ _EXPECTED = {
     # aggregate (|sources| rows) — a broadcast of a single row, the same
     # shape as a scalar subquery
     "corpus_source_filter": {"bnl_join"},
+    # same 1-row-stats cross-join shape: BM25's (n_docs, tot_tokens) and
+    # the LM's (t_tokens, v_size) corpus totals broadcast back as a
+    # single row onto the scored relation
+    "text_bm25_topk": {"bnl_join"},
+    "text_lm_perplexity": {"bnl_join"},
     "sim_kmeans": {"sort_merge_join", "bnl_join"},
     "sim_ivf_topk": {"sort_merge_join", "bnl_join"},
     "sim_semantic_dedup": {"sort_merge_join", "bnl_join"},

@@ -1020,3 +1020,188 @@ def mixture_plan_sql(d: str, budget: int = MIXTURE_BUDGET) -> str:
                  / available_tokens, 6) AS keep_rate
     FROM w ORDER BY source
     """
+
+
+# ---------------------------------------------------------------------------
+# BM25 keyword retrieval + unigram-LM perplexity (round 7)
+#
+# Two retrieval/quality operators a training-data team reaches for next
+# after dedup: BM25 keyword search over the corpus (targeted subset
+# selection / eyeballing — the Okapi BM25 formula, public knowledge) and
+# CCNet-style language-model quality scoring (Wenzek et al. 2019: score
+# every document under a corpus LM and bucket into head/middle/tail per
+# language; the perplexity filter that curated CCNet/RedPajama). Both
+# consume ONE shared per-doc term-frequency relation so the tokenize +
+# count pass — the only corpus-sized cost — is paid once per session.
+# ---------------------------------------------------------------------------
+
+BM25_K1 = "1.2"  # Okapi defaults
+BM25_B = "0.75"
+BM25_TOP_K = 10
+# fixed literal query set (terms drawn from the corpus vocabulary)
+BM25_QUERIES = [
+    (1, "hash"), (1, "join"),
+    (2, "vector"), (2, "scan"), (2, "merge"),
+    (3, "stream"), (3, "window"),
+    (4, "customer"), (4, "slow"), (4, "batch"),
+]
+
+
+def unigram_tf_sql(d: str, rel: str = "documents") -> str:
+    """The (doc_id, lang, tok, tf, n_tok) per-document term-frequency
+    relation both retrieval operators consume. Deliberately CTE-free
+    (nested subqueries) for the same cache-canonicalization reason as
+    ``dup_gram_exploded_sql``: a WITH inside a cached view gets its
+    CTERelationDef ids remapped on embedding and silently bypasses the
+    cache. ``lang`` rides along (functionally dependent on doc_id) so
+    the per-language perplexity buckets need no join back to the docs
+    table, and the per-doc length ``n_tok`` is a SUM window folded into
+    the staging build — BM25's length normalizer would otherwise pay a
+    corpus-sized doc_id exchange per query."""
+    toks = G.split_ws("lower(text)", d)
+    if d == "spark":
+        exploded = f"SELECT doc_id, lang, tok FROM (SELECT doc_id, lang, {toks} AS toks FROM {rel}) t LATERAL VIEW explode(toks) AS tok"
+    else:
+        exploded = f"SELECT doc_id, lang, UNNEST({toks}) AS tok FROM {rel}"
+    return f"""
+    SELECT doc_id, lang, tok, CAST(COUNT(*) AS BIGINT) AS tf,
+           CAST(SUM(COUNT(*)) OVER (PARTITION BY doc_id) AS BIGINT) AS n_tok
+    FROM ({exploded}) GROUP BY doc_id, lang, tok
+    """
+
+
+def _staged_unigrams(spark) -> str:
+    """Session-staged unigram-tf relation shared by ``text_bm25_topk``
+    and ``text_lm_perplexity`` (memo discipline identical to
+    ``dedup._staged_hx``: cache + temp view, keyed on load_tables' key,
+    memo-locked against the parallel bench prewarm; the tokenize scan
+    reads the fanned-out docs view so the CPU-bound explode never runs
+    on one parquet split)."""
+    from torchfusion_spark.operators import dedup
+    from torchfusion_spark.session import memo_lock, staged_cache
+
+    key = getattr(spark, "_tf_tables_loaded", None)
+    with memo_lock(spark, "unigrams"):
+        if getattr(spark, "_tf_unigram_key", object()) != key:
+            u = staged_cache(
+                spark,
+                "tf_unigrams",
+                spark.sql(unigram_tf_sql("spark", rel=dedup._staged_docs(spark))),
+            )
+            u.count()
+            u.createOrReplaceTempView("__tf_unigrams")
+            spark._tf_unigram_key = key
+    return "__tf_unigrams"
+
+
+def bm25_topk_sql(d: str, k: int = BM25_TOP_K, tf_rel: str | None = None) -> str:
+    """Okapi BM25 top-k retrieval for a fixed literal query set.
+
+    Shape: ONE corpus-sized shuffle builds the (doc, term, tf, n_tok)
+    relation (map-side combined; the doc-length window is folded into
+    the shared staging build); the per-term doc frequency is a vocab-sized
+    rollup joined onto the tiny literal query set and BROADCAST; corpus
+    totals (N, total tokens) are a 1-row relation cross-joined back (a
+    single-row broadcast, same shape as ``corpus_source_filter``'s).
+    Per-query top-k is the ``sim_cosine_topk`` window pattern — fine for
+    a handful of queries; a 10⁶-query workload would swap in a two-level
+    partial-TopK merge.
+
+    Determinism: idf and the length normalizer are pure double
+    arithmetic on exact integers (products < 2^53), per-term scores are
+    rounded to 9dp and summed as DECIMAL (the ``entropy_sql``
+    discipline), so cross-engine float accumulation order can never
+    flip a ranking."""
+    mat = "MATERIALIZED " if d == "duck" else ""
+    tf_body = tf_rel or f"{mat}({unigram_tf_sql(d)})"
+    tf_cte = f"tf AS {tf_body}," if tf_rel is None else ""
+    tfn = tf_rel or "tf"
+    vals = ", ".join(f"({q}, '{t}')" for q, t in BM25_QUERIES)
+    if d == "spark":
+        qsrc = f"SELECT * FROM VALUES {vals} AS t(query_id, term)"
+    else:
+        qsrc = f"SELECT * FROM (VALUES {vals}) t(query_id, term)"
+    hint = "/*+ BROADCAST(qdf) */ " if d == "spark" else ""
+    k1, b = BM25_K1, BM25_B
+    return f"""
+    WITH {tf_cte}
+    stats AS (
+        SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+               CAST(SUM(tf) AS BIGINT) AS tot_tokens
+        FROM {tfn}),
+    df AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM {tfn} GROUP BY tok),
+    q AS ({qsrc}),
+    qdf AS (
+        SELECT CAST(q.query_id AS BIGINT) AS query_id, q.term, df.df
+        FROM q JOIN df ON q.term = df.tok),
+    scored AS (
+        SELECT {hint}qdf.query_id, t.doc_id,
+               CAST(ROUND(
+                 ln(1.0 + (s.n_docs - qdf.df + 0.5) / (qdf.df + 0.5))
+                 * (t.tf * ({k1} + 1))
+                 / (t.tf + {k1} * (1 - {b} + {b} * (CAST(t.n_tok AS DOUBLE)
+                                                    * s.n_docs / s.tot_tokens))),
+                 9) AS DECIMAL(18,9)) AS s_term
+        FROM {tfn} t JOIN qdf ON t.tok = qdf.term CROSS JOIN stats s),
+    agg AS (
+        SELECT query_id, doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_matched,
+               SUM(s_term) AS score
+        FROM scored GROUP BY query_id, doc_id)
+    SELECT query_id, doc_id, n_matched,
+           ROUND(CAST(score AS DOUBLE), 6) AS bm25
+    FROM (
+        SELECT query_id, doc_id, n_matched, score,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY score DESC, doc_id) AS rn
+        FROM agg)
+    WHERE rn <= {k}
+    ORDER BY query_id, bm25 DESC, doc_id
+    """
+
+
+def lm_perplexity_sql(d: str, tf_rel: str | None = None) -> str:
+    """CCNet-style LM quality scoring (Wenzek et al. 2019, public): score
+    every document under an add-one-smoothed unigram LM trained on the
+    corpus itself, then bucket into head/middle/tail per language by
+    perplexity terciles — the curation signal CCNet/RedPajama filter on.
+
+    Shape: corpus unigram counts are a vocab-sized rollup of the shared
+    tf relation, BROADCAST onto it for the per-term log-probs; the
+    corpus totals are a 1-row cross join. Per-doc accumulation follows
+    the ``entropy_sql`` determinism discipline (terms rounded to 9dp,
+    summed as DECIMAL). The per-language tercile is an NTILE window with
+    a full (avg_nll, doc_id) tie-break — exact and deterministic; at
+    100 TB you'd swap the per-lang sort for the ``events_winsorize``
+    broadcast-quantile pattern and accept approximate cut points."""
+    mat = "MATERIALIZED " if d == "duck" else ""
+    tf_body = tf_rel or f"{mat}({unigram_tf_sql(d)})"
+    tf_cte = f"tf AS {tf_body}," if tf_rel is None else ""
+    tfn = tf_rel or "tf"
+    hint = "/*+ BROADCAST(uni) */ " if d == "spark" else ""
+    return f"""
+    WITH {tf_cte}
+    uni AS (SELECT tok, CAST(SUM(tf) AS BIGINT) AS cnt FROM {tfn} GROUP BY tok),
+    tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS t_tokens,
+                   CAST(COUNT(*) AS BIGINT) AS v_size FROM uni),
+    terms AS (
+        SELECT {hint}t.doc_id, t.lang, t.tf,
+               CAST(ROUND(t.tf * ln((uni.cnt + 1.0) / (tot.t_tokens + tot.v_size)),
+                          9) AS DECIMAL(18,9)) AS lp
+        FROM {tfn} t JOIN uni ON t.tok = uni.tok CROSS JOIN tot),
+    per_doc AS (
+        SELECT doc_id, lang,
+               CAST(SUM(tf) AS BIGINT) AS n_tokens,
+               SUM(lp) AS lp_sum
+        FROM terms GROUP BY doc_id, lang),
+    scored AS (
+        SELECT doc_id, lang, n_tokens,
+               ROUND(-CAST(lp_sum AS DOUBLE) / n_tokens, 6) AS avg_nll,
+               ROUND(exp(-CAST(lp_sum AS DOUBLE) / n_tokens), 4) AS ppl
+        FROM per_doc)
+    SELECT doc_id, lang, n_tokens, avg_nll, ppl,
+           CASE NTILE(3) OVER (PARTITION BY lang ORDER BY avg_nll, doc_id)
+                WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail'
+           END AS ppl_bucket
+    FROM scored ORDER BY doc_id
+    """

@@ -578,6 +578,38 @@ def text_dup_gram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark._tf_dupgram_key = key
     return spark.sql(textstats.dup_gram_fraction_sql("spark", e_rel="__dupgram_e"))
 
+@query(
+    "text_bm25_topk",
+    textstats.bm25_topk_sql("duck"),
+    doc="Okapi BM25 top-k retrieval for a fixed query set: one shared "
+    "per-doc term-frequency shuffle (staged — text_lm_perplexity reads "
+    "the same relation; the doc-length window is folded into the "
+    "staging build), vocab-sized df rollup broadcast with the literal "
+    "queries, 1-row corpus stats cross-joined; per-term scores rounded "
+    "to 9dp and summed as DECIMAL so accumulation order can never flip "
+    "a ranking",
+)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.sql(
+        textstats.bm25_topk_sql("spark", tf_rel=textstats._staged_unigrams(spark))
+    )
+
+
+@query(
+    "text_lm_perplexity",
+    textstats.lm_perplexity_sql("duck"),
+    doc="CCNet-style LM quality scoring: add-one-smoothed unigram LM "
+    "trained on the corpus itself, per-doc avg negative log-prob + "
+    "perplexity (entropy_sql's DECIMAL-sum determinism discipline), "
+    "head/middle/tail buckets by per-language NTILE terciles; unigram "
+    "counts broadcast onto the shared staged tf relation",
+)
+def text_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.sql(
+        textstats.lm_perplexity_sql("spark", tf_rel=textstats._staged_unigrams(spark))
+    )
+
+
 _sql_pair(
     "corpus_bpe_pairs",
     textstats.bpe_pairs_sql,

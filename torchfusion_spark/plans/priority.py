@@ -14,18 +14,20 @@ name is cumulatively green on the current testdata vintage, so the weakest
 evidence is now (a) the one NEW query with no row at all and (b) the 49
 names whose *latest* green row is r03 -- the oldest current-vintage
 certifications:
-1. ranks 1-46: r03-latest names, cheap-first (scalar-function / join /
-   set-op / agg / window witnesses lead; events and text close the
-   block) so a *time*-capped run still re-certifies the maximum number
-   of stale rows;
-2. ranks 47-50: the round-7 additions (``dedup_substring``,
+1. ranks 1-44: r03-latest names, cheap-first (scalar-function / join /
+   set-op / agg / window witnesses lead; events close the block) so a
+   *time*-capped run still re-certifies the maximum number of stale
+   rows;
+2. ranks 45-50: the round-7 additions (``dedup_substring``,
    ``corpus_source_filter``, ``corpus_strip_dup_spans``,
-   ``text_decontaminate_spans``) -- no CORRECTNESS row at all, so they
+   ``text_decontaminate_spans``, ``text_bm25_topk``,
+   ``text_lm_perplexity``) -- no CORRECTNESS row at all, so they
    outrank stale-but-cumulatively-green re-certs for budget slots;
-3. ranks 51-53: ``text_token_count`` / ``stream_windowed_counts`` /
+3. ranks 51-55: ``events_retention`` / ``text_lang_id`` /
+   ``text_token_count`` / ``stream_windowed_counts`` /
    ``dedup_minhash_lsh`` -- the r03-latest names displaced by the
    newcomers (still cumulatively green; rotate back round 8);
-4. ranks 54+: the r04 greens, then r05, then r06 (freshest evidence
+4. ranks 56+: the r04 greens, then r05, then r06 (freshest evidence
    last), cheap-first within each block with the expensive dedup
    pipelines at the very end.
 
@@ -81,15 +83,17 @@ PRIORITY: list[str] = [
     "events_range_join",
     "events_asof_join",
     "events_funnel",
-    "events_retention",
-    "text_lang_id",
-    # -- ranks 47-50: the round-7 additions, no CORRECTNESS row yet --
+    # -- ranks 45-50: the round-7 additions, no CORRECTNESS row yet --
     "dedup_substring",
     "corpus_source_filter",
     "corpus_strip_dup_spans",
     "text_decontaminate_spans",
-    # -- ranks 51-53: r03-latest re-certs displaced by the newcomers
+    "text_bm25_topk",
+    "text_lm_perplexity",
+    # -- ranks 51-55: r03-latest re-certs displaced by the newcomers
     # (cumulatively green, so they cede their budget slots; rotate back r8) --
+    "events_retention",
+    "text_lang_id",
     "text_token_count",
     "stream_windowed_counts",
     "dedup_minhash_lsh",
