@@ -95,6 +95,8 @@ HEADLINE = [
     # scoring — both read the session-staged unigram-tf relation
     "text_bm25_topk",
     "text_lm_perplexity",
+    # round-7 addition: DSIR importance weighting — same staged relation
+    "sample_dsir_importance",
 ]
 
 # Streaming witnesses carry round-over-round timing accountability but are

@@ -71,6 +71,7 @@ DOC_OPS = [
     "corpus_source_filter",
     "text_bm25_topk",
     "text_lm_perplexity",
+    "sample_dsir_importance",
     "corpus_strip_dup_spans",
     "text_decontaminate_spans",
 ]

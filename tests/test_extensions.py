@@ -1300,3 +1300,81 @@ def test_lm_perplexity_matches_python(spark, tables):
         assert r.ppl_bucket == buckets[r.doc_id], r.doc_id
     # buckets must discriminate per language
     assert {r.ppl_bucket for r in got} == {"head", "middle", "tail"}
+
+
+def test_dsir_importance_matches_python(spark, tables):
+    """DSIR weighting: recompute the hashed-bucket target/raw
+    log-likelihood-ratio weights, per-doc averages and the
+    deterministic quintile keep decision in Python."""
+    import hashlib
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from torchfusion_spark.operators.textstats import (
+        DSIR_BUCKETS,
+        _staged_unigrams,
+        dsir_importance_sql,
+    )
+
+    def r9(x: float) -> Decimal:
+        return Decimal(repr(x)).quantize(Decimal("0.000000001"), ROUND_HALF_UP)
+
+    def hb(tok: str) -> int:
+        return int(hashlib.md5(tok.encode()).hexdigest()[:14], 16) % DSIR_BUCKETS
+
+    docs = spark.table("documents").select("doc_id", "lang", "text").collect()
+    raw: dict[int, int] = {}
+    tgt: dict[int, int] = {}
+    per: dict[int, dict[str, int]] = {}
+    lang: dict[int, str] = {}
+    for row in docs:
+        toks = row.text.lower().split(" ")
+        lang[row.doc_id] = row.lang
+        tfd = per.setdefault(row.doc_id, {})
+        for t in toks:
+            tfd[t] = tfd.get(t, 0) + 1
+            b = hb(t)
+            raw[b] = raw.get(b, 0) + 1
+            if row.lang == "en":
+                tgt[b] = tgt.get(b, 0) + 1
+    r_tot, v = sum(raw.values()), len(raw)
+    t_tot = sum(tgt.values())
+
+    wt = {
+        b: math.log((tgt.get(b, 0) + 1.0) / (t_tot + v))
+        - math.log((raw[b] + 1.0) / (r_tot + v))
+        for b in raw
+    }
+    scored = {}
+    for d, tfd in per.items():
+        s = sum((r9(f * wt[hb(t)]) for t, f in tfd.items()), Decimal(0))
+        n = sum(tfd.values())
+        scored[d] = (n, round(float(s) / n, 6))
+
+    order = sorted(scored, key=lambda d: (-scored[d][1], d))
+    n = len(order)
+    base, extra = divmod(n, 5)
+    quintile = {}
+    i = 0
+    for q_i in range(5):
+        size = base + (1 if q_i < extra else 0)
+        for d in order[i : i + size]:
+            quintile[d] = q_i + 1
+        i += size
+
+    got = spark.sql(
+        dsir_importance_sql("spark", tf_rel=_staged_unigrams(spark))
+    ).collect()
+    assert len(got) == len(scored)
+    for r in got:
+        n, avg = scored[r.doc_id]
+        assert r.lang == lang[r.doc_id]
+        assert r.n_tokens == n
+        assert abs(r.avg_log_ratio - avg) < 2e-6
+        assert r.quintile == quintile[r.doc_id], r.doc_id
+        assert r.kept == (1 if quintile[r.doc_id] <= 2 else 0)
+    # the target slice must outrank on average: english docs should be
+    # overrepresented in the kept set vs their corpus share
+    kept_en = sum(1 for r in got if r.kept and r.lang == "en")
+    all_en = sum(1 for r in got if r.lang == "en")
+    assert kept_en / max(sum(r.kept for r in got), 1) > all_en / len(got)

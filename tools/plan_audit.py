@@ -72,6 +72,7 @@ _EXPECTED = {
     # single row onto the scored relation
     "text_bm25_topk": {"bnl_join"},
     "text_lm_perplexity": {"bnl_join"},
+    "sample_dsir_importance": {"bnl_join"},
     "sim_kmeans": {"sort_merge_join", "bnl_join"},
     "sim_ivf_topk": {"sort_merge_join", "bnl_join"},
     "sim_semantic_dedup": {"sort_merge_join", "bnl_join"},

@@ -1205,3 +1205,78 @@ def lm_perplexity_sql(d: str, tf_rel: str | None = None) -> str:
            END AS ppl_bucket
     FROM scored ORDER BY doc_id
     """
+
+
+DSIR_BUCKETS = 65_536  # hashed feature space — bounded at ANY corpus scale
+
+
+def dsir_importance_sql(
+    d: str, tf_rel: str | None = None, target_lang: str = "en",
+    buckets: int = DSIR_BUCKETS,
+) -> str:
+    """DSIR-style importance weighting (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling" — public method):
+    score every document by the average log-likelihood ratio of its
+    tokens under a TARGET distribution vs the RAW corpus distribution,
+    then bucket by quintile — the data-selection signal that up-weights
+    documents resembling the target domain. The target here is the
+    corpus's ``lang = '<target_lang>'`` slice (the "formal text" anchor
+    playing Wikipedia's role in the paper); the raw distribution is the
+    whole corpus. DSIR proper resamples with Gumbel noise; this
+    operator emits the deterministic ranking (quintile buckets +
+    top-40% keep flag) so the decision is exact and cross-engine
+    reproducible.
+
+    Faithful to the paper's HASHED n-gram features: tokens hash into a
+    fixed 65536-bucket space (portable md5-int56, the repo's
+    standard), so the weight relation is bounded at any corpus scale —
+    a raw-token vocabulary over 100 TB of web text (~10⁸+ types with
+    typos/URLs) would not be broadcastable, hashed buckets always are.
+    Per-term ratios follow the ``entropy_sql`` determinism discipline
+    (9dp DECIMAL sums); corpus totals are 1-row cross joins. The
+    global quintile is one NTILE sort — at 100 TB swap for the
+    ``events_winsorize`` broadcast-quantile pattern."""
+    mat = "MATERIALIZED " if d == "duck" else ""
+    tf_body = tf_rel or f"{mat}({unigram_tf_sql(d)})"
+    tf_cte = f"tf AS {tf_body}," if tf_rel is None else ""
+    tfn = tf_rel or "tf"
+    hb = f"{G.hash56('tok', d)} % {buckets}"
+    w_hint = "/*+ BROADCAST(w) */ " if d == "spark" else ""
+    t_hint = "/*+ BROADCAST(tgt) */ " if d == "spark" else ""
+    return f"""
+    WITH {tf_cte}
+    raw AS (SELECT {hb} AS hb, CAST(SUM(tf) AS BIGINT) AS rcnt
+            FROM {tfn} GROUP BY {hb}),
+    tgt AS (SELECT {hb} AS hb, CAST(SUM(tf) AS BIGINT) AS tcnt
+            FROM {tfn} WHERE lang = '{target_lang}' GROUP BY {hb}),
+    tot AS (SELECT CAST(SUM(rcnt) AS BIGINT) AS r_tot,
+                   CAST(COUNT(*) AS BIGINT) AS v_size FROM raw),
+    ttot AS (SELECT CAST(COALESCE(SUM(tcnt), 0) AS BIGINT) AS t_tot FROM tgt),
+    w AS (
+        SELECT {t_hint}raw.hb,
+               ln((COALESCE(tgt.tcnt, 0) + 1.0) / (ttot.t_tot + tot.v_size))
+               - ln((raw.rcnt + 1.0) / (tot.r_tot + tot.v_size)) AS wt
+        FROM raw LEFT JOIN tgt ON raw.hb = tgt.hb
+        CROSS JOIN tot CROSS JOIN ttot),
+    terms AS (
+        SELECT {w_hint}t.doc_id, t.lang, t.tf,
+               CAST(ROUND(t.tf * w.wt, 9) AS DECIMAL(18,9)) AS lw
+        FROM {tfn} t JOIN w ON {hb.replace('tok', 't.tok')} = w.hb),
+    per_doc AS (
+        SELECT doc_id, lang,
+               CAST(SUM(tf) AS BIGINT) AS n_tokens,
+               SUM(lw) AS lw_sum
+        FROM terms GROUP BY doc_id, lang),
+    scored AS (
+        SELECT doc_id, lang, n_tokens,
+               ROUND(CAST(lw_sum AS DOUBLE) / n_tokens, 6) AS avg_log_ratio
+        FROM per_doc)
+    SELECT doc_id, lang, n_tokens, avg_log_ratio,
+           CAST(q AS BIGINT) AS quintile,
+           CASE WHEN q <= 2 THEN 1 ELSE 0 END AS kept
+    FROM (
+        SELECT doc_id, lang, n_tokens, avg_log_ratio,
+               NTILE(5) OVER (ORDER BY avg_log_ratio DESC, doc_id) AS q
+        FROM scored)
+    ORDER BY doc_id
+    """

@@ -610,6 +610,24 @@ def text_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "sample_dsir_importance",
+    textstats.dsir_importance_sql("duck"),
+    doc="DSIR-style importance weighting (Xie et al. 2023, public): avg "
+    "per-token log-likelihood ratio of a target distribution (the "
+    "lang='en' slice) vs the raw corpus distribution over the paper's "
+    "hashed feature space (64Ki md5 buckets — bounded and broadcastable "
+    "at any corpus scale, unlike a raw web vocabulary), add-one "
+    "smoothed, 9dp-DECIMAL-summed; deterministic quintile buckets + "
+    "top-40% keep flag instead of the paper's Gumbel resampling; both "
+    "distribution tables roll up from the shared staged tf relation",
+)
+def sample_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.sql(
+        textstats.dsir_importance_sql("spark", tf_rel=textstats._staged_unigrams(spark))
+    )
+
+
 _sql_pair(
     "corpus_bpe_pairs",
     textstats.bpe_pairs_sql,

@@ -14,20 +14,22 @@ name is cumulatively green on the current testdata vintage, so the weakest
 evidence is now (a) the one NEW query with no row at all and (b) the 49
 names whose *latest* green row is r03 -- the oldest current-vintage
 certifications:
-1. ranks 1-44: r03-latest names, cheap-first (scalar-function / join /
+1. ranks 1-43: r03-latest names, cheap-first (scalar-function / join /
    set-op / agg / window witnesses lead; events close the block) so a
    *time*-capped run still re-certifies the maximum number of stale
    rows;
-2. ranks 45-50: the round-7 additions (``dedup_substring``,
+2. ranks 44-50: the round-7 additions (``dedup_substring``,
    ``corpus_source_filter``, ``corpus_strip_dup_spans``,
    ``text_decontaminate_spans``, ``text_bm25_topk``,
-   ``text_lm_perplexity``) -- no CORRECTNESS row at all, so they
-   outrank stale-but-cumulatively-green re-certs for budget slots;
-3. ranks 51-55: ``events_retention`` / ``text_lang_id`` /
-   ``text_token_count`` / ``stream_windowed_counts`` /
-   ``dedup_minhash_lsh`` -- the r03-latest names displaced by the
-   newcomers (still cumulatively green; rotate back round 8);
-4. ranks 56+: the r04 greens, then r05, then r06 (freshest evidence
+   ``text_lm_perplexity``, ``sample_dsir_importance``) -- no
+   CORRECTNESS row at all, so they outrank
+   stale-but-cumulatively-green re-certs for budget slots;
+3. ranks 51-56: ``events_funnel`` / ``events_retention`` /
+   ``text_lang_id`` / ``text_token_count`` /
+   ``stream_windowed_counts`` / ``dedup_minhash_lsh`` -- the
+   r03-latest names displaced by the newcomers (still cumulatively
+   green; rotate back round 8);
+4. ranks 57+: the r04 greens, then r05, then r06 (freshest evidence
    last), cheap-first within each block with the expensive dedup
    pipelines at the very end.
 
@@ -82,16 +84,17 @@ PRIORITY: list[str] = [
     "events_rollup_two_level",
     "events_range_join",
     "events_asof_join",
-    "events_funnel",
-    # -- ranks 45-50: the round-7 additions, no CORRECTNESS row yet --
+    # -- ranks 44-50: the round-7 additions, no CORRECTNESS row yet --
     "dedup_substring",
     "corpus_source_filter",
     "corpus_strip_dup_spans",
     "text_decontaminate_spans",
     "text_bm25_topk",
     "text_lm_perplexity",
-    # -- ranks 51-55: r03-latest re-certs displaced by the newcomers
+    "sample_dsir_importance",
+    # -- ranks 51-56: r03-latest re-certs displaced by the newcomers
     # (cumulatively green, so they cede their budget slots; rotate back r8) --
+    "events_funnel",
     "events_retention",
     "text_lang_id",
     "text_token_count",
