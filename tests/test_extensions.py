@@ -1378,3 +1378,59 @@ def test_dsir_importance_matches_python(spark, tables):
     kept_en = sum(1 for r in got if r.kept and r.lang == "en")
     all_en = sum(1 for r in got if r.lang == "en")
     assert kept_en / max(sum(r.kept for r in got), 1) > all_en / len(got)
+
+
+def test_view_swap_invalidates_derived_staged_memos(spark, tables):
+    """code-review r07 regression: every memo DERIVED from the docs view
+    (staged grams/unigrams/norms, not just __dedup_docs itself) must key
+    on the view's identity. Before the fix, staging on corpus A and then
+    swapping the documents view directly — the established property-test
+    pattern, which does NOT bump spark._tf_tables_loaded — memo-hit on
+    the tables key and served corpus A's cached grams to corpus B's
+    anti-join, silently mixing corpora in the span operators."""
+    from torchfusion_spark.operators import dedup, similarity, textstats
+
+    def corpus(dup_ids, filler):
+        run = " ".join(f"d{i}" for i in range(10))  # shared 10-token run
+        rows = []
+        for i in range(8):
+            text = run if i in dup_ids else " ".join(f"{filler}{i}_{j}" for j in range(12))
+            rows.append((i, "en", text))
+        return rows
+
+    orig_docs = spark.table("documents")
+    orig_emb = spark.table("embeddings")
+    try:
+        for dup_ids, filler in [((0, 1), "a"), ((5, 6), "b")]:
+            spark.createDataFrame(
+                corpus(dup_ids, filler), "doc_id bigint, lang string, text string"
+            ).createOrReplaceTempView("documents")
+            spans = spark.sql(
+                dedup.substring_body_sql(
+                    "spark", dedup._staged_substring_grams(spark), dedup.SUBSTRING_K
+                )
+            ).collect()
+            assert {r.doc_id for r in spans} == set(dup_ids), (dup_ids, spans)
+            # the strip path joins staged grams against the staged docs
+            # view — both must be on the same corpus generation
+            stripped = dedup.strip_dup_spans(spark).collect()
+            assert {r.doc_id for r in stripped if r.removed_tokens > 0} <= set(dup_ids)
+            # unigram memo (BM25/LM/DSIR side): tokens must come from the
+            # live corpus — filler tokens are disjoint between corpora
+            uni = spark.table(textstats._staged_unigrams(spark))
+            toks = {r.tok for r in uni.select("tok").distinct().collect()}
+            assert any(t.startswith(filler) for t in toks), filler
+            other = "b" if filler == "a" else "a"
+            assert not any(t.startswith(other) for t in toks)
+        # embeddings twin (similarity._emb_key): swapping the embeddings
+        # view must rebuild the norms relation
+        for n_vec in (6, 9):
+            spark.createDataFrame(
+                [(i, [float(i + 1), 1.0]) for i in range(n_vec)],
+                "vec_id bigint, embedding array<double>",
+            ).createOrReplaceTempView("embeddings")
+            norms = spark.table(similarity._staged_norms(spark))
+            assert norms.count() == n_vec
+    finally:
+        orig_docs.createOrReplaceTempView("documents")
+        orig_emb.createOrReplaceTempView("embeddings")

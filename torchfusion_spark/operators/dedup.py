@@ -152,10 +152,11 @@ def minhash_lsh(spark, threshold: float = 0.6):
     ``minhash_clusters`` runs the identical signature pipeline immediately
     after ``minhash_lsh`` in gate order, and recomputing the one expensive
     pass (shingle + md5 + fold) would double its cost for nothing. The key
-    follows ``load_tables``' memo, so switching sf_dir rebuilds."""
+    follows the docs-view identity, so switching sf_dir OR swapping the
+    view directly rebuilds."""
     from torchfusion_spark.session import memo_lock, staged_cache
 
-    key = getattr(spark, "_tf_tables_loaded", None)
+    key = _docs_key(spark)
     with memo_lock(spark, "minhash_sig"):
         if getattr(spark, "_tf_minhash_sig_key", object()) != key:
             # derive from the SESSION-STAGED hashed-shingle relation shared
@@ -174,6 +175,25 @@ def minhash_lsh(spark, threshold: float = 0.6):
 
 
 _DOCS_LOCK = threading.Lock()
+
+
+def _docs_key(spark):
+    """Identity of the live ``documents`` view for staged-memo keying:
+    (load_tables key, semantic plan hash of the view). EVERY memo derived
+    from the docs view keys on this, not the tables key alone — a caller
+    that swaps the view directly (the property-test pattern) invalidates
+    ``_staged_docs``, and a tables-key-only derived memo would keep
+    serving relations cached from the PREVIOUS corpus, silently mixing
+    corpora in downstream joins (code-review r07: the span operators'
+    anti-join would strip the new corpus with the old corpus's grams).
+    An un-analyzable view yields a fresh ``object()`` → always rebuild."""
+    try:
+        return (
+            getattr(spark, "_tf_tables_loaded", None),
+            spark.table("documents").semanticHash(),
+        )
+    except Exception:  # noqa: BLE001 — unknown plan identity → always rebuild
+        return object()
 
 
 def _staged_docs(spark):
@@ -195,14 +215,10 @@ def _staged_docs(spark):
     r07)."""
     from torchfusion_spark.session import cpu_fanout
 
-    docs = spark.table("documents")
-    try:
-        key = (getattr(spark, "_tf_tables_loaded", None), docs.semanticHash())
-    except Exception:  # noqa: BLE001 — unknown plan identity → always rebuild
-        key = object()
+    key = _docs_key(spark)
     with _DOCS_LOCK:
         if getattr(spark, "_tf_dedup_docs_key", object()) != key:
-            cpu_fanout(docs).createOrReplaceTempView("__dedup_docs")
+            cpu_fanout(spark.table("documents")).createOrReplaceTempView("__dedup_docs")
             spark._tf_dedup_docs_key = key
     return "__dedup_docs"
 
@@ -214,10 +230,11 @@ def _staged_hx(spark) -> str:
     variants), and each of their plans references it on two or more CTE
     sides — Catalyst inlines CTEs, so without staging the md5 pass runs
     per reference. Memoized the same way as the MinHash signature memo
-    (keyed by load_tables' key, so switching sf_dir rebuilds)."""
+    (keyed on the docs-view identity, so switching sf_dir or swapping
+    the view rebuilds)."""
     from torchfusion_spark.session import memo_lock, staged_cache
 
-    key = getattr(spark, "_tf_tables_loaded", None)
+    key = _docs_key(spark)
     with memo_lock(spark, "hx"):
         if getattr(spark, "_tf_hx_key", object()) != key:
             hx = staged_cache(
@@ -325,7 +342,7 @@ def _staged_simhash_sig(spark, bits: int = 32) -> str:
     pass instead of each re-running it."""
     from torchfusion_spark.session import memo_lock, staged_cache
 
-    key = (getattr(spark, "_tf_tables_loaded", None), bits)
+    key = (_docs_key(spark), bits)
     with memo_lock(spark, "simhash_sig"):
         if getattr(spark, "_tf_simhash_sig_key", object()) != key:
             s = staged_cache(
@@ -457,7 +474,7 @@ def ngram_jaccard_sql(d: str, n: int = 5, threshold: float = 0.7) -> str:
 
 
 def ngram_jaccard(spark, n: int = 5, threshold: float = 0.7):
-    from torchfusion_spark.session import memo_lock, staged_cache
+    from torchfusion_spark.session import staged_cache
 
     g = staged_cache(
         spark, "ngram_blocks", spark.sql(ngram_blocks_sql("spark", rel=_staged_docs(spark), n=n))
@@ -614,7 +631,7 @@ def minhash_clusters(spark, threshold: float = 0.6):
     and would otherwise repeat the whole iterative CC loop."""
     from torchfusion_spark.session import memo_lock, release_staged_group, staged_cache
 
-    key = (getattr(spark, "_tf_tables_loaded", None), threshold)
+    key = (_docs_key(spark), threshold)
     with memo_lock(spark, "minhash_clusters"):
         if getattr(spark, "_tf_clusters_key", object()) != key:
             cc = connected_components(minhash_lsh(spark, threshold))
@@ -822,7 +839,7 @@ def _staged_containment(spark, max_df: int = CONTAIN_MAX_DF) -> tuple[str, str]:
     between the index and the denominator)."""
     from torchfusion_spark.session import memo_lock, staged_cache, staged_checkpoint
 
-    key = (getattr(spark, "_tf_tables_loaded", None), max_df)
+    key = (_docs_key(spark), max_df)
     with memo_lock(spark, "containment"):
         if getattr(spark, "_tf_contain_key", object()) != key:
             hx = _staged_hx(spark)
@@ -955,7 +972,7 @@ def _staged_substring_grams(spark, k: int = SUBSTRING_K) -> str:
     twice (same discipline as ``_staged_hx``; param-scoped on k)."""
     from torchfusion_spark.session import memo_lock, staged_cache
 
-    key = (getattr(spark, "_tf_tables_loaded", None), k)
+    key = (_docs_key(spark), k)
     with memo_lock(spark, "subgrams"):
         if getattr(spark, "_tf_subgram_key", object()) != key:
             g = staged_cache(
@@ -1202,7 +1219,7 @@ def dedup_incremental(spark, new_rel: str, path: str, threshold: float = 0.6):
     This is the production dedup shape: the full-corpus LSH runs once
     (`build_minhash_index`), every subsequent ingest batch is an
     incremental probe."""
-    from torchfusion_spark.session import memo_lock, staged_cache
+    from torchfusion_spark.session import staged_cache
 
     new_sig = staged_cache(
         spark, "mhinc_sig", spark.sql(sig_rel_sql("spark", f"({hashed_shingle_sql('spark', rel=new_rel)})"))

@@ -50,16 +50,30 @@ def norm_cte(d: str, rel: str = "embeddings") -> str:
     )
 
 
+def _emb_key(spark):
+    """Identity of the live ``embeddings`` view for staged-memo keying —
+    the embeddings-side twin of ``dedup._docs_key`` (code-review r07): a
+    caller swapping the view directly must invalidate the norms memo, or
+    every similarity op silently joins against the previous corpus."""
+    try:
+        return (
+            getattr(spark, "_tf_tables_loaded", None),
+            spark.table("embeddings").semanticHash(),
+        )
+    except Exception:  # noqa: BLE001 — unknown plan identity → always rebuild
+        return object()
+
+
 def _staged_norms(spark):
     """Materialize norms once for Spark execution: the relation is used on
     both sides of every similarity join, and the source parquet is a
     single split — repartition for CPU parallelism, cache for reuse.
-    Memoized per (session, loaded tables) — five registry queries stage
-    the identical relation back-to-back in gate order (same pattern as
-    the minhash signature memo)."""
+    Memoized per (session, embeddings-view identity) — five registry
+    queries stage the identical relation back-to-back in gate order
+    (same pattern as the minhash signature memo)."""
     from torchfusion_spark.session import cpu_fanout, memo_lock, staged_cache
 
-    key = getattr(spark, "_tf_tables_loaded", None)
+    key = _emb_key(spark)
     with memo_lock(spark, "sim_norms"):
         if getattr(spark, "_tf_sim_norms_key", object()) != key:
             cpu_fanout(spark.table("embeddings")).createOrReplaceTempView("__sim_emb")

@@ -521,7 +521,7 @@ def _staged_bloom(spark) -> tuple[str, str]:
     from torchfusion_spark.operators import dedup
     from torchfusion_spark.session import memo_lock, staged_cache
 
-    key = getattr(spark, "_tf_tables_loaded", None)
+    key = dedup._docs_key(spark)
     with memo_lock(spark, "bloom"):
         if getattr(spark, "_tf_bloom_key", object()) != key:
             hx = dedup._staged_hx(spark)
@@ -1057,14 +1057,20 @@ def unigram_tf_sql(d: str, rel: str = "documents") -> str:
     the per-language perplexity buckets need no join back to the docs
     table, and the per-doc length ``n_tok`` is a SUM window folded into
     the staging build — BM25's length normalizer would otherwise pay a
-    corpus-sized doc_id exchange per query."""
+    corpus-sized doc_id exchange per query. The portable token hash
+    ``th`` is folded in the same way: DSIR references its hashed feature
+    bucket on three CTE sides (both distribution rollups + the terms
+    join), and with CTE inlining the md5 pass would run 3× per query —
+    staged once here, the downstream ``% buckets`` is free BIGINT math
+    (code-review r07)."""
     toks = G.split_ws("lower(text)", d)
     if d == "spark":
         exploded = f"SELECT doc_id, lang, tok FROM (SELECT doc_id, lang, {toks} AS toks FROM {rel}) t LATERAL VIEW explode(toks) AS tok"
     else:
         exploded = f"SELECT doc_id, lang, UNNEST({toks}) AS tok FROM {rel}"
     return f"""
-    SELECT doc_id, lang, tok, CAST(COUNT(*) AS BIGINT) AS tf,
+    SELECT doc_id, lang, tok, {G.hash56('tok', d)} AS th,
+           CAST(COUNT(*) AS BIGINT) AS tf,
            CAST(SUM(COUNT(*)) OVER (PARTITION BY doc_id) AS BIGINT) AS n_tok
     FROM ({exploded}) GROUP BY doc_id, lang, tok
     """
@@ -1073,14 +1079,14 @@ def unigram_tf_sql(d: str, rel: str = "documents") -> str:
 def _staged_unigrams(spark) -> str:
     """Session-staged unigram-tf relation shared by ``text_bm25_topk``
     and ``text_lm_perplexity`` (memo discipline identical to
-    ``dedup._staged_hx``: cache + temp view, keyed on load_tables' key,
+    ``dedup._staged_hx``: cache + temp view, keyed on the docs-view identity,
     memo-locked against the parallel bench prewarm; the tokenize scan
     reads the fanned-out docs view so the CPU-bound explode never runs
     on one parquet split)."""
     from torchfusion_spark.operators import dedup
     from torchfusion_spark.session import memo_lock, staged_cache
 
-    key = getattr(spark, "_tf_tables_loaded", None)
+    key = dedup._docs_key(spark)
     with memo_lock(spark, "unigrams"):
         if getattr(spark, "_tf_unigram_key", object()) != key:
             u = staged_cache(
@@ -1156,7 +1162,7 @@ def bm25_topk_sql(d: str, k: int = BM25_TOP_K, tf_rel: str | None = None) -> str
                                   ORDER BY score DESC, doc_id) AS rn
         FROM agg)
     WHERE rn <= {k}
-    ORDER BY query_id, bm25 DESC, doc_id
+    ORDER BY query_id, rn
     """
 
 
@@ -1240,7 +1246,9 @@ def dsir_importance_sql(
     tf_body = tf_rel or f"{mat}({unigram_tf_sql(d)})"
     tf_cte = f"tf AS {tf_body}," if tf_rel is None else ""
     tfn = tf_rel or "tf"
-    hb = f"{G.hash56('tok', d)} % {buckets}"
+    # the md5 pass lives in the staged tf relation's `th` column (built
+    # once, materialized); only the parameter-scoped modulo runs here
+    hb = f"(th % {buckets})"
     w_hint = "/*+ BROADCAST(w) */ " if d == "spark" else ""
     t_hint = "/*+ BROADCAST(tgt) */ " if d == "spark" else ""
     return f"""
@@ -1261,7 +1269,7 @@ def dsir_importance_sql(
     terms AS (
         SELECT {w_hint}t.doc_id, t.lang, t.tf,
                CAST(ROUND(t.tf * w.wt, 9) AS DECIMAL(18,9)) AS lw
-        FROM {tfn} t JOIN w ON {hb.replace('tok', 't.tok')} = w.hb),
+        FROM {tfn} t JOIN w ON (t.th % {buckets}) = w.hb),
     per_doc AS (
         SELECT doc_id, lang,
                CAST(SUM(tf) AS BIGINT) AS n_tokens,

@@ -567,8 +567,9 @@ def text_dup_gram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # staged with the repo's memo + release discipline (slot-tracked
     # unpersist on sf_dir switch), not a bare .cache() that re-ran the
-    # dominant explode+hash pass on every invocation
-    key = getattr(spark, "_tf_tables_loaded", None)
+    # dominant explode+hash pass on every invocation; keyed on the
+    # docs-view identity so a direct view swap rebuilds (code-review r07)
+    key = dedup._docs_key(spark)
     if getattr(spark, "_tf_dupgram_key", object()) != key:
         e = staged_cache(
             spark, "dupgram_e", spark.sql(textstats.dup_gram_exploded_sql("spark"))

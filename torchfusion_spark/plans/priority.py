@@ -40,7 +40,7 @@ else (bench.py, tools/verify_local.py, tests).
 from __future__ import annotations
 
 PRIORITY: list[str] = [
-    # -- ranks 1-46: r03-latest re-certifications (cheap-first) --
+    # -- ranks 1-43: r03-latest re-certifications (cheap-first) --
     "fn_time_bucket",
     "fn_string_extras",
     "fn_string_regex_hash",
@@ -100,7 +100,7 @@ PRIORITY: list[str] = [
     "text_token_count",
     "stream_windowed_counts",
     "dedup_minhash_lsh",
-    # -- ranks 54+: r04 greens (cheap-first) --
+    # -- ranks 57+: r04 greens (cheap-first) --
     "q3_shipping_priority",
     "q10_returned_items",
     "q11_important_stock",

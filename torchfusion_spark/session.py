@@ -193,6 +193,11 @@ def release_staged_group(spark, prefix: str, keep_nonce: int | None = None) -> i
             continue
         with _ck_pool_lock(spark):
             handle = pool.pop(slot, None)
+            # prune the slot's Lock with its pool entry: nonce-scoped
+            # slots get a fresh name per iterative call, so an unpruned
+            # registry grows ~4 Lock objects per connected_components
+            # call for the life of the session (code-review r07)
+            spark.__dict__.get("_tf_slot_locks", {}).pop(slot, None)
         if handle is None:
             continue
         try:
