@@ -97,6 +97,9 @@ HEADLINE = [
     "text_lm_perplexity",
     # round-7 addition: DSIR importance weighting — same staged relation
     "sample_dsir_importance",
+    # round-7 addition: Gopher quality-rule filter — the cheapest shape
+    # in the family (one scan, zero shuffles), benched from day one
+    "text_gopher_rules",
 ]
 
 # Streaming witnesses carry round-over-round timing accountability but are

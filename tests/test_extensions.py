@@ -1434,3 +1434,72 @@ def test_view_swap_invalidates_derived_staged_memos(spark, tables):
     finally:
         orig_docs.createOrReplaceTempView("documents")
         orig_emb.createOrReplaceTempView("embeddings")
+
+
+def test_gopher_rules_match_python_recompute(spark, tables):
+    """Pin the Gopher-rule semantics against a direct Python recompute on
+    a corpus hitting every rule's boundary: bullet/ellipsis lines, '#'
+    symbols, numeric-only words, per-language stop lists, 49/50-word
+    boundary docs, and an empty-text doc."""
+    import duckdb
+
+    from torchfusion_spark.operators.textstats import _LANG_MARKERS, gopher_rules_sql
+
+    stopsets = {lg: set(ws) for lg, ws in _LANG_MARKERS.items()}
+    docs = [
+        (0, "en", " ".join(["the", "and"] + ["word"] * 48)),          # 50 words, all pass
+        (1, "en", " ".join(["the", "and"] + ["word"] * 47)),          # 49 words: r_word_count fails
+        (2, "en", " ".join(["the", "and"] + ["word"] * 40 + ["#"] * 8)),  # 10% symbols boundary
+        (3, "de", " ".join(["der", "und"] + ["wort"] * 48)),          # per-lang stops
+        (4, "en", " ".join(["the", "and"] + ["1234"] * 48)),          # alpha rule fails (4% alpha)
+        (5, "en", "\n".join(["- bullet " + " ".join(["w"] * 6)] * 2 + ["the and " + " ".join(["w"] * 48)])),
+        (6, "en", "\n".join(["trailing..."] * 4 + ["the and " + " ".join(["w"] * 48)] * 6)),
+        (7, "en", ""),                                                # empty text
+        (8, "en", " ".join(["the", "and"] + ["supercalifragilistic"] * 48)),  # mean len > 10
+    ]
+
+    def recompute(lang, text):
+        # space-only tokenizer (repo-wide split_ws convention): tokens
+        # may span line boundaries, same as every other text operator
+        toks = [t for t in text.lower().split(" ") if t]
+        lines = text.split("\n")
+        n_words = len(toks)
+        sum_len = sum(len(t) for t in toks)
+        n_alpha = sum(1 for t in toks if any("a" <= c <= "z" for c in t))
+        n_stop = len(set(toks) & stopsets[lang])
+        n_sym = text.count("#") + text.count("...")
+        n_bullet = sum(1 for l in lines if l.strip().startswith(("-", "*")))
+        n_ell = sum(1 for l in lines if l.endswith("..."))
+        n_lines = len(lines)
+        return {
+            "r_word_count": int(50 <= n_words <= 100000),
+            "r_mean_word_len": int(3 * n_words <= sum_len <= 10 * n_words),
+            "r_symbol_ratio": int(10 * n_sym <= n_words),
+            "r_bullet_lines": int(10 * n_bullet <= n_lines),
+            "r_ellipsis_lines": int(10 * n_ell <= 3 * n_lines),
+            "r_alpha_words": int(5 * n_alpha >= 4 * n_words),
+            "r_stop_words": int(n_stop >= 2),
+        }
+
+    pdf = pd.DataFrame(docs, columns=["doc_id", "lang", "text"])
+    orig = spark.table("documents")
+    try:
+        spark.createDataFrame(pdf).createOrReplaceTempView("documents")
+        got = {r.doc_id: r.asDict() for r in spark.sql(gopher_rules_sql("spark")).collect()}
+    finally:
+        orig.createOrReplaceTempView("documents")
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    duck = {int(r["doc_id"]): r for _, r in con.execute(gopher_rules_sql("duck")).df().iterrows()}
+
+    assert set(got) == set(range(len(docs)))
+    for doc_id, lang, text in docs:
+        want = recompute(lang, text)
+        for rule, v in want.items():
+            assert got[doc_id][rule] == v, (doc_id, rule, got[doc_id], want)
+            assert int(duck[doc_id][rule]) == v, (doc_id, rule)
+        n_failed = 7 - sum(want.values())
+        assert got[doc_id]["n_failed"] == n_failed
+        assert got[doc_id]["kept"] == int(n_failed == 0)
+    # the boundary doc with exactly 50 words and both stops passes
+    assert got[0]["kept"] == 1

@@ -47,6 +47,86 @@ def text_quality_sql(d: str) -> str:
     """
 
 
+def gopher_rules_sql(d: str) -> str:
+    """Gopher-style quality-rule filter (Rae et al. 2021, Appendix A —
+    public method): the seven document-level heuristics web pipelines
+    apply before any model-based scoring, each emitted as an exact 0/1
+    flag plus the all-rules-pass keep decision. Published thresholds
+    kept verbatim — word count in [50, 100000], mean word length in
+    [3, 10], symbol-to-word ratio ('#' or '...') <= 0.1, <= 10% of
+    lines bullet-started, <= 30% of lines ellipsis-ended, >= 80% of
+    words containing an alphabetic character, >= 2 distinct stop words
+    present. The stop-word rule is applied per-language (the doc's own
+    ``lang``'s marker list) — the paper's set is English-only and a
+    multilingual corpus would flag every non-English doc; CCNet applies
+    exactly this per-language adaptation.
+
+    Determinism: every threshold is an exact BIGINT cross-
+    multiplication (``10 * n_sym <= n_words``), never a float ratio —
+    the ``corpus_source_filter`` discipline — so summation order or
+    rounding cannot diverge the engines. Scale shape: ONE scan, zero
+    joins, zero shuffles (the final ORDER BY is presentation only);
+    every rule is whole-stage-codegen array/regex arithmetic, so at
+    100 TB this runs at scan speed and the keep flag composes with any
+    downstream sampler as a plain filter."""
+    raw = G.split_ws("lower(text)", d)
+    toks = G.afilter(raw, "t -> length(t) > 0", d)
+    if d == "spark":
+        sum_len = "aggregate(toks, 0L, (a, x) -> a + length(x))"
+        alpha_lam = "t -> t rlike '[a-z]'"
+        lines = "split(text, chr(10))"
+    else:
+        sum_len = "COALESCE(list_sum(list_transform(toks, x -> length(x))), 0)"
+        alpha_lam = "t -> regexp_matches(t, '[a-z]')"
+        lines = "string_split(text, chr(10))"
+    n_alpha = G.arr_size(G.afilter("toks", alpha_lam, d), d)
+    stop_cases = " ".join(
+        f"WHEN '{lang}' THEN {G.arr_intersect_size(G.arr_distinct('toks', d), G.array_lit([repr(w) for w in words], d), d)}"
+        for lang, words in _LANG_MARKERS.items()
+    )
+    n_stop = f"(CASE lang {stop_cases} ELSE 0 END)"
+    n_sym = G.regex_count("text", "#|[.][.][.]", d)
+    n_bullet = G.arr_size(
+        G.afilter("lines", "l -> trim(l) LIKE '-%' OR trim(l) LIKE '*%'", d), d
+    )
+    n_ell = G.arr_size(G.afilter("lines", "l -> l LIKE '%...'", d), d)
+    return f"""
+    WITH t AS (
+        SELECT doc_id, lang, text, {toks} AS toks, {lines} AS lines FROM documents),
+    m AS (
+        SELECT doc_id,
+               CAST({G.arr_size('toks', d)} AS BIGINT) AS n_words,
+               CAST({sum_len} AS BIGINT) AS sum_len,
+               CAST({n_alpha} AS BIGINT) AS n_alpha,
+               CAST({n_stop} AS BIGINT) AS n_stop,
+               CAST({n_sym} AS BIGINT) AS n_sym,
+               CAST({G.arr_size('lines', d)} AS BIGINT) AS n_lines,
+               CAST({n_bullet} AS BIGINT) AS n_bullet,
+               CAST({n_ell} AS BIGINT) AS n_ell
+        FROM t),
+    f AS (
+        SELECT doc_id, n_words,
+               CAST(CASE WHEN n_words BETWEEN 50 AND 100000 THEN 1 ELSE 0 END AS BIGINT) AS r_word_count,
+               CAST(CASE WHEN 3 * n_words <= sum_len AND sum_len <= 10 * n_words THEN 1 ELSE 0 END AS BIGINT) AS r_mean_word_len,
+               CAST(CASE WHEN 10 * n_sym <= n_words THEN 1 ELSE 0 END AS BIGINT) AS r_symbol_ratio,
+               CAST(CASE WHEN 10 * n_bullet <= n_lines THEN 1 ELSE 0 END AS BIGINT) AS r_bullet_lines,
+               CAST(CASE WHEN 10 * n_ell <= 3 * n_lines THEN 1 ELSE 0 END AS BIGINT) AS r_ellipsis_lines,
+               CAST(CASE WHEN 5 * n_alpha >= 4 * n_words THEN 1 ELSE 0 END AS BIGINT) AS r_alpha_words,
+               CAST(CASE WHEN n_stop >= 2 THEN 1 ELSE 0 END AS BIGINT) AS r_stop_words
+        FROM m)
+    SELECT doc_id, n_words,
+           r_word_count, r_mean_word_len, r_symbol_ratio, r_bullet_lines,
+           r_ellipsis_lines, r_alpha_words, r_stop_words,
+           CAST(7 - (r_word_count + r_mean_word_len + r_symbol_ratio
+                     + r_bullet_lines + r_ellipsis_lines + r_alpha_words
+                     + r_stop_words) AS BIGINT) AS n_failed,
+           CAST(CASE WHEN r_word_count + r_mean_word_len + r_symbol_ratio
+                          + r_bullet_lines + r_ellipsis_lines + r_alpha_words
+                          + r_stop_words = 7 THEN 1 ELSE 0 END AS BIGINT) AS kept
+    FROM f ORDER BY doc_id
+    """
+
+
 def lang_id_sql(d: str) -> str:
     """Marker-word language ID; deterministic tie-break by fixed language
     order. Emits predicted vs labeled language."""

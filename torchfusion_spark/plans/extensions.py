@@ -155,6 +155,14 @@ _sql_pair(
     "cross-multiplication against the corpus mean",
 )
 _sql_pair(
+    "text_gopher_rules",
+    textstats.gopher_rules_sql,
+    "Gopher-style quality-rule filter (Rae et al. 2021): seven published "
+    "document heuristics as exact 0/1 flags + keep decision, every "
+    "threshold an exact BIGINT cross-multiplication; single-scan codegen, "
+    "zero joins/shuffles",
+)
+_sql_pair(
     "text_lang_id",
     textstats.lang_id_sql,
     "marker-word language ID with deterministic tie-break",

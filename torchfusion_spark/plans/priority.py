@@ -11,25 +11,25 @@ Ordering policy (documented so the ranking is auditable, not gamed) --
 ROTATED each round so the budget certifies the weakest evidence first.
 Round 7 (rotated against the CORRECTNESS_r01..r06 union): every registry
 name is cumulatively green on the current testdata vintage, so the weakest
-evidence is now (a) the one NEW query with no row at all and (b) the 49
+evidence is now (a) the NEW queries with no row at all and (b) the 49
 names whose *latest* green row is r03 -- the oldest current-vintage
 certifications:
-1. ranks 1-43: r03-latest names, cheap-first (scalar-function / join /
+1. ranks 1-42: r03-latest names, cheap-first (scalar-function / join /
    set-op / agg / window witnesses lead; events close the block) so a
    *time*-capped run still re-certifies the maximum number of stale
    rows;
-2. ranks 44-50: the round-7 additions (``dedup_substring``,
+2. ranks 43-50: the round-7 additions (``dedup_substring``,
    ``corpus_source_filter``, ``corpus_strip_dup_spans``,
    ``text_decontaminate_spans``, ``text_bm25_topk``,
-   ``text_lm_perplexity``, ``sample_dsir_importance``) -- no
-   CORRECTNESS row at all, so they outrank
-   stale-but-cumulatively-green re-certs for budget slots;
-3. ranks 51-56: ``events_funnel`` / ``events_retention`` /
+   ``text_lm_perplexity``, ``sample_dsir_importance``,
+   ``text_gopher_rules``) -- no CORRECTNESS row at all, so they
+   outrank stale-but-cumulatively-green re-certs for budget slots;
+3. ranks 51-57: ``events_asof_join`` / ``events_funnel`` / ``events_retention`` /
    ``text_lang_id`` / ``text_token_count`` /
    ``stream_windowed_counts`` / ``dedup_minhash_lsh`` -- the
    r03-latest names displaced by the newcomers (still cumulatively
    green; rotate back round 8);
-4. ranks 57+: the r04 greens, then r05, then r06 (freshest evidence
+4. ranks 58+: the r04 greens, then r05, then r06 (freshest evidence
    last), cheap-first within each block with the expensive dedup
    pipelines at the very end.
 
@@ -40,7 +40,7 @@ else (bench.py, tools/verify_local.py, tests).
 from __future__ import annotations
 
 PRIORITY: list[str] = [
-    # -- ranks 1-43: r03-latest re-certifications (cheap-first) --
+    # -- ranks 1-42: r03-latest re-certifications (cheap-first) --
     "fn_time_bucket",
     "fn_string_extras",
     "fn_string_regex_hash",
@@ -83,8 +83,7 @@ PRIORITY: list[str] = [
     "events_session_window",
     "events_rollup_two_level",
     "events_range_join",
-    "events_asof_join",
-    # -- ranks 44-50: the round-7 additions, no CORRECTNESS row yet --
+    # -- ranks 43-50: the round-7 additions, no CORRECTNESS row yet --
     "dedup_substring",
     "corpus_source_filter",
     "corpus_strip_dup_spans",
@@ -92,15 +91,17 @@ PRIORITY: list[str] = [
     "text_bm25_topk",
     "text_lm_perplexity",
     "sample_dsir_importance",
-    # -- ranks 51-56: r03-latest re-certs displaced by the newcomers
+    "text_gopher_rules",
+    # -- ranks 51-57: r03-latest re-certs displaced by the newcomers
     # (cumulatively green, so they cede their budget slots; rotate back r8) --
+    "events_asof_join",
     "events_funnel",
     "events_retention",
     "text_lang_id",
     "text_token_count",
     "stream_windowed_counts",
     "dedup_minhash_lsh",
-    # -- ranks 57+: r04 greens (cheap-first) --
+    # -- ranks 58+: r04 greens (cheap-first) --
     "q3_shipping_priority",
     "q10_returned_items",
     "q11_important_stock",
