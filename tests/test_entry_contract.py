@@ -76,17 +76,25 @@ def test_priority_order_is_total_and_stable():
     if vintage:
         head = max(50, len(uncertified | vintage))
         assert (uncertified | vintage) <= set(names[:head])
-    # round-7 rotation policy: the vintage problem being solved, the
-    # weakest evidence is the OLDEST current-vintage rows. While r03 is
-    # the minimum latest-green round across the registry, the r03-latest
-    # names (plus uncertified newcomers) must occupy the earliest budget
-    # slots. Goes vacuous once CORRECTNESS_r07 lands (min becomes r04)
-    # — the r8 rotation then re-pins against the new oldest block.
-    certified_latest = [latest[n] for n in names if n in latest]
-    if certified_latest and min(certified_latest) == 3:
-        stale3 = {n for n in names if latest.get(n, 99) == 3}
-        head = max(50, len(uncertified | stale3))
-        assert (uncertified | stale3) <= set(names[:head])
+    # round-8 rotation policy, PINNED to the artifact state it was rotated
+    # against (the r01..r07 union): budget slots go to uncertified
+    # newcomers, then the r03/r04-latest stragglers, then the oldest
+    # (r05) block — checked as "no certified name outside the top-50 has
+    # staler evidence than any certified name inside it". The clause
+    # SKIPS once CORRECTNESS_r08 lands (the r9 rotation re-pins): its
+    # predecessor instead predicted the post-landing vintage state and
+    # got it wrong, going red the moment the driver dropped r07 into the
+    # tree (VERDICT r7 item 1) — rotation meta-tests must assert against
+    # the evidence they were rotated on, never against a forecast.
+    max_round = max(latest.values(), default=0)
+    if max_round == 7:
+        stale_pre5 = {n for n in names if latest.get(n, 99) <= 4}
+        head = max(50, len(uncertified | stale_pre5))
+        assert (uncertified | stale_pre5) <= set(names[:head])
+        in_top = [latest[n] for n in names[:50] if n in latest]
+        out_top = [latest[n] for n in names[50:] if n in latest]
+        if in_top and out_top:
+            assert min(out_top) >= max(in_top)
 
 
 def test_entry_runs(spark):

@@ -1456,6 +1456,10 @@ def test_gopher_rules_match_python_recompute(spark, tables):
         (6, "en", "\n".join(["trailing..."] * 4 + ["the and " + " ".join(["w"] * 48)] * 6)),
         (7, "en", ""),                                                # empty text
         (8, "en", " ".join(["the", "and"] + ["supercalifragilistic"] * 48)),  # mean len > 10
+        # bullet-rule boundary (published threshold: remove when >90% of
+        # lines bullet-started): 9/10 bullet lines passes, 10/10 fails
+        (9, "en", "\n".join(["- b w w w w w"] * 9 + ["the and " + " ".join(["w"] * 48)])),
+        (10, "en", "\n".join(["- the and " + " ".join(["w"] * 5)] * 10)),
     ]
 
     def recompute(lang, text):
@@ -1475,7 +1479,8 @@ def test_gopher_rules_match_python_recompute(spark, tables):
             "r_word_count": int(50 <= n_words <= 100000),
             "r_mean_word_len": int(3 * n_words <= sum_len <= 10 * n_words),
             "r_symbol_ratio": int(10 * n_sym <= n_words),
-            "r_bullet_lines": int(10 * n_bullet <= n_lines),
+            # Rae et al. remove docs when >90% of lines are bullet-started
+            "r_bullet_lines": int(10 * n_bullet <= 9 * n_lines),
             "r_ellipsis_lines": int(10 * n_ell <= 3 * n_lines),
             "r_alpha_words": int(5 * n_alpha >= 4 * n_words),
             "r_stop_words": int(n_stop >= 2),

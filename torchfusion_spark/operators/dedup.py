@@ -34,6 +34,85 @@ def exact_dedup_sql(d: str) -> str:
     """
 
 
+def url_canonical_dedup_sql(d: str) -> str:
+    """URL-canonicalization exact dedup — the cheap first pass real web
+    pipelines (C4, RefinedWeb — public method descriptions) run before
+    any content hashing: canonicalize each document's URL, then keep the
+    earliest crawl per canonical URL. Canonicalization policy (each step
+    a published, deterministic rule): strip the fragment, normalize the
+    scheme to https, lowercase the host, strip default ports (:80/:443),
+    strip trailing slashes, drop tracking parameters (utm_*, ref,
+    fbclid, gclid), and sort the surviving query parameters.
+
+    The fixture has no URL column, so a deterministic messy URL is
+    constructed in-query from (source, doc_id) — five spellings per
+    logical page (mixed-case host, default port, fragment, tracking
+    params, unsorted params), all of which must collapse to ONE
+    canonical URL (the ``argmax_constructed_array`` fixture-in-query
+    pattern; the oracle constructs the identical raw URLs, so the gate
+    checks the canonicalization semantics, not the fixture). ``doc_id``
+    is the crawl-order proxy: keeper = MIN(doc_id) per canonical URL.
+
+    Scale shape: canonicalization is pure per-row string codegen at scan
+    speed; the dedup is ONE shuffle (the keeper window partitions by
+    canonical_url) — same single-exchange discipline as ``dedup_exact``.
+    At 100 TB the canonical URL is also the natural bucketing key for
+    the downstream content-dedup stages."""
+    page = G.intdiv("doc_id", "100", d)
+    variant = f"CAST(({G.intdiv('doc_id', '20', d)}) % 5 AS INT)"
+    s = "STRING" if d == "spark" else "VARCHAR"
+    p = f"CAST({page} AS {s})"
+    split_amp = "split(q2s, '&')" if d == "spark" else "string_split(q2s, '&')"
+    raw_url = f"""CASE {variant}
+        WHEN 0 THEN 'https://' || source || '.example.com/articles/' || {p} || '?b=2&a=1'
+        WHEN 1 THEN 'https://' || upper(source) || '.EXAMPLE.COM:443/articles/' || {p} || '/?a=1&b=2'
+        WHEN 2 THEN 'http://' || source || '.example.com:80/articles/' || {p} || '?a=1&b=2#comments'
+        WHEN 3 THEN 'https://' || source || '.example.com/articles/' || {p} || '/?utm_source=feed&a=1&utm_campaign=daily&b=2'
+        ELSE 'https://' || source || '.example.com/articles/' || {p} || '?a=1&fbclid=abc123&b=2'
+    END"""
+    u1 = G.regex_replace_all(
+        G.regex_replace_all("url", "#.*$", "", d), "^http://", "https://", d
+    )
+    params = G.arr_join(
+        G.arr_sort(G.afilter(split_amp, "x -> x != ''", d), d), "&", d
+    )
+    return f"""
+    WITH raw AS (
+        SELECT doc_id, source, {raw_url} AS url FROM documents),
+    norm AS (
+        SELECT doc_id, source, {u1} AS u FROM raw),
+    parts AS (
+        SELECT doc_id, source, u,
+               regexp_extract(u, '^https://([^/?]+)', 1) AS host_raw
+        FROM norm),
+    pieces AS (
+        SELECT doc_id, source,
+               {G.regex_replace_all("lower(host_raw)", ":(80|443)$", "", d)} AS host,
+               regexp_extract(substr(u, 9 + length(host_raw)), '^([^?]*)', 0) AS path,
+               substr(substr(u, 9 + length(host_raw)),
+                      length(regexp_extract(substr(u, 9 + length(host_raw)), '^([^?]*)', 0)) + 1) AS q
+        FROM parts),
+    qnorm AS (
+        SELECT doc_id, source, host,
+               {G.regex_replace_all("path", "/$", "", d)} AS path,
+               substr({G.regex_replace_all(
+                   G.regex_replace_all("q", "[?]", "?&", d),
+                   "&(utm_[a-z]+|ref|fbclid|gclid)=[^&]*", "", d)}, 2) AS q2s
+        FROM pieces),
+    canon AS (
+        SELECT doc_id, source,
+               'https://' || host || path ||
+               CASE WHEN {params} = '' THEN '' ELSE '?' || {params} END AS canonical_url
+        FROM qnorm)
+    SELECT doc_id, source, canonical_url, keeper_doc_id,
+           (doc_id = keeper_doc_id) AS kept
+    FROM (SELECT doc_id, source, canonical_url,
+                 MIN(doc_id) OVER (PARTITION BY canonical_url) AS keeper_doc_id
+          FROM canon)
+    ORDER BY doc_id
+    """
+
+
 def _shingle_cte(d: str, n: int = 3, rel: str = "documents") -> str:
     """(doc_id, shingles) for docs with >= n words.
 
@@ -171,7 +250,11 @@ def minhash_lsh(spark, threshold: float = 0.6):
             sig.count()  # materialize before the self-join races both sides into the fill
             sig.createOrReplaceTempView("__minhash_sig")
             spark._tf_minhash_sig_key = key
-    return spark.sql(minhash_body_sql("spark", "__minhash_sig", threshold))
+        # resolve the returned plan INSIDE the memo lock: resolving after
+        # release would let a concurrent docs-view swap replace
+        # __minhash_sig between the memo check and spark.sql, binding the
+        # plan to the other corpus's signatures (ADVICE r08 TOCTOU)
+        return spark.sql(minhash_body_sql("spark", "__minhash_sig", threshold))
 
 
 _DOCS_LOCK = threading.Lock()

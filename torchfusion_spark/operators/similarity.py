@@ -64,13 +64,20 @@ def _emb_key(spark):
         return object()
 
 
-def _staged_norms(spark):
+def _staged_norms(spark, then=None):
     """Materialize norms once for Spark execution: the relation is used on
     both sides of every similarity join, and the source parquet is a
     single split — repartition for CPU parallelism, cache for reuse.
     Memoized per (session, embeddings-view identity) — five registry
     queries stage the identical relation back-to-back in gate order
-    (same pattern as the minhash signature memo)."""
+    (same pattern as the minhash signature memo).
+
+    ``then`` (callable taking the staged view name, returning a
+    DataFrame) is invoked INSIDE the memo lock: a consumer that resolves
+    its plan from ``__sim_norms`` after the lock is released races a
+    concurrent embeddings-view swap — the swap rebuilds the view between
+    the memo check and the consumer's ``spark.sql``, binding the plan to
+    the other corpus (ADVICE r08, the minhash TOCTOU twin)."""
     from torchfusion_spark.session import cpu_fanout, memo_lock, staged_cache
 
     key = _emb_key(spark)
@@ -81,6 +88,8 @@ def _staged_norms(spark):
             n.count()  # materialize before multi-sided reuse
             n.createOrReplaceTempView("__sim_norms")
             spark._tf_sim_norms_key = key
+        if then is not None:
+            return then("__sim_norms")
     return "__sim_norms"
 
 
@@ -166,6 +175,64 @@ def cosine_near_dup_lsh_sql(d: str, threshold: float = 0.30, rel: str | None = N
         FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
     WHERE cosine >= {threshold}
     ORDER BY id_a, id_b
+    """
+
+
+def near_dup_collapse_sql(d: str, threshold: float = 0.30, rel: str | None = None) -> str:
+    """Mega-cluster COLLAPSE for the embedding near-dup path: one
+    canonical row per near-dup cluster instead of the C(n,2) pair list —
+    the SCALE.md collapse-not-enumerate discipline made a first-class,
+    oracle-checked query (the ``sim_semantic_dedup`` keep-lowest-id
+    verdict shape applied to the sign-LSH bucketing).
+
+    Formulation: each bucket's ANCHOR is its lowest vec_id; every member
+    is compared against its bucket's anchor ONLY — O(N) similarity
+    computations total, never a within-bucket self-join. A member within
+    ``threshold`` of the anchor collapses into the anchor's cluster;
+    everything else stays its own singleton. Output is GROUP BY
+    canonical id: ≤ N rows no matter how hot a bucket is — the skewed-
+    rehearsal bucket where ``sim_cosine_near_dup_lsh`` emits 581k pairs
+    emits ONE row here.
+
+    Scale shape: anchors are one per bucket (≤ 2^8 with 8 planes; still
+    tiny with more planes) → the anchor-vector relation broadcasts to
+    both joins; the only exchange over N is the final map-combinable
+    GROUP BY canonical_id. Recall note: anchor-linking is the standard
+    boilerplate-cluster approximation (near-identical members are all
+    near the anchor); the pair-enumerating query remains the exact
+    witness for small buckets."""
+    if rel:
+        n_rel = f"SELECT * FROM {rel}"
+    else:
+        n_rel = (
+            f"SELECT vec_id, v, nrm, {lsh_bucket_expr('v', d)} AS bucket "
+            f"FROM (SELECT * FROM ({norm_cte(d)}))"
+        )
+    mat = "MATERIALIZED " if d == "duck" else ""
+    hint = "/*+ BROADCAST(av) */" if d == "spark" else ""
+    return f"""
+    WITH n AS {mat}({n_rel}),
+    anchors AS (
+        SELECT bucket, MIN(vec_id) AS anchor_id FROM n GROUP BY bucket),
+    av AS (
+        SELECT a.bucket, a.anchor_id, x.v AS av_v, x.nrm AS av_nrm
+        FROM anchors a JOIN n x ON x.vec_id = a.anchor_id),
+    scored AS (
+        SELECT {hint} m.vec_id, m.bucket, av.anchor_id,
+               ROUND({_dot('m.v', 'av.av_v', d)} / (m.nrm * av.av_nrm), 6) AS cos_anchor
+        FROM n m JOIN av ON m.bucket = av.bucket),
+    verdict AS (
+        SELECT vec_id, bucket,
+               CASE WHEN cos_anchor >= {threshold} THEN anchor_id ELSE vec_id END AS canonical_id,
+               cos_anchor
+        FROM scored)
+    SELECT canonical_id, MIN(bucket) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           CAST(COUNT(*) - 1 AS BIGINT) AS n_collapsed,
+           MIN(cos_anchor) AS min_cos_anchor
+    FROM verdict
+    GROUP BY canonical_id
+    ORDER BY canonical_id
     """
 
 
@@ -307,15 +374,21 @@ def semantic_dedup_sql(
 
 
 def cosine_topk(spark, k: int = 10, n_queries: int = 8):
-    return spark.sql(cosine_topk_sql("spark", k, n_queries, rel=_staged_norms(spark)))
+    return _staged_norms(
+        spark, lambda rel: spark.sql(cosine_topk_sql("spark", k, n_queries, rel=rel))
+    )
 
 
 def cosine_near_dup(spark, threshold: float = 0.42):
-    return spark.sql(cosine_near_dup_sql("spark", threshold, rel=_staged_norms(spark)))
+    return _staged_norms(
+        spark, lambda rel: spark.sql(cosine_near_dup_sql("spark", threshold, rel=rel))
+    )
 
 
 def ivf_topk(spark, k: int = 10, n_queries: int = 4):
-    return spark.sql(ivf_topk_sql("spark", k, n_queries, rel=_staged_norms(spark)))
+    return _staged_norms(
+        spark, lambda rel: spark.sql(ivf_topk_sql("spark", k, n_queries, rel=rel))
+    )
 
 
 def semantic_dedup(spark, threshold: float = 0.42, n_centroids: int = 16):
@@ -332,32 +405,60 @@ def semantic_dedup(spark, threshold: float = 0.42, n_centroids: int = 16):
     state is content-nondeterministic mid-flight)."""
     from torchfusion_spark.session import staged_cache
 
-    _staged_norms(spark)
-    view = f"__sim_assign_{n_centroids}"
-    a = staged_cache(
-        spark,
-        f"sim_assign_{n_centroids}",
-        spark.sql(assign_cte_sql("spark", n_centroids, rel="__sim_norms")),
-    )
-    a.count()
-    a.createOrReplaceTempView(view)
-    return spark.sql(semantic_dedup_sql("spark", threshold, assign_rel=view))
+    def build(rel):
+        view = f"__sim_assign_{n_centroids}"
+        a = staged_cache(
+            spark,
+            f"sim_assign_{n_centroids}",
+            spark.sql(assign_cte_sql("spark", n_centroids, rel=rel)),
+        )
+        a.count()
+        a.createOrReplaceTempView(view)
+        return spark.sql(semantic_dedup_sql("spark", threshold, assign_rel=view))
+
+    return _staged_norms(spark, build)
+
+
+def _staged_buckets(spark, then):
+    """Stage the sign-LSH bucketed relation (vec_id, v, nrm, bucket) once
+    per (session, embeddings identity) and resolve ``then`` against it
+    inside the norms memo lock — shared by the pair-enumerating LSH query
+    and the cluster-collapse query, which run back-to-back in gate order
+    and would otherwise recompute the 8 plane dots twice. Memoized under
+    the norms key: the norms lock is already held here, so the check-act
+    is race-free, and a corpus swap invalidates both relations together."""
+    from torchfusion_spark.session import staged_cache
+
+    def build(rel):
+        key = spark._tf_sim_norms_key
+        if getattr(spark, "_tf_sim_buckets_key", object()) != key:
+            b = staged_cache(
+                spark,
+                "sim_buckets",
+                spark.sql(
+                    f"SELECT vec_id, v, nrm, {lsh_bucket_expr('v', 'spark')} AS bucket FROM {rel}"
+                ),
+            )
+            b.count()
+            b.createOrReplaceTempView("__sim_buckets")
+            spark._tf_sim_buckets_key = key
+        return then("__sim_buckets")
+
+    return _staged_norms(spark, build)
 
 
 def cosine_near_dup_lsh(spark, threshold: float = 0.30):
-    from torchfusion_spark.session import staged_cache
-
-    _staged_norms(spark)
-    b = staged_cache(
+    return _staged_buckets(
         spark,
-        "sim_buckets",
-        spark.sql(
-            f"SELECT vec_id, v, nrm, {lsh_bucket_expr('v', 'spark')} AS bucket FROM __sim_norms"
-        ),
+        lambda rel: spark.sql(cosine_near_dup_lsh_sql("spark", threshold, rel=rel)),
     )
-    b.count()
-    b.createOrReplaceTempView("__sim_buckets")
-    return spark.sql(cosine_near_dup_lsh_sql("spark", threshold, rel="__sim_buckets"))
+
+
+def near_dup_collapse(spark, threshold: float = 0.30):
+    return _staged_buckets(
+        spark,
+        lambda rel: spark.sql(near_dup_collapse_sql("spark", threshold, rel=rel)),
+    )
 
 
 def quantize_int8_sql(d: str) -> str:
@@ -532,8 +633,19 @@ def kmeans(spark, k: int = KMEANS_K, iters: int = KMEANS_ITERS):
     nonce = staging_nonce(spark)
     release_staged_group(spark, "km_", keep_nonce=nonce)  # free the prior call's rounds
     v_long, v_assign = f"__km_long_{nonce}", f"__km_assign_{nonce}"
-    norms = _staged_norms(spark)
-    pts = f"(SELECT vec_id, v FROM {norms})"
+    v_pts = f"__km_pts_{nonce}"
+
+    def snapshot(rel):
+        # snapshot the staged norms into a nonce-scoped CACHED view inside
+        # the memo lock: every later loop read goes through the snapshot,
+        # so a concurrent embeddings-view swap mid-loop cannot rebind the
+        # point relation between iterations (ADVICE r08 TOCTOU class)
+        return staged_checkpoint(
+            spark, f"km_pts_{nonce}", spark.sql(f"SELECT vec_id, v FROM {rel}")
+        )
+
+    _staged_norms(spark, snapshot).createOrReplaceTempView(v_pts)
+    pts = f"(SELECT vec_id, v FROM {v_pts})"
     staged_checkpoint(
         spark,
         f"km_long_{nonce}",
@@ -542,7 +654,7 @@ def kmeans(spark, k: int = KMEANS_K, iters: int = KMEANS_ITERS):
             f"LATERAL VIEW posexplode(v) pe AS p, val"
         ),
     ).createOrReplaceTempView(v_long)
-    cents = f"(SELECT vec_id AS c_id, v AS cv FROM {norms} WHERE vec_id < {k})"
+    cents = f"(SELECT vec_id AS c_id, v AS cv FROM {v_pts} WHERE vec_id < {k})"
     for i in range(iters):
         staged_checkpoint(
             spark, f"km_assign_{nonce}", spark.sql(_km_spark_assign(pts, cents))
@@ -569,8 +681,9 @@ def build_ivf_index(spark, path: str, n_centroids: int = 16) -> None:
     inverted-list id. Build once, probe many — at 100 TB the probe phase
     reads only ``n_probe / n_centroids`` of the index because the list
     id is a partition directory, not a row filter."""
-    _staged_norms(spark)
-    a = spark.sql(assign_cte_sql("spark", n_centroids, rel="__sim_norms"))
+    a = _staged_norms(
+        spark, lambda rel: spark.sql(assign_cte_sql("spark", n_centroids, rel=rel))
+    )
     a.write.mode("overwrite").partitionBy("c_id").parquet(path)
 
 

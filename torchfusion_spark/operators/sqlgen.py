@@ -80,6 +80,11 @@ def arr_distinct(arr: str, d: str) -> str:
     return f"{fn}({arr})"
 
 
+def arr_sort(arr: str, d: str) -> str:
+    """Ascending sort of an array's elements."""
+    return f"array_sort({arr})" if d == "spark" else f"list_sort({arr})"
+
+
 def arr_size(arr: str, d: str) -> str:
     return f"size({arr})" if d == "spark" else f"len({arr})"
 

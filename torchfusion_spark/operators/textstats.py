@@ -53,7 +53,7 @@ def gopher_rules_sql(d: str) -> str:
     apply before any model-based scoring, each emitted as an exact 0/1
     flag plus the all-rules-pass keep decision. Published thresholds
     kept verbatim — word count in [50, 100000], mean word length in
-    [3, 10], symbol-to-word ratio ('#' or '...') <= 0.1, <= 10% of
+    [3, 10], symbol-to-word ratio ('#' or '...') <= 0.1, <= 90% of
     lines bullet-started, <= 30% of lines ellipsis-ended, >= 80% of
     words containing an alphabetic character, >= 2 distinct stop words
     present. The stop-word rule is applied per-language (the doc's own
@@ -109,7 +109,7 @@ def gopher_rules_sql(d: str) -> str:
                CAST(CASE WHEN n_words BETWEEN 50 AND 100000 THEN 1 ELSE 0 END AS BIGINT) AS r_word_count,
                CAST(CASE WHEN 3 * n_words <= sum_len AND sum_len <= 10 * n_words THEN 1 ELSE 0 END AS BIGINT) AS r_mean_word_len,
                CAST(CASE WHEN 10 * n_sym <= n_words THEN 1 ELSE 0 END AS BIGINT) AS r_symbol_ratio,
-               CAST(CASE WHEN 10 * n_bullet <= n_lines THEN 1 ELSE 0 END AS BIGINT) AS r_bullet_lines,
+               CAST(CASE WHEN 10 * n_bullet <= 9 * n_lines THEN 1 ELSE 0 END AS BIGINT) AS r_bullet_lines,
                CAST(CASE WHEN 10 * n_ell <= 3 * n_lines THEN 1 ELSE 0 END AS BIGINT) AS r_ellipsis_lines,
                CAST(CASE WHEN 5 * n_alpha >= 4 * n_words THEN 1 ELSE 0 END AS BIGINT) AS r_alpha_words,
                CAST(CASE WHEN n_stop >= 2 THEN 1 ELSE 0 END AS BIGINT) AS r_stop_words

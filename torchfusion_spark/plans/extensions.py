@@ -26,6 +26,14 @@ _sql_pair(
     dedup.exact_dedup_sql,
     "exact dedup: one shuffle on content hash, deterministic winner per group",
 )
+_sql_pair(
+    "dedup_url_canonical",
+    dedup.url_canonical_dedup_sql,
+    "URL-canonicalization dedup (C4/RefinedWeb first pass): strip "
+    "fragment/default port/tracking params, lowercase host, sort params, "
+    "keep earliest crawl per canonical URL — one shuffle (keeper window), "
+    "canonicalization at scan speed",
+)
 @query(
     "dedup_minhash_lsh",
     dedup.minhash_lsh_sql("duck"),
@@ -107,6 +115,19 @@ def sim_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def sim_cosine_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_near_dup_lsh(spark)
+
+
+@query(
+    "sim_near_dup_collapse",
+    similarity.near_dup_collapse_sql("duck"),
+    doc="mega-cluster collapse for embedding near-dups: each LSH bucket's "
+    "members compare against the bucket ANCHOR only (O(N), never a "
+    "within-bucket self-join) and emit one canonical row per cluster — "
+    "bounded output where the pair query emits C(n,2); Spark side shares "
+    "the staged bucket relation with sim_cosine_near_dup_lsh",
+)
+def sim_near_dup_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.near_dup_collapse(spark)
 
 
 @query(

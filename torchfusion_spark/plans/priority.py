@@ -9,29 +9,25 @@ valuable queries first.
 
 Ordering policy (documented so the ranking is auditable, not gamed) --
 ROTATED each round so the budget certifies the weakest evidence first.
-Round 7 (rotated against the CORRECTNESS_r01..r06 union): every registry
-name is cumulatively green on the current testdata vintage, so the weakest
-evidence is now (a) the NEW queries with no row at all and (b) the 49
-names whose *latest* green row is r03 -- the oldest current-vintage
-certifications:
-1. ranks 1-42: r03-latest names, cheap-first (scalar-function / join /
-   set-op / agg / window witnesses lead; events close the block) so a
-   *time*-capped run still re-certifies the maximum number of stale
-   rows;
-2. ranks 43-50: the round-7 additions (``dedup_substring``,
-   ``corpus_source_filter``, ``corpus_strip_dup_spans``,
-   ``text_decontaminate_spans``, ``text_bm25_topk``,
-   ``text_lm_perplexity``, ``sample_dsir_importance``,
-   ``text_gopher_rules``) -- no CORRECTNESS row at all, so they
-   outrank stale-but-cumulatively-green re-certs for budget slots;
-3. ranks 51-57: ``events_asof_join`` / ``events_funnel`` / ``events_retention`` /
-   ``text_lang_id`` / ``text_token_count`` /
-   ``stream_windowed_counts`` / ``dedup_minhash_lsh`` -- the
-   r03-latest names displaced by the newcomers (still cumulatively
-   green; rotate back round 8);
-4. ranks 58+: the r04 greens, then r05, then r06 (freshest evidence
-   last), cheap-first within each block with the expensive dedup
-   pipelines at the very end.
+Round 8 (rotated against the CORRECTNESS_r01..r07 union): after r07's 50
+rows landed, the latest-green vintages are 7 names at r03, 7 at r04, 50
+at r05, 50 at r06 and 50 at r07, plus two brand-new round-8 queries with
+no row at all. The weakest-first order is therefore:
+1. ranks 1-2: the round-8 additions (``dedup_url_canonical``,
+   ``sim_near_dup_collapse``) -- no CORRECTNESS row at all;
+2. ranks 3-9: the 7 r03-latest names the r7 newcomers displaced
+   (``events_asof_join`` .. ``dedup_minhash_lsh``) -- the promise in the
+   r7 rotation notes, honored;
+3. ranks 10-16: the 7 r04-latest names (q3/q10/q11/q15/q16/q18/q22);
+4. ranks 17-50: the cheapest 34 of the 50 r05-latest names, cheap-first
+   so a time-capped run still re-certifies the maximum number of stale
+   rows. After this round lands, the minimum latest-green vintage across
+   the registry becomes r05.
+5. ranks 51-66: the 16 expensive r05 names (iterative BPE, the staged
+   dedup/similarity pipelines, the streaming witnesses) -- still
+   r05-latest after this round; they lead the r9 rotation;
+6. ranks 67+: the r06 block, then the r07 block (freshest evidence
+   last), each keeping its prior internal order.
 
 The suffix after the prefix is the canonical registry name used everywhere
 else (bench.py, tools/verify_local.py, tests).
@@ -40,60 +36,10 @@ else (bench.py, tools/verify_local.py, tests).
 from __future__ import annotations
 
 PRIORITY: list[str] = [
-    # -- ranks 1-42: r03-latest re-certifications (cheap-first) --
-    "fn_time_bucket",
-    "fn_string_extras",
-    "fn_string_regex_hash",
-    "fn_datetime",
-    "fn_datetime_construct",
-    "fn_datetime_format",
-    "fn_bitwise",
-    "fn_array_higher_order",
-    "fn_explode_unnest",
-    "join_inner",
-    "join_anti",
-    "join_cross",
-    "join_full_outer",
-    "sort_nulls_ordering",
-    "cte_chained",
-    "subq_scalar",
-    "subq_in",
-    "setop_union_distinct",
-    "setop_intersect",
-    "setop_except",
-    "setop_except_all",
-    "agg_rollup",
-    "agg_grouping_sets",
-    "agg_stats",
-    "agg_median",
-    "agg_min_max_by",
-    "agg_minmax_first",
-    "agg_regression",
-    "agg_bool",
-    "agg_bitwise",
-    "agg_any_count_if",
-    "agg_string_agg",
-    "win_ranking",
-    "win_first_last",
-    "win_percent_cume",
-    "win_range_frame",
-    "applyinpandas_spread",
-    "q9_product_profit",
-    "events_sessionize",
-    "events_session_window",
-    "events_rollup_two_level",
-    "events_range_join",
-    # -- ranks 43-50: the round-7 additions, no CORRECTNESS row yet --
-    "dedup_substring",
-    "corpus_source_filter",
-    "corpus_strip_dup_spans",
-    "text_decontaminate_spans",
-    "text_bm25_topk",
-    "text_lm_perplexity",
-    "sample_dsir_importance",
-    "text_gopher_rules",
-    # -- ranks 51-57: r03-latest re-certs displaced by the newcomers
-    # (cumulatively green, so they cede their budget slots; rotate back r8) --
+    # -- ranks 1-2: the round-8 additions, no CORRECTNESS row yet --
+    "dedup_url_canonical",
+    "sim_near_dup_collapse",
+    # -- ranks 3-9: r03-latest re-certs (displaced from the r7 budget) --
     "events_asof_join",
     "events_funnel",
     "events_retention",
@@ -101,7 +47,7 @@ PRIORITY: list[str] = [
     "text_token_count",
     "stream_windowed_counts",
     "dedup_minhash_lsh",
-    # -- ranks 58+: r04 greens (cheap-first) --
+    # -- ranks 10-16: r04-latest re-certs --
     "q3_shipping_priority",
     "q10_returned_items",
     "q11_important_stock",
@@ -109,19 +55,22 @@ PRIORITY: list[str] = [
     "q16_parts_supplier",
     "q18_large_volume_customer",
     "q22_global_sales_opportunity",
-    # -- r05 greens (cheap-first; heavy dedup/pipeline last) --
-    "q4_order_priority",
-    "q12_priority_by_status",
-    "q13_customer_distribution",
+    # -- ranks 17-50: r05-latest re-certs, cheap-first --
+    "sim_quantize_int8",
+    "corpus_chunk_overlap",
     "q14_promo_revenue",
+    "q17_small_quantity_revenue",
+    "corpus_pack_sequences",
+    "q13_customer_distribution",
     "q19_disjunctive_predicates",
+    "q20_potential_promotion",
+    "q4_order_priority",
     "q5_local_supplier_volume",
+    "q2_min_cost_supplier",
+    "q21_waiting_supplier",
     "q7_volume_shipping",
     "q8_market_share",
-    "q2_min_cost_supplier",
-    "q17_small_quantity_revenue",
-    "q20_potential_promotion",
-    "q21_waiting_supplier",
+    "q12_priority_by_status",
     "events_histogram",
     "events_winsorize",
     "events_anomaly_zscore",
@@ -133,23 +82,24 @@ PRIORITY: list[str] = [
     "text_dup_gram_fraction",
     "text_winnow_fingerprint",
     "text_decontaminate",
-    "corpus_bpe_pairs",
+    "corpus_token_budget",
+    "corpus_mixture_plan",
+    "corpus_shuffle_shards",
     "sample_weighted_topk",
     "sample_group_quota",
     "sample_train_split",
-    "corpus_token_budget",
-    "corpus_pack_sequences",
-    "corpus_chunk_overlap",
-    "corpus_mixture_plan",
-    "corpus_shuffle_shards",
     "multimodal_resize",
     "multimodal_frame_sample",
-    "sim_quantize_int8",
+    # -- ranks 51-66: the expensive r05 tail (leads the r9 rotation) --
+    "corpus_bpe_pairs",
+    "text_decontaminate_bloom",
     "sim_cosine_near_dup",
-    "sim_cosine_near_dup_lsh",
     "sim_ivf_topk",
     "sim_kmeans",
+    "sim_cosine_near_dup_lsh",
     "sim_semantic_dedup",
+    "dedup_containment",
+    "pipeline_dedup_canonical",
     "stream_sliding_counts",
     "stream_session_window",
     "stream_dedup_counts",
@@ -157,10 +107,7 @@ PRIORITY: list[str] = [
     "stream_stream_join",
     "stream_stateful_cents",
     "stream_stateful_user_stats",
-    "text_decontaminate_bloom",
-    "dedup_containment",
-    "pipeline_dedup_canonical",
-    # -- r06 greens (freshest evidence; cheap-first, pipelines last) --
+    # -- r06 greens (prior internal order) --
     "select_distinct",
     "sort_limit_offset",
     "filter_like_family",
@@ -211,6 +158,57 @@ PRIORITY: list[str] = [
     "dedup_simhash",
     "dedup_ngram_jaccard",
     "dedup_minhash_clusters",
+    # -- r07 greens (freshest evidence; prior internal order) --
+    "fn_time_bucket",
+    "fn_string_extras",
+    "fn_string_regex_hash",
+    "fn_datetime",
+    "fn_datetime_construct",
+    "fn_datetime_format",
+    "fn_bitwise",
+    "fn_array_higher_order",
+    "fn_explode_unnest",
+    "join_inner",
+    "join_anti",
+    "join_cross",
+    "join_full_outer",
+    "sort_nulls_ordering",
+    "cte_chained",
+    "subq_scalar",
+    "subq_in",
+    "setop_union_distinct",
+    "setop_intersect",
+    "setop_except",
+    "setop_except_all",
+    "agg_rollup",
+    "agg_grouping_sets",
+    "agg_stats",
+    "agg_median",
+    "agg_min_max_by",
+    "agg_minmax_first",
+    "agg_regression",
+    "agg_bool",
+    "agg_bitwise",
+    "agg_any_count_if",
+    "agg_string_agg",
+    "win_ranking",
+    "win_first_last",
+    "win_percent_cume",
+    "win_range_frame",
+    "applyinpandas_spread",
+    "q9_product_profit",
+    "events_sessionize",
+    "events_session_window",
+    "events_rollup_two_level",
+    "events_range_join",
+    "dedup_substring",
+    "corpus_source_filter",
+    "corpus_strip_dup_spans",
+    "text_decontaminate_spans",
+    "text_bm25_topk",
+    "text_lm_perplexity",
+    "sample_dsir_importance",
+    "text_gopher_rules",
 ]
 
 

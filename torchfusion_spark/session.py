@@ -196,8 +196,20 @@ def release_staged_group(spark, prefix: str, keep_nonce: int | None = None) -> i
             # prune the slot's Lock with its pool entry: nonce-scoped
             # slots get a fresh name per iterative call, so an unpruned
             # registry grows ~4 Lock objects per connected_components
-            # call for the life of the session (code-review r07)
-            spark.__dict__.get("_tf_slot_locks", {}).pop(slot, None)
+            # call for the life of the session (code-review r07).
+            # Prune ONLY when the Lock is provably unheld — popping a
+            # held/contended Lock would let a later _slot_lock mint a
+            # fresh object for the same slot while the old holder is
+            # still inside the read-prev/build/store critical section,
+            # recreating the double-unpersist the lock prevents
+            # (code-review r08). A held lock simply stays registered;
+            # nonce-scoped names are never re-staged after their group
+            # is superseded, so the registry stays bounded anyway.
+            locks = spark.__dict__.get("_tf_slot_locks", {})
+            lk = locks.get(slot)
+            if lk is not None and lk.acquire(blocking=False):
+                locks.pop(slot, None)
+                lk.release()
         if handle is None:
             continue
         try:
