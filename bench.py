@@ -100,6 +100,11 @@ HEADLINE = [
     # round-7 addition: Gopher quality-rule filter — the cheapest shape
     # in the family (one scan, zero shuffles), benched from day one
     "text_gopher_rules",
+    # round-8 additions: URL-canonicalization dedup (single keeper-window
+    # shuffle) and the LSH mega-cluster collapse (bounded output where
+    # the pair query is C(n,2)) — benched from day one
+    "dedup_url_canonical",
+    "sim_near_dup_collapse",
 ]
 
 # Streaming witnesses carry round-over-round timing accountability but are
@@ -305,6 +310,15 @@ def main() -> None:
             "cold": streaming_colds,
             "input_rows": stream_input_rows,
             "rows_per_sec": streaming_rps,
+            # state-store footprint of each witness's final progress
+            # (rows + bytes from stateOperators, recorded by the runner,
+            # keyed by the memory-sink name minus its tf_ prefix):
+            # round-over-round growth here flags an unbounded keyspace
+            # long before it OOMs an executor (VERDICT r7 item 5)
+            "state": {
+                k.removeprefix("tf_"): v
+                for k, v in getattr(spark, "_tf_stream_state", {}).items()
+            },
             "total_sec": round(sum(streaming_timings.values()), 4),
         },
     }

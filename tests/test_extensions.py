@@ -1436,6 +1436,99 @@ def test_view_swap_invalidates_derived_staged_memos(spark, tables):
         orig_emb.createOrReplaceTempView("embeddings")
 
 
+def test_url_canonical_dedup_matches_python_recompute(spark, tables):
+    """Pin the URL canonicalization semantics against a direct Python
+    recompute (urllib-free, same rule list): all five constructed messy
+    spellings of a page must collapse to one canonical URL, the keeper
+    is the lowest doc_id, and kept params survive sorted."""
+    from torchfusion_spark.operators.dedup import url_canonical_dedup_sql
+
+    rows = {r.doc_id: r for r in spark.sql(url_canonical_dedup_sql("spark")).collect()}
+    docs = spark.table("documents").select("doc_id", "source").toPandas()
+
+    def canon(doc_id, source):
+        page = doc_id // 100
+        v = (doc_id // 20) % 5
+        raw = {
+            0: f"https://{source}.example.com/articles/{page}?b=2&a=1",
+            1: f"https://{source.upper()}.EXAMPLE.COM:443/articles/{page}/?a=1&b=2",
+            2: f"http://{source}.example.com:80/articles/{page}?a=1&b=2#comments",
+            3: f"https://{source}.example.com/articles/{page}/?utm_source=feed&a=1&utm_campaign=daily&b=2",
+            4: f"https://{source}.example.com/articles/{page}?a=1&fbclid=abc123&b=2",
+        }[v]
+        u = raw.split("#")[0]
+        if u.startswith("http://"):
+            u = "https://" + u[7:]
+        hostpath = u[8:]
+        host, _, rest = hostpath.partition("/")
+        rest = "/" + rest if rest or u[8 + len(host):].startswith("/") else ""
+        host = host.lower()
+        for port in (":80", ":443"):
+            if host.endswith(port):
+                host = host[: -len(port)]
+        path, _, q = rest.partition("?")
+        path = path.rstrip("/")
+        keep = sorted(
+            p for p in q.split("&")
+            if p and not p.startswith(("utm_", "ref=", "fbclid=", "gclid="))
+        )
+        return f"https://{host}{path}" + ("?" + "&".join(keep) if keep else "")
+
+    expected_canon = {int(r.doc_id): canon(int(r.doc_id), r.source) for r in docs.itertuples()}
+    keeper = {}
+    for doc_id, cu in expected_canon.items():
+        keeper[cu] = min(keeper.get(cu, doc_id), doc_id)
+    assert set(rows) == set(expected_canon)
+    for doc_id, cu in expected_canon.items():
+        r = rows[doc_id]
+        assert r.canonical_url == cu, (doc_id, r.canonical_url, cu)
+        assert r.keeper_doc_id == keeper[cu]
+        assert r.kept == (doc_id == keeper[cu])
+    # every page's five spellings unified: group sizes are uniform
+    sizes = {}
+    for cu in expected_canon.values():
+        sizes[cu] = sizes.get(cu, 0) + 1
+    assert max(sizes.values()) >= 2, "fixture should produce duplicate spellings"
+
+
+def test_near_dup_collapse_bounds_planted_mega_cluster(spark, tables):
+    """The collapse witness's reason to exist: a planted near-identical
+    mega-cluster (the 100 TB boilerplate-embedding scenario) must come
+    back as ONE canonical row with the full member count, where the
+    pair-enumerating LSH query emits C(n,2) rows."""
+    from torchfusion_spark.operators.similarity import (
+        cosine_near_dup_lsh_sql,
+        near_dup_collapse_sql,
+    )
+
+    n_clone, seed = 50, 7
+    rng = np.random.default_rng(seed)
+    base = rng.normal(size=64)
+    # perturbations far below the test-pinned 0.52 sign margin of this
+    # seed's base vector against every LSH plane — all clones share a bucket
+    vecs = [(i, (base + rng.normal(scale=1e-4, size=64)).astype("float32").tolist())
+            for i in range(n_clone)]
+    vecs += [(1000 + i, rng.normal(size=64).astype("float32").tolist()) for i in range(5)]
+    pdf = pd.DataFrame(vecs, columns=["vec_id", "embedding"])
+    orig = spark.table("embeddings")
+    try:
+        spark.createDataFrame(pdf).createOrReplaceTempView("embeddings")
+        collapsed = spark.sql(near_dup_collapse_sql("spark", threshold=0.9)).collect()
+        pairs = spark.sql(cosine_near_dup_lsh_sql("spark", threshold=0.9)).collect()
+    finally:
+        orig.createOrReplaceTempView("embeddings")
+    clone_rows = [r for r in collapsed if r.canonical_id == 0]
+    assert len(clone_rows) == 1
+    assert clone_rows[0].n_members == n_clone
+    assert clone_rows[0].n_collapsed == n_clone - 1
+    # no clone appears as its own canonical row
+    assert not any(0 < r.canonical_id < n_clone for r in collapsed)
+    # the pair query pays the quadratic output the collapse avoids
+    clone_pairs = [r for r in pairs if r.id_a < n_clone and r.id_b < n_clone]
+    assert len(clone_pairs) == n_clone * (n_clone - 1) // 2
+    assert len(collapsed) <= len(pdf)
+
+
 def test_gopher_rules_match_python_recompute(spark, tables):
     """Pin the Gopher-rule semantics against a direct Python recompute on
     a corpus hitting every rule's boundary: bullet/ellipsis lines, '#'

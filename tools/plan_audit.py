@@ -143,14 +143,14 @@ _EXPECTED_AT_SCALE = {
     # old inverted-index row self-join is gone)
     "dedup_minhash_lsh": {"sort_merge_join"},      # band + verify self-joins
     "dedup_ngram_jaccard": {"sort_merge_join"},    # blocked self-join
-    "dedup_substring": {"sort_merge_join"},        # grams ⋈ dup-grams: both
-    # sides grow with the corpus (the dup set is corpus-wide duplicated
-    # grams); SMJ on the gram hash IS the 100 TB plan — broadcast of the
-    # dup relation only fits at small sf (AQE picks it there)
-    "corpus_strip_dup_spans": {"sort_merge_join"},  # same class as
-    # dedup_substring: grams ⋈ owner-grams, token-stream ANTI covered
-    # positions, and base ⋈ rebuilt-text are all both-sides-corpus-scale
-    # joins on (doc_id, pos) keys — SMJ is the plan you want at 100 TB
+    # (dedup_substring dropped in round 8: duplicated-gram marking is now
+    # a MIN/MAX window over the gram hash — the grams ⋈ dup-grams SMJ no
+    # longer exists at any scale, 2 shuffles total)
+    "corpus_strip_dup_spans": {"sort_merge_join"},  # the strip tail:
+    # token-stream ANTI covered positions and base ⋈ rebuilt-text are
+    # both-sides-corpus-scale joins on (doc_id, tpos) keys — SMJ is the
+    # plan you want at 100 TB (the r8 window rewrite removed the
+    # grams ⋈ owner-grams join, not these)
     "text_decontaminate_spans": {"sort_merge_join"},  # shares the strip
     # tail: the token-stream ANTI join and base ⋈ rebuilt-text grow with
     # the corpus on both sides (the benchmark probe side stays broadcast)

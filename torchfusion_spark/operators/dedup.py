@@ -1003,18 +1003,22 @@ def substring_body_sql(d: str, grams_rel: str, k: int = SUBSTRING_K) -> str:
     Scale shape — linear, never pairwise: the classic failure mode of
     substring dedup at 100 TB is emitting one row per *pair* of
     documents sharing a boilerplate gram (C(df,2) per hot gram). This
-    formulation never forms pairs at all: the hot gram costs one
-    aggregate row in ``dup`` plus its own positional rows back from the
-    join — O(occurrences), not O(occurrences²). Three shuffles total
-    (gram-hash aggregate, gram⋈dup equi-join, per-doc window) and the
-    final per-(doc, island) aggregate reuses the window's doc_id
-    exchange."""
+    formulation never forms pairs at all: duplicated positions are
+    marked by MIN/MAX(doc_id) windows over the gram hash — the hot gram
+    costs its own positional rows within one hx partition,
+    O(occurrences), not O(occurrences²). TWO shuffles total (the hx
+    window, the per-doc island window; r8 — the previous
+    aggregate+equi-join spelling paid a third exchange and a join for
+    the same marking, measured 0.63s→0.46s at sf0.1) and the final
+    per-(doc, island) aggregate reuses the window's doc_id exchange."""
     return f"""
-    WITH dup AS (
-        SELECT hx FROM {grams_rel} GROUP BY hx HAVING MIN(doc_id) <> MAX(doc_id)
-    ),
-    marked AS (
-        SELECT g.doc_id, g.pos FROM {grams_rel} g JOIN dup ON g.hx = dup.hx
+    WITH marked AS (
+        SELECT doc_id, pos FROM (
+            SELECT doc_id, pos,
+                   MIN(doc_id) OVER (PARTITION BY hx) AS mn,
+                   MAX(doc_id) OVER (PARTITION BY hx) AS mx
+            FROM {grams_rel})
+        WHERE mn <> mx
     ),
     runs AS (
         SELECT doc_id, pos,
@@ -1042,8 +1046,8 @@ def substring_sql(d: str, k: int = SUBSTRING_K) -> str:
     mat = "MATERIALIZED " if d == "duck" else ""
     body = substring_body_sql(d, "grams", k)
     return body.replace(
-        "WITH dup AS",
-        f"WITH grams AS {mat}({substring_grams_sql(d, k)}),\n    dup AS",
+        "WITH marked AS",
+        f"WITH grams AS {mat}({substring_grams_sql(d, k)}),\n    marked AS",
         1,
     )
 
@@ -1086,28 +1090,29 @@ def strip_dup_spans_body_sql(
     kept token counts plus a portable fingerprint of the reconstructed
     (lower-cased, single-space) cleaned text.
 
-    Scale shape — linear like the span reporter: ownership is one
-    map-combinable MIN/MAX aggregate per gram hash (never doc pairs);
-    `foreign` is each non-owner occurrence joined back on the same gram
-    hash; coverage explodes k positions per foreign gram (O(k ×
-    occurrences)); the anti-join removes covered tokens with one
-    (doc_id, tpos) shuffle; reconstruction is a per-doc aggregate whose
-    groups are doc-sized. A hot boilerplate gram in a billion docs costs
-    its occurrences, never C(df, 2). No DISTINCT on coverage — the
+    Scale shape — linear like the span reporter: ownership is a
+    MIN(doc_id) window over the gram hash (never doc pairs); `foreign`
+    is every occurrence in a later document than its gram's owner —
+    ``doc_id > owner`` already implies the gram spans ≥ 2 documents, so
+    the window filter replaces the previous aggregate + self-join and
+    its extra exchange (r8, same fusion as ``substring_body_sql``);
+    coverage explodes k positions per foreign gram (O(k × occurrences));
+    the anti-join removes covered tokens with one (doc_id, tpos)
+    shuffle; reconstruction is a per-doc aggregate whose groups are
+    doc-sized. A hot boilerplate gram in a billion docs costs its
+    occurrences, never C(df, 2). No DISTINCT on coverage — the
     anti-join is existence-based, so overlapping grams covering the same
     token are free.
 
     Tokenization is the gram relation's own (lower + single-space
     split), so coverage positions and token positions can never drift."""
-    mat = "MATERIALIZED " if d == "duck" else ""
     return f"""
-    WITH own AS {mat}(
-        SELECT hx, MIN(doc_id) AS owner
-        FROM {grams_rel} GROUP BY hx HAVING MIN(doc_id) <> MAX(doc_id)
-    ),
-    foreign_grams AS (
-        SELECT g.doc_id, g.pos FROM {grams_rel} g
-        JOIN own ON g.hx = own.hx AND g.doc_id > own.owner
+    WITH foreign_grams AS (
+        SELECT doc_id, pos FROM (
+            SELECT doc_id, pos,
+                   MIN(doc_id) OVER (PARTITION BY hx) AS owner
+            FROM {grams_rel})
+        WHERE doc_id > owner
     ),
     {_strip_tail_sql(d, k, docs_rel=docs_rel)}
     """
@@ -1189,8 +1194,8 @@ def strip_dup_spans_sql(d: str, k: int = SUBSTRING_K) -> str:
     mat = "MATERIALIZED " if d == "duck" else ""
     body = strip_dup_spans_body_sql(d, "grams", k)
     return body.replace(
-        "WITH own AS",
-        f"WITH grams AS {mat}({substring_grams_sql(d, k)}),\n    own AS",
+        "WITH foreign_grams AS",
+        f"WITH grams AS {mat}({substring_grams_sql(d, k)}),\n    foreign_grams AS",
         1,
     )
 

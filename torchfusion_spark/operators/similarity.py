@@ -210,12 +210,13 @@ def near_dup_collapse_sql(d: str, threshold: float = 0.30, rel: str | None = Non
         )
     mat = "MATERIALIZED " if d == "duck" else ""
     hint = "/*+ BROADCAST(av) */" if d == "spark" else ""
+    ahint = "/*+ BROADCAST(a) */" if d == "spark" else ""
     return f"""
     WITH n AS {mat}({n_rel}),
     anchors AS (
         SELECT bucket, MIN(vec_id) AS anchor_id FROM n GROUP BY bucket),
     av AS (
-        SELECT a.bucket, a.anchor_id, x.v AS av_v, x.nrm AS av_nrm
+        SELECT {ahint} a.bucket, a.anchor_id, x.v AS av_v, x.nrm AS av_nrm
         FROM anchors a JOIN n x ON x.vec_id = a.anchor_id),
     scored AS (
         SELECT {hint} m.vec_id, m.bucket, av.anchor_id,

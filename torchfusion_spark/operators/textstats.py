@@ -229,11 +229,13 @@ def source_filter_sql(d: str) -> str:
 
     Cross-engine float discipline: the per-doc score is rounded to 6
     decimals, scaled to an exact BIGINT (micro-quality ``q6``), and all
-    aggregation/comparison happens on integers — the keep decision is a
-    BIGINT cross-multiplication (``sum_q6 * tot_docs >= tot_q6 * n_docs``),
+    aggregation/comparison happens on exact integers — the keep decision
+    is a cross-multiplication (``sum_q6 * tot_docs >= tot_q6 * n_docs``),
     never a float compare, so Spark and DuckDB cannot diverge on
-    summation order. (At 100 TB promote q6 sums to DECIMAL(38,0); the
-    cross-multiply bound is docs × 1e6 × docs.)
+    summation order. The q6 sums and the cross-multiply run at 128-bit
+    width (Spark DECIMAL(38,0) / DuckDB HUGEINT — r8, promoted from the
+    SCALE.md note): the bound is docs × 1e6 × docs, which overflows
+    BIGINT around 3e9 documents; at 128 bits the headroom is ~1e38.
 
     Scale shape: one scan computes per-doc (q6, fingerprint); ONE shuffle
     on fingerprint (window count — the unavoidable global dup check); one
@@ -245,6 +247,7 @@ def source_filter_sql(d: str) -> str:
     contains = "array_contains" if d == "spark" else "list_contains"
     n_stop = G.arr_size(G.afilter("toks", f"t -> {contains}({stop_lit}, t)", d), d)
     punct = G.regex_count("text", "[.,!?;:]", d)
+    big = "DECIMAL(38,0)" if d == "spark" else "HUGEINT"
     norm = (
         "trim(regexp_replace(lower(text), '[^a-z0-9 ]', ''))"
         if d == "spark"
@@ -276,15 +279,15 @@ def source_filter_sql(d: str) -> str:
         FROM q),
     src AS (
         SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
-               SUM(q6) AS sum_q6,
+               SUM(CAST(q6 AS {big})) AS sum_q6,
                CAST(SUM(CASE WHEN fp_count > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_docs
         FROM fc GROUP BY source),
-    tot AS (SELECT SUM(sum_q6) AS tot_q6, SUM(n_docs) AS tot_docs FROM src)
+    tot AS (SELECT SUM(sum_q6) AS tot_q6, SUM(CAST(n_docs AS {big})) AS tot_docs FROM src)
     SELECT s.source, s.n_docs,
            ROUND(CAST(s.sum_q6 AS DOUBLE) / 1000000.0 / s.n_docs, 6) AS mean_quality,
            s.dup_docs,
            ROUND(CAST(s.dup_docs AS DOUBLE) / s.n_docs, 6) AS dup_fraction,
-           CAST(CASE WHEN s.sum_q6 * t.tot_docs >= t.tot_q6 * s.n_docs
+           CAST(CASE WHEN s.sum_q6 * t.tot_docs >= t.tot_q6 * CAST(s.n_docs AS {big})
                       AND s.dup_docs * 2 <= s.n_docs
                 THEN 1 ELSE 0 END AS INT) AS kept
     FROM src s CROSS JOIN tot t

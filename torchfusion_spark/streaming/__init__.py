@@ -46,6 +46,28 @@ def _scaled_state_partitions(spark: SparkSession):
         spark.conf.set(key, old)
 
 
+def _record_state_metrics(spark: SparkSession, name: str, q) -> None:
+    """Persist the finished query's state-store footprint (rows + bytes
+    from ``stateOperators`` in the last progress that carries them) into
+    a session-scoped dict for the bench report — round-over-round state
+    GROWTH is the 100 TB streaming health signal (an unbounded keyspace
+    shows up here long before an executor OOMs), so BENCH_r{N} carries
+    it next to rows/sec (VERDICT r7 item 5)."""
+    try:
+        ops = []
+        for prog in reversed(q.recentProgress or []):
+            ops = prog.get("stateOperators") or []
+            if ops:
+                break
+        spark.__dict__.setdefault("_tf_stream_state", {})[name] = {
+            "state_rows": sum(int(o.get("numRowsTotal", 0)) for o in ops),
+            "state_bytes": sum(int(o.get("memoryUsedBytes", 0)) for o in ops),
+            "state_operators": len(ops),
+        }
+    except Exception:  # noqa: BLE001 — metrics are best-effort, never fail the query
+        pass
+
+
 def _run_to_memory(spark: SparkSession, df: DataFrame, name: str, mode: str) -> DataFrame:
     """Run a bounded availableNow stream into a named memory sink."""
     with _scaled_state_partitions(spark):
@@ -57,6 +79,7 @@ def _run_to_memory(spark: SparkSession, df: DataFrame, name: str, mode: str) -> 
             .start()
         )
         q.awaitTermination()
+    _record_state_metrics(spark, name, q)
     return spark.table(name)
 
 EVENTS_SCHEMA = (
