@@ -1,0 +1,125 @@
+"""Merge fresh sf1 rehearsal measurements into BASELINE_SF1_REHEARSAL.json.
+
+Methodology (unchanged from round 6/7): the ``spark`` section carries the
+per-query MIN across N cold bench sessions (each itself best-of-2 via
+bench.py), ``duckdb`` carries warm best-of-2 oracle timings, and
+``comparable`` recomputes the common-set ratio. DuckDB rows may be
+partially refreshed: the generator is deterministic and the corpus
+unchanged, so rows whose oracle SQL did not change this round are reused
+from the prior record (the round-7 practice, documented in ``note``).
+
+Usage:
+  python tools/merge_sf1_rehearsal.py run1.json run2.json [--duck duck.json]
+      [--note "..."]
+
+Each runN.json is a bench.py payload (the one-line JSON). duck.json is a
+{query: sec} dict of re-measured DuckDB rows to overlay on the prior
+record's duckdb.queries.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+RECORD = "BASELINE_SF1_REHEARSAL.json"
+
+
+def main() -> None:
+    args = sys.argv[1:]
+    note = None
+    duck_path = None
+    runs = []
+    i = 0
+    while i < len(args):
+        if args[i] == "--note":
+            note = args[i + 1]
+            i += 2
+        elif args[i] == "--duck":
+            duck_path = args[i + 1]
+            i += 2
+        else:
+            runs.append(args[i])
+            i += 1
+    if not runs:
+        raise SystemExit("need at least one bench payload")
+
+    payloads = [json.load(open(p)) for p in runs]
+    record = json.load(open(RECORD))
+
+    # per-query min across sessions; keep run-1's cold column (true cold),
+    # min the spreads (the tightest observed repeatability)
+    merged = dict(payloads[0])
+    names = set()
+    for p in payloads:
+        names |= set(p["queries"])
+    merged["queries"] = {
+        n: round(min(p["queries"][n] for p in payloads if n in p["queries"]), 4)
+        for n in sorted(names)
+    }
+    merged["spread"] = {
+        n: round(min(p["spread"][n] for p in payloads if n in p.get("spread", {})), 4)
+        for n in sorted(names)
+    }
+    merged["cold"] = payloads[0].get("cold", {})
+    merged["value"] = round(sum(merged["queries"].values()), 4)
+    merged["staging_warm_sec"] = round(
+        min(p.get("staging_warm_sec", 1e9) for p in payloads), 4
+    )
+    # streaming: min per witness across sessions, recompute rows/sec;
+    # keep the latest session's state footprint (deterministic corpus)
+    streams = [p.get("streaming", {}) for p in payloads if p.get("streaming")]
+    if streams:
+        s_names = set().union(*(s.get("queries", {}) for s in streams))
+        s_q = {
+            n: round(min(s["queries"][n] for s in streams if n in s.get("queries", {})), 4)
+            for n in sorted(s_names)
+        }
+        rows = streams[0].get("input_rows")
+        merged["streaming"] = {
+            "queries": s_q,
+            "spread": {
+                n: round(min(s["spread"][n] for s in streams if n in s.get("spread", {})), 4)
+                for n in sorted(s_names)
+            },
+            "cold": streams[0].get("cold", {}),
+            "input_rows": rows,
+            "rows_per_sec": {
+                n: round(rows / v, 1) for n, v in s_q.items() if rows and v > 0
+            },
+            "state": streams[-1].get("state", {}),
+            "total_sec": round(sum(s_q.values()), 4),
+        }
+    merged.pop("baseline", None)  # sf0.1 comparison is meaningless here
+    record["spark"] = merged
+
+    if duck_path:
+        overlay = json.load(open(duck_path))
+        record["duckdb"]["queries"].update(
+            {k: round(v, 4) for k, v in overlay.items()}
+        )
+        record["duckdb"]["total_sec"] = round(
+            sum(record["duckdb"]["queries"].values()), 4
+        )
+
+    duck_q = record["duckdb"]["queries"]
+    common = [n for n in duck_q if n in merged["queries"]]
+    st = sum(merged["queries"][n] for n in common)
+    dt = sum(duck_q[n] for n in common)
+    record["comparable"] = {
+        "common_queries": len(common),
+        "spark_total_sec": round(st, 4),
+        "duckdb_total_sec": round(dt, 4),
+        "ratio_spark_over_duckdb": round(st / dt, 3),
+    }
+    if note:
+        record["note"] = note
+
+    with open(RECORD, "w") as f:
+        json.dump(record, f, indent=1)
+        f.write("\n")
+    print(json.dumps(record["comparable"]))
+
+
+if __name__ == "__main__":
+    main()

@@ -125,6 +125,25 @@ def main() -> None:
         "note": "linear formulation: cost O(occurrences), no pair blow-up to cap",
     }
 
+    # embedding mega-cluster collapse (r8): the hot LSH bucket's output,
+    # pair-enumerating query vs collapse query — the collapse witness's
+    # bounded-output claim, measured on the skewed corpus rather than
+    # argued from the formulation
+    from torchfusion_spark.operators import similarity
+
+    pair_rows = similarity.cosine_near_dup_lsh(spark).count()
+    coll = similarity.near_dup_collapse(spark)
+    coll_rows = coll.count()
+    hot = coll.orderBy(coll.n_members.desc()).first()
+    report["caps"]["near_dup_collapse"] = {
+        "lsh_pair_rows": pair_rows,
+        "collapse_rows": coll_rows,
+        "hot_cluster_members": hot["n_members"] if hot else 0,
+        "hot_cluster_collapsed": hot["n_collapsed"] if hot else 0,
+        "note": "the hot cluster is ONE output row in the collapse query; "
+        "the pair query's output grows C(n,2) with the same cluster",
+    }
+
     out = json.dumps(report, indent=1, default=str)
     print(out)
     if out_path:
