@@ -74,11 +74,14 @@ DOC_OPS = [
     "sample_dsir_importance",
     "corpus_strip_dup_spans",
     "text_decontaminate_spans",
+    "text_gopher_rules",
+    "dedup_url_canonical",
 ]
 EMB_OPS = [
     "sim_cosine_topk",
     "sim_cosine_near_dup",
     "sim_cosine_near_dup_lsh",
+    "sim_near_dup_collapse",
     "sim_quantize_int8",
 ]
 EVENT_OPS = [

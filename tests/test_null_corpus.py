@@ -32,6 +32,9 @@ NULL_OPS = [
     "events_sessionize",        # NULL ts already excluded (ts is clean here)
     "fn_time_bucket",           # DECIMAL agg over NULL values
     "multimodal_features",      # mapInPandas NULL payload guards
+    "text_gopher_rules",        # every rule's array/regex arithmetic on NULL text
+    "dedup_url_canonical",      # URL built from (source, doc_id); NULL text must not matter
+    "sim_near_dup_collapse",    # NULL embeddings excluded at norm_cte before bucketing
 ]
 
 

@@ -427,16 +427,20 @@ def join_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pre-partitioned fact exchange",
 )
 def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Spark plan (round 4): Catalyst inlines the ``ps`` CTE into both
-    the outer join tree and the decorrelated MIN aggregate, running the
-    6M-row DISTINCT twice (6 shuffles at sf1). The correlated MIN over
-    EUROPE suppliers of the same part is a window: build the
-    EUROPE-supplier part-supplier relation ONCE — pre-partitioned by
-    l_partkey so the DISTINCT (l_partkey ⊆ group keys) and the window
-    both reuse that single exchange — keep rows at the per-part minimum
-    (ties kept, as the ``=`` subquery does), then broadcast-join the
-    p_size part filter. One fact-wide exchange total; every dim join is
-    a broadcast. Oracle unchanged (DuckDB runs the textbook correlated
+    """Spark plan (round 4, part filter pushed below the fact exchange in
+    round 8): Catalyst inlines the ``ps`` CTE into both the outer join
+    tree and the decorrelated MIN aggregate, running the 6M-row DISTINCT
+    twice (6 shuffles at sf1). The correlated MIN over EUROPE suppliers
+    of the same part is a window: broadcast-semi-filter lineitem by the
+    p_size part list FIRST (the per-part minimum is untouched by
+    dropping other parts' rows, and ~2% of parts survive p_size = 15 —
+    the DISTINCT and window then run on 2% of the fact), pre-partition
+    by l_partkey so the DISTINCT (l_partkey ⊆ group keys) and the window
+    reuse that single exchange, and keep rows at the per-part minimum
+    (ties kept, as the ``=`` subquery does). One 98%-pruned fact
+    exchange total; every dim join is a broadcast — at 100 TB the
+    broadcast part filter prunes at the scan. Measured 0.43→0.31s at
+    sf0.1. Oracle unchanged (DuckDB runs the textbook correlated
     form)."""
 
     eu_supp = (
@@ -452,8 +456,11 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("s_suppkey", "s_name", "s_acctbal")
     )
+    p = spark.table("part").filter(F.col("p_size") == 15).select("p_partkey")
     ps = (
         spark.table("lineitem")
+        .select("l_partkey", "l_suppkey")
+        .join(bcast_dim(spark, p, "part"), F.col("l_partkey") == F.col("p_partkey"))
         .select("l_partkey", "l_suppkey")
         .repartition(F.col("l_partkey"))
         .distinct()
@@ -464,10 +471,12 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("min_bal", F.min("s_acctbal").over(w))
         .filter(F.col("s_acctbal") == F.col("min_bal"))
     )
-    p = spark.table("part").filter(F.col("p_size") == 15).select("p_partkey")
     return (
-        best.join(bcast_dim(spark, p, "part"), F.col("l_partkey") == F.col("p_partkey"))
-        .select("p_partkey", "s_name", F.col("s_acctbal").cast("double").alias("s_acctbal"))
+        best.select(
+            F.col("l_partkey").alias("p_partkey"),
+            "s_name",
+            F.col("s_acctbal").cast("double").alias("s_acctbal"),
+        )
         .orderBy("p_partkey", "s_name")
     )
 
