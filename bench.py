@@ -101,10 +101,13 @@ HEADLINE = [
     # in the family (one scan, zero shuffles), benched from day one
     "text_gopher_rules",
     # round-8 additions: URL-canonicalization dedup (single keeper-window
-    # shuffle) and the LSH mega-cluster collapse (bounded output where
-    # the pair query is C(n,2)) — benched from day one
+    # shuffle), the LSH mega-cluster collapse (bounded output where
+    # the pair query is C(n,2)), and the composed FineWeb-style quality
+    # gate (gopher ∧ source ∧ url-keeper, reason-coded) — benched from
+    # day one
     "dedup_url_canonical",
     "sim_near_dup_collapse",
+    "pipeline_quality_gate",
 ]
 
 # Streaming witnesses carry round-over-round timing accountability but are

@@ -76,6 +76,7 @@ DOC_OPS = [
     "text_decontaminate_spans",
     "text_gopher_rules",
     "dedup_url_canonical",
+    "pipeline_quality_gate",
 ]
 EMB_OPS = [
     "sim_cosine_topk",

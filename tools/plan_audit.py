@@ -67,6 +67,9 @@ _EXPECTED = {
     # aggregate (|sources| rows) — a broadcast of a single row, the same
     # shape as a scalar subquery
     "corpus_source_filter": {"bnl_join"},
+    # the composed gate embeds corpus_source_filter verbatim — the same
+    # 1-row corpus-total broadcast is its only BNL
+    "pipeline_quality_gate": {"bnl_join"},
     # same 1-row-stats cross-join shape: BM25's (n_docs, tot_tokens) and
     # the LM's (t_tokens, v_size) corpus totals broadcast back as a
     # single row onto the scored relation
@@ -154,6 +157,10 @@ _EXPECTED_AT_SCALE = {
     "text_decontaminate_spans": {"sort_merge_join"},  # shares the strip
     # tail: the token-stream ANTI join and base ⋈ rebuilt-text grow with
     # the corpus on both sides (the benchmark probe side stays broadcast)
+    "pipeline_quality_gate": {"sort_merge_join"},  # gopher ⋈ url-keeper:
+    # two doc-keyed relations that both grow with the corpus — the
+    # co-partitioned doc_id join IS the 100 TB plan (the source gate
+    # side stays broadcast)
     "sim_cosine_near_dup_lsh": {"sort_merge_join"},  # bucket self-join
     "text_dup_gram_fraction": {"sort_merge_join"},   # gram self-join
     "q3_shipping_priority": {"sort_merge_join"},   # lineitem ⋈ orders

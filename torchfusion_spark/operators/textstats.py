@@ -214,6 +214,55 @@ def corpus_clean_sql(d: str) -> str:
     """
 
 
+def quality_gate_sql(d: str) -> str:
+    """Composed per-document KEEP decision — the FineWeb/RefinedWeb-style
+    multi-stage gate fused into ONE declarative plan: a document survives
+    when (1) it passes all seven Gopher heuristics, (2) its SOURCE passes
+    the domain-level quality gate, and (3) it is the canonical-URL
+    keeper (earliest crawl for its canonical URL). Emits the three
+    verdicts, the fused ``kept`` flag, and a comma-joined
+    ``drop_reasons`` audit column (concat_ws skips NULLs identically on
+    both dialects) — the reason codes are what a production pipeline
+    logs per rejected doc.
+
+    Scale shape: the stages compose without intermediate
+    materialization. Gopher rules are scan-speed codegen; the source
+    gate costs its fingerprint window + a |sources|-row rollup that
+    BROADCASTS onto the doc stream; the URL keeper is one MIN window.
+    The gopher ⋈ url join co-partitions two doc-keyed relations on
+    doc_id — at 100 TB these are the same partitioning, so the join
+    adds no third fact exchange beyond the two stages' own."""
+    g = gopher_rules_sql(d)
+    s = source_filter_sql(d)
+    u = url_canonical_dedup_sql_ref(d)
+    return f"""
+    WITH g AS ({g}),
+    s AS ({s}),
+    u AS ({u})
+    SELECT g.doc_id,
+           CAST(g.kept AS INT) AS gopher_ok,
+           CAST(s.kept AS INT) AS source_ok,
+           CAST(CASE WHEN u.kept THEN 1 ELSE 0 END AS INT) AS url_keeper,
+           CAST(CASE WHEN g.kept = 1 AND s.kept = 1 AND u.kept
+                THEN 1 ELSE 0 END AS INT) AS kept,
+           concat_ws(',',
+               CASE WHEN g.kept = 0 THEN 'gopher' END,
+               CASE WHEN s.kept = 0 THEN 'source' END,
+               CASE WHEN NOT u.kept THEN 'url_dup' END) AS drop_reasons
+    FROM g JOIN u ON g.doc_id = u.doc_id
+           JOIN s ON u.source = s.source
+    ORDER BY g.doc_id
+    """
+
+
+def url_canonical_dedup_sql_ref(d: str) -> str:
+    """Import indirection for the URL dedup generator (dedup.py owns it);
+    a local alias keeps the composed gate's SQL assembly readable."""
+    from torchfusion_spark.operators.dedup import url_canonical_dedup_sql
+
+    return url_canonical_dedup_sql(d)
+
+
 def source_filter_sql(d: str) -> str:
     """Per-source (domain-level) quality gating — the RefinedWeb/CCNet
     move of scoring whole *sources* and dropping every document from a

@@ -27,6 +27,14 @@ _sql_pair(
     "exact dedup: one shuffle on content hash, deterministic winner per group",
 )
 _sql_pair(
+    "pipeline_quality_gate",
+    textstats.quality_gate_sql,
+    "composed per-doc keep decision (FineWeb-style): Gopher rules AND "
+    "source-level gate AND canonical-URL keeper, fused in one plan with "
+    "reason-coded drops; the source rollup broadcasts, the doc-keyed "
+    "joins co-partition on doc_id",
+)
+_sql_pair(
     "dedup_url_canonical",
     dedup.url_canonical_dedup_sql,
     "URL-canonicalization dedup (C4/RefinedWeb first pass): strip "

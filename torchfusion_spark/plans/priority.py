@@ -11,22 +11,23 @@ Ordering policy (documented so the ranking is auditable, not gamed) --
 ROTATED each round so the budget certifies the weakest evidence first.
 Round 8 (rotated against the CORRECTNESS_r01..r07 union): after r07's 50
 rows landed, the latest-green vintages are 7 names at r03, 7 at r04, 50
-at r05, 50 at r06 and 50 at r07, plus two brand-new round-8 queries with
-no row at all. The weakest-first order is therefore:
-1. ranks 1-2: the round-8 additions (``dedup_url_canonical``,
-   ``sim_near_dup_collapse``) -- no CORRECTNESS row at all;
-2. ranks 3-9: the 7 r03-latest names the r7 newcomers displaced
+at r05, 50 at r06 and 50 at r07, plus three brand-new round-8 queries
+with no row at all. The weakest-first order is therefore:
+1. ranks 1-3: the round-8 additions (``dedup_url_canonical``,
+   ``sim_near_dup_collapse``, ``pipeline_quality_gate``) -- no
+   CORRECTNESS row at all;
+2. ranks 4-10: the 7 r03-latest names the r7 newcomers displaced
    (``events_asof_join`` .. ``dedup_minhash_lsh``) -- the promise in the
    r7 rotation notes, honored;
-3. ranks 10-16: the 7 r04-latest names (q3/q10/q11/q15/q16/q18/q22);
-4. ranks 17-50: the cheapest 34 of the 50 r05-latest names, cheap-first
+3. ranks 11-17: the 7 r04-latest names (q3/q10/q11/q15/q16/q18/q22);
+4. ranks 18-50: the cheapest 33 of the 50 r05-latest names, cheap-first
    so a time-capped run still re-certifies the maximum number of stale
    rows. After this round lands, the minimum latest-green vintage across
    the registry becomes r05.
-5. ranks 51-66: the 16 expensive r05 names (iterative BPE, the staged
+5. ranks 51-67: the 17 remaining r05 names (iterative BPE, the staged
    dedup/similarity pipelines, the streaming witnesses) -- still
    r05-latest after this round; they lead the r9 rotation;
-6. ranks 67+: the r06 block, then the r07 block (freshest evidence
+6. ranks 68+: the r06 block, then the r07 block (freshest evidence
    last), each keeping its prior internal order.
 
 The suffix after the prefix is the canonical registry name used everywhere
@@ -36,9 +37,10 @@ else (bench.py, tools/verify_local.py, tests).
 from __future__ import annotations
 
 PRIORITY: list[str] = [
-    # -- ranks 1-2: the round-8 additions, no CORRECTNESS row yet --
+    # -- ranks 1-3: the round-8 additions, no CORRECTNESS row yet --
     "dedup_url_canonical",
     "sim_near_dup_collapse",
+    "pipeline_quality_gate",
     # -- ranks 3-9: r03-latest re-certs (displaced from the r7 budget) --
     "events_asof_join",
     "events_funnel",
