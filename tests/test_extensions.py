@@ -1529,6 +1529,40 @@ def test_near_dup_collapse_bounds_planted_mega_cluster(spark, tables):
     assert len(collapsed) <= len(pdf)
 
 
+def test_quality_gate_null_source_fails_closed(spark, tables):
+    """A NULL-source doc must appear in the gate output as a reason-coded
+    rejection ('source'), never silently vanish from the audit log (the
+    inner-join failure mode code-review r08 flagged)."""
+    import duckdb
+
+    from torchfusion_spark.operators.textstats import quality_gate_sql
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [0, 1],
+            "lang": ["en", "en"],
+            "text": ["the and " + " ".join(["word"] * 48)] * 2,
+            "source": ["src0", None],
+            "n_chars": [250, 250],
+        }
+    )
+    orig = spark.table("documents")
+    try:
+        spark.createDataFrame(pdf).createOrReplaceTempView("documents")
+        got = {r.doc_id: r for r in spark.sql(quality_gate_sql("spark")).collect()}
+    finally:
+        orig.createOrReplaceTempView("documents")
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    duck = {int(r[0]): r for r in con.execute(quality_gate_sql("duck")).fetchall()}
+
+    assert set(got) == {0, 1} and set(duck) == {0, 1}
+    assert got[1].source_ok == 0 and got[1].kept == 0
+    assert "source" in got[1].drop_reasons
+    # both engines agree on the fail-closed verdict row
+    assert tuple(got[1]) == tuple(duck[1])
+
+
 def test_gopher_rules_match_python_recompute(spark, tables):
     """Pin the Gopher-rule semantics against a direct Python recompute on
     a corpus hitting every rule's boundary: bullet/ellipsis lines, '#'

@@ -63,9 +63,21 @@ def main() -> None:
     }
     merged["cold"] = payloads[0].get("cold", {})
     merged["value"] = round(sum(merged["queries"].values()), 4)
-    merged["staging_warm_sec"] = round(
-        min(p.get("staging_warm_sec", 1e9) for p in payloads), 4
-    )
+    stagings = [p["staging_warm_sec"] for p in payloads if "staging_warm_sec" in p]
+    if stagings:
+        merged["staging_warm_sec"] = round(min(stagings), 4)
+    else:
+        merged.pop("staging_warm_sec", None)
+    # rebuild the outcome bookkeeping from the MERGED query set — copying
+    # run-1's errors/counters verbatim would publish a self-contradictory
+    # record when runs disagree on a query's outcome (code-review r08):
+    # a query is an error only if NO run produced a timing for it
+    all_errors: dict[str, str] = {}
+    for p in payloads:
+        all_errors.update(p.get("errors", {}))
+    errors = {n: m for n, m in all_errors.items() if n not in merged["queries"]}
+    merged.pop("errors", None)
+    merged.pop("staging_error", None)
     # streaming: min per witness across sessions, recompute rows/sec;
     # keep the latest session's state footprint (deterministic corpus)
     streams = [p.get("streaming", {}) for p in payloads if p.get("streaming")]
@@ -90,6 +102,13 @@ def main() -> None:
             "state": streams[-1].get("state", {}),
             "total_sec": round(sum(s_q.values()), 4),
         }
+    # streaming timings also clear a name from the error set
+    s_timed = set(merged.get("streaming", {}).get("queries", {}))
+    errors = {n: m for n, m in errors.items() if n not in s_timed}
+    merged["queries_ok"] = len(merged["queries"]) + len(s_timed)
+    merged["queries_failed"] = len(errors)
+    if errors:
+        merged["errors"] = errors
     merged.pop("baseline", None)  # sf0.1 comparison is meaningless here
     record["spark"] = merged
 

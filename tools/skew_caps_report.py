@@ -131,15 +131,21 @@ def main() -> None:
     # argued from the formulation
     from torchfusion_spark.operators import similarity
 
+    from pyspark.sql import functions as F
+
     pair_rows = similarity.cosine_near_dup_lsh(spark).count()
-    coll = similarity.near_dup_collapse(spark)
-    coll_rows = coll.count()
-    hot = coll.orderBy(coll.n_members.desc()).first()
+    # one execution for all three collapse stats (count + hot-cluster
+    # row) — count() then orderBy().first() would run the collapse plan
+    # twice (code-review r08)
+    stats = similarity.near_dup_collapse(spark).agg(
+        F.count("*").alias("n"),
+        F.max(F.struct("n_members", "n_collapsed")).alias("hot"),
+    ).first()
     report["caps"]["near_dup_collapse"] = {
         "lsh_pair_rows": pair_rows,
-        "collapse_rows": coll_rows,
-        "hot_cluster_members": hot["n_members"] if hot else 0,
-        "hot_cluster_collapsed": hot["n_collapsed"] if hot else 0,
+        "collapse_rows": stats["n"],
+        "hot_cluster_members": stats["hot"]["n_members"] if stats["n"] else 0,
+        "hot_cluster_collapsed": stats["hot"]["n_collapsed"] if stats["n"] else 0,
         "note": "the hot cluster is ONE output row in the collapse query; "
         "the pair query's output grows C(n,2) with the same cluster",
     }

@@ -231,36 +231,36 @@ def quality_gate_sql(d: str) -> str:
     BROADCASTS onto the doc stream; the URL keeper is one MIN window.
     The gopher ⋈ url join co-partitions two doc-keyed relations on
     doc_id — at 100 TB these are the same partitioning, so the join
-    adds no third fact exchange beyond the two stages' own."""
+    adds no third fact exchange beyond the two stages' own.
+
+    NULL-source docs FAIL CLOSED: the source gate is a LEFT join and a
+    missing verdict counts as source_ok = 0 with reason 'source' — an
+    inner join would drop the doc from the output entirely, losing it
+    from the rejection log the gate exists to produce (code-review
+    r08)."""
+    from torchfusion_spark.operators.dedup import url_canonical_dedup_sql
+
     g = gopher_rules_sql(d)
     s = source_filter_sql(d)
-    u = url_canonical_dedup_sql_ref(d)
+    u = url_canonical_dedup_sql(d)
     return f"""
     WITH g AS ({g}),
     s AS ({s}),
     u AS ({u})
     SELECT g.doc_id,
            CAST(g.kept AS INT) AS gopher_ok,
-           CAST(s.kept AS INT) AS source_ok,
+           CAST(COALESCE(s.kept, 0) AS INT) AS source_ok,
            CAST(CASE WHEN u.kept THEN 1 ELSE 0 END AS INT) AS url_keeper,
-           CAST(CASE WHEN g.kept = 1 AND s.kept = 1 AND u.kept
+           CAST(CASE WHEN g.kept = 1 AND COALESCE(s.kept, 0) = 1 AND u.kept
                 THEN 1 ELSE 0 END AS INT) AS kept,
            concat_ws(',',
                CASE WHEN g.kept = 0 THEN 'gopher' END,
-               CASE WHEN s.kept = 0 THEN 'source' END,
+               CASE WHEN COALESCE(s.kept, 0) = 0 THEN 'source' END,
                CASE WHEN NOT u.kept THEN 'url_dup' END) AS drop_reasons
     FROM g JOIN u ON g.doc_id = u.doc_id
-           JOIN s ON u.source = s.source
+           LEFT JOIN s ON u.source = s.source
     ORDER BY g.doc_id
     """
-
-
-def url_canonical_dedup_sql_ref(d: str) -> str:
-    """Import indirection for the URL dedup generator (dedup.py owns it);
-    a local alias keeps the composed gate's SQL assembly readable."""
-    from torchfusion_spark.operators.dedup import url_canonical_dedup_sql
-
-    return url_canonical_dedup_sql(d)
 
 
 def source_filter_sql(d: str) -> str:

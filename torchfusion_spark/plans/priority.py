@@ -41,7 +41,7 @@ PRIORITY: list[str] = [
     "dedup_url_canonical",
     "sim_near_dup_collapse",
     "pipeline_quality_gate",
-    # -- ranks 3-9: r03-latest re-certs (displaced from the r7 budget) --
+    # -- ranks 4-10: r03-latest re-certs (displaced from the r7 budget) --
     "events_asof_join",
     "events_funnel",
     "events_retention",
@@ -49,7 +49,7 @@ PRIORITY: list[str] = [
     "text_token_count",
     "stream_windowed_counts",
     "dedup_minhash_lsh",
-    # -- ranks 10-16: r04-latest re-certs --
+    # -- ranks 11-17: r04-latest re-certs --
     "q3_shipping_priority",
     "q10_returned_items",
     "q11_important_stock",
@@ -57,7 +57,9 @@ PRIORITY: list[str] = [
     "q16_parts_supplier",
     "q18_large_volume_customer",
     "q22_global_sales_opportunity",
-    # -- ranks 17-50: r05-latest re-certs, cheap-first --
+    # -- ranks 18-50: r05-latest re-certs, cheap-first (the 34th,
+    # multimodal_frame_sample, lands at rank 51 — just past the
+    # 50-slot driver budget; it stays r05-latest for the r9 rotation) --
     "sim_quantize_int8",
     "corpus_chunk_overlap",
     "q14_promo_revenue",
@@ -92,7 +94,7 @@ PRIORITY: list[str] = [
     "sample_train_split",
     "multimodal_resize",
     "multimodal_frame_sample",
-    # -- ranks 51-66: the expensive r05 tail (leads the r9 rotation) --
+    # -- ranks 52-67: the expensive r05 tail (leads the r9 rotation) --
     "corpus_bpe_pairs",
     "text_decontaminate_bloom",
     "sim_cosine_near_dup",

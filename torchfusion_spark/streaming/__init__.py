@@ -199,7 +199,10 @@ def stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
-    name = "tf_stream_user_stats"
+    # sink name = tf_ + the registry witness name, so the bench state
+    # report's key-derivation (strip tf_) joins cleanly against
+    # streaming.queries (code-review r08)
+    name = "tf_stream_stateful_user_stats"
     latest = _run_to_memory(spark, out, name, "update")
     return _latest_per_user(latest)
 
@@ -233,7 +236,7 @@ def enriched_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_mktsegment", "event_type")
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    name = "tf_stream_enriched_counts"
+    name = "tf_stream_static_join"  # tf_ + registry witness name (see stateful_user_stats)
     return _run_to_memory(spark, agg, name, "complete").orderBy("c_mktsegment", "event_type")
 
 
