@@ -108,6 +108,7 @@ HEADLINE = [
     "dedup_url_canonical",
     "sim_near_dup_collapse",
     "pipeline_quality_gate",
+    "corpus_url_filter",
 ]
 
 # Streaming witnesses carry round-over-round timing accountability but are

@@ -77,6 +77,7 @@ DOC_OPS = [
     "text_gopher_rules",
     "dedup_url_canonical",
     "pipeline_quality_gate",
+    "corpus_url_filter",
 ]
 EMB_OPS = [
     "sim_cosine_topk",

@@ -1529,6 +1529,60 @@ def test_near_dup_collapse_bounds_planted_mega_cluster(spark, tables):
     assert len(collapsed) <= len(pdf)
 
 
+def test_url_filter_matches_python_recompute(spark, tables):
+    """Pin the URL-filter rule semantics against a direct Python
+    recompute over the constructed URL universe — every rule must fire
+    on its intended doc_id slice and nowhere else."""
+    from torchfusion_spark.operators.textstats import url_filter_sql
+
+    rows = {r.doc_id: r for r in spark.sql(url_filter_sql("spark")).collect()}
+    docs = spark.table("documents").select("doc_id", "source").toPandas()
+
+    def recompute(doc_id, source):
+        page = doc_id // 100
+        v = (doc_id // 20) % 5
+        base = {
+            0: f"https://{source}.example.com/articles/{page}?b=2&a=1",
+            1: f"https://{source.upper()}.EXAMPLE.COM:443/articles/{page}/?a=1&b=2",
+            2: f"http://{source}.example.com:80/articles/{page}?a=1&b=2#comments",
+            3: f"https://{source}.example.com/articles/{page}/?utm_source=feed&a=1&utm_campaign=daily&b=2",
+            4: f"https://{source}.example.com/articles/{page}?a=1&fbclid=abc123&b=2",
+        }[v]
+        url = {
+            3: f"https://ads.tracker.example/articles/{page}?a=1",
+            7: f"https://{source}.example.com/assets/style.css",
+            9: f"https://{source}.example.com/2024/01/02/03/04/05/index.html",
+        }.get(doc_id % 10, base)
+        rest = url.split("://", 1)[1]
+        hostport = rest.split("/", 1)[0].split("?", 1)[0]
+        host = hostport.split(":", 1)[0].lower()
+        after = rest[len(hostport):]
+        path = after.split("?", 1)[0].split("#", 1)[0]
+        q = url.split("?", 1)[1].split("#", 1)[0] if "?" in url else ""
+        n_params = len([p for p in q.split("&") if p])
+        n_digits = sum(c.isdigit() for c in path)
+        return {
+            "r_host_ok": int(host not in ("ads.tracker.example", "src12.example.com")),
+            "r_ext_ok": int(not path.endswith((".css", ".js", ".xml", ".rss"))),
+            "r_depth_ok": int(len([s for s in path.split("/") if s]) <= 5),
+            "r_params_ok": int(n_params <= 3),
+            "r_digit_ok": int(2 * n_digits <= len(path.replace("/", ""))),
+        }
+
+    assert set(rows) == set(int(d) for d in docs.doc_id)
+    fired = {k: 0 for k in ("r_host_ok", "r_ext_ok", "r_depth_ok", "r_params_ok", "r_digit_ok")}
+    for r in docs.itertuples():
+        want = recompute(int(r.doc_id), r.source)
+        got = rows[int(r.doc_id)]
+        for rule, v in want.items():
+            assert getattr(got, rule) == v, (r.doc_id, rule, got)
+            fired[rule] += 1 - v
+        assert got.kept == int(all(want.values()))
+        assert got.n_failed == 5 - sum(want.values())
+    # every rule must actually fire somewhere in the fixture
+    assert all(n > 0 for n in fired.values()), fired
+
+
 def test_quality_gate_null_source_fails_closed(spark, tables):
     """A NULL-source doc must appear in the gate output as a reason-coded
     rejection ('source'), never silently vanish from the audit log (the

@@ -34,6 +34,25 @@ def exact_dedup_sql(d: str) -> str:
     """
 
 
+def messy_url_case(d: str) -> str:
+    """The constructed messy-URL fixture expression (five spellings per
+    logical page, derived from (source, doc_id)) — ONE spelling shared by
+    :func:`url_canonical_dedup_sql` and ``textstats.url_filter_sql`` so
+    the two operators' URL universe can never drift (code-review r08
+    discipline: shared fragments, not copies)."""
+    page = G.intdiv("doc_id", "100", d)
+    variant = f"CAST(({G.intdiv('doc_id', '20', d)}) % 5 AS INT)"
+    s = "STRING" if d == "spark" else "VARCHAR"
+    p = f"CAST({page} AS {s})"
+    return f"""CASE {variant}
+        WHEN 0 THEN 'https://' || source || '.example.com/articles/' || {p} || '?b=2&a=1'
+        WHEN 1 THEN 'https://' || upper(source) || '.EXAMPLE.COM:443/articles/' || {p} || '/?a=1&b=2'
+        WHEN 2 THEN 'http://' || source || '.example.com:80/articles/' || {p} || '?a=1&b=2#comments'
+        WHEN 3 THEN 'https://' || source || '.example.com/articles/' || {p} || '/?utm_source=feed&a=1&utm_campaign=daily&b=2'
+        ELSE 'https://' || source || '.example.com/articles/' || {p} || '?a=1&fbclid=abc123&b=2'
+    END"""
+
+
 def url_canonical_dedup_sql(d: str) -> str:
     """URL-canonicalization exact dedup — the cheap first pass real web
     pipelines (C4, RefinedWeb — public method descriptions) run before
@@ -58,18 +77,8 @@ def url_canonical_dedup_sql(d: str) -> str:
     canonical_url) — same single-exchange discipline as ``dedup_exact``.
     At 100 TB the canonical URL is also the natural bucketing key for
     the downstream content-dedup stages."""
-    page = G.intdiv("doc_id", "100", d)
-    variant = f"CAST(({G.intdiv('doc_id', '20', d)}) % 5 AS INT)"
-    s = "STRING" if d == "spark" else "VARCHAR"
-    p = f"CAST({page} AS {s})"
+    raw_url = messy_url_case(d)
     split_amp = "split(q2s, '&')" if d == "spark" else "string_split(q2s, '&')"
-    raw_url = f"""CASE {variant}
-        WHEN 0 THEN 'https://' || source || '.example.com/articles/' || {p} || '?b=2&a=1'
-        WHEN 1 THEN 'https://' || upper(source) || '.EXAMPLE.COM:443/articles/' || {p} || '/?a=1&b=2'
-        WHEN 2 THEN 'http://' || source || '.example.com:80/articles/' || {p} || '?a=1&b=2#comments'
-        WHEN 3 THEN 'https://' || source || '.example.com/articles/' || {p} || '/?utm_source=feed&a=1&utm_campaign=daily&b=2'
-        ELSE 'https://' || source || '.example.com/articles/' || {p} || '?a=1&fbclid=abc123&b=2'
-    END"""
     u1 = G.regex_replace_all(
         G.regex_replace_all("url", "#.*$", "", d), "^http://", "https://", d
     )

@@ -263,6 +263,77 @@ def quality_gate_sql(d: str) -> str:
     """
 
 
+def url_filter_sql(d: str) -> str:
+    """URL-quality filtering — the C4/RefinedWeb pre-canonicalization
+    pass that rejects documents by URL shape alone, before any content
+    is read: blocklisted hosts, asset/feed extensions
+    (.css/.js/.xml/.rss), excessive path depth (> 5 segments),
+    overly-dynamic query strings (> 3 parameters), and digit-dominated
+    paths (calendar/pagination archives — more digits than letters
+    outside the slashes). Each rule is an exact 0/1 flag plus the
+    all-rules keep decision, the ``text_gopher_rules`` shape applied to
+    the URL column.
+
+    Fixture: the shared messy-URL constructor (``dedup.messy_url_case``
+    — ONE spelling with ``dedup_url_canonical``, so the two operators'
+    URL universe cannot drift), decorated for the filter witnesses by
+    doc_id slices: %10==3 docs get a blocklisted ad-tracker host,
+    %10==7 an asset stylesheet path, %10==9 a digit-heavy deep calendar
+    path. The rules fire on real slices of the corpus, and the digit
+    rule is an exact cross-multiplication (2×digits vs non-slash
+    length), never a float ratio.
+
+    Scale shape: ONE scan, zero joins, zero shuffles (the ORDER BY is
+    presentation only) — every rule is whole-stage-codegen string/regex
+    arithmetic, so at 100 TB this runs at scan speed ahead of every
+    content stage, which is the entire point of URL-first filtering."""
+    from torchfusion_spark.operators.dedup import messy_url_case
+
+    s = "STRING" if d == "spark" else "VARCHAR"
+    page = f"CAST({G.intdiv('doc_id', '100', d)} AS {s})"
+    url = f"""CASE CAST(doc_id % 10 AS INT)
+        WHEN 3 THEN 'https://ads.tracker.example/articles/' || {page} || '?a=1'
+        WHEN 7 THEN 'https://' || source || '.example.com/assets/style.css'
+        WHEN 9 THEN 'https://' || source || '.example.com/2024/01/02/03/04/05/index.html'
+        ELSE {messy_url_case(d)}
+    END"""
+    split_slash = "split(path, '/')" if d == "spark" else "string_split(path, '/')"
+    n_segments = G.arr_size(G.afilter(split_slash, "x -> x != ''", d), d)
+    split_amp = "split(qpart, '&')" if d == "spark" else "string_split(qpart, '&')"
+    n_params = G.arr_size(G.afilter(split_amp, "x -> x != ''", d), d)
+    n_digits = G.regex_count("path", "[0-9]", d)
+    return f"""
+    WITH raw AS (
+        SELECT doc_id, {url} AS url FROM documents),
+    parts AS (
+        SELECT doc_id, url,
+               lower(regexp_extract(url, '^https?://([^/:?]+)', 1)) AS host,
+               regexp_extract({G.regex_replace_all("url", "^https?://[^/?]*", "", d)},
+                              '^([^?#]*)', 0) AS path,
+               regexp_extract(url, '[?]([^#]*)', 1) AS qpart
+        FROM raw),
+    f AS (
+        SELECT doc_id, url, host,
+               CAST(CASE WHEN host NOT IN ('ads.tracker.example', 'src12.example.com')
+                    THEN 1 ELSE 0 END AS INT) AS r_host_ok,
+               CAST(CASE WHEN path LIKE '%.css' OR path LIKE '%.js'
+                           OR path LIKE '%.xml' OR path LIKE '%.rss'
+                    THEN 0 ELSE 1 END AS INT) AS r_ext_ok,
+               CAST(CASE WHEN {n_segments} <= 5 THEN 1 ELSE 0 END AS INT) AS r_depth_ok,
+               CAST(CASE WHEN {n_params} <= 3 THEN 1 ELSE 0 END AS INT) AS r_params_ok,
+               CAST(CASE WHEN 2 * {n_digits} <= length(replace(path, '/', ''))
+                    THEN 1 ELSE 0 END AS INT) AS r_digit_ok
+        FROM parts)
+    SELECT doc_id, url, host,
+           r_host_ok, r_ext_ok, r_depth_ok, r_params_ok, r_digit_ok,
+           CAST(5 - (r_host_ok + r_ext_ok + r_depth_ok + r_params_ok + r_digit_ok)
+                AS BIGINT) AS n_failed,
+           CAST(CASE WHEN r_host_ok + r_ext_ok + r_depth_ok + r_params_ok
+                          + r_digit_ok = 5 THEN 1 ELSE 0 END AS INT) AS kept
+    FROM f ORDER BY doc_id
+    """
+
+
 def source_filter_sql(d: str) -> str:
     """Per-source (domain-level) quality gating — the RefinedWeb/CCNet
     move of scoring whole *sources* and dropping every document from a

@@ -27,6 +27,14 @@ _sql_pair(
     "exact dedup: one shuffle on content hash, deterministic winner per group",
 )
 _sql_pair(
+    "corpus_url_filter",
+    textstats.url_filter_sql,
+    "URL-quality filter (C4/RefinedWeb pre-canonicalization pass): "
+    "blocklisted hosts, asset extensions, path depth, dynamic-param and "
+    "digit-path rules as exact 0/1 flags + keep decision — one scan, "
+    "zero shuffles, runs ahead of every content stage",
+)
+_sql_pair(
     "pipeline_quality_gate",
     textstats.quality_gate_sql,
     "composed per-doc keep decision (FineWeb-style): Gopher rules AND "

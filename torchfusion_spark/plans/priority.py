@@ -11,23 +11,24 @@ Ordering policy (documented so the ranking is auditable, not gamed) --
 ROTATED each round so the budget certifies the weakest evidence first.
 Round 8 (rotated against the CORRECTNESS_r01..r07 union): after r07's 50
 rows landed, the latest-green vintages are 7 names at r03, 7 at r04, 50
-at r05, 50 at r06 and 50 at r07, plus three brand-new round-8 queries
+at r05, 50 at r06 and 50 at r07, plus four brand-new round-8 queries
 with no row at all. The weakest-first order is therefore:
-1. ranks 1-3: the round-8 additions (``dedup_url_canonical``,
-   ``sim_near_dup_collapse``, ``pipeline_quality_gate``) -- no
-   CORRECTNESS row at all;
-2. ranks 4-10: the 7 r03-latest names the r7 newcomers displaced
+1. ranks 1-4: the round-8 additions (``dedup_url_canonical``,
+   ``sim_near_dup_collapse``, ``pipeline_quality_gate``,
+   ``corpus_url_filter``) -- no CORRECTNESS row at all;
+2. ranks 5-11: the 7 r03-latest names the r7 newcomers displaced
    (``events_asof_join`` .. ``dedup_minhash_lsh``) -- the promise in the
    r7 rotation notes, honored;
-3. ranks 11-17: the 7 r04-latest names (q3/q10/q11/q15/q16/q18/q22);
-4. ranks 18-50: the cheapest 33 of the 50 r05-latest names, cheap-first
+3. ranks 12-18: the 7 r04-latest names (q3/q10/q11/q15/q16/q18/q22);
+4. ranks 19-50: the cheapest 32 of the 50 r05-latest names, cheap-first
    so a time-capped run still re-certifies the maximum number of stale
    rows. After this round lands, the minimum latest-green vintage across
    the registry becomes r05.
-5. ranks 51-67: the 17 remaining r05 names (iterative BPE, the staged
+5. ranks 51-68: the 18 remaining r05 names (the two multimodal rows
+   just past the budget line, iterative BPE, the staged
    dedup/similarity pipelines, the streaming witnesses) -- still
    r05-latest after this round; they lead the r9 rotation;
-6. ranks 68+: the r06 block, then the r07 block (freshest evidence
+6. ranks 69+: the r06 block, then the r07 block (freshest evidence
    last), each keeping its prior internal order.
 
 The suffix after the prefix is the canonical registry name used everywhere
@@ -37,11 +38,12 @@ else (bench.py, tools/verify_local.py, tests).
 from __future__ import annotations
 
 PRIORITY: list[str] = [
-    # -- ranks 1-3: the round-8 additions, no CORRECTNESS row yet --
+    # -- ranks 1-4: the round-8 additions, no CORRECTNESS row yet --
     "dedup_url_canonical",
     "sim_near_dup_collapse",
     "pipeline_quality_gate",
-    # -- ranks 4-10: r03-latest re-certs (displaced from the r7 budget) --
+    "corpus_url_filter",
+    # -- ranks 5-11: r03-latest re-certs (displaced from the r7 budget) --
     "events_asof_join",
     "events_funnel",
     "events_retention",
@@ -49,7 +51,7 @@ PRIORITY: list[str] = [
     "text_token_count",
     "stream_windowed_counts",
     "dedup_minhash_lsh",
-    # -- ranks 11-17: r04-latest re-certs --
+    # -- ranks 12-18: r04-latest re-certs --
     "q3_shipping_priority",
     "q10_returned_items",
     "q11_important_stock",
@@ -57,9 +59,10 @@ PRIORITY: list[str] = [
     "q16_parts_supplier",
     "q18_large_volume_customer",
     "q22_global_sales_opportunity",
-    # -- ranks 18-50: r05-latest re-certs, cheap-first (the 34th,
-    # multimodal_frame_sample, lands at rank 51 — just past the
-    # 50-slot driver budget; it stays r05-latest for the r9 rotation) --
+    # -- ranks 19-50: r05-latest re-certs, cheap-first (the 33rd and
+    # 34th, multimodal_resize / multimodal_frame_sample, land at ranks
+    # 51-52 — just past the 50-slot driver budget; they stay r05-latest
+    # for the r9 rotation) --
     "sim_quantize_int8",
     "corpus_chunk_overlap",
     "q14_promo_revenue",
@@ -94,7 +97,7 @@ PRIORITY: list[str] = [
     "sample_train_split",
     "multimodal_resize",
     "multimodal_frame_sample",
-    # -- ranks 52-67: the expensive r05 tail (leads the r9 rotation) --
+    # -- ranks 53-68: the expensive r05 tail (leads the r9 rotation) --
     "corpus_bpe_pairs",
     "text_decontaminate_bloom",
     "sim_cosine_near_dup",
