@@ -109,6 +109,7 @@ HEADLINE = [
     "sim_near_dup_collapse",
     "pipeline_quality_gate",
     "corpus_url_filter",
+    "sample_temperature_mixture",
 ]
 
 # Streaming witnesses carry round-over-round timing accountability but are

@@ -78,6 +78,7 @@ DOC_OPS = [
     "dedup_url_canonical",
     "pipeline_quality_gate",
     "corpus_url_filter",
+    "sample_temperature_mixture",
 ]
 EMB_OPS = [
     "sim_cosine_topk",

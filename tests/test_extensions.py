@@ -1529,6 +1529,44 @@ def test_near_dup_collapse_bounds_planted_mega_cluster(spark, tables):
     assert len(collapsed) <= len(pdf)
 
 
+def test_temperature_mixture_matches_python_recompute(spark, tables):
+    """Pin the XLM-R temperature-sampling math against a direct Python
+    recompute: tempered shares flatten the distribution (dominant lang
+    downsampled, rare langs upsampled) and targets follow
+    p^alpha / sum(p^alpha) with the 9dp DECIMAL normalizer."""
+    from torchfusion_spark.operators.textstats import (
+        MIXTURE_BUDGET,
+        temperature_mixture_sql,
+    )
+
+    rows = {r.lang: r for r in spark.sql(temperature_mixture_sql("spark")).collect()}
+    docs = spark.table("documents").toPandas()
+    avail = (
+        docs.assign(n=docs.text.str.split(" ").map(lambda t: sum(1 for x in t if x)))
+        .groupby("lang")
+        .n.sum()
+        .to_dict()
+    )
+    total = sum(avail.values())
+    pa = {lg: round((n / total) ** 0.3, 9) for lg, n in avail.items()}
+    z = sum(pa.values())  # 9dp values — exact in float for this magnitude
+    assert set(rows) == set(avail)
+    for lg, n in avail.items():
+        r = rows[lg]
+        assert r.available_tokens == n
+        assert r.p_raw == round(n / total, 6)
+        assert r.p_temp == round(pa[lg] / z, 6)
+        want_target = int(pa[lg] * MIXTURE_BUDGET / z)
+        assert abs(r.target_tokens - want_target) <= 1  # floor at a float boundary
+        assert r.planned_tokens == min(n, r.target_tokens)
+    # the flattening property: tempered share moves toward uniform
+    dom = max(avail, key=avail.get)
+    rare = min(avail, key=avail.get)
+    assert rows[dom].p_temp < rows[dom].p_raw
+    assert rows[rare].p_temp > rows[rare].p_raw
+    assert rows[rare].repeat_factor >= rows[dom].repeat_factor
+
+
 def test_url_filter_matches_python_recompute(spark, tables):
     """Pin the URL-filter rule semantics against a direct Python
     recompute over the constructed URL universe — every rule must fire

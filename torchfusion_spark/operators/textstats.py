@@ -1225,6 +1225,54 @@ def mixture_plan_sql(d: str, budget: int = MIXTURE_BUDGET) -> str:
     """
 
 
+TEMP_ALPHA = "0.3"  # XLM-R's multilingual sampling exponent
+
+
+def temperature_mixture_sql(d: str, budget: int = MIXTURE_BUDGET) -> str:
+    """Temperature-scaled mixture sampling (public method: the
+    exponentiated-multinomial rebalancing of XLM-R / mT5 — sample
+    language i with probability q_i = p_i^alpha / sum_j p_j^alpha,
+    alpha < 1 flattening the distribution so low-resource languages are
+    upsampled relative to their raw share). Emits, per language: raw and
+    tempered shares, the token target under the budget, the planned
+    (capped) take, the keep rate for downsampling, and the repeat
+    factor > 1 where the tempered target EXCEEDS availability — the
+    upsample signal the balanced `corpus_mixture_plan` cannot express.
+
+    Determinism: the only transcendental is pow(p, alpha); its result is
+    immediately rounded to 9 decimals and CAST to DECIMAL(12,9), the
+    normalizer is an exact DECIMAL sum (no float summation order), and
+    every downstream ratio divides those identical 9dp values — so both
+    engines derive bit-identical shares unless pow itself differs at a
+    rounding boundary, the same accepted risk class as the 6dp cosine
+    rounding. Scale shape: one map-combined rollup to |languages| rows;
+    the windows run on that tiny relation; nothing after the first
+    aggregate scales with the corpus."""
+    n_toks = G.arr_size(G.split_ws("text", d), d)
+    pa = f"CAST(ROUND(pow(CAST(n AS DOUBLE) / total, {TEMP_ALPHA}), 9) AS DECIMAL(12,9))"
+    return f"""
+    WITH avail AS (
+        SELECT lang, CAST(SUM({n_toks}) AS BIGINT) AS n
+        FROM documents GROUP BY lang),
+    w AS (SELECT lang, n, SUM(n) OVER () AS total FROM avail),
+    t AS (SELECT lang, n, total, {pa} AS pa FROM w),
+    z AS (SELECT lang, n, total, pa, SUM(pa) OVER () AS zsum FROM t),
+    plan AS (
+        SELECT lang, n,
+               ROUND(CAST(n AS DOUBLE) / total, 6) AS p_raw,
+               ROUND(CAST(pa AS DOUBLE) / CAST(zsum AS DOUBLE), 6) AS p_temp,
+               CAST(FLOOR(CAST(pa AS DOUBLE) * {budget} / CAST(zsum AS DOUBLE))
+                    AS BIGINT) AS target_tokens
+        FROM z)
+    SELECT lang,
+           n AS available_tokens, p_raw, p_temp, target_tokens,
+           CAST(LEAST(n, target_tokens) AS BIGINT) AS planned_tokens,
+           ROUND(CAST(LEAST(n, target_tokens) AS DOUBLE) / n, 6) AS keep_rate,
+           ROUND(CAST(target_tokens AS DOUBLE) / n, 6) AS repeat_factor
+    FROM plan ORDER BY lang
+    """
+
+
 # ---------------------------------------------------------------------------
 # BM25 keyword retrieval + unigram-LM perplexity (round 7)
 #

@@ -27,6 +27,15 @@ _sql_pair(
     "exact dedup: one shuffle on content hash, deterministic winner per group",
 )
 _sql_pair(
+    "sample_temperature_mixture",
+    textstats.temperature_mixture_sql,
+    "temperature-scaled mixture sampling (XLM-R/mT5 exponentiated "
+    "multinomial, alpha=0.3): per-language tempered shares, token "
+    "targets, keep rates and upsample repeat factors; DECIMAL-summed "
+    "normalizer, one tiny rollup — nothing after the first aggregate "
+    "scales with the corpus",
+)
+_sql_pair(
     "corpus_url_filter",
     textstats.url_filter_sql,
     "URL-quality filter (C4/RefinedWeb pre-canonicalization pass): "

@@ -11,24 +11,25 @@ Ordering policy (documented so the ranking is auditable, not gamed) --
 ROTATED each round so the budget certifies the weakest evidence first.
 Round 8 (rotated against the CORRECTNESS_r01..r07 union): after r07's 50
 rows landed, the latest-green vintages are 7 names at r03, 7 at r04, 50
-at r05, 50 at r06 and 50 at r07, plus four brand-new round-8 queries
+at r05, 50 at r06 and 50 at r07, plus five brand-new round-8 queries
 with no row at all. The weakest-first order is therefore:
-1. ranks 1-4: the round-8 additions (``dedup_url_canonical``,
+1. ranks 1-5: the round-8 additions (``dedup_url_canonical``,
    ``sim_near_dup_collapse``, ``pipeline_quality_gate``,
-   ``corpus_url_filter``) -- no CORRECTNESS row at all;
-2. ranks 5-11: the 7 r03-latest names the r7 newcomers displaced
+   ``corpus_url_filter``, ``sample_temperature_mixture``) -- no
+   CORRECTNESS row at all;
+2. ranks 6-12: the 7 r03-latest names the r7 newcomers displaced
    (``events_asof_join`` .. ``dedup_minhash_lsh``) -- the promise in the
    r7 rotation notes, honored;
-3. ranks 12-18: the 7 r04-latest names (q3/q10/q11/q15/q16/q18/q22);
-4. ranks 19-50: the cheapest 32 of the 50 r05-latest names, cheap-first
+3. ranks 13-19: the 7 r04-latest names (q3/q10/q11/q15/q16/q18/q22);
+4. ranks 20-50: the cheapest 31 of the 50 r05-latest names, cheap-first
    so a time-capped run still re-certifies the maximum number of stale
    rows. After this round lands, the minimum latest-green vintage across
    the registry becomes r05.
-5. ranks 51-68: the 18 remaining r05 names (the two multimodal rows
-   just past the budget line, iterative BPE, the staged
-   dedup/similarity pipelines, the streaming witnesses) -- still
-   r05-latest after this round; they lead the r9 rotation;
-6. ranks 69+: the r06 block, then the r07 block (freshest evidence
+5. ranks 51-69: the 19 remaining r05 names (the three rows just past
+   the budget line, iterative BPE, the staged dedup/similarity
+   pipelines, the streaming witnesses) -- still r05-latest after this
+   round; they lead the r9 rotation;
+6. ranks 70+: the r06 block, then the r07 block (freshest evidence
    last), each keeping its prior internal order.
 
 The suffix after the prefix is the canonical registry name used everywhere
@@ -38,12 +39,13 @@ else (bench.py, tools/verify_local.py, tests).
 from __future__ import annotations
 
 PRIORITY: list[str] = [
-    # -- ranks 1-4: the round-8 additions, no CORRECTNESS row yet --
+    # -- ranks 1-5: the round-8 additions, no CORRECTNESS row yet --
     "dedup_url_canonical",
     "sim_near_dup_collapse",
     "pipeline_quality_gate",
     "corpus_url_filter",
-    # -- ranks 5-11: r03-latest re-certs (displaced from the r7 budget) --
+    "sample_temperature_mixture",
+    # -- ranks 6-12: r03-latest re-certs (displaced from the r7 budget) --
     "events_asof_join",
     "events_funnel",
     "events_retention",
@@ -51,7 +53,7 @@ PRIORITY: list[str] = [
     "text_token_count",
     "stream_windowed_counts",
     "dedup_minhash_lsh",
-    # -- ranks 12-18: r04-latest re-certs --
+    # -- ranks 13-19: r04-latest re-certs --
     "q3_shipping_priority",
     "q10_returned_items",
     "q11_important_stock",
@@ -59,10 +61,10 @@ PRIORITY: list[str] = [
     "q16_parts_supplier",
     "q18_large_volume_customer",
     "q22_global_sales_opportunity",
-    # -- ranks 19-50: r05-latest re-certs, cheap-first (the 33rd and
-    # 34th, multimodal_resize / multimodal_frame_sample, land at ranks
-    # 51-52 — just past the 50-slot driver budget; they stay r05-latest
-    # for the r9 rotation) --
+    # -- ranks 20-50: r05-latest re-certs, cheap-first (the 32nd-34th,
+    # sample_train_split / multimodal_resize / multimodal_frame_sample,
+    # land at ranks 51-53 — just past the 50-slot driver budget; they
+    # stay r05-latest for the r9 rotation) --
     "sim_quantize_int8",
     "corpus_chunk_overlap",
     "q14_promo_revenue",
@@ -97,7 +99,7 @@ PRIORITY: list[str] = [
     "sample_train_split",
     "multimodal_resize",
     "multimodal_frame_sample",
-    # -- ranks 53-68: the expensive r05 tail (leads the r9 rotation) --
+    # -- ranks 54-69: the expensive r05 tail (leads the r9 rotation) --
     "corpus_bpe_pairs",
     "text_decontaminate_bloom",
     "sim_cosine_near_dup",
