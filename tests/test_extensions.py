@@ -1567,6 +1567,47 @@ def test_temperature_mixture_matches_python_recompute(spark, tables):
     assert rows[rare].repeat_factor >= rows[dom].repeat_factor
 
 
+def test_temperature_mixture_upsamples_rare_language(spark, tables):
+    """The op's differentiator — repeat_factor > 1 where the tempered
+    target EXCEEDS availability — never fires on the balanced fixture
+    (code-review r08), so pin it on a synthetic heavily-skewed corpus:
+    the rare language must be capped at availability with an explicit
+    upsample signal, and a regression that computes repeat_factor from
+    the CAPPED take (always <= 1) must fail here."""
+    import duckdb
+
+    from torchfusion_spark.operators.textstats import temperature_mixture_sql
+
+    word = lambda n: " ".join(["w"] * n)  # noqa: E731
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2],
+            "lang": ["en", "en", "de"],
+            "text": [word(9000), word(9000), word(100)],
+            "source": ["src0", "src1", "src2"],
+            "n_chars": [0, 0, 0],
+        }
+    )
+    orig = spark.table("documents")
+    try:
+        spark.createDataFrame(pdf).createOrReplaceTempView("documents")
+        rows = {r.lang: r for r in spark.sql(temperature_mixture_sql("spark")).collect()}
+    finally:
+        orig.createOrReplaceTempView("documents")
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    duck = {r[0]: r for r in con.execute(temperature_mixture_sql("duck")).fetchall()}
+
+    de = rows["de"]
+    assert de.available_tokens == 100
+    assert de.target_tokens > 100          # tempered share demands more than exists
+    assert de.planned_tokens == 100        # the take is capped at availability
+    assert de.keep_rate == 1.0
+    assert de.repeat_factor > 1.0          # the upsample signal
+    assert rows["en"].repeat_factor < 1.0  # the dominant language downsamples
+    assert tuple(rows["de"]) == tuple(duck["de"])  # oracle agrees on the clamp row
+
+
 def test_url_filter_matches_python_recompute(spark, tables):
     """Pin the URL-filter rule semantics against a direct Python
     recompute over the constructed URL universe — every rule must fire

@@ -78,13 +78,10 @@ def url_canonical_dedup_sql(d: str) -> str:
     At 100 TB the canonical URL is also the natural bucketing key for
     the downstream content-dedup stages."""
     raw_url = messy_url_case(d)
-    split_amp = "split(q2s, '&')" if d == "spark" else "string_split(q2s, '&')"
     u1 = G.regex_replace_all(
         G.regex_replace_all("url", "#.*$", "", d), "^http://", "https://", d
     )
-    params = G.arr_join(
-        G.arr_sort(G.afilter(split_amp, "x -> x != ''", d), d), "&", d
-    )
+    params = G.arr_join(G.arr_sort(G.split_nonempty("q2s", "&", d), d), "&", d)
     return f"""
     WITH raw AS (
         SELECT doc_id, source, {raw_url} AS url FROM documents),

@@ -80,6 +80,14 @@ def arr_distinct(arr: str, d: str) -> str:
     return f"{fn}({arr})"
 
 
+def split_nonempty(expr: str, sep: str, d: str) -> str:
+    """Split ``expr`` on a literal separator and drop empty fragments —
+    the shared fragment for URL query-param and path-segment counting
+    (one spelling for both URL operators, code-review r08)."""
+    parts = f"split({expr}, '{sep}')" if d == "spark" else f"string_split({expr}, '{sep}')"
+    return afilter(parts, "x -> x != ''", d)
+
+
 def arr_sort(arr: str, d: str) -> str:
     """Ascending sort of an array's elements."""
     return f"array_sort({arr})" if d == "spark" else f"list_sort({arr})"

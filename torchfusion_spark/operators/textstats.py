@@ -269,10 +269,17 @@ def url_filter_sql(d: str) -> str:
     is read: blocklisted hosts, asset/feed extensions
     (.css/.js/.xml/.rss), excessive path depth (> 5 segments),
     overly-dynamic query strings (> 3 parameters), and digit-dominated
-    paths (calendar/pagination archives — more digits than letters
-    outside the slashes). Each rule is an exact 0/1 flag plus the
+    paths (calendar/pagination archives — digits exceeding half the
+    non-slash path characters). Each rule is an exact 0/1 flag plus the
     all-rules keep decision, the ``text_gopher_rules`` shape applied to
     the URL column.
+
+    Parsing note: this filter parses the RAW url (http or https, port
+    attached) because it runs BEFORE canonicalization — deliberately a
+    different parse than ``url_canonical_dedup_sql``'s, which operates
+    on the https-forced form and needs the pre-lowercase host length.
+    The splitting fragments they do share (non-empty param/segment
+    counting) come from one ``sqlgen.split_nonempty`` spelling.
 
     Fixture: the shared messy-URL constructor (``dedup.messy_url_case``
     — ONE spelling with ``dedup_url_canonical``, so the two operators'
@@ -297,10 +304,8 @@ def url_filter_sql(d: str) -> str:
         WHEN 9 THEN 'https://' || source || '.example.com/2024/01/02/03/04/05/index.html'
         ELSE {messy_url_case(d)}
     END"""
-    split_slash = "split(path, '/')" if d == "spark" else "string_split(path, '/')"
-    n_segments = G.arr_size(G.afilter(split_slash, "x -> x != ''", d), d)
-    split_amp = "split(qpart, '&')" if d == "spark" else "string_split(qpart, '&')"
-    n_params = G.arr_size(G.afilter(split_amp, "x -> x != ''", d), d)
+    n_segments = G.arr_size(G.split_nonempty("path", "/", d), d)
+    n_params = G.arr_size(G.split_nonempty("qpart", "&", d), d)
     n_digits = G.regex_count("path", "[0-9]", d)
     return f"""
     WITH raw AS (
