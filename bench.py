@@ -110,6 +110,10 @@ HEADLINE = [
     "pipeline_quality_gate",
     "corpus_url_filter",
     "sample_temperature_mixture",
+    # round-9 addition: the trained model-based quality gate (NB log-odds
+    # over the shared hashed feature space, broadcast weights) — benched
+    # from day one; reads the session-staged unigram-tf relation
+    "text_quality_classifier",
 ]
 
 # Streaming witnesses carry round-over-round timing accountability but are
@@ -185,7 +189,11 @@ def main() -> None:
             minhash_clusters,
         )
         from torchfusion_spark.operators.similarity import _staged_norms
-        from torchfusion_spark.operators.textstats import _staged_bloom, _staged_unigrams
+        from torchfusion_spark.operators.textstats import (
+            _staged_bloom,
+            _staged_labels,
+            _staged_unigrams,
+        )
 
         # Dependency-aware parallel build (round-7): the staged
         # relations are independent Spark jobs apart from the shared
@@ -209,6 +217,7 @@ def main() -> None:
                 pool.submit(_staged_norms, spark),  # __sim_norms
                 pool.submit(_staged_substring_grams, spark),  # positional grams
                 pool.submit(_staged_unigrams, spark),  # BM25/LM term freqs
+                pool.submit(_staged_labels, spark),  # classifier Gopher labels
             ]
             roots[0].result()  # hx must land before its three consumers
             deps = [

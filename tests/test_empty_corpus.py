@@ -79,6 +79,7 @@ DOC_OPS = [
     "pipeline_quality_gate",
     "corpus_url_filter",
     "sample_temperature_mixture",
+    "text_quality_classifier",
 ]
 EMB_OPS = [
     "sim_cosine_topk",

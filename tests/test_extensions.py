@@ -1768,3 +1768,106 @@ def test_gopher_rules_match_python_recompute(spark, tables):
         assert got[doc_id]["kept"] == int(n_failed == 0)
     # the boundary doc with exactly 50 words and both stops passes
     assert got[0]["kept"] == 1
+
+
+def test_quality_classifier_matches_python_recompute(spark, tables):
+    """Pin the trained-classifier math end-to-end in Python: hashed-bucket
+    class counts over the train split, add-one-smoothed NB log-odds
+    weights (unseen buckets get the pure-smoothing weight), 9dp-DECIMAL
+    score sums, the 6dp bias+sum sign decision and the deterministic
+    quintile keep flag. Labels come from the independently-pinned Gopher
+    SQL (test_gopher_rules_match_python_recompute owns that semantics);
+    the split is recomputed from the portable hash."""
+    import hashlib
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from torchfusion_spark.operators.textstats import (
+        CLS_TRAIN_PCT,
+        DSIR_BUCKETS,
+        _staged_unigrams,
+        gopher_rules_sql,
+        quality_classifier_sql,
+    )
+
+    def r9(x: float) -> Decimal:
+        return Decimal(repr(x)).quantize(Decimal("0.000000001"), ROUND_HALF_UP)
+
+    def hb(tok: str) -> int:
+        return int(hashlib.md5(tok.encode()).hexdigest()[:14], 16) % DSIR_BUCKETS
+
+    label = {
+        r.doc_id: int(r.kept)
+        for r in spark.sql(gopher_rules_sql("spark")).collect()
+    }
+    is_train = {
+        d: int(int(hashlib.md5(str(d).encode()).hexdigest()[:14], 16) % 100 < CLS_TRAIN_PCT)
+        for d in label
+    }
+
+    docs = spark.table("documents").select("doc_id", "lang", "text").collect()
+    per: dict[int, dict[str, int]] = {}
+    lang: dict[int, str] = {}
+    pos: dict[int, int] = {}
+    neg: dict[int, int] = {}
+    universe: set[int] = set()
+    for row in docs:
+        lang[row.doc_id] = row.lang
+        tfd = per.setdefault(row.doc_id, {})
+        for t in row.text.lower().split(" "):
+            tfd[t] = tfd.get(t, 0) + 1
+            b = hb(t)
+            universe.add(b)
+            if is_train[row.doc_id]:
+                if label[row.doc_id]:
+                    pos[b] = pos.get(b, 0) + 1
+                else:
+                    neg[b] = neg.get(b, 0) + 1
+    pos_tot, neg_tot, v = sum(pos.values()), sum(neg.values()), len(universe)
+    wt = {
+        b: math.log((pos.get(b, 0) + 1.0) / (pos_tot + v))
+        - math.log((neg.get(b, 0) + 1.0) / (neg_tot + v))
+        for b in universe
+    }
+    n_pos = sum(1 for d in label if is_train[d] and label[d])
+    n_neg = sum(1 for d in label if is_train[d] and not label[d])
+    bias = round(math.log((n_pos + 1.0) / (n_neg + 1.0)), 6)
+
+    scored = {}
+    for d, tfd in per.items():
+        s = sum((r9(f * wt[hb(t)]) for t, f in tfd.items()), Decimal(0))
+        n = sum(tfd.values())
+        scored[d] = (n, round(float(s) / n, 6), int(round(bias + float(s), 6) > 0))
+
+    order = sorted(scored, key=lambda d: (-scored[d][1], d))
+    base, extra = divmod(len(order), 5)
+    quintile, i = {}, 0
+    for q_i in range(5):
+        size = base + (1 if q_i < extra else 0)
+        for d in order[i : i + size]:
+            quintile[d] = q_i + 1
+        i += size
+
+    got = spark.sql(
+        quality_classifier_sql("spark", tf_rel=_staged_unigrams(spark))
+    ).collect()
+    assert len(got) == len(scored)
+    for r in got:
+        n, avg, pred = scored[r.doc_id]
+        assert r.lang == lang[r.doc_id]
+        assert r.n_tokens == n
+        assert r.label == label[r.doc_id]
+        assert r.is_train == is_train[r.doc_id]
+        assert abs(r.avg_log_odds - avg) < 2e-6
+        assert r.predicted == pred, r.doc_id
+        assert r.quintile == quintile[r.doc_id], r.doc_id
+        assert r.kept == (1 if quintile[r.doc_id] <= 2 else 0)
+    # the model must actually rank the label: Gopher-pass docs must be
+    # overrepresented in the kept set vs their corpus share (the trained
+    # signal, not a constant/degenerate score)
+    kept_pos = sum(1 for r in got if r.kept and r.label)
+    all_pos = sum(1 for r in got if r.label)
+    assert kept_pos / max(sum(r.kept for r in got), 1) > all_pos / len(got)
+    # both splits and both classes must be non-trivially populated
+    assert 0 < sum(r.is_train for r in got) < len(got)
+    assert 0 < all_pos < len(got)

@@ -33,7 +33,10 @@ NULL_OPS = [
     "fn_time_bucket",           # DECIMAL agg over NULL values
     "multimodal_features",      # mapInPandas NULL payload guards
     "text_gopher_rules",        # every rule's array/regex arithmetic on NULL text
-    "dedup_url_canonical",      # URL built from (source, doc_id); NULL text must not matter
+    "dedup_url_canonical",      # NULL source → NULL canonical_url → singleton (ADVICE r08)
+    "corpus_url_filter",        # NULL source → NULL url; rules must not cross-mark NULLs
+    "pipeline_quality_gate",    # NULL source fails closed with reason 'source'
+    "text_quality_classifier",  # NULL-text docs labeled but absent from tf → absent from scores
     "sim_near_dup_collapse",    # NULL embeddings excluded at norm_cte before bucketing
 ]
 
@@ -51,8 +54,16 @@ def null_sf_dir(tmp_path_factory):
     texts = docs.column("text").to_pylist()
     for i in range(0, len(texts), 7):
         texts[i] = None
+    # NULL sources too (ADVICE r08): more than one per URL-page bucket so
+    # a regression that groups NULL canonical_urls together (marking
+    # unrelated NULL-source docs as URL duplicates of each other) diverges
+    # from the singleton semantics both dialects now generate
+    sources = docs.column("source").to_pylist()
+    for i in range(0, len(sources), 13):
+        sources[i] = None
     cols = {n: docs.column(n) for n in docs.column_names}
     cols["text"] = pa.array(texts, pa.string())
+    cols["source"] = pa.array(sources, pa.string())
     pq.write_table(pa.table(cols), f"{dst}/documents.parquet")
     ev = pq.read_table(f"{src}/events.parquet")
     vals = ev.column("value").to_pylist()
@@ -104,3 +115,28 @@ def test_null_corpus_parity(spark, tables, null_sf_dir):
         spark._tf_tables_loaded = None
         load_tables(spark, tables)
     assert not failures, failures
+
+
+def test_null_source_urls_are_singletons(spark, tables, null_sf_dir):
+    """ADVICE r08: NULL-source docs get a NULL canonical_url; both engines
+    group NULLs together in a window PARTITION BY, so without the
+    COALESCE-to-doc_id singleton rule the second NULL-source doc is marked
+    kept=false as a "duplicate" of an unrelated doc. Cross-engine parity
+    cannot catch this (both sides run the same generated SQL), so the
+    singleton semantics are pinned directly: every NULL-canonical row must
+    be its own keeper."""
+    from torchfusion_spark.operators.dedup import url_canonical_dedup_sql
+    from torchfusion_spark.sources import load_tables
+
+    spark._tf_tables_loaded = None
+    load_tables(spark, null_sf_dir)
+    try:
+        rows = spark.sql(url_canonical_dedup_sql("spark")).collect()
+    finally:
+        spark._tf_tables_loaded = None
+        load_tables(spark, tables)
+    null_rows = [r for r in rows if r.canonical_url is None]
+    assert len(null_rows) >= 2, "fixture must produce multiple NULL-source docs"
+    for r in null_rows:
+        assert r.keeper_doc_id == r.doc_id, r
+        assert r.kept is True, r

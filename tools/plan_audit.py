@@ -76,6 +76,12 @@ _EXPECTED = {
     "text_bm25_topk": {"bnl_join"},
     "text_lm_perplexity": {"bnl_join"},
     "sample_dsir_importance": {"bnl_join"},
+    # the classifier's 1-row totals (pos/neg sums, bucket-universe size,
+    # bias prior) cross-join back onto the ≤64Ki weight relation and the
+    # per-doc scores — single-row broadcasts, the corpus_source_filter
+    # shape; the corpus-sized joins are doc_id-keyed SMJ-free (tf cached,
+    # weights broadcast by hint)
+    "text_quality_classifier": {"bnl_join"},
     "sim_kmeans": {"sort_merge_join", "bnl_join"},
     "sim_ivf_topk": {"sort_merge_join", "bnl_join"},
     "sim_semantic_dedup": {"sort_merge_join", "bnl_join"},

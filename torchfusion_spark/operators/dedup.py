@@ -76,8 +76,17 @@ def url_canonical_dedup_sql(d: str) -> str:
     speed; the dedup is ONE shuffle (the keeper window partitions by
     canonical_url) — same single-exchange discipline as ``dedup_exact``.
     At 100 TB the canonical URL is also the natural bucketing key for
-    the downstream content-dedup stages."""
+    the downstream content-dedup stages.
+
+    NULL handling (ADVICE r08): a NULL source yields a NULL constructed
+    URL and a NULL canonical_url; both engines' window PARTITION BY
+    groups all NULLs together, so unrelated NULL-source docs would mark
+    each other as URL duplicates. A doc with no parseable URL carries no
+    URL-dedup evidence, so NULL-canonical rows are treated as SINGLETONS
+    (each partitions by its own doc_id → kept = true) and left for the
+    content-level dedup stages to adjudicate."""
     raw_url = messy_url_case(d)
+    str_t = "STRING" if d == "spark" else "VARCHAR"
     u1 = G.regex_replace_all(
         G.regex_replace_all("url", "#.*$", "", d), "^http://", "https://", d
     )
@@ -113,7 +122,10 @@ def url_canonical_dedup_sql(d: str) -> str:
     SELECT doc_id, source, canonical_url, keeper_doc_id,
            (doc_id = keeper_doc_id) AS kept
     FROM (SELECT doc_id, source, canonical_url,
-                 MIN(doc_id) OVER (PARTITION BY canonical_url) AS keeper_doc_id
+                 MIN(doc_id) OVER (
+                     PARTITION BY COALESCE(canonical_url,
+                                           CAST(doc_id AS {str_t}))
+                 ) AS keeper_doc_id
           FROM canon)
     ORDER BY doc_id
     """

@@ -666,6 +666,27 @@ def text_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "text_quality_classifier",
+    textstats.quality_classifier_sql("duck"),
+    doc="trained model-based quality gate (DCLM/FineWeb-Edu-style, the "
+    "classifier-filtering stage every modern public pipeline ends with): "
+    "closed-form Naive Bayes log-odds over the shared 64Ki hashed "
+    "unigram feature space, Gopher-pass as the derivable label, fit on "
+    "the 80% portable-hash train split, scored over the FULL corpus at "
+    "scan speed — the weight vector is bounded (≤V rows) and BROADCASTS; "
+    "emits score, predicted class, quintile and top-40% keep flag",
+)
+def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.sql(
+        textstats.quality_classifier_sql(
+            "spark",
+            tf_rel=textstats._staged_unigrams(spark),
+            lab_rel=textstats._staged_labels(spark),
+        )
+    )
+
+
+@query(
     "sample_dsir_importance",
     textstats.dsir_importance_sql("duck"),
     doc="DSIR-style importance weighting (Xie et al. 2023, public): avg "

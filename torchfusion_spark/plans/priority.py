@@ -9,28 +9,23 @@ valuable queries first.
 
 Ordering policy (documented so the ranking is auditable, not gamed) --
 ROTATED each round so the budget certifies the weakest evidence first.
-Round 8 (rotated against the CORRECTNESS_r01..r07 union): after r07's 50
-rows landed, the latest-green vintages are 7 names at r03, 7 at r04, 50
-at r05, 50 at r06 and 50 at r07, plus five brand-new round-8 queries
-with no row at all. The weakest-first order is therefore:
-1. ranks 1-5: the round-8 additions (``dedup_url_canonical``,
-   ``sim_near_dup_collapse``, ``pipeline_quality_gate``,
-   ``corpus_url_filter``, ``sample_temperature_mixture``) -- no
+Round 9 (rotated against the CORRECTNESS_r01..r08 union): after r08's 50
+rows landed, the latest-green vintages are 19 names at r05 (the rows just
+past the r8 budget line, iterative BPE, the staged dedup/similarity
+pipelines, the streaming witnesses), 50 at r06, 50 at r07 and 50 at r08,
+plus one brand-new round-9 query with no row at all. The weakest-first
+order is therefore:
+1. rank 1: the round-9 addition (``text_quality_classifier``) -- no
    CORRECTNESS row at all;
-2. ranks 6-12: the 7 r03-latest names the r7 newcomers displaced
-   (``events_asof_join`` .. ``dedup_minhash_lsh``) -- the promise in the
-   r7 rotation notes, honored;
-3. ranks 13-19: the 7 r04-latest names (q3/q10/q11/q15/q16/q18/q22);
-4. ranks 20-50: the cheapest 31 of the 50 r05-latest names, cheap-first
-   so a time-capped run still re-certifies the maximum number of stale
-   rows. After this round lands, the minimum latest-green vintage across
-   the registry becomes r05.
-5. ranks 51-69: the 19 remaining r05 names (the three rows just past
-   the budget line, iterative BPE, the staged dedup/similarity
-   pipelines, the streaming witnesses) -- still r05-latest after this
-   round; they lead the r9 rotation;
-6. ranks 70+: the r06 block, then the r07 block (freshest evidence
-   last), each keeping its prior internal order.
+2. ranks 2-20: the 19 r05-latest names the r8 budget could not reach --
+   the promise in the r8 rotation notes, honored;
+3. ranks 21-70: the r06 block in its prior internal order -- the first 30
+   land inside the 50-row budget, so after this round the minimum
+   latest-green vintage across the registry becomes r06 (20 r06 names
+   remain for the r10 rotation);
+4. ranks 71-120: the r07 block, prior internal order;
+5. ranks 121-170: the 50 names r08 just certified (freshest evidence
+   last), keeping their r8 rank order.
 
 The suffix after the prefix is the canonical registry name used everywhere
 else (bench.py, tools/verify_local.py, tests).
@@ -39,67 +34,12 @@ else (bench.py, tools/verify_local.py, tests).
 from __future__ import annotations
 
 PRIORITY: list[str] = [
-    # -- ranks 1-5: the round-8 additions, no CORRECTNESS row yet --
-    "dedup_url_canonical",
-    "sim_near_dup_collapse",
-    "pipeline_quality_gate",
-    "corpus_url_filter",
-    "sample_temperature_mixture",
-    # -- ranks 6-12: r03-latest re-certs (displaced from the r7 budget) --
-    "events_asof_join",
-    "events_funnel",
-    "events_retention",
-    "text_lang_id",
-    "text_token_count",
-    "stream_windowed_counts",
-    "dedup_minhash_lsh",
-    # -- ranks 13-19: r04-latest re-certs --
-    "q3_shipping_priority",
-    "q10_returned_items",
-    "q11_important_stock",
-    "q15_top_supplier",
-    "q16_parts_supplier",
-    "q18_large_volume_customer",
-    "q22_global_sales_opportunity",
-    # -- ranks 20-50: r05-latest re-certs, cheap-first (the 32nd-34th,
-    # sample_train_split / multimodal_resize / multimodal_frame_sample,
-    # land at ranks 51-53 — just past the 50-slot driver budget; they
-    # stay r05-latest for the r9 rotation) --
-    "sim_quantize_int8",
-    "corpus_chunk_overlap",
-    "q14_promo_revenue",
-    "q17_small_quantity_revenue",
-    "corpus_pack_sequences",
-    "q13_customer_distribution",
-    "q19_disjunctive_predicates",
-    "q20_potential_promotion",
-    "q4_order_priority",
-    "q5_local_supplier_volume",
-    "q2_min_cost_supplier",
-    "q21_waiting_supplier",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q12_priority_by_status",
-    "events_histogram",
-    "events_winsorize",
-    "events_anomaly_zscore",
-    "text_top_tokens",
-    "text_repetition",
-    "text_entropy",
-    "text_fingerprint",
-    "text_pii_redact",
-    "text_dup_gram_fraction",
-    "text_winnow_fingerprint",
-    "text_decontaminate",
-    "corpus_token_budget",
-    "corpus_mixture_plan",
-    "corpus_shuffle_shards",
-    "sample_weighted_topk",
-    "sample_group_quota",
+    # -- rank 1: the round-9 addition, no CORRECTNESS row yet --
+    "text_quality_classifier",
+    # -- ranks 2-20: the 19 r05-latest re-certs (past the r8 budget line) --
     "sample_train_split",
     "multimodal_resize",
     "multimodal_frame_sample",
-    # -- ranks 54-69: the expensive r05 tail (leads the r9 rotation) --
     "corpus_bpe_pairs",
     "text_decontaminate_bloom",
     "sim_cosine_near_dup",
@@ -116,7 +56,8 @@ PRIORITY: list[str] = [
     "stream_stream_join",
     "stream_stateful_cents",
     "stream_stateful_user_stats",
-    # -- r06 greens (prior internal order) --
+    # -- ranks 21-70: the r06 block (prior internal order; ranks 21-50
+    # land inside the 50-row budget, the last 20 lead the r10 rotation) --
     "select_distinct",
     "sort_limit_offset",
     "filter_like_family",
@@ -167,7 +108,7 @@ PRIORITY: list[str] = [
     "dedup_simhash",
     "dedup_ngram_jaccard",
     "dedup_minhash_clusters",
-    # -- r07 greens (freshest evidence; prior internal order) --
+    # -- ranks 71-120: the r07 block (prior internal order) --
     "fn_time_bucket",
     "fn_string_extras",
     "fn_string_regex_hash",
@@ -218,6 +159,58 @@ PRIORITY: list[str] = [
     "text_lm_perplexity",
     "sample_dsir_importance",
     "text_gopher_rules",
+    # -- ranks 121-170: the r08-certified 50 (freshest evidence last;
+    # r8 rank order preserved) --
+    "dedup_url_canonical",
+    "sim_near_dup_collapse",
+    "pipeline_quality_gate",
+    "corpus_url_filter",
+    "sample_temperature_mixture",
+    "events_asof_join",
+    "events_funnel",
+    "events_retention",
+    "text_lang_id",
+    "text_token_count",
+    "stream_windowed_counts",
+    "dedup_minhash_lsh",
+    "q3_shipping_priority",
+    "q10_returned_items",
+    "q11_important_stock",
+    "q15_top_supplier",
+    "q16_parts_supplier",
+    "q18_large_volume_customer",
+    "q22_global_sales_opportunity",
+    "sim_quantize_int8",
+    "corpus_chunk_overlap",
+    "q14_promo_revenue",
+    "q17_small_quantity_revenue",
+    "corpus_pack_sequences",
+    "q13_customer_distribution",
+    "q19_disjunctive_predicates",
+    "q20_potential_promotion",
+    "q4_order_priority",
+    "q5_local_supplier_volume",
+    "q2_min_cost_supplier",
+    "q21_waiting_supplier",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q12_priority_by_status",
+    "events_histogram",
+    "events_winsorize",
+    "events_anomaly_zscore",
+    "text_top_tokens",
+    "text_repetition",
+    "text_entropy",
+    "text_fingerprint",
+    "text_pii_redact",
+    "text_dup_gram_fraction",
+    "text_winnow_fingerprint",
+    "text_decontaminate",
+    "corpus_token_budget",
+    "corpus_mixture_plan",
+    "corpus_shuffle_shards",
+    "sample_weighted_topk",
+    "sample_group_quota",
 ]
 
 

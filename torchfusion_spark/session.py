@@ -10,6 +10,7 @@ shuffle parallelism sized from the environment instead of the 200 default.
 
 from __future__ import annotations
 
+import contextlib
 import os
 import threading
 
@@ -134,28 +135,59 @@ def _protected_nonces(spark, keep_nonce: int | None) -> set[int]:
     return out
 
 
-def _slot_lock(spark, slot: str) -> threading.Lock:
-    """Per-slot lock serializing the whole read-prev → build → store
-    sequence of :func:`staged_cache` / :func:`staged_checkpoint`. The
-    pool lock alone only protects the dict operations: two threads
-    staging the SAME slot concurrently would both read the same ``prev``
-    (double unpersist) and the loser's checkpoint blocks would leak when
-    the winner overwrites the pool entry — the unbounded-executor-storage
-    class the slot pool exists to prevent (code-review r07). Distinct
-    slots never contend, so the parallel prewarm keeps its concurrency."""
+@contextlib.contextmanager
+def _slot_lock(spark, slot: str):
+    """Per-slot lock (as a context manager) serializing the whole
+    read-prev → build → store sequence of :func:`staged_cache` /
+    :func:`staged_checkpoint`. The pool lock alone only protects the dict
+    operations: two threads staging the SAME slot concurrently would both
+    read the same ``prev`` (double unpersist) and the loser's checkpoint
+    blocks would leak when the winner overwrites the pool entry — the
+    unbounded-executor-storage class the slot pool exists to prevent
+    (code-review r07). Distinct slots never contend, so the parallel
+    prewarm keeps its concurrency.
+
+    REFCOUNTED handout (ADVICE r08): the Lock object is obtained and its
+    per-slot refcount incremented atomically under the pool lock, and the
+    refcount is decremented (under the pool lock again) only after the
+    critical section exits. ``release_staged_group``'s registry prune
+    skips any slot with an outstanding handout, which closes the window
+    the r8 try-acquire narrowed but could not close: a thread that had
+    obtained the Lock object from the registry but not yet entered its
+    ``with`` block was invisible to ``acquire(blocking=False)``, so the
+    sweep could pop the entry and let a later call mint a SECOND Lock
+    for the same slot — two "holders" of one slot, recreating the
+    double-unpersist the lock exists to prevent. With the refcount taken
+    under the same pool lock that serializes handout and prune, a handout
+    is either visible to the prune (refcount > 0 → skip) or happens after
+    the pop (fresh Lock, but the old one had no holder)."""
     with _ck_pool_lock(spark):
         locks = spark.__dict__.setdefault("_tf_slot_locks", {})
-        return locks.setdefault(slot, threading.Lock())
+        refs = spark.__dict__.setdefault("_tf_slot_lock_refs", {})
+        lk = locks.setdefault(slot, threading.Lock())
+        refs[slot] = refs.get(slot, 0) + 1
+    try:
+        with lk:
+            yield lk
+    finally:
+        with _ck_pool_lock(spark):
+            refs = spark.__dict__.get("_tf_slot_lock_refs", {})
+            n = refs.get(slot, 0) - 1
+            if n <= 0:
+                refs.pop(slot, None)
+            else:
+                refs[slot] = n
 
 
-def memo_lock(spark, name: str) -> threading.Lock:
-    """Named per-session lock for a staged-builder memo's check-then-act
-    (``_staged_hx``, ``_staged_containment``, …): a user query racing the
-    parallel bench prewarm through an unguarded memo would double-build
-    the relation and double-stage the slot. Builder dependency order is
-    acyclic (containment → hx → docs), so nested acquisition cannot
-    deadlock. Backed by the same per-session lock registry as
-    :func:`_slot_lock`, under a ``memo:`` namespace."""
+def memo_lock(spark, name: str):
+    """Named per-session lock (context manager) for a staged-builder
+    memo's check-then-act (``_staged_hx``, ``_staged_containment``, …): a
+    user query racing the parallel bench prewarm through an unguarded
+    memo would double-build the relation and double-stage the slot.
+    Builder dependency order is acyclic (containment → hx → docs), so
+    nested acquisition cannot deadlock. Backed by the same per-session
+    refcounted lock registry as :func:`_slot_lock`, under a ``memo:``
+    namespace."""
     return _slot_lock(spark, f"memo:{name}")
 
 
@@ -197,19 +229,18 @@ def release_staged_group(spark, prefix: str, keep_nonce: int | None = None) -> i
             # slots get a fresh name per iterative call, so an unpruned
             # registry grows ~4 Lock objects per connected_components
             # call for the life of the session (code-review r07).
-            # Prune ONLY when the Lock is provably unheld — popping a
-            # held/contended Lock would let a later _slot_lock mint a
-            # fresh object for the same slot while the old holder is
-            # still inside the read-prev/build/store critical section,
-            # recreating the double-unpersist the lock prevents
-            # (code-review r08). A held lock simply stays registered;
-            # nonce-scoped names are never re-staged after their group
-            # is superseded, so the registry stays bounded anyway.
-            locks = spark.__dict__.get("_tf_slot_locks", {})
-            lk = locks.get(slot)
-            if lk is not None and lk.acquire(blocking=False):
-                locks.pop(slot, None)
-                lk.release()
+            # Prune ONLY when no handout is outstanding (ADVICE r08):
+            # _slot_lock increments the slot's refcount under this same
+            # pool lock BEFORE it can acquire, so refcount == 0 here
+            # proves no thread holds — or is about to enter — the Lock;
+            # the r8 acquire(blocking=False) probe missed a thread that
+            # had obtained the Lock object but not yet entered its
+            # ``with`` block, leaving the double-unpersist window open.
+            # A referenced lock simply stays registered; nonce-scoped
+            # names are never re-staged after their group is superseded,
+            # so the registry stays bounded anyway.
+            if spark.__dict__.get("_tf_slot_lock_refs", {}).get(slot, 0) == 0:
+                spark.__dict__.get("_tf_slot_locks", {}).pop(slot, None)
         if handle is None:
             continue
         try:
