@@ -675,3 +675,46 @@ def test_differential_null_semantics(spark, tables, duck, sql):
     got = [tuple(r) for r in spark.sql(sql).collect()]
     want = [tuple(r) for r in duck.execute(sql).fetchall()]
     assert got == want, f"divergence on: {sql}"
+
+
+def test_pow_9dp_rounding_agrees_cross_engine(spark, duck):
+    """Canary for sample_temperature_mixture's accepted risk class
+    (VERDICT r8 item 6): the operator's only transcendental is
+    ROUND(pow(p, alpha), 9), and a libm divergence at a 9dp rounding
+    boundary would flip a DECIMAL-summed normalizer long before any
+    other gate noticed. Derandomized sweep: alpha grid [0.1, 0.9] plus
+    the operator's own 0.3, × share-shaped p values (integer-share
+    ratios, the operator's actual input form) and uniform p values —
+    both engines must produce the identical 9dp decimal for every cell."""
+    import numpy as np
+
+    rng = np.random.default_rng(909)
+    alphas = [round(0.1 * i, 1) for i in range(1, 10)]
+    rows = []
+    for a in alphas:
+        shares = rng.integers(1, 10**9, size=40)
+        tot = int(shares.sum())
+        ps = [int(s) / tot for s in shares] + list(rng.random(40))
+        rows += [(a, float(p)) for p in ps if p > 0]
+    vals = ", ".join(f"({a!r}, {p!r})" for a, p in rows)
+    body = (
+        "SELECT CAST(ROUND(pow(CAST(p AS DOUBLE), CAST(alpha AS DOUBLE)), 9) "
+        "AS DECIMAL(12,9)) AS q FROM {src} ORDER BY alpha, p"
+    )
+    sp = [
+        str(r.q)
+        for r in spark.sql(
+            body.format(src=f"VALUES {vals} AS t(alpha, p)")
+        ).collect()
+    ]
+    du = [
+        str(r[0])
+        for r in duck.execute(
+            body.format(src=f"(VALUES {vals}) t(alpha, p)")
+        ).fetchall()
+    ]
+    assert len(sp) == len(rows)
+    mismatches = [
+        (rows[i], sp[i], du[i]) for i in range(len(rows)) if sp[i] != du[i]
+    ]
+    assert not mismatches, mismatches[:10]

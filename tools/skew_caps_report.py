@@ -67,6 +67,26 @@ def main() -> None:
     for table, key in (("orders", "o_custkey"), ("lineitem", "l_orderkey"), ("events", "user_id")):
         report["key_skew"][f"{table}.{key}"] = _key_skew(spark, table, key)
 
+    # URL universe skew (VERDICT r8 item 5): the hot portal canonical URL
+    # (doc_id % 19 == 3 in the shared fixture constructor) vs the median
+    # canonical group — the keeper MIN window and the quality gate's
+    # url-keeper join run under this key; the operator's OWN generated SQL
+    # builds the relation so the report cannot measure a different universe
+    url_groups = spark.sql(
+        f"SELECT canonical_url, COUNT(*) AS n FROM "
+        f"({dedup.url_canonical_dedup_sql('spark')}) GROUP BY canonical_url"
+    )
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    top_url = url_groups.orderBy(F.desc("n")).first()
+    med_url = url_groups.approxQuantile("n", [0.5], 0.01)[0]
+    report["key_skew"]["documents.canonical_url"] = {
+        "hot_key": top_url["canonical_url"],
+        "hot_rows": top_url["n"],
+        "median_rows": med_url,
+        "skew_factor": round(top_url["n"] / max(med_url, 1), 1),
+    }
+
     # MinHash hot-bucket cap: buckets excluded from the candidate self-join
     mh = minhash_capped_bucket_stats(spark).collect()
     report["caps"]["minhash_lsh"] = {

@@ -47,21 +47,33 @@ def _scaled_state_partitions(spark: SparkSession):
 
 
 def _record_state_metrics(spark: SparkSession, name: str, q) -> None:
-    """Persist the finished query's state-store footprint (rows + bytes
-    from ``stateOperators`` in the last progress that carries them) into
-    a session-scoped dict for the bench report — round-over-round state
+    """Persist the finished query's state-store footprint into a
+    session-scoped dict for the bench report — round-over-round state
     GROWTH is the 100 TB streaming health signal (an unbounded keyspace
     shows up here long before an executor OOMs), so BENCH_r{N} carries
-    it next to rows/sec (VERDICT r7 item 5)."""
+    it next to rows/sec (VERDICT r7 item 5).
+
+    Two snapshots (VERDICT r8 item 3): ``state_rows``/``state_bytes``
+    come from the LAST progress carrying stateOperators — for an
+    availableNow replay that is post-final-watermark, i.e. largely
+    POST-EVICTION (stream_stream_join reported 99 rows against 24.6 MB
+    of store overhead, under-describing the run). ``peak_state_rows``/
+    ``peak_state_bytes`` are the MAX over every progress — the number an
+    executor must actually hold, and the one capacity planning reads."""
     try:
+        progresses = [p.get("stateOperators") or [] for p in (q.recentProgress or [])]
         ops = []
-        for prog in reversed(q.recentProgress or []):
-            ops = prog.get("stateOperators") or []
-            if ops:
+        for prog_ops in reversed(progresses):
+            if prog_ops:
+                ops = prog_ops
                 break
+        rows_per = [sum(int(o.get("numRowsTotal", 0)) for o in p) for p in progresses if p]
+        bytes_per = [sum(int(o.get("memoryUsedBytes", 0)) for o in p) for p in progresses if p]
         spark.__dict__.setdefault("_tf_stream_state", {})[name] = {
             "state_rows": sum(int(o.get("numRowsTotal", 0)) for o in ops),
             "state_bytes": sum(int(o.get("memoryUsedBytes", 0)) for o in ops),
+            "peak_state_rows": max(rows_per, default=0),
+            "peak_state_bytes": max(bytes_per, default=0),
             "state_operators": len(ops),
         }
     except Exception:  # noqa: BLE001 — metrics are best-effort, never fail the query
