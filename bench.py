@@ -198,9 +198,10 @@ def main() -> None:
         # Dependency-aware parallel build (round-7): the staged
         # relations are independent Spark jobs apart from the shared
         # hashed-shingle relation (__tf_hx feeds minhash/containment/
-        # bloom). Phase 1 overlaps the four roots — the shingle+md5
-        # pass, the embedding norms, the positional grams and the
-        # unigram term-frequency pass scan different columns and the
+        # bloom). Phase 1 overlaps the five roots — the shingle+md5
+        # pass, the embedding norms, the positional grams, the unigram
+        # term-frequency pass and the classifier's Gopher-label pass
+        # scan different columns and the
         # local[32] scheduler interleaves their tasks; phase 2 overlaps
         # the three hx consumers. Safe
         # concurrently: each builder runs exactly once here and writes

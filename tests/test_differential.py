@@ -696,6 +696,10 @@ def test_pow_9dp_rounding_agrees_cross_engine(spark, duck):
         tot = int(shares.sum())
         ps = [int(s) / tot for s in shares] + list(rng.random(40))
         rows += [(a, float(p)) for p in ps if p > 0]
+    # both engines return ORDER BY alpha, p — sort the input rows the
+    # same way so a mismatch report names the input that actually
+    # diverged (code-review r09)
+    rows.sort()
     vals = ", ".join(f"({a!r}, {p!r})" for a, p in rows)
     body = (
         "SELECT CAST(ROUND(pow(CAST(p AS DOUBLE), CAST(alpha AS DOUBLE)), 9) "

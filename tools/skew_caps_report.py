@@ -27,10 +27,12 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def _key_skew(spark, table: str, key: str) -> dict:
+def _counts_skew(counts, key: str) -> dict:
+    """Skew stats from a pre-grouped (key, count) DataFrame — one formula
+    for both raw-table keys and derived relations (the canonical-URL
+    universe), so a fix to the skew math can never diverge the sections."""
     from pyspark.sql import functions as F
 
-    counts = spark.table(table).groupBy(key).count()
     top = counts.orderBy(F.desc("count")).first()
     med = counts.approxQuantile("count", [0.5], 0.01)[0]
     return {
@@ -39,6 +41,10 @@ def _key_skew(spark, table: str, key: str) -> dict:
         "median_rows": med,
         "skew_factor": round(top["count"] / max(med, 1), 1),
     }
+
+
+def _key_skew(spark, table: str, key: str) -> dict:
+    return _counts_skew(spark.table(table).groupBy(key).count(), key)
 
 
 def main() -> None:
@@ -73,19 +79,12 @@ def main() -> None:
     # url-keeper join run under this key; the operator's OWN generated SQL
     # builds the relation so the report cannot measure a different universe
     url_groups = spark.sql(
-        f"SELECT canonical_url, COUNT(*) AS n FROM "
+        f"SELECT canonical_url, COUNT(*) AS count FROM "
         f"({dedup.url_canonical_dedup_sql('spark')}) GROUP BY canonical_url"
     )
-    from pyspark.sql import functions as F  # noqa: PLC0415
-
-    top_url = url_groups.orderBy(F.desc("n")).first()
-    med_url = url_groups.approxQuantile("n", [0.5], 0.01)[0]
-    report["key_skew"]["documents.canonical_url"] = {
-        "hot_key": top_url["canonical_url"],
-        "hot_rows": top_url["n"],
-        "median_rows": med_url,
-        "skew_factor": round(top_url["n"] / max(med_url, 1), 1),
-    }
+    report["key_skew"]["documents.canonical_url"] = _counts_skew(
+        url_groups, "canonical_url"
+    )
 
     # MinHash hot-bucket cap: buckets excluded from the candidate self-join
     mh = minhash_capped_bucket_stats(spark).collect()

@@ -351,7 +351,7 @@ def _staged_docs(spark):
     return "__dedup_docs"
 
 
-def _staged_hx(spark) -> str:
+def _staged_hx(spark, then=None) -> str:
     """The hashed-shingle relation (doc_id, hx) staged ONCE per (session,
     loaded tables): the shingle-build + md5 pass is the dominant cost of
     every shingle-based operator (containment, both decontaminate
@@ -359,7 +359,12 @@ def _staged_hx(spark) -> str:
     sides — Catalyst inlines CTEs, so without staging the md5 pass runs
     per reference. Memoized the same way as the MinHash signature memo
     (keyed on the docs-view identity, so switching sf_dir or swapping
-    the view rebuilds)."""
+    the view rebuilds).
+
+    ``then`` is invoked INSIDE the memo lock (the
+    ``similarity._staged_norms`` discipline): a consumer resolving its
+    plan from ``__tf_hx`` after release races a concurrent docs-view
+    swap (ADVICE r08 TOCTOU class, closed family-wide in r9)."""
     from torchfusion_spark.session import memo_lock, staged_cache
 
     key = _docs_key(spark)
@@ -371,6 +376,8 @@ def _staged_hx(spark) -> str:
             hx.count()
             hx.createOrReplaceTempView("__tf_hx")
             spark._tf_hx_key = key
+        if then is not None:
+            return then("__tf_hx")
     return "__tf_hx"
 
 

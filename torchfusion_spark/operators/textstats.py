@@ -720,12 +720,18 @@ def decontaminate_spans(spark):
     )
 
 
-def _staged_bloom(spark) -> tuple[str, str]:
+def _staged_bloom(spark, then=None):
     """Stage the benchmark-hash set and its Bloom filter once per
     (session, loaded tables) — the 100 TB deployment shape: the filter
     depends only on the (fixed) benchmark suite, so it is built once and
     persisted while the corpus-side probe runs per batch. Memo discipline
-    identical to ``dedup._staged_hx``. Returns (bench_view, bloom_view)."""
+    identical to ``dedup._staged_hx``. Returns (bench_view, bloom_view);
+    ``then`` (callable taking the two view names) is invoked INSIDE the
+    memo lock — the consumer then nests ``_staged_hx`` INSIDE it, so
+    its plan binds all three staged views atomically (ADVICE r08 TOCTOU
+    class). Lock order is always bloom → hx: this builder itself
+    acquires hx while holding bloom on a rebuild, so a consumer taking
+    hx FIRST and bloom second would deadlock against it."""
     from torchfusion_spark.operators import dedup
     from torchfusion_spark.session import memo_lock, staged_cache
 
@@ -749,6 +755,8 @@ def _staged_bloom(spark) -> tuple[str, str]:
             bloom.count()
             bloom.createOrReplaceTempView("__tf_bloom")
             spark._tf_bloom_key = key
+        if then is not None:
+            return then("__tf_bench_h", "__tf_bloom")
     return "__tf_bench_h", "__tf_bloom"
 
 
@@ -1332,13 +1340,21 @@ def unigram_tf_sql(d: str, rel: str = "documents") -> str:
     """
 
 
-def _staged_unigrams(spark) -> str:
-    """Session-staged unigram-tf relation shared by ``text_bm25_topk``
-    and ``text_lm_perplexity`` (memo discipline identical to
+def _staged_unigrams(spark, then=None) -> str:
+    """Session-staged unigram-tf relation shared by ``text_bm25_topk``,
+    ``text_lm_perplexity``, ``sample_dsir_importance`` and
+    ``text_quality_classifier`` (memo discipline identical to
     ``dedup._staged_hx``: cache + temp view, keyed on the docs-view identity,
     memo-locked against the parallel bench prewarm; the tokenize scan
     reads the fanned-out docs view so the CPU-bound explode never runs
-    on one parquet split)."""
+    on one parquet split).
+
+    ``then`` (callable taking the staged view name, returning a
+    DataFrame) is invoked INSIDE the memo lock — the
+    ``similarity._staged_norms`` discipline: a consumer that resolves
+    its plan from ``__tf_unigrams`` after the lock is released races a
+    concurrent docs-view swap and binds the plan to the other corpus
+    (the ADVICE r08 TOCTOU class, closed for this family in r9)."""
     from torchfusion_spark.operators import dedup
     from torchfusion_spark.session import memo_lock, staged_cache
 
@@ -1353,6 +1369,8 @@ def _staged_unigrams(spark) -> str:
             u.count()
             u.createOrReplaceTempView("__tf_unigrams")
             spark._tf_unigram_key = key
+        if then is not None:
+            return then("__tf_unigrams")
     return "__tf_unigrams"
 
 
@@ -1566,7 +1584,7 @@ def dsir_importance_sql(
 CLS_TRAIN_PCT = 80  # share of docs (by portable hash bucket) used for training
 
 
-def _staged_labels(spark) -> str:
+def _staged_labels(spark, then=None) -> str:
     """Session-staged (doc_id, label, is_train) relation for the quality
     classifier (memo discipline identical to ``_staged_unigrams``): the
     Gopher label pass is one full-corpus scan of array/regex codegen, and
@@ -1581,7 +1599,13 @@ def _staged_labels(spark) -> str:
     cache manager silently fails to substitute (the
     ``unigram_tf_sql``/``containment`` lesson) — the audit showed three
     full label recomputes from parquet per query under ``cache()``; the
-    checkpoint's LogicalRDD leaf cannot be bypassed."""
+    checkpoint's LogicalRDD leaf cannot be bypassed.
+
+    ``then`` is invoked INSIDE the memo lock (the ``_staged_unigrams``
+    / ``_staged_norms`` discipline); the classifier nests this builder
+    inside the unigrams lock so its final plan binds BOTH staged views
+    atomically — lock order is always unigrams → cls_labels, so the
+    nesting cannot deadlock."""
     from torchfusion_spark.operators import dedup
     from torchfusion_spark.session import memo_lock, staged_checkpoint
 
@@ -1595,6 +1619,8 @@ def _staged_labels(spark) -> str:
             )
             lab.createOrReplaceTempView("__tf_cls_labels")
             spark._tf_cls_label_key = key
+        if then is not None:
+            return then("__tf_cls_labels")
     return "__tf_cls_labels"
 
 

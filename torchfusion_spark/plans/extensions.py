@@ -645,8 +645,11 @@ def text_dup_gram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     "a ranking",
 )
 def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.sql(
-        textstats.bm25_topk_sql("spark", tf_rel=textstats._staged_unigrams(spark))
+    # plan resolved INSIDE the memo lock (ADVICE r08 TOCTOU class): a
+    # docs-view swap between staging and spark.sql would bind the plan
+    # to the other corpus
+    return textstats._staged_unigrams(
+        spark, then=lambda tfn: spark.sql(textstats.bm25_topk_sql("spark", tf_rel=tfn))
     )
 
 
@@ -660,8 +663,9 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "counts broadcast onto the shared staged tf relation",
 )
 def text_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.sql(
-        textstats.lm_perplexity_sql("spark", tf_rel=textstats._staged_unigrams(spark))
+    return textstats._staged_unigrams(
+        spark,
+        then=lambda tfn: spark.sql(textstats.lm_perplexity_sql("spark", tf_rel=tfn)),
     )
 
 
@@ -677,12 +681,19 @@ def text_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     "emits score, predicted class, quintile and top-40% keep flag",
 )
 def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.sql(
-        textstats.quality_classifier_sql(
-            "spark",
-            tf_rel=textstats._staged_unigrams(spark),
-            lab_rel=textstats._staged_labels(spark),
-        )
+    # the final plan binds TWO staged views, so it resolves inside BOTH
+    # memo locks (nested unigrams → cls_labels, the documented acyclic
+    # order): a docs-view swap between either staging and the spark.sql
+    # would bind tf and labels from different corpora (code-review r09;
+    # the ADVICE r08 TOCTOU class)
+    return textstats._staged_unigrams(
+        spark,
+        then=lambda tfn: textstats._staged_labels(
+            spark,
+            then=lambda labn: spark.sql(
+                textstats.quality_classifier_sql("spark", tf_rel=tfn, lab_rel=labn)
+            ),
+        ),
     )
 
 
@@ -699,8 +710,9 @@ def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     "distribution tables roll up from the shared staged tf relation",
 )
 def sample_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.sql(
-        textstats.dsir_importance_sql("spark", tf_rel=textstats._staged_unigrams(spark))
+    return textstats._staged_unigrams(
+        spark,
+        then=lambda tfn: spark.sql(textstats.dsir_importance_sql("spark", tf_rel=tfn)),
     )
 
 
@@ -807,7 +819,11 @@ _sql_pair(
     "side reads the per-session staged shingle relation",
 )
 def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.sql(textstats.decontaminate_sql("spark", sh_rel=dedup._staged_hx(spark)))
+    # plan resolved INSIDE the memo lock (ADVICE r08 TOCTOU class)
+    return dedup._staged_hx(
+        spark,
+        then=lambda hxn: spark.sql(textstats.decontaminate_sql("spark", sh_rel=hxn)),
+    )
 
 
 @query(
@@ -822,14 +838,23 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     "staged shingle relation",
 )
 def text_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
-    bench_rel, bloom_rel = textstats._staged_bloom(spark)
-    return spark.sql(
-        textstats.decontaminate_bloom_sql(
-            "spark",
-            sh_rel=dedup._staged_hx(spark),
-            bench_rel=bench_rel,
-            bloom_rel=bloom_rel,
-        )
+    # binds THREE staged views, so the plan resolves inside both memo
+    # locks, nested bloom → hx — the SAME order _staged_bloom itself
+    # acquires on a rebuild; hx → bloom nesting would deadlock against
+    # a concurrent bloom build (ADVICE r08 TOCTOU class, code-review r09)
+    return textstats._staged_bloom(
+        spark,
+        then=lambda bench_rel, bloom_rel: dedup._staged_hx(
+            spark,
+            then=lambda hxn: spark.sql(
+                textstats.decontaminate_bloom_sql(
+                    "spark",
+                    sh_rel=hxn,
+                    bench_rel=bench_rel,
+                    bloom_rel=bloom_rel,
+                )
+            ),
+        ),
     )
 
 
