@@ -110,10 +110,12 @@ HEADLINE = [
     "pipeline_quality_gate",
     "corpus_url_filter",
     "sample_temperature_mixture",
-    # round-9 addition: the trained model-based quality gate (NB log-odds
-    # over the shared hashed feature space, broadcast weights) — benched
-    # from day one; reads the session-staged unigram-tf relation
+    # round-9 additions: the trained model-based quality gate (NB
+    # log-odds over the shared hashed feature space, broadcast weights)
+    # and the Nemotron-CC-style quality-signal ensemble composed over it
+    # — benched from day one; both read the session-staged tf relation
     "text_quality_classifier",
+    "pipeline_quality_ensemble",
 ]
 
 # Streaming witnesses carry round-over-round timing accountability but are

@@ -80,6 +80,7 @@ DOC_OPS = [
     "corpus_url_filter",
     "sample_temperature_mixture",
     "text_quality_classifier",
+    "pipeline_quality_ensemble",
 ]
 EMB_OPS = [
     "sim_cosine_topk",

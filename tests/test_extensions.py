@@ -1946,3 +1946,44 @@ def test_quality_classifier_matches_python_recompute(spark, tables):
     # both splits and both classes must be non-trivially populated
     assert 0 < sum(r.is_train for r in got) < len(got)
     assert 0 < all_pos < len(got)
+
+
+def test_quality_ensemble_composes_its_signals(spark, tables):
+    """The ensemble must be EXACTLY the composition of its three
+    independently-pinned signals (classifier label/kept, perplexity
+    bucket): signals, agreement count, tier and majority keep recomputed
+    per doc from the sub-operators' own Spark outputs."""
+    from torchfusion_spark.operators.textstats import (
+        _staged_labels,
+        _staged_unigrams,
+        lm_perplexity_sql,
+        quality_classifier_sql,
+        quality_ensemble_sql,
+    )
+
+    tfn = _staged_unigrams(spark)
+    labn = _staged_labels(spark)
+    cls = {
+        r.doc_id: r
+        for r in spark.sql(
+            quality_classifier_sql("spark", tf_rel=tfn, lab_rel=labn)
+        ).collect()
+    }
+    ppl = {
+        r.doc_id: r for r in spark.sql(lm_perplexity_sql("spark", tf_rel=tfn)).collect()
+    }
+    got = spark.sql(
+        quality_ensemble_sql("spark", tf_rel=tfn, lab_rel=labn)
+    ).collect()
+    assert len(got) == len(cls) == len(ppl)
+    tiers = set()
+    for r in got:
+        c, p = cls[r.doc_id], ppl[r.doc_id]
+        want = (int(c.label), int(c.kept), int(p.ppl_bucket != "tail"))
+        assert (r.gopher_ok, r.classifier_ok, r.ppl_ok) == want, r.doc_id
+        n = sum(want)
+        assert r.n_signals == n
+        assert r.tier == ("high" if n == 3 else "medium" if n == 2 else "low")
+        assert r.kept == int(n >= 2)
+        tiers.add(r.tier)
+    assert tiers == {"high", "medium", "low"}, tiers  # all tiers populated

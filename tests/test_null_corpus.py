@@ -37,6 +37,7 @@ NULL_OPS = [
     "corpus_url_filter",        # NULL source → NULL url; rules must not cross-mark NULLs
     "pipeline_quality_gate",    # NULL source fails closed with reason 'source'
     "text_quality_classifier",  # NULL-text docs labeled but absent from tf → absent from scores
+    "pipeline_quality_ensemble",  # composition over the same NULL-pruned tf relation
     "sim_near_dup_collapse",    # NULL embeddings excluded at norm_cte before bucketing
 ]
 

@@ -82,6 +82,10 @@ _EXPECTED = {
     # shape; the corpus-sized joins are doc_id-keyed SMJ-free (tf cached,
     # weights broadcast by hint)
     "text_quality_classifier": {"bnl_join"},
+    # the ensemble composes the classifier and the LM scorer verbatim —
+    # it inherits exactly their whitelisted 1-row-totals cross joins and
+    # adds only a doc_id-keyed join of the two doc-sized score relations
+    "pipeline_quality_ensemble": {"bnl_join"},
     "sim_kmeans": {"sort_merge_join", "bnl_join"},
     "sim_ivf_topk": {"sort_merge_join", "bnl_join"},
     "sim_semantic_dedup": {"sort_merge_join", "bnl_join"},

@@ -1757,3 +1757,47 @@ def quality_classifier_sql(
         FROM scored)
     ORDER BY doc_id
     """
+
+
+def quality_ensemble_sql(
+    d: str, tf_rel: str | None = None, lab_rel: str | None = None
+) -> str:
+    """Quality-signal ensembling (public method: Nemotron-CC buckets
+    documents by the AGREEMENT of multiple quality classifiers rather
+    than any single score — high-agreement docs feed long-horizon
+    training, disagreement triggers rephrasing/repair). Three signals
+    this engine already certifies individually: the Gopher heuristic
+    verdict, the trained NB classifier's top-40% keep, and the CCNet
+    perplexity bucket (head/middle pass, tail fail). Emits the per-doc
+    0/1 signals, the agreement count, the tier ('high' = all 3,
+    'medium' = 2, 'low' otherwise) and a majority keep flag.
+
+    Scale shape: pure composition — both sub-pipelines read the SAME
+    session-staged tf relation (and the classifier its staged labels),
+    so the ensemble adds exactly ONE doc_id-keyed join over the two
+    doc-sized score relations (co-partitioned at 100 TB) on top of the
+    stages' own audited plans. Determinism inherits the sub-operators'
+    disciplines; the tier is integer arithmetic on their 0/1 outputs.
+
+    Gopher verdict rides the classifier output (its ``label`` column IS
+    the Gopher kept flag) — no third scan of the corpus."""
+    cls = quality_classifier_sql(d, tf_rel=tf_rel, lab_rel=lab_rel)
+    ppl = lm_perplexity_sql(d, tf_rel=tf_rel)
+    return f"""
+    WITH cls AS ({cls}),
+    ppl AS ({ppl}),
+    sig AS (
+        SELECT c.doc_id, c.lang,
+               CAST(c.label AS INT) AS gopher_ok,
+               CAST(c.kept AS INT) AS classifier_ok,
+               CAST(CASE WHEN p.ppl_bucket <> 'tail' THEN 1 ELSE 0 END AS INT) AS ppl_ok
+        FROM cls c JOIN ppl p ON c.doc_id = p.doc_id)
+    SELECT doc_id, lang, gopher_ok, classifier_ok, ppl_ok,
+           CAST(gopher_ok + classifier_ok + ppl_ok AS INT) AS n_signals,
+           CASE WHEN gopher_ok + classifier_ok + ppl_ok = 3 THEN 'high'
+                WHEN gopher_ok + classifier_ok + ppl_ok = 2 THEN 'medium'
+                ELSE 'low' END AS tier,
+           CAST(CASE WHEN gopher_ok + classifier_ok + ppl_ok >= 2
+                THEN 1 ELSE 0 END AS INT) AS kept
+    FROM sig ORDER BY doc_id
+    """

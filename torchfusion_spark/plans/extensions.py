@@ -698,6 +698,29 @@ def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "pipeline_quality_ensemble",
+    textstats.quality_ensemble_sql("duck"),
+    doc="quality-signal ensembling (Nemotron-CC-style agreement buckets): "
+    "Gopher verdict ∧ trained-classifier keep ∧ CCNet perplexity bucket "
+    "→ per-doc agreement count, high/medium/low tier, majority keep; "
+    "pure composition over the session-staged tf/label relations — one "
+    "extra doc_id-keyed join over two doc-sized score relations",
+)
+def pipeline_quality_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # binds the same two staged views as the classifier: resolve inside
+    # both memo locks (nested unigrams → cls_labels)
+    return textstats._staged_unigrams(
+        spark,
+        then=lambda tfn: textstats._staged_labels(
+            spark,
+            then=lambda labn: spark.sql(
+                textstats.quality_ensemble_sql("spark", tf_rel=tfn, lab_rel=labn)
+            ),
+        ),
+    )
+
+
+@query(
     "sample_dsir_importance",
     textstats.dsir_importance_sql("duck"),
     doc="DSIR-style importance weighting (Xie et al. 2023, public): avg "
