@@ -171,6 +171,11 @@ _EXPECTED_AT_SCALE = {
     # two doc-keyed relations that both grow with the corpus — the
     # co-partitioned doc_id join IS the 100 TB plan (the source gate
     # side stays broadcast)
+    "pipeline_quality_ensemble": {"sort_merge_join"},  # classifier scores
+    # ⋈ perplexity scores: two doc-sized relations that both grow with
+    # the corpus — the co-partitioned doc_id join IS the 100 TB plan
+    # (the classifier's internal weight/label joins keep their
+    # broadcasts; only the final composition join scales)
     "sim_cosine_near_dup_lsh": {"sort_merge_join"},  # bucket self-join
     "text_dup_gram_fraction": {"sort_merge_join"},   # gram self-join
     "q3_shipping_priority": {"sort_merge_join"},   # lineitem ⋈ orders
