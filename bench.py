@@ -116,6 +116,10 @@ HEADLINE = [
     # — benched from day one; both read the session-staged tf relation
     "text_quality_classifier",
     "pipeline_quality_ensemble",
+    # round-9 addition: the iterative BPE merge trainer (3 unrolled
+    # greedy-merge rounds on the vocab-sized symbol stream; word rollup
+    # from the staged tf relation)
+    "corpus_bpe_train",
 ]
 
 # Streaming witnesses carry round-over-round timing accountability but are

@@ -81,6 +81,7 @@ DOC_OPS = [
     "sample_temperature_mixture",
     "text_quality_classifier",
     "pipeline_quality_ensemble",
+    "corpus_bpe_train",
 ]
 EMB_OPS = [
     "sim_cosine_topk",

@@ -1987,3 +1987,56 @@ def test_quality_ensemble_composes_its_signals(spark, tables):
         assert r.kept == int(n >= 2)
         tiers.add(r.tier)
     assert tiers == {"high", "medium", "low"}, tiers  # all tiers populated
+
+
+def test_bpe_train_matches_python_reference(spark, tables):
+    """Pin the iterative BPE trainer against a direct Python reference
+    implementation of Sennrich et al.'s algorithm: character symbols
+    with an end-of-word marker, frequency-weighted pair counts, greedy
+    LEFT-TO-RIGHT non-overlapping merges of the top pair per round
+    (tie-break count DESC then lexicographic pair)."""
+    from torchfusion_spark.operators.textstats import BPE_TRAIN_ROUNDS, bpe_train
+
+    docs = spark.table("documents").select("text").collect()
+    freq: dict[str, int] = {}
+    for row in docs:
+        for w in row.text.lower().split(" "):
+            freq[w] = freq.get(w, 0) + 1
+
+    vocab = {w: list(w) + ["_"] for w in freq}
+    expect = []
+    for _ in range(BPE_TRAIN_ROUNDS):
+        counts: dict[tuple, int] = {}
+        for w, syms in vocab.items():
+            for i in range(len(syms) - 1):
+                counts[(syms[i], syms[i + 1])] = counts.get((syms[i], syms[i + 1]), 0) + freq[w]
+        if not counts:
+            break
+        (a, b), cnt = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        expect.append((a, b, a + b, cnt))
+        for w, syms in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2  # greedy left-to-right: the right symbol is consumed
+                else:
+                    out.append(syms[i])
+                    i += 1
+            vocab[w] = out
+
+    got = bpe_train(spark).collect()  # the checkpointed round loop the registry runs
+    assert len(got) == len(expect) == BPE_TRAIN_ROUNDS
+    for r, (a, b, m, cnt) in enumerate(expect, start=1):
+        row = got[r - 1]
+        assert (row.round, row.left_sym, row.right_sym, row.merged_sym, row.pair_count) == (
+            r, a, b, m, cnt,
+        )
+    # the trainer must actually iterate: at least one later merge
+    # involves a symbol PRODUCED by an earlier merge, or the top pair
+    # changes round-over-round (a single-pass pair count cannot do this)
+    merged_syms = {m for (_, _, m, _) in expect}
+    assert len({(a, b) for (a, b, _, _) in expect}) == BPE_TRAIN_ROUNDS
+    assert any(
+        a in merged_syms or b in merged_syms for (a, b, _, _) in expect[1:]
+    ) or len(merged_syms) == BPE_TRAIN_ROUNDS

@@ -86,6 +86,10 @@ _EXPECTED = {
     # it inherits exactly their whitelisted 1-row-totals cross joins and
     # adds only a doc_id-keyed join of the two doc-sized score relations
     "pipeline_quality_ensemble": {"bnl_join"},
+    # (corpus_bpe_train needs no whitelist: the Spark side is the
+    # checkpointed round loop — its audited final plan is the tiny merge
+    # table; per-round work runs in staging actions like
+    # dedup_minhash_clusters')
     "sim_kmeans": {"sort_merge_join", "bnl_join"},
     "sim_ivf_topk": {"sort_merge_join", "bnl_join"},
     "sim_semantic_dedup": {"sort_merge_join", "bnl_join"},

@@ -1801,3 +1801,188 @@ def quality_ensemble_sql(
                 THEN 1 ELSE 0 END AS INT) AS kept
     FROM sig ORDER BY doc_id
     """
+
+
+BPE_TRAIN_ROUNDS = 3  # merge rounds in the trainer witness
+
+
+def _bpe_sym0_sql(d: str, tfn: str) -> str:
+    """Round-0 symbol stream: (word, freq, pos, sym) — character symbols
+    per distinct word plus the end-of-word marker ``_``, weighted by the
+    corpus word frequency rolled up from the tf relation. The ONLY
+    dialect-split fragment (per-row sequence explode)."""
+    if d == "spark":
+        pos_src = (
+            "SELECT tok AS word, freq, CAST(pos AS BIGINT) AS pos FROM words "
+            "LATERAL VIEW explode(sequence(1, length(tok) + 1)) AS pos"
+        )
+    else:
+        pos_src = (
+            "SELECT tok AS word, freq, CAST(UNNEST(generate_series(1, "
+            "length(tok) + 1)) AS BIGINT) AS pos FROM words"
+        )
+    return f"""
+    WITH words AS (
+        SELECT tok, CAST(SUM(tf) AS BIGINT) AS freq FROM {tfn} GROUP BY tok)
+    SELECT word, freq, pos,
+           CASE WHEN pos <= length(word)
+                THEN substr(word, CAST(pos AS INT), 1) ELSE '_' END AS sym
+    FROM ({pos_src})
+    """
+
+
+def _bpe_top_sql(rel: str) -> str:
+    """Most frequent adjacent symbol pair over ``rel`` — dialect-free
+    (count DESC, then lexicographic (a, b) tie-break)."""
+    return f"""
+    SELECT a, b, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
+        SELECT sym AS a, LEAD(sym) OVER (PARTITION BY word ORDER BY pos) AS b, freq
+        FROM {rel})
+    WHERE b IS NOT NULL GROUP BY a, b
+    ORDER BY cnt DESC, a, b LIMIT 1
+    """
+
+
+def _bpe_merge_sql(rel: str, top_rel: str) -> str:
+    """One greedy left-to-right merge of ``top_rel``'s (a, b) pair over
+    the symbol stream ``rel`` — dialect-free. The non-overlap rule
+    ('aaa' + (a,a) merges positions 1-2, never 2-3) is gaps-and-islands:
+    consecutive matching positions share a pos − ROW_NUMBER island key,
+    and a match merges iff its offset from the island head is even; the
+    consumed right-symbol rows drop via one LAG pass and positions
+    re-rank for the next round."""
+    return f"""
+    SELECT word, freq,
+           CAST(ROW_NUMBER() OVER (PARTITION BY word ORDER BY pos) AS BIGINT) AS pos,
+           CASE WHEN merged THEN a || b ELSE sym END AS sym
+    FROM (
+        SELECT *, LAG(merged) OVER (PARTITION BY word ORDER BY pos) AS consumed
+        FROM (
+            SELECT *, mt AND ((pos - MIN(pos) OVER (PARTITION BY word, mt, grp)) % 2 = 0) AS merged
+            FROM (
+                SELECT *, pos - ROW_NUMBER() OVER (PARTITION BY word, mt ORDER BY pos) AS grp
+                FROM (
+                    SELECT s.word, s.freq, s.pos, s.sym, t.a, t.b,
+                           (s.sym = t.a
+                            AND LEAD(s.sym) OVER (PARTITION BY s.word ORDER BY s.pos) = t.b) AS mt
+                    FROM {rel} s CROSS JOIN {top_rel} t))))
+    WHERE NOT COALESCE(consumed, false)
+    """
+
+
+def bpe_train_sql(
+    d: str, rounds: int = BPE_TRAIN_ROUNDS, tf_rel: str | None = None
+) -> str:
+    """Iterative BPE merge training (Sennrich et al. 2016, public
+    method) as ONE statement: start from character symbols per word
+    (end-of-word marker ``_``), then repeatedly (a) count adjacent
+    symbol pairs weighted by word frequency, (b) merge the most
+    frequent pair corpus-wide with the reference algorithm's greedy
+    left-to-right non-overlap rule. Emits the learned merge table —
+    (round, left_sym, right_sym, merged_sym, pair_count) — the artifact
+    a tokenizer trainer ships; ``corpus_bpe_pairs`` is this operator's
+    round-1 statistic.
+
+    This single-statement form is the ORACLE (DuckDB materializes each
+    round's symbol CTE, so the chain is linear). Catalyst instead
+    INLINES CTEs: each round references its predecessor twice (pair
+    count + merge), so the unrolled statement duplicates the prior
+    round's whole chain per reference — 82 Window nodes for 3 rounds,
+    measured — which is why the Spark side runs :func:`bpe_train`'s
+    checkpointed round loop instead (the ``minhash_clusters``
+    discipline). Both sides are composed from the SAME three fragment
+    generators (``_bpe_sym0_sql`` / ``_bpe_top_sql`` /
+    ``_bpe_merge_sql``), so the algorithms cannot drift.
+
+    Scale shape: the only corpus-sized work is the word-frequency
+    rollup (on Spark read from the shared session-staged tf relation —
+    zero extra corpus scans; exactly how production BPE trainers
+    operate on a word-count table). Every merge round runs on the
+    VOCAB-sized symbol relation — |vocab| × avg word length rows,
+    bounded regardless of corpus size — with word-keyed windows; the
+    per-round top pair is a 1-row relation cross-joined back (the
+    whitelisted single-row broadcast shape).
+
+    Determinism: pure integer/string arithmetic; top-pair ties break on
+    (left, right) lexicographic order."""
+    if tf_rel is None:
+        mat = "MATERIALIZED " if d == "duck" else ""
+        tf_body = f"tf AS {mat}({unigram_tf_sql(d)}),"
+        tfn = "tf"
+    else:
+        tf_body = ""
+        tfn = tf_rel
+    mat = "MATERIALIZED " if d == "duck" else ""
+    ctes = [f"s0 AS {mat}({_bpe_sym0_sql(d, tfn)})"]
+    outs = []
+    for r in range(1, rounds + 1):
+        ctes += [
+            f"t{r} AS {mat}({_bpe_top_sql(f's{r - 1}')})",
+            f"s{r} AS {mat}({_bpe_merge_sql(f's{r - 1}', f't{r}')})",
+        ]
+        outs.append(
+            f"SELECT CAST({r} AS BIGINT) AS round, a AS left_sym, b AS right_sym, "
+            f"a || b AS merged_sym, cnt AS pair_count FROM t{r}"
+        )
+    union = "\nUNION ALL\n".join(outs)
+    return f"""
+    WITH {tf_body}
+    {", ".join(ctes)}
+    SELECT round, left_sym, right_sym, merged_sym, pair_count
+    FROM ({union}) ORDER BY round
+    """
+
+
+def bpe_train(spark, rounds: int = BPE_TRAIN_ROUNDS):
+    """Spark-side iterative BPE trainer: the same fragments as the
+    oracle statement, executed as a checkpointed round loop so each
+    round's symbol stream is materialized ONCE (Catalyst's CTE inlining
+    makes the one-statement form exponential in rounds — see
+    :func:`bpe_train_sql`). Control plane per round is ONE collected
+    row (the corpus-wide top pair — the ``connected_components``
+    bounded-read class); its pair literals parameterize the next
+    round's merge, replacing the oracle's 1-row cross join. The round-0
+    stream snapshots the staged tf relation INSIDE the memo lock, so a
+    concurrent docs-view swap cannot mix corpora mid-train; checkpoints
+    are immutable, so later rounds are swap-proof by construction."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from torchfusion_spark.session import (
+        release_staged_group,
+        staged_checkpoint,
+        staging_nonce,
+    )
+
+    nonce = staging_nonce(spark)
+    release_staged_group(spark, "bpe_", keep_nonce=nonce)
+    slot = f"bpe_s_{nonce}"
+    view = f"__bpe_s_{nonce}"
+
+    def _s0(tfn: str):
+        return staged_checkpoint(spark, slot, spark.sql(_bpe_sym0_sql("spark", tfn)))
+
+    s = _staged_unigrams(spark, then=_s0)
+    s.createOrReplaceTempView(view)
+    merges = []
+    for r in range(1, rounds + 1):
+        top = spark.sql(_bpe_top_sql(view)).collect()
+        if not top:  # degenerate corpus: no adjacent pairs left
+            break
+        a, b, cnt = top[0].a, top[0].b, top[0].cnt
+        merges.append((r, a, b, a + b, cnt))
+        if r == rounds:
+            break
+        qa, qb = a.replace("'", "''"), b.replace("'", "''")
+        top_lit = f"(SELECT '{qa}' AS a, '{qb}' AS b)"
+        s = staged_checkpoint(spark, slot, spark.sql(_bpe_merge_sql(view, top_lit)))
+        s.createOrReplaceTempView(view)
+    schema = StructType(
+        [
+            StructField("round", LongType(), False),
+            StructField("left_sym", StringType(), False),
+            StructField("right_sym", StringType(), False),
+            StructField("merged_sym", StringType(), False),
+            StructField("pair_count", LongType(), False),
+        ]
+    )
+    return spark.createDataFrame(merges, schema).orderBy("round")

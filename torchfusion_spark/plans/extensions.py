@@ -747,6 +747,22 @@ _sql_pair(
     "array, map-side-combined counts, deterministic global TopK",
 )
 
+
+@query(
+    "corpus_bpe_train",
+    textstats.bpe_train_sql("duck"),
+    doc="iterative BPE merge training (Sennrich et al. 2016): 3 rounds of "
+    "count-pairs → pick-top → greedy left-to-right merge "
+    "(gaps-and-islands parity for the non-overlap rule) over the "
+    "word-frequency table; the only corpus-sized work is the word "
+    "rollup, read from the session-staged tf relation — every merge "
+    "round is vocab-sized. Spark runs the checkpointed round loop "
+    "(Catalyst CTE inlining makes the oracle's one-statement form "
+    "exponential in rounds); both sides share the fragment generators",
+)
+def corpus_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.bpe_train(spark)
+
 _sql_pair(
     "text_winnow_fingerprint",
     textstats.winnow_fingerprint_sql,
