@@ -2040,3 +2040,59 @@ def test_bpe_train_matches_python_reference(spark, tables):
     assert any(
         a in merged_syms or b in merged_syms for (a, b, _, _) in expect[1:]
     ) or len(merged_syms) == BPE_TRAIN_ROUNDS
+
+
+def test_bpe_train_survives_backslash_and_quote_symbols(spark, tables):
+    """Spark's default string literals are backslash-escaping (DuckDB's
+    are not), so the round loop's top-pair literals must escape both
+    backslashes and quotes — a corpus token like c:\\temp or don't would
+    otherwise parse-error or silently merge the wrong symbol
+    (code-review r09). Plant a corpus where such pairs WIN rounds and
+    compare against the Python reference."""
+    import pandas as pd
+
+    from torchfusion_spark.operators.textstats import bpe_train
+
+    words = ["c:\\temp\\x"] * 9 + ["don't've"] * 7 + ["plain"] * 2
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(len(words)),
+            "lang": ["en"] * len(words),
+            "text": words,
+            "source": ["src0"] * len(words),
+            "n_chars": [len(w) for w in words],
+        }
+    )
+    orig = spark.table("documents")
+    try:
+        spark.createDataFrame(pdf).createOrReplaceTempView("documents")
+        got = [tuple(r) for r in bpe_train(spark).collect()]
+    finally:
+        orig.createOrReplaceTempView("documents")
+
+    freq = {}
+    for w in words:
+        freq[w] = freq.get(w, 0) + 1
+    vocab = {w: list(w) + ["_"] for w in freq}
+    expect = []
+    for r in range(1, 4):
+        counts = {}
+        for w, syms in vocab.items():
+            for i in range(len(syms) - 1):
+                counts[(syms[i], syms[i + 1])] = counts.get((syms[i], syms[i + 1]), 0) + freq[w]
+        (a, b), cnt = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        expect.append((r, a, b, a + b, cnt))
+        for w, syms in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            vocab[w] = out
+    assert got == expect
+    # the planted corpus must actually exercise the hazard: a winning
+    # symbol containing a backslash or quote
+    assert any("\\" in a or "'" in a or "\\" in b or "'" in b for (_, a, b, _, _) in expect)

@@ -1624,6 +1624,70 @@ def _staged_labels(spark, then=None) -> str:
     return "__tf_cls_labels"
 
 
+def bind_hx_and_bloom(spark, then):
+    """:func:`bind_tf_and_labels`'s twin for the Bloom decontaminator's
+    THREE staged views (benchmark set + filter + shingle hashes): nest
+    in the canonical bloom → hx order (matching ``_staged_bloom``'s own
+    internal acquisition) and resolve only when both memo keys match the
+    live docs-view key while both locks are held."""
+    from torchfusion_spark.operators import dedup
+
+    for _ in range(8):
+        def _inner(bench_rel, bloom_rel):
+            def _check(hxn):
+                cur = dedup._docs_key(spark)
+                if (
+                    getattr(spark, "_tf_bloom_key", None) == cur
+                    and getattr(spark, "_tf_hx_key", None) == cur
+                ):
+                    return then(hxn, bench_rel, bloom_rel)
+                return None
+
+            return dedup._staged_hx(spark, then=_check)
+
+        out = _staged_bloom(spark, then=_inner)
+        if out is not None:
+            return out
+    raise RuntimeError(
+        "documents view kept changing while binding staged hx + bloom"
+    )
+
+
+def bind_tf_and_labels(spark, then):
+    """Resolve a plan over BOTH the staged tf relation and the staged
+    label relation with a consistency proof (code-review r09): nesting
+    the memo locks alone does not make the bind atomic — each builder
+    validates against the docs-view key it reads at ITS OWN entry, so a
+    view swap between the outer and inner builder leaves tf bound to
+    corpus A and labels to corpus B. While both locks are held, the two
+    memo keys cannot change; if they both equal the LIVE docs-view key
+    at that instant, the two staged views and the view the plan's
+    semantics describe are all one corpus — resolve then. Otherwise a
+    swap interleaved the builders: retry the whole nest (bounded; two
+    failures in a row require a third concurrent swapper)."""
+    from torchfusion_spark.operators import dedup
+
+    for _ in range(8):
+        def _inner(tfn):
+            def _check(labn):
+                cur = dedup._docs_key(spark)
+                if (
+                    getattr(spark, "_tf_unigram_key", None) == cur
+                    and getattr(spark, "_tf_cls_label_key", None) == cur
+                ):
+                    return then(tfn, labn)
+                return None  # swap interleaved the two stagings — retry
+
+            return _staged_labels(spark, then=_check)
+
+        out = _staged_unigrams(spark, then=_inner)
+        if out is not None:
+            return out
+    raise RuntimeError(
+        "documents view kept changing while binding staged tf + labels"
+    )
+
+
 def cls_labels_sql(
     d: str, train_pct: int = CLS_TRAIN_PCT, rel: str = "documents"
 ) -> str:
@@ -1780,11 +1844,22 @@ def quality_ensemble_sql(
     disciplines; the tier is integer arithmetic on their 0/1 outputs.
 
     Gopher verdict rides the classifier output (its ``label`` column IS
-    the Gopher kept flag) — no third scan of the corpus."""
+    the Gopher kept flag) — no third scan of the corpus. When no staged
+    ``tf_rel`` is supplied (the oracle path), ONE shared materialized tf
+    CTE is hoisted here and passed to both sub-generators — letting each
+    inline its own would tokenize the corpus twice per oracle run
+    (code-review r09)."""
+    if tf_rel is None:
+        mat = "MATERIALIZED " if d == "duck" else ""
+        tf_body = f"tf AS {mat}({unigram_tf_sql(d)}),"
+        tf_rel = "tf"
+    else:
+        tf_body = ""
     cls = quality_classifier_sql(d, tf_rel=tf_rel, lab_rel=lab_rel)
     ppl = lm_perplexity_sql(d, tf_rel=tf_rel)
     return f"""
-    WITH cls AS ({cls}),
+    WITH {tf_body}
+    cls AS ({cls}),
     ppl AS ({ppl}),
     sig AS (
         SELECT c.doc_id, c.lang,
@@ -1810,16 +1885,19 @@ def _bpe_sym0_sql(d: str, tfn: str) -> str:
     """Round-0 symbol stream: (word, freq, pos, sym) — character symbols
     per distinct word plus the end-of-word marker ``_``, weighted by the
     corpus word frequency rolled up from the tf relation. The ONLY
-    dialect-split fragment (per-row sequence explode)."""
+    dialect-split fragment (per-row sequence explode); the series itself
+    comes from the shared ``sqlgen.seq`` spelling (code-review r09 —
+    a future fix to the helper must reach this stream too)."""
+    series = G.seq("1", "length(tok) + 1", d)
     if d == "spark":
         pos_src = (
-            "SELECT tok AS word, freq, CAST(pos AS BIGINT) AS pos FROM words "
-            "LATERAL VIEW explode(sequence(1, length(tok) + 1)) AS pos"
+            f"SELECT tok AS word, freq, CAST(pos AS BIGINT) AS pos FROM words "
+            f"LATERAL VIEW explode({series}) AS pos"
         )
     else:
         pos_src = (
-            "SELECT tok AS word, freq, CAST(UNNEST(generate_series(1, "
-            "length(tok) + 1)) AS BIGINT) AS pos FROM words"
+            f"SELECT tok AS word, freq, CAST(UNNEST({series}) AS BIGINT) AS pos "
+            f"FROM words"
         )
     return f"""
     WITH words AS (
@@ -1905,14 +1983,13 @@ def bpe_train_sql(
 
     Determinism: pure integer/string arithmetic; top-pair ties break on
     (left, right) lexicographic order."""
+    mat = "MATERIALIZED " if d == "duck" else ""
     if tf_rel is None:
-        mat = "MATERIALIZED " if d == "duck" else ""
         tf_body = f"tf AS {mat}({unigram_tf_sql(d)}),"
         tfn = "tf"
     else:
         tf_body = ""
         tfn = tf_rel
-    mat = "MATERIALIZED " if d == "duck" else ""
     ctes = [f"s0 AS {mat}({_bpe_sym0_sql(d, tfn)})"]
     outs = []
     for r in range(1, rounds + 1):
@@ -1972,8 +2049,15 @@ def bpe_train(spark, rounds: int = BPE_TRAIN_ROUNDS):
         merges.append((r, a, b, a + b, cnt))
         if r == rounds:
             break
-        qa, qb = a.replace("'", "''"), b.replace("'", "''")
-        top_lit = f"(SELECT '{qa}' AS a, '{qb}' AS b)"
+        # escape backslashes BEFORE quotes: Spark's default string
+        # literals are backslash-escaping (unlike DuckDB's), so a corpus
+        # token like c:\temp would otherwise parse-error or silently map
+        # '\t' to a tab and mismatch the symbol compare (code-review r09;
+        # the PII "backslash-free" convention applied to data literals)
+        def _lit(x: str) -> str:
+            return x.replace("\\", "\\\\").replace("'", "\\'")
+
+        top_lit = f"(SELECT '{_lit(a)}' AS a, '{_lit(b)}' AS b)"
         s = staged_checkpoint(spark, slot, spark.sql(_bpe_merge_sql(view, top_lit)))
         s.createOrReplaceTempView(view)
     schema = StructType(

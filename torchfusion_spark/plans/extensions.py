@@ -681,18 +681,13 @@ def text_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     "emits score, predicted class, quintile and top-40% keep flag",
 )
 def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # the final plan binds TWO staged views, so it resolves inside BOTH
-    # memo locks (nested unigrams → cls_labels, the documented acyclic
-    # order): a docs-view swap between either staging and the spark.sql
-    # would bind tf and labels from different corpora (code-review r09;
-    # the ADVICE r08 TOCTOU class)
-    return textstats._staged_unigrams(
+    # binds TWO staged views: resolved via the key-revalidated binder —
+    # nested locks alone can't prove the two stagings saw one corpus
+    # (code-review r09; the ADVICE r08 TOCTOU class)
+    return textstats.bind_tf_and_labels(
         spark,
-        then=lambda tfn: textstats._staged_labels(
-            spark,
-            then=lambda labn: spark.sql(
-                textstats.quality_classifier_sql("spark", tf_rel=tfn, lab_rel=labn)
-            ),
+        lambda tfn, labn: spark.sql(
+            textstats.quality_classifier_sql("spark", tf_rel=tfn, lab_rel=labn)
         ),
     )
 
@@ -707,15 +702,12 @@ def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     "extra doc_id-keyed join over two doc-sized score relations",
 )
 def pipeline_quality_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # binds the same two staged views as the classifier: resolve inside
-    # both memo locks (nested unigrams → cls_labels)
-    return textstats._staged_unigrams(
+    # binds the same two staged views as the classifier — same
+    # key-revalidated binder
+    return textstats.bind_tf_and_labels(
         spark,
-        then=lambda tfn: textstats._staged_labels(
-            spark,
-            then=lambda labn: spark.sql(
-                textstats.quality_ensemble_sql("spark", tf_rel=tfn, lab_rel=labn)
-            ),
+        lambda tfn, labn: spark.sql(
+            textstats.quality_ensemble_sql("spark", tf_rel=tfn, lab_rel=labn)
         ),
     )
 
@@ -877,22 +869,18 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     "staged shingle relation",
 )
 def text_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # binds THREE staged views, so the plan resolves inside both memo
-    # locks, nested bloom → hx — the SAME order _staged_bloom itself
-    # acquires on a rebuild; hx → bloom nesting would deadlock against
-    # a concurrent bloom build (ADVICE r08 TOCTOU class, code-review r09)
-    return textstats._staged_bloom(
+    # binds THREE staged views — the key-revalidated bloom → hx binder
+    # (the nesting order _staged_bloom itself acquires on a rebuild;
+    # hx → bloom would deadlock against a concurrent bloom build)
+    return textstats.bind_hx_and_bloom(
         spark,
-        then=lambda bench_rel, bloom_rel: dedup._staged_hx(
-            spark,
-            then=lambda hxn: spark.sql(
-                textstats.decontaminate_bloom_sql(
-                    "spark",
-                    sh_rel=hxn,
-                    bench_rel=bench_rel,
-                    bloom_rel=bloom_rel,
-                )
-            ),
+        lambda hxn, bench_rel, bloom_rel: spark.sql(
+            textstats.decontaminate_bloom_sql(
+                "spark",
+                sh_rel=hxn,
+                bench_rel=bench_rel,
+                bloom_rel=bloom_rel,
+            )
         ),
     )
 
