@@ -116,10 +116,12 @@ HEADLINE = [
     # — benched from day one; both read the session-staged tf relation
     "text_quality_classifier",
     "pipeline_quality_ensemble",
-    # round-9 addition: the iterative BPE merge trainer (3 unrolled
-    # greedy-merge rounds on the vocab-sized symbol stream; word rollup
-    # from the staged tf relation)
+    # round-9 additions: the iterative BPE merge trainer (3 greedy-merge
+    # rounds on the vocab-sized symbol stream; word rollup from the
+    # staged tf relation) and its inference half (apply the learned
+    # merges, per-doc compression stats)
     "corpus_bpe_train",
+    "corpus_bpe_apply",
 ]
 
 # Streaming witnesses carry round-over-round timing accountability but are

@@ -82,6 +82,7 @@ DOC_OPS = [
     "text_quality_classifier",
     "pipeline_quality_ensemble",
     "corpus_bpe_train",
+    "corpus_bpe_apply",
 ]
 EMB_OPS = [
     "sim_cosine_topk",

@@ -2096,3 +2096,67 @@ def test_bpe_train_survives_backslash_and_quote_symbols(spark, tables):
     # the planted corpus must actually exercise the hazard: a winning
     # symbol containing a backslash or quote
     assert any("\\" in a or "'" in a or "\\" in b or "'" in b for (_, a, b, _, _) in expect)
+
+
+def test_bpe_apply_matches_python_reference(spark, tables):
+    """Pin the BPE apply stats: segment every word with the Python
+    reference trainer's merges (same greedy left-to-right rule) and
+    recompute each doc's word count, pre/post-merge symbol counts and
+    6dp compression ratio."""
+    from torchfusion_spark.operators.textstats import (
+        BPE_TRAIN_ROUNDS,
+        bind_tf_and_merges,
+        bpe_apply_sql,
+    )
+
+    docs = spark.table("documents").select("doc_id", "lang", "text").collect()
+    freq: dict[str, int] = {}
+    per_doc_words: dict[int, dict[str, int]] = {}
+    lang: dict[int, str] = {}
+    for row in docs:
+        lang[row.doc_id] = row.lang
+        wd = per_doc_words.setdefault(row.doc_id, {})
+        for w in row.text.lower().split(" "):
+            freq[w] = freq.get(w, 0) + 1
+            wd[w] = wd.get(w, 0) + 1
+
+    vocab = {w: list(w) + ["_"] for w in freq}
+    for _ in range(BPE_TRAIN_ROUNDS):
+        counts: dict[tuple, int] = {}
+        for w, syms in vocab.items():
+            for i in range(len(syms) - 1):
+                counts[(syms[i], syms[i + 1])] = counts.get((syms[i], syms[i + 1]), 0) + freq[w]
+        if not counts:
+            break
+        (a, b), _ = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        for w, syms in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            vocab[w] = out
+
+    got = bind_tf_and_merges(
+        spark,
+        lambda tfn, merges: spark.sql(
+            bpe_apply_sql("spark", tf_rel=tfn, merges=merges)
+        ),
+    ).collect()
+    assert len(got) == len(per_doc_words)
+    any_compressed = False
+    for r in got:
+        wd = per_doc_words[r.doc_id]
+        n_words = sum(wd.values())
+        before = sum(tf * (len(w) + 1) for w, tf in wd.items())
+        after = sum(tf * len(vocab[w]) for w, tf in wd.items())
+        assert r.lang == lang[r.doc_id]
+        assert r.n_words == n_words
+        assert r.syms_before == before
+        assert r.syms_after == after
+        assert abs(r.compression - round(after / before, 6)) < 2e-6
+        any_compressed |= after < before
+    assert any_compressed  # the learned merges must actually fire somewhere

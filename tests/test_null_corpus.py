@@ -39,6 +39,7 @@ NULL_OPS = [
     "text_quality_classifier",  # NULL-text docs labeled but absent from tf → absent from scores
     "pipeline_quality_ensemble",  # composition over the same NULL-pruned tf relation
     "corpus_bpe_train",         # word rollup over the NULL-pruned tf relation
+    "corpus_bpe_apply",         # learned merges + segmentation over the same
     "sim_near_dup_collapse",    # NULL embeddings excluded at norm_cte before bucketing
 ]
 

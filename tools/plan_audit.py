@@ -90,6 +90,12 @@ _EXPECTED = {
     # checkpointed round loop — its audited final plan is the tiny merge
     # table; per-round work runs in staging actions like
     # dedup_minhash_clusters')
+    # the apply path joins each learned merge pair as a 1-ROW literal
+    # relation (LEFT JOIN ON true → broadcast nested loop over a single
+    # row — the corpus_source_filter stats shape) onto the VOCAB-sized
+    # symbol stream; no corpus-sized BNL exists (per-word counts
+    # broadcast-hash-join onto tf)
+    "corpus_bpe_apply": {"bnl_join"},
     "sim_kmeans": {"sort_merge_join", "bnl_join"},
     "sim_ivf_topk": {"sort_merge_join", "bnl_join"},
     "sim_semantic_dedup": {"sort_merge_join", "bnl_join"},

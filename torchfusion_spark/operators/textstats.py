@@ -1921,6 +1921,21 @@ def _bpe_top_sql(rel: str) -> str:
     """
 
 
+def _spark_str_lit(x: str) -> str:
+    """Escape a DATA-derived string for a Spark SQL literal: backslashes
+    BEFORE quotes — Spark's default string literals are
+    backslash-escaping (unlike DuckDB's), so a corpus token like c:\\temp
+    would otherwise parse-error or silently map '\\t' to a tab and
+    mismatch a symbol compare (code-review r09; the PII "backslash-free"
+    convention applied to data literals)."""
+    return x.replace("\\", "\\\\").replace("'", "\\'")
+
+
+def _pair_lit_rel(a: str, b: str) -> str:
+    """A learned merge pair as a 1-row Spark relation literal."""
+    return f"(SELECT '{_spark_str_lit(a)}' AS a, '{_spark_str_lit(b)}' AS b)"
+
+
 def _bpe_merge_sql(rel: str, top_rel: str) -> str:
     """One greedy left-to-right merge of ``top_rel``'s (a, b) pair over
     the symbol stream ``rel`` — dialect-free. The non-overlap rule
@@ -1928,7 +1943,14 @@ def _bpe_merge_sql(rel: str, top_rel: str) -> str:
     consecutive matching positions share a pos − ROW_NUMBER island key,
     and a match merges iff its offset from the island head is even; the
     consumed right-symbol rows drop via one LAG pass and positions
-    re-rank for the next round."""
+    re-rank for the next round.
+
+    ``top_rel`` joins via LEFT JOIN ON true, not CROSS JOIN: when the
+    pair supply dries up before the round budget (a degenerate corpus
+    whose every word is fully merged), an empty top relation must make
+    the round a NO-OP on the stream — a cross join would annihilate it,
+    and the apply path (:func:`bpe_apply_sql`) would emit an empty
+    corpus where the trainer's merge list simply ended early."""
     return f"""
     SELECT word, freq,
            CAST(ROW_NUMBER() OVER (PARTITION BY word ORDER BY pos) AS BIGINT) AS pos,
@@ -1943,7 +1965,7 @@ def _bpe_merge_sql(rel: str, top_rel: str) -> str:
                     SELECT s.word, s.freq, s.pos, s.sym, t.a, t.b,
                            (s.sym = t.a
                             AND LEAD(s.sym) OVER (PARTITION BY s.word ORDER BY s.pos) = t.b) AS mt
-                    FROM {rel} s CROSS JOIN {top_rel} t))))
+                    FROM {rel} s LEFT JOIN {top_rel} t ON true))))
     WHERE NOT COALESCE(consumed, false)
     """
 
@@ -2049,15 +2071,7 @@ def bpe_train(spark, rounds: int = BPE_TRAIN_ROUNDS):
         merges.append((r, a, b, a + b, cnt))
         if r == rounds:
             break
-        # escape backslashes BEFORE quotes: Spark's default string
-        # literals are backslash-escaping (unlike DuckDB's), so a corpus
-        # token like c:\temp would otherwise parse-error or silently map
-        # '\t' to a tab and mismatch the symbol compare (code-review r09;
-        # the PII "backslash-free" convention applied to data literals)
-        def _lit(x: str) -> str:
-            return x.replace("\\", "\\\\").replace("'", "\\'")
-
-        top_lit = f"(SELECT '{_lit(a)}' AS a, '{_lit(b)}' AS b)"
+        top_lit = _pair_lit_rel(a, b)
         s = staged_checkpoint(spark, slot, spark.sql(_bpe_merge_sql(view, top_lit)))
         s.createOrReplaceTempView(view)
     schema = StructType(
@@ -2070,3 +2084,116 @@ def bpe_train(spark, rounds: int = BPE_TRAIN_ROUNDS):
         ]
     )
     return spark.createDataFrame(merges, schema).orderBy("round")
+
+
+def bpe_merges(spark) -> list[tuple[str, str]]:
+    """The learned merge pairs, memoized per (session, docs-view
+    identity): ``corpus_bpe_apply`` re-reads them per invocation, and
+    re-running the 3-round trainer each time would triple the staging
+    actions for an artifact of ≤3 tuples. Lock order: bpe_merges →
+    unigrams (via :func:`bpe_train`) — nothing acquires them reversed."""
+    from torchfusion_spark.operators import dedup
+    from torchfusion_spark.session import memo_lock
+
+    key = dedup._docs_key(spark)
+    with memo_lock(spark, "bpe_merges"):
+        if getattr(spark, "_tf_bpe_merges_key", object()) != key:
+            spark._tf_bpe_merges = [
+                (r.left_sym, r.right_sym) for r in bpe_train(spark).collect()
+            ]
+            spark._tf_bpe_merges_key = key
+        return list(spark._tf_bpe_merges)
+
+
+def bind_tf_and_merges(spark, then):
+    """:func:`bind_tf_and_labels`'s twin for the BPE apply path: the
+    merge list and the tf relation must describe ONE corpus. The merges
+    are an immutable snapshot (no lock needs holding), so the proof is
+    key agreement at resolve time: inside the unigrams lock, both memo
+    keys must equal the live docs-view key; otherwise retry."""
+    from torchfusion_spark.operators import dedup
+
+    for _ in range(8):
+        merges = bpe_merges(spark)
+
+        def _check(tfn, _m=merges):
+            cur = dedup._docs_key(spark)
+            if (
+                getattr(spark, "_tf_unigram_key", None) == cur
+                and getattr(spark, "_tf_bpe_merges_key", None) == cur
+            ):
+                return then(tfn, _m)
+            return None
+
+        out = _staged_unigrams(spark, then=_check)
+        if out is not None:
+            return out
+    raise RuntimeError(
+        "documents view kept changing while binding staged tf + BPE merges"
+    )
+
+
+def bpe_apply_sql(
+    d: str,
+    tf_rel: str | None = None,
+    merges: list[tuple[str, str]] | None = None,
+    rounds: int = BPE_TRAIN_ROUNDS,
+) -> str:
+    """Apply the learned BPE merges to the corpus — the inference half
+    of the tokenizer story (train → segment): per document, the word
+    count, the symbol count BEFORE any merge (chars + end-of-word
+    marker), the symbol count AFTER the learned merges, and the
+    compression ratio — the token-count estimate a data pipeline uses
+    to budget sequences under the trained tokenizer.
+
+    Spark path (``merges`` given): the learned pairs embed as escaped
+    1-row literals (:func:`_pair_lit_rel`) and the merge chain is
+    LINEAR — each round references only its predecessor, so Catalyst's
+    CTE inlining nests rather than duplicates (unlike the trainer,
+    whose pair-count + merge double reference forced the checkpointed
+    loop). Oracle path (``merges`` None): the merges re-derive
+    in-statement via the trainer's own fragment CTEs (DuckDB
+    materializes them), so both sides segment with pairs learned by the
+    identical algorithm.
+
+    Scale shape: ALL merge work happens on the VOCAB-sized symbol
+    stream — a word is segmented once no matter how many documents
+    carry it; the per-word post-merge symbol counts (vocab-sized,
+    bounded) BROADCAST onto the shared staged tf relation, and one
+    map-combined doc rollup emits the stats. Empty merge supply (a
+    degenerate corpus that fully merges early) is a no-op round by the
+    LEFT JOIN ON true contract in ``_bpe_merge_sql``."""
+    mat = "MATERIALIZED " if d == "duck" else ""
+    if tf_rel is None:
+        tf_body = f"tf AS {mat}({unigram_tf_sql(d)}),"
+        tfn = "tf"
+    else:
+        tf_body = ""
+        tfn = tf_rel
+    ctes = [f"s0 AS {mat}({_bpe_sym0_sql(d, tfn)})"]
+    if merges is None:
+        n = rounds
+        for r in range(1, n + 1):
+            ctes += [
+                f"t{r} AS {mat}({_bpe_top_sql(f's{r - 1}')})",
+                f"s{r} AS {mat}({_bpe_merge_sql(f's{r - 1}', f't{r}')})",
+            ]
+    else:
+        n = len(merges)
+        for r, (a, b) in enumerate(merges, start=1):
+            ctes.append(f"s{r} AS ({_bpe_merge_sql(f's{r - 1}', _pair_lit_rel(a, b))})")
+    hint = "/*+ BROADCAST(pw) */ " if d == "spark" else ""
+    return f"""
+    WITH {tf_body}
+    {", ".join(ctes)},
+    pw AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS n_syms FROM s{n} GROUP BY word)
+    SELECT {hint}t.doc_id, t.lang,
+           CAST(SUM(t.tf) AS BIGINT) AS n_words,
+           CAST(SUM(t.tf * (length(t.tok) + 1)) AS BIGINT) AS syms_before,
+           CAST(SUM(t.tf * pw.n_syms) AS BIGINT) AS syms_after,
+           ROUND(CAST(SUM(t.tf * pw.n_syms) AS DOUBLE)
+                 / SUM(t.tf * (length(t.tok) + 1)), 6) AS compression
+    FROM {tfn} t JOIN pw ON t.tok = pw.word
+    GROUP BY t.doc_id, t.lang
+    ORDER BY t.doc_id
+    """

@@ -755,6 +755,29 @@ _sql_pair(
 def corpus_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.bpe_train(spark)
 
+
+@query(
+    "corpus_bpe_apply",
+    textstats.bpe_apply_sql("duck"),
+    doc="apply the learned BPE merges (the tokenizer inference half): "
+    "per-doc word count, pre/post-merge symbol counts and compression "
+    "ratio under the trained merges — segmentation runs ONCE per vocab "
+    "word on the bounded symbol stream, the per-word counts broadcast "
+    "onto the staged tf relation, one map-combined doc rollup; Spark "
+    "embeds the memoized learned pairs as escaped literals (linear "
+    "merge chain — no CTE-inlining blow-up), the oracle re-derives "
+    "them in-statement via the trainer's own fragment CTEs",
+)
+def corpus_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # binds the staged tf relation AND the memoized merge list — the
+    # key-revalidated binder proves they describe one corpus
+    return textstats.bind_tf_and_merges(
+        spark,
+        lambda tfn, merges: spark.sql(
+            textstats.bpe_apply_sql("spark", tf_rel=tfn, merges=merges)
+        ),
+    )
+
 _sql_pair(
     "text_winnow_fingerprint",
     textstats.winnow_fingerprint_sql,
