@@ -2058,6 +2058,13 @@ def bpe_train(spark, rounds: int = BPE_TRAIN_ROUNDS):
     view = f"__bpe_s_{nonce}"
 
     def _s0(tfn: str):
+        # record which corpus this training run actually snapshotted:
+        # _tf_unigram_key is authoritative while the unigrams lock is
+        # held here — a key read BEFORE bpe_train (as bpe_merges once
+        # did) can be poisoned by a view swap during training, and the
+        # content-derived docs key makes swap-back ABA reproducible
+        # (code-review r09, third pass)
+        spark._tf_bpe_trained_key = spark._tf_unigram_key
         return staged_checkpoint(spark, slot, spark.sql(_bpe_sym0_sql("spark", tfn)))
 
     s = _staged_unigrams(spark, then=_s0)
@@ -2086,42 +2093,49 @@ def bpe_train(spark, rounds: int = BPE_TRAIN_ROUNDS):
     return spark.createDataFrame(merges, schema).orderBy("round")
 
 
-def bpe_merges(spark) -> list[tuple[str, str]]:
-    """The learned merge pairs, memoized per (session, docs-view
-    identity): ``corpus_bpe_apply`` re-reads them per invocation, and
-    re-running the 3-round trainer each time would triple the staging
-    actions for an artifact of ≤3 tuples. Lock order: bpe_merges →
-    unigrams (via :func:`bpe_train`) — nothing acquires them reversed."""
+def bpe_merges(spark) -> tuple[object, list[tuple[str, str]]]:
+    """The learned merge pairs WITH their corpus-key provenance,
+    memoized per (session, docs-view identity): ``corpus_bpe_apply``
+    re-reads them per invocation, and re-running the 3-round trainer
+    each time would triple the staging actions for an artifact of ≤3
+    tuples. The memo key is the key the trainer's round-0 snapshot
+    ACTUALLY used (recorded inside the unigrams lock by
+    :func:`bpe_train`), never a key read before training: a view swap
+    mid-train would otherwise store corpus B's merges under corpus A's
+    key, and the content-derived docs key makes a swap-back reproduce
+    the stale key (ABA) — code-review r09. Returns ``(key, merges)`` so
+    the caller can prove the snapshot it holds matches the corpus it
+    binds. Lock order: bpe_merges → unigrams (via :func:`bpe_train`) —
+    nothing acquires them reversed."""
     from torchfusion_spark.operators import dedup
     from torchfusion_spark.session import memo_lock
 
-    key = dedup._docs_key(spark)
     with memo_lock(spark, "bpe_merges"):
-        if getattr(spark, "_tf_bpe_merges_key", object()) != key:
-            spark._tf_bpe_merges = [
-                (r.left_sym, r.right_sym) for r in bpe_train(spark).collect()
-            ]
-            spark._tf_bpe_merges_key = key
-        return list(spark._tf_bpe_merges)
+        cur = dedup._docs_key(spark)
+        if getattr(spark, "_tf_bpe_merges_key", object()) != cur:
+            rows = bpe_train(spark).collect()
+            spark._tf_bpe_merges = [(r.left_sym, r.right_sym) for r in rows]
+            spark._tf_bpe_merges_key = spark._tf_bpe_trained_key
+        return spark._tf_bpe_merges_key, list(spark._tf_bpe_merges)
 
 
 def bind_tf_and_merges(spark, then):
     """:func:`bind_tf_and_labels`'s twin for the BPE apply path: the
     merge list and the tf relation must describe ONE corpus. The merges
-    are an immutable snapshot (no lock needs holding), so the proof is
-    key agreement at resolve time: inside the unigrams lock, both memo
-    keys must equal the live docs-view key; otherwise retry."""
+    are an immutable LOCAL snapshot, so validating the memo attribute
+    is not enough (the memo could have been refreshed after this
+    caller's snapshot was taken — code-review r09, third pass): the
+    proof compares the snapshot's OWN provenance key, carried with it by
+    :func:`bpe_merges`, against the live docs-view key and the staged
+    tf key while the unigrams lock is held; otherwise retry."""
     from torchfusion_spark.operators import dedup
 
     for _ in range(8):
-        merges = bpe_merges(spark)
+        mkey, merges = bpe_merges(spark)
 
-        def _check(tfn, _m=merges):
+        def _check(tfn, _mkey=mkey, _m=merges):
             cur = dedup._docs_key(spark)
-            if (
-                getattr(spark, "_tf_unigram_key", None) == cur
-                and getattr(spark, "_tf_bpe_merges_key", None) == cur
-            ):
+            if getattr(spark, "_tf_unigram_key", None) == cur and _mkey == cur:
                 return then(tfn, _m)
             return None
 
@@ -2163,6 +2177,17 @@ def bpe_apply_sql(
     map-combined doc rollup emits the stats. Empty merge supply (a
     degenerate corpus that fully merges early) is a no-op round by the
     LEFT JOIN ON true contract in ``_bpe_merge_sql``."""
+    # supported combinations only (code-review r09, third pass):
+    # explicit merges embed SPARK-escaped literals (_spark_str_lit's
+    # backslash doubling corrupts DuckDB's non-escaping literals), and
+    # the merges=None in-statement chain double-references each round —
+    # exponential under Catalyst's CTE inlining (the trainer's measured
+    # 82-window blow-up), linear only under DuckDB's materialization
+    if (merges is not None) != (d == "spark"):
+        raise ValueError(
+            "bpe_apply_sql: pass merges= on the spark dialect only "
+            "(duck derives them in-statement)"
+        )
     mat = "MATERIALIZED " if d == "duck" else ""
     if tf_rel is None:
         tf_body = f"tf AS {mat}({unigram_tf_sql(d)}),"
