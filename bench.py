@@ -122,6 +122,10 @@ HEADLINE = [
     # merges, per-doc compression stats)
     "corpus_bpe_train",
     "corpus_bpe_apply",
+    # round-9 addition: the upsample materializer (temperature-mixture
+    # repeat factors → concrete per-doc epoch copies; broadcast plan +
+    # scan-speed fan-out)
+    "sample_upsample_epochs",
 ]
 
 # Streaming witnesses carry round-over-round timing accountability but are

@@ -83,6 +83,7 @@ DOC_OPS = [
     "pipeline_quality_ensemble",
     "corpus_bpe_train",
     "corpus_bpe_apply",
+    "sample_upsample_epochs",
 ]
 EMB_OPS = [
     "sim_cosine_topk",

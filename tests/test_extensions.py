@@ -2160,3 +2160,80 @@ def test_bpe_apply_matches_python_reference(spark, tables):
         assert abs(r.compression - round(after / before, 6)) < 2e-6
         any_compressed |= after < before
     assert any_compressed  # the learned merges must actually fire somewhere
+
+
+def test_upsample_epochs_matches_python_recompute(spark, tables):
+    """Pin the upsample materializer: per-doc copies recomputed from the
+    mixture plan's exact integers (whole copies = target DIV avail,
+    fractional lottery by portable-hash cross-multiplication), and the
+    multi-copy path exercised on a synthetic skewed corpus where the
+    rare language's factor exceeds 2."""
+    import hashlib
+
+    import duckdb
+
+    from torchfusion_spark.operators.textstats import (
+        MIXTURE_BUDGET,
+        UPSAMPLE_SEED,
+        temperature_mixture_sql,
+        upsample_epochs_sql,
+    )
+
+    def bucket(doc_id: int) -> int:
+        h = hashlib.md5(f"{doc_id}#{UPSAMPLE_SEED}".encode()).hexdigest()[:14]
+        return int(h, 16) % 1_000_000
+
+    def recompute(docs_rows, mix_rows):
+        mix = {r.lang: (r.available_tokens, r.target_tokens) for r in mix_rows}
+        out = {}
+        for r in docs_rows:
+            if r.lang not in mix:
+                continue
+            avail, target = mix[r.lang]
+            q, rem = target // avail, target % avail
+            out[r.doc_id] = q + (1 if bucket(r.doc_id) * avail < rem * 1_000_000 else 0)
+        return out
+
+    # fixture corpus: exact per-doc copies + exploded epoch indices
+    got = spark.sql(upsample_epochs_sql("spark")).collect()
+    mix_rows = spark.sql(temperature_mixture_sql("spark")).collect()
+    docs_rows = spark.table("documents").select("doc_id", "lang").collect()
+    expect = recompute(docs_rows, mix_rows)
+    per_doc = {}
+    for r in got:
+        per_doc.setdefault(r.doc_id, []).append((r.n_copies, r.epoch_idx))
+    for doc_id, n in expect.items():
+        rows = sorted(per_doc.get(doc_id, []))
+        assert len(rows) == n, (doc_id, n, rows)
+        assert rows == [(n, i) for i in range(1, n + 1)]
+    assert sum(expect.values()) == len(got)
+    assert any(n == 0 for n in expect.values())  # downsampling fires
+
+    # skewed corpus: the rare language's factor > 2 → multi-copy path
+    import pandas as pd
+
+    word = lambda n: " ".join(["w"] * n)  # noqa: E731
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(12),
+            "lang": ["en"] * 10 + ["de"] * 2,
+            "text": [word(5000)] * 10 + [word(50)] * 2,
+            "source": [f"src{i}" for i in range(12)],
+            "n_chars": [0] * 12,
+        }
+    )
+    orig = spark.table("documents")
+    try:
+        spark.createDataFrame(pdf).createOrReplaceTempView("documents")
+        sk = spark.sql(upsample_epochs_sql("spark")).collect()
+        sk_mix = spark.sql(temperature_mixture_sql("spark")).collect()
+    finally:
+        orig.createOrReplaceTempView("documents")
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    duck = con.execute(upsample_epochs_sql("duck")).fetchall()
+    assert sorted(tuple(r) for r in sk) == sorted(duck)
+    de_copies = {r.doc_id: r.n_copies for r in sk if r.lang == "de"}
+    de_mix = next(r for r in sk_mix if r.lang == "de")
+    assert de_mix.target_tokens // de_mix.available_tokens >= 2
+    assert all(n >= 2 for n in de_copies.values())  # whole copies materialized

@@ -40,6 +40,7 @@ NULL_OPS = [
     "pipeline_quality_ensemble",  # composition over the same NULL-pruned tf relation
     "corpus_bpe_train",         # word rollup over the NULL-pruned tf relation
     "corpus_bpe_apply",         # learned merges + segmentation over the same
+    "sample_upsample_epochs",   # mixture plan over NULL-pruned tokens; NULL-text docs still fan out
     "sim_near_dup_collapse",    # NULL embeddings excluded at norm_cte before bucketing
 ]
 

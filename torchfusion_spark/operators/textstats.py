@@ -2222,3 +2222,62 @@ def bpe_apply_sql(
     GROUP BY t.doc_id, t.lang
     ORDER BY t.doc_id
     """
+
+
+UPSAMPLE_SEED = "up1"  # bump to re-deal the fractional-copy lottery
+
+
+def upsample_epochs_sql(d: str, budget: int = MIXTURE_BUDGET, seed: str = UPSAMPLE_SEED) -> str:
+    """Materialize the temperature-mixture plan's repeat factors into
+    concrete per-document training copies — the step that turns
+    :func:`temperature_mixture_sql`'s per-language ``repeat_factor``
+    into an actual epoch list (XLM-R/mT5 practice: low-resource
+    languages are SAMPLED more than once per epoch; a factor of 2.3
+    means every doc appears twice and 30% of docs a third time).
+
+    Exact-integer discipline: per language, whole copies
+    q = target DIV avail and the fractional remainder r = target MOD
+    avail select docs by portable-hash lottery — a doc gets the extra
+    copy iff bucket(doc) · avail < r · 1e6 (bucket ∈ [0, 1e6)), an
+    exact 128-bit cross-multiplication (DECIMAL(38,0)/HUGEINT — avail
+    is corpus-token-scaled, so BIGINT products could overflow at
+    ~1e12 tokens), never a float compare. Deterministic across
+    engines/runs/partitionings; expected copied tokens per language =
+    the tempered target.
+
+    Scale shape: the mixture plan is a |languages|-row rollup that
+    BROADCASTS onto one documents scan; the copy fan-out is a per-row
+    sequence explode at scan speed — zero data-sized shuffles (the
+    ORDER BY is presentation). Downsampled-out docs (q = 0, lottery
+    miss) vanish via the empty sequence."""
+    mix = temperature_mixture_sql(d, budget=budget)
+    str_t = "STRING" if d == "spark" else "VARCHAR"
+    big = "DECIMAL(38,0)" if d == "spark" else "HUGEINT"
+    key_expr = f"CAST(doc_id AS {str_t}) || '#{seed}'"
+    bucket = f"{G.hash56(key_expr, d)} % 1000000"
+    idiv = G.intdiv("m.target_tokens", "m.available_tokens", d)
+    series = G.seq("1", "n_copies", d)
+    if d == "spark":
+        fan = (
+            "SELECT doc_id, lang, n_copies, epoch_idx FROM counted "
+            f"LATERAL VIEW explode({series}) AS epoch_idx"
+        )
+    else:
+        fan = (
+            f"SELECT doc_id, lang, n_copies, "
+            f"CAST(UNNEST({series}) AS BIGINT) AS epoch_idx FROM counted"
+        )
+    hint = "/*+ BROADCAST(m) */ " if d == "spark" else ""
+    return f"""
+    WITH mix AS ({mix}),
+    counted AS (
+        SELECT {hint}d.doc_id, d.lang,
+               CAST(({idiv})
+                    + CASE WHEN CAST({bucket} AS {big}) * m.available_tokens
+                                < CAST(m.target_tokens % m.available_tokens AS {big}) * 1000000
+                           THEN 1 ELSE 0 END AS BIGINT) AS n_copies
+        FROM documents d JOIN mix m ON d.lang = m.lang)
+    SELECT doc_id, lang, n_copies, CAST(epoch_idx AS BIGINT) AS epoch_idx
+    FROM ({fan})
+    ORDER BY doc_id, epoch_idx
+    """

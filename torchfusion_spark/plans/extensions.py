@@ -36,6 +36,16 @@ _sql_pair(
     "scales with the corpus",
 )
 _sql_pair(
+    "sample_upsample_epochs",
+    textstats.upsample_epochs_sql,
+    "materialize the temperature-mixture repeat factors into concrete "
+    "per-doc training copies (the XLM-R/mT5 epoch list): whole copies = "
+    "target DIV avail, the fractional remainder selects docs by "
+    "portable-hash lottery via exact 128-bit cross-multiplication; "
+    "|languages|-row plan broadcasts onto one scan, per-row sequence "
+    "fan-out, zero data-sized shuffles",
+)
+_sql_pair(
     "corpus_url_filter",
     textstats.url_filter_sql,
     "URL-quality filter (C4/RefinedWeb pre-canonicalization pass): "

@@ -13,19 +13,20 @@ Round 9 (rotated against the CORRECTNESS_r01..r08 union): after r08's 50
 rows landed, the latest-green vintages are 19 names at r05 (the rows just
 past the r8 budget line, iterative BPE, the staged dedup/similarity
 pipelines, the streaming witnesses), 50 at r06, 50 at r07 and 50 at r08,
-plus four brand-new round-9 queries with no row at all. The
+plus five brand-new round-9 queries with no row at all. The
 weakest-first order is therefore:
-1. ranks 1-4: the round-9 additions (``text_quality_classifier``,
+1. ranks 1-5: the round-9 additions (``text_quality_classifier``,
    ``pipeline_quality_ensemble``, ``corpus_bpe_train``,
-   ``corpus_bpe_apply``) -- no CORRECTNESS row at all;
-2. ranks 5-23: the 19 r05-latest names the r8 budget could not reach --
+   ``corpus_bpe_apply``, ``sample_upsample_epochs``) -- no CORRECTNESS
+   row at all;
+2. ranks 6-24: the 19 r05-latest names the r8 budget could not reach --
    the promise in the r8 rotation notes, honored;
-3. ranks 24-73: the r06 block in its prior internal order -- the first 27
+3. ranks 25-74: the r06 block in its prior internal order -- the first 26
    land inside the 50-row budget, so after this round the minimum
-   latest-green vintage across the registry becomes r06 (23 r06 names
+   latest-green vintage across the registry becomes r06 (24 r06 names
    remain for the r10 rotation);
-4. ranks 74-123: the r07 block, prior internal order;
-5. ranks 124-173: the 50 names r08 just certified (freshest evidence
+4. ranks 75-124: the r07 block, prior internal order;
+5. ranks 125-174: the 50 names r08 just certified (freshest evidence
    last), keeping their r8 rank order.
 
 The suffix after the prefix is the canonical registry name used everywhere
@@ -35,12 +36,13 @@ else (bench.py, tools/verify_local.py, tests).
 from __future__ import annotations
 
 PRIORITY: list[str] = [
-    # -- ranks 1-4: the round-9 additions, no CORRECTNESS row yet --
+    # -- ranks 1-5: the round-9 additions, no CORRECTNESS row yet --
     "text_quality_classifier",
     "pipeline_quality_ensemble",
     "corpus_bpe_train",
     "corpus_bpe_apply",
-    # -- ranks 5-23: the 19 r05-latest re-certs (past the r8 budget line) --
+    "sample_upsample_epochs",
+    # -- ranks 6-24: the 19 r05-latest re-certs (past the r8 budget line) --
     "sample_train_split",
     "multimodal_resize",
     "multimodal_frame_sample",
