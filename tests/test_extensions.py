@@ -1291,10 +1291,39 @@ def test_bm25_topk_matches_python(spark, tables):
     assert top[0].bm25 > top[-1].bm25
 
 
+def _pctl_cuts(values, fracs):
+    """Python twin of quantile_cut_case's cut points: linear-interpolated
+    percentiles (the Spark ``percentile`` / DuckDB ``quantile_cont``
+    method — position p*(n-1), lower + frac*(higher-lower)), rounded
+    half-up to 6dp exactly like the SQL fragment's ROUND."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    v = sorted(values)
+    out = []
+    for p in fracs:
+        idx = p * (len(v) - 1)
+        lo = int(math.floor(idx))
+        hi = min(lo + 1, len(v) - 1)
+        x = v[lo] + (v[hi] - v[lo]) * (idx - lo)
+        out.append(float(Decimal(repr(x)).quantize(Decimal("0.000001"), ROUND_HALF_UP)))
+    return out
+
+
+def _cut_bucket(score, cuts, desc):
+    """Bucket assignment by comparison against cut points (the
+    quantile_cut_case CASE): first matching cut wins, else the last
+    bucket."""
+    for i, c in enumerate(cuts, start=1):
+        if (score >= c) if desc else (score <= c):
+            return i
+    return len(cuts) + 1
+
+
 def test_lm_perplexity_matches_python(spark, tables):
     """CCNet-style scoring: recompute the add-one unigram LM, per-doc
-    avg negative log-prob, perplexity and the per-language NTILE(3)
-    buckets in Python."""
+    avg negative log-prob, perplexity and the per-language broadcast
+    tercile cut-point buckets (quantile_cut_case semantics) in Python."""
     import math
     from decimal import ROUND_HALF_UP, Decimal
 
@@ -1302,6 +1331,9 @@ def test_lm_perplexity_matches_python(spark, tables):
 
     def r9(x: float) -> Decimal:
         return Decimal(repr(x)).quantize(Decimal("0.000000001"), ROUND_HALF_UP)
+
+    def r6f(x: float) -> float:
+        return float(Decimal(repr(x)).quantize(Decimal("0.000001"), ROUND_HALF_UP))
 
     docs = spark.table("documents").select("doc_id", "lang", "text").collect()
     tf: dict[int, dict[str, int]] = {}
@@ -1321,24 +1353,19 @@ def test_lm_perplexity_matches_python(spark, tables):
         lp = sum((r9(f * math.log((corpus[t] + 1.0) / (t_tokens + v_size))) for t, f in per.items()), Decimal(0))
         n = sum(per.values())
         avg_nll = -float(lp) / n
-        per_doc[d] = (n, round(avg_nll, 6), round(math.exp(avg_nll), 4))
+        per_doc[d] = (n, r6f(avg_nll), round(math.exp(avg_nll), 4))
 
-    # NTILE(3) per language ordered by (avg_nll, doc_id): first (n mod 3)
-    # buckets take the extra row
+    # per-language tercile cut points (quantile_cut_case: interpolated
+    # 1/3 and 2/3 percentiles, <= comparison — ties share a bucket)
     buckets = {}
     by_lang: dict[str, list[int]] = {}
     for d in per_doc:
         by_lang.setdefault(lang[d], []).append(d)
     for members in by_lang.values():
-        members.sort(key=lambda d: (per_doc[d][1], d))
-        n = len(members)
-        base, extra = divmod(n, 3)
-        sizes = [base + (1 if i < extra else 0) for i in range(3)]
-        i = 0
-        for b_i, size in enumerate(sizes):
-            for d in members[i : i + size]:
-                buckets[d] = ["head", "middle", "tail"][b_i]
-            i += size
+        cuts = _pctl_cuts([per_doc[d][1] for d in members], [1.0 / 3, 2.0 / 3])
+        for d in members:
+            b = _cut_bucket(per_doc[d][1], cuts, desc=False)
+            buckets[d] = ["head", "middle", "tail"][b - 1]
 
     got = spark.sql(
         lm_perplexity_sql("spark", tf_rel=_staged_unigrams(spark))
@@ -1398,22 +1425,21 @@ def test_dsir_importance_matches_python(spark, tables):
         - math.log((raw[b] + 1.0) / (r_tot + v))
         for b in raw
     }
+    def r6f(x: float) -> float:
+        return float(Decimal(repr(x)).quantize(Decimal("0.000001"), ROUND_HALF_UP))
+
     scored = {}
     for d, tfd in per.items():
         s = sum((r9(f * wt[hb(t)]) for t, f in tfd.items()), Decimal(0))
         n = sum(tfd.values())
-        scored[d] = (n, round(float(s) / n, 6))
+        scored[d] = (n, r6f(float(s) / n))
 
-    order = sorted(scored, key=lambda d: (-scored[d][1], d))
-    n = len(order)
-    base, extra = divmod(n, 5)
-    quintile = {}
-    i = 0
-    for q_i in range(5):
-        size = base + (1 if q_i < extra else 0)
-        for d in order[i : i + size]:
-            quintile[d] = q_i + 1
-        i += size
+    # global quintile cut points (quantile_cut_case: interpolated 0.8 /
+    # 0.6 / 0.4 / 0.2 percentiles, >= comparison — ties share a bucket)
+    cuts = _pctl_cuts(
+        [s for _, s in scored.values()], [4.0 / 5, 3.0 / 5, 2.0 / 5, 1.0 / 5]
+    )
+    quintile = {d: _cut_bucket(scored[d][1], cuts, desc=True) for d in scored}
 
     got = spark.sql(
         dsir_importance_sql("spark", tf_rel=_staged_unigrams(spark))
@@ -1845,6 +1871,37 @@ def test_gopher_rules_match_python_recompute(spark, tables):
     assert got[0]["kept"] == 1
 
 
+def test_quantile_cut_approx_production_path(spark, tables):
+    """The QUANTILE_EXACT=False swap (the documented production-scale
+    spelling: Spark approx_percentile instead of an exact percentile
+    buffer) must emit a runnable plan with the same broadcast-cut shape
+    and a populated bucket distribution. The oracle gate always runs
+    exact; this pins that the swap is a real code path, not a docstring."""
+    from torchfusion_spark.operators import textstats
+
+    try:
+        textstats.QUANTILE_EXACT = False
+        df = spark.sql(
+            textstats.dsir_importance_sql(
+                "spark", tf_rel=textstats._staged_unigrams(spark)
+            )
+        )
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "approx_percentile" in plan
+        from tools.plan_audit import _plan_counts
+
+        assert _plan_counts(df).get("__global_window__", 0) == 0
+        rows = df.collect()
+    finally:
+        textstats.QUANTILE_EXACT = True
+    qs = {r.quintile for r in rows}
+    assert qs == {1, 2, 3, 4, 5}, qs
+    # t-digest cuts at default accuracy on a 500-doc corpus are near-exact:
+    # the kept share stays in a sane band around 40%
+    kept = sum(r.kept for r in rows) / len(rows)
+    assert 0.25 < kept < 0.55, kept
+
+
 def test_quality_classifier_matches_python_recompute(spark, tables):
     """Pin the trained-classifier math end-to-end in Python: hashed-bucket
     class counts over the train split, add-one-smoothed NB log-odds
@@ -1908,20 +1965,21 @@ def test_quality_classifier_matches_python_recompute(spark, tables):
     n_neg = sum(1 for d in label if is_train[d] and not label[d])
     bias = round(math.log((n_pos + 1.0) / (n_neg + 1.0)), 6)
 
+    def r6f(x: float) -> float:
+        return float(Decimal(repr(x)).quantize(Decimal("0.000001"), ROUND_HALF_UP))
+
     scored = {}
     for d, tfd in per.items():
         s = sum((r9(f * wt[hb(t)]) for t, f in tfd.items()), Decimal(0))
         n = sum(tfd.values())
-        scored[d] = (n, round(float(s) / n, 6), int(round(bias + float(s), 6) > 0))
+        scored[d] = (n, r6f(float(s) / n), int(round(bias + float(s), 6) > 0))
 
-    order = sorted(scored, key=lambda d: (-scored[d][1], d))
-    base, extra = divmod(len(order), 5)
-    quintile, i = {}, 0
-    for q_i in range(5):
-        size = base + (1 if q_i < extra else 0)
-        for d in order[i : i + size]:
-            quintile[d] = q_i + 1
-        i += size
+    # global quintile cut points (quantile_cut_case: interpolated 0.8 /
+    # 0.6 / 0.4 / 0.2 percentiles, >= comparison — ties share a bucket)
+    cuts = _pctl_cuts(
+        [s for _, s, _ in scored.values()], [4.0 / 5, 3.0 / 5, 2.0 / 5, 1.0 / 5]
+    )
+    quintile = {d: _cut_bucket(scored[d][1], cuts, desc=True) for d in scored}
 
     got = spark.sql(
         quality_classifier_sql("spark", tf_rel=_staged_unigrams(spark))

@@ -44,6 +44,7 @@ _FLAG_NAMES = {
     "FlatMapGroupsInPandas": "arrow_python",
     "MapInArrow": "arrow_python",
     "AggregateInPandas": "arrow_python",
+    "__global_window__": "global_window",
 }
 
 # staged-relation boundaries: lineage below these is already materialized
@@ -99,6 +100,22 @@ _EXPECTED = {
     "sim_kmeans": {"sort_merge_join", "bnl_join"},
     "sim_ivf_topk": {"sort_merge_join", "bnl_join"},
     "sim_semantic_dedup": {"sort_merge_join", "bnl_join"},
+    # -- global_window whitelist (detector added in r10 after the VERDICT
+    # r9 scorer-NTILE fix; an unlisted global window = the scale-killer
+    # class and must fail the audit). Every entry below is a window over
+    # a BOUNDED relation, never the corpus:
+    # SQL-surface witnesses: the unpartitioned frame IS the semantics
+    # being certified (DataFusion window-function parity)
+    "win_percent_cume": {"global_window"},
+    "win_range_frame": {"global_window"},
+    # global TopK rank over the DISTINCT adjacent-pair counts — a
+    # vocabulary-pair-sized relation (grows with vocab, not corpus rows)
+    "corpus_bpe_pairs": {"global_window"},
+    # COUNT(*)/SUM() OVER () on the per-source / per-language aggregate —
+    # ≤|sources| / ≤|langs| rows by construction (textstats.py:1220,1270)
+    "corpus_mixture_plan": {"global_window"},
+    "sample_temperature_mixture": {"global_window"},
+    "sample_upsample_epochs": {"global_window"},
 }
 
 
@@ -117,6 +134,16 @@ def _plan_counts(df) -> Counter:
 
     def walk(node) -> None:
         name = node.nodeName()
+        if name in ("Window", "WindowGroupLimit", "WindowInPandas"):
+            # a window with NO partition spec moves the whole input into
+            # ONE task — the VERDICT r9 scale-killer class (the scorer
+            # NTILEs). Detect it structurally: WindowExecBase exposes
+            # partitionSpec(); an empty one is the global sort.
+            try:
+                if node.partitionSpec().isEmpty():
+                    counts["__global_window__"] += 1
+            except Exception:  # noqa: BLE001 — WindowGroupLimit has no spec accessor on some versions
+                pass
         if name == "AdaptiveSparkPlan":
             # AdaptiveSparkPlanExec exposes no children() — if the inner
             # plan accessor fails, record a VISIBLE marker instead of

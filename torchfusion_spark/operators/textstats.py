@@ -1440,20 +1440,77 @@ def bm25_topk_sql(d: str, k: int = BM25_TOP_K, tf_rel: str | None = None) -> str
     """
 
 
-def lm_perplexity_sql(d: str, tf_rel: str | None = None) -> str:
-    """CCNet-style LM quality scoring (Wenzek et al. 2019, public): score
-    every document under an add-one-smoothed unigram LM trained on the
-    corpus itself, then bucket into head/middle/tail per language by
-    perplexity terciles — the curation signal CCNet/RedPajama filter on.
+QUANTILE_EXACT = True
+"""Cut-point precision switch for :func:`quantile_cut_case` (VERDICT r9
+item 1). True → exact interpolated percentiles (Spark ``percentile`` /
+DuckDB ``quantile_cont``), required for the oracle hash gate — exact at
+gate scale is cheap because the cut aggregate reads only the doc-sized
+score relation. False → the SPARK side swaps to ``approx_percentile``
+(t-digest, accuracy 10k) — the production-scale spelling, where an exact
+percentile aggregate would buffer every score; production has no DuckDB
+oracle so the swap is Spark-only and the assignment plan (tiny cut
+aggregate → broadcast → comparison) is identical either way."""
 
-    Shape: corpus unigram counts are a vocab-sized rollup of the shared
-    tf relation, BROADCAST onto it for the per-term log-probs; the
-    corpus totals are a 1-row cross join. Per-doc accumulation follows
-    the ``entropy_sql`` determinism discipline (terms rounded to 9dp,
-    summed as DECIMAL). The per-language tercile is an NTILE window with
-    a full (avg_nll, doc_id) tie-break — exact and deterministic; at
-    100 TB you'd swap the per-lang sort for the ``events_winsorize``
-    broadcast-quantile pattern and accept approximate cut points."""
+
+def quantile_cut_case(
+    d: str,
+    *,
+    rel: str,
+    score: str,
+    n: int,
+    desc: bool,
+    by: str | None = None,
+    alias: str = "s",
+) -> tuple[str, str, str]:
+    """Scale-safe NTILE(n) replacement, shared by every scorer that
+    buckets documents by rank (VERDICT r9 item 1 — the global
+    unpartitioned ``NTILE(5) OVER (ORDER BY score)`` moved the ENTIRE
+    per-doc score relation into one window partition on one task;
+    ~10^10 rows at 100 TB, and unlike a JVM floor it concentrates).
+
+    Returns ``(cuts_cte_def, join_clause, case_expr)``: the cuts CTE is
+    a TINY aggregate computing the n-1 percentile cut points of
+    ``score`` over ``rel`` (1 output row global, |by| rows when
+    grouped), the join broadcasts them back onto the score relation,
+    and the CASE assigns bucket 1..n by comparison — exactly the
+    ``events_winsorize`` broadcast-quantile shape, with the same 6dp
+    rounding of the interpolated cut (last-ulp drift discipline).
+
+    Semantics vs NTILE: buckets are value-defined, not
+    exactly-equal-sized — every doc tied at a cut value lands in the
+    SAME (better) bucket instead of being split by the doc_id
+    tie-break. That is deterministic and identical on both dialects,
+    which is what the hash gate requires; the oracle SQL changes in
+    lockstep because both sides emit from this one fragment."""
+    whens, cols = [], []
+    for i in range(1, n):
+        frac = f"{n - i}.0/{n}" if desc else f"{i}.0/{n}"
+        if d == "spark" and not QUANTILE_EXACT:
+            p = f"approx_percentile({score}, {frac}, 10000)"
+        elif d == "spark":
+            p = f"percentile({score}, {frac})"
+        else:
+            p = f"quantile_cont({score}, {frac})"
+        cols.append(f"ROUND({p}, 6) AS c{i}")
+        op = ">=" if desc else "<="
+        whens.append(f"WHEN {alias}.{score} {op} cuts.c{i} THEN {i}")
+    key = f"{by}, " if by else ""
+    grp = f" GROUP BY {by}" if by else ""
+    cuts = f"cuts AS (SELECT {key}{', '.join(cols)} FROM {rel}{grp})"
+    join = f"JOIN cuts ON {alias}.{by} = cuts.{by}" if by else "CROSS JOIN cuts"
+    case = f"CASE {' '.join(whens)} ELSE {n} END"
+    return cuts, join, case
+
+
+def lm_scored_sql(d: str, tf_rel: str | None = None) -> str:
+    """The corpus-scale half of :func:`lm_perplexity_sql`: per-doc
+    (n_tokens, avg_nll, ppl) under the add-one-smoothed unigram LM.
+    Split out so the Spark registry builder can checkpoint this
+    doc-sized relation ONCE and run the tercile tail over the
+    checkpoint — Spark inlines a twice-referenced CTE (measured: the
+    cuts aggregate + final select would each recompute the whole
+    tf ⋈ LM chain), while the DuckDB oracle composes the same fragment
+    as a MATERIALIZED CTE."""
     mat = "MATERIALIZED " if d == "duck" else ""
     tf_body = tf_rel or f"{mat}({unigram_tf_sql(d)})"
     tf_cte = f"tf AS {tf_body}," if tf_rel is None else ""
@@ -1473,24 +1530,61 @@ def lm_perplexity_sql(d: str, tf_rel: str | None = None) -> str:
         SELECT doc_id, lang,
                CAST(SUM(tf) AS BIGINT) AS n_tokens,
                SUM(lp) AS lp_sum
-        FROM terms GROUP BY doc_id, lang),
-    scored AS (
-        SELECT doc_id, lang, n_tokens,
-               ROUND(-CAST(lp_sum AS DOUBLE) / n_tokens, 6) AS avg_nll,
-               ROUND(exp(-CAST(lp_sum AS DOUBLE) / n_tokens), 4) AS ppl
-        FROM per_doc)
-    SELECT doc_id, lang, n_tokens, avg_nll, ppl,
-           CASE NTILE(3) OVER (PARTITION BY lang ORDER BY avg_nll, doc_id)
-                WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail'
-           END AS ppl_bucket
-    FROM scored ORDER BY doc_id
+        FROM terms GROUP BY doc_id, lang)
+    SELECT doc_id, lang, n_tokens,
+           ROUND(-CAST(lp_sum AS DOUBLE) / n_tokens, 6) AS avg_nll,
+           ROUND(exp(-CAST(lp_sum AS DOUBLE) / n_tokens), 4) AS ppl
+    FROM per_doc
     """
+
+
+def lm_bucket_sql(d: str, scored_rel: str, lead_ctes: str = "") -> str:
+    """Tercile tail over a (doc_id, lang, n_tokens, avg_nll, ppl)
+    relation: per-language cut points from a |langs|-row aggregate,
+    broadcast-joined back, head/middle/tail by comparison (the
+    :func:`quantile_cut_case` fragment — no per-lang sort, so a
+    dominant language can no longer concentrate one window partition).
+    ``lead_ctes`` lets the one-statement composition prepend the scored
+    CTE itself (oracle path); it must end with a comma."""
+    cuts, join, case = quantile_cut_case(
+        d, rel=scored_rel, score="avg_nll", n=3, desc=False, by="lang"
+    )
+    hint = "/*+ BROADCAST(cuts) */ " if d == "spark" else ""
+    return f"""
+    WITH {lead_ctes}{cuts}
+    SELECT {hint}s.doc_id, s.lang, s.n_tokens, s.avg_nll, s.ppl,
+           CASE {case} WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail'
+           END AS ppl_bucket
+    FROM {scored_rel} s {join}
+    ORDER BY s.doc_id
+    """
+
+
+def lm_perplexity_sql(d: str, tf_rel: str | None = None) -> str:
+    """CCNet-style LM quality scoring (Wenzek et al. 2019, public): score
+    every document under an add-one-smoothed unigram LM trained on the
+    corpus itself, then bucket into head/middle/tail per language by
+    perplexity terciles — the curation signal CCNet/RedPajama filter on.
+
+    Shape: corpus unigram counts are a vocab-sized rollup of the shared
+    tf relation, BROADCAST onto it for the per-term log-probs; the
+    corpus totals are a 1-row cross join. Per-doc accumulation follows
+    the ``entropy_sql`` determinism discipline (terms rounded to 9dp,
+    summed as DECIMAL). The per-language tercile is the
+    :func:`quantile_cut_case` broadcast-cut assignment (VERDICT r9
+    item 1 — the former per-lang NTILE sort put a dominant language,
+    ~half the web, on one task); the registry builder checkpoints the
+    scored relation so Spark computes it once (see
+    :func:`lm_scored_sql`)."""
+    mat = "MATERIALIZED " if d == "duck" else ""
+    lead = f"scored AS {mat}({lm_scored_sql(d, tf_rel)}),\n    "
+    return lm_bucket_sql(d, "scored", lead_ctes=lead)
 
 
 DSIR_BUCKETS = 65_536  # hashed feature space — bounded at ANY corpus scale
 
 
-def dsir_importance_sql(
+def dsir_scored_sql(
     d: str, tf_rel: str | None = None, target_lang: str = "en",
     buckets: int = DSIR_BUCKETS,
 ) -> str:
@@ -1513,9 +1607,10 @@ def dsir_importance_sql(
     a raw-token vocabulary over 100 TB of web text (~10⁸+ types with
     typos/URLs) would not be broadcastable, hashed buckets always are.
     Per-term ratios follow the ``entropy_sql`` determinism discipline
-    (9dp DECIMAL sums); corpus totals are 1-row cross joins. The
-    global quintile is one NTILE sort — at 100 TB swap for the
-    ``events_winsorize`` broadcast-quantile pattern."""
+    (9dp DECIMAL sums); corpus totals are 1-row cross joins. This
+    generator emits the per-doc SCORE relation only; the quintile
+    assignment lives in :func:`dsir_bucket_sql` (broadcast cut points —
+    the former global NTILE sort was VERDICT r9's one scale-killer)."""
     mat = "MATERIALIZED " if d == "duck" else ""
     tf_body = tf_rel or f"{mat}({unigram_tf_sql(d)})"
     tf_cte = f"tf AS {tf_body}," if tf_rel is None else ""
@@ -1548,20 +1643,52 @@ def dsir_importance_sql(
         SELECT doc_id, lang,
                CAST(SUM(tf) AS BIGINT) AS n_tokens,
                SUM(lw) AS lw_sum
-        FROM terms GROUP BY doc_id, lang),
-    scored AS (
-        SELECT doc_id, lang, n_tokens,
-               ROUND(CAST(lw_sum AS DOUBLE) / n_tokens, 6) AS avg_log_ratio
-        FROM per_doc)
+        FROM terms GROUP BY doc_id, lang)
+    SELECT doc_id, lang, n_tokens,
+           ROUND(CAST(lw_sum AS DOUBLE) / n_tokens, 6) AS avg_log_ratio
+    FROM per_doc
+    """
+
+
+def dsir_bucket_sql(d: str, scored_rel: str, lead_ctes: str = "") -> str:
+    """Quintile tail over a (doc_id, lang, n_tokens, avg_log_ratio)
+    relation: four global cut points from a 1-row aggregate, broadcast
+    back, quintile + top-40% keep by comparison — the
+    :func:`quantile_cut_case` fragment (VERDICT r9 item 1; the former
+    global NTILE sort was the one 100 TB scale-killer)."""
+    cuts, join, case = quantile_cut_case(
+        d, rel=scored_rel, score="avg_log_ratio", n=5, desc=True
+    )
+    hint = "/*+ BROADCAST(cuts) */ " if d == "spark" else ""
+    return f"""
+    WITH {lead_ctes}{cuts}
     SELECT doc_id, lang, n_tokens, avg_log_ratio,
            CAST(q AS BIGINT) AS quintile,
            CASE WHEN q <= 2 THEN 1 ELSE 0 END AS kept
     FROM (
-        SELECT doc_id, lang, n_tokens, avg_log_ratio,
-               NTILE(5) OVER (ORDER BY avg_log_ratio DESC, doc_id) AS q
-        FROM scored)
+        SELECT {hint}s.doc_id, s.lang, s.n_tokens, s.avg_log_ratio,
+               {case} AS q
+        FROM {scored_rel} s {join})
     ORDER BY doc_id
     """
+
+
+def dsir_importance_sql(
+    d: str, tf_rel: str | None = None, target_lang: str = "en",
+    buckets: int = DSIR_BUCKETS,
+) -> str:
+    """One-statement composition of :func:`dsir_scored_sql` +
+    :func:`dsir_bucket_sql` — the oracle path (scored is a MATERIALIZED
+    CTE, computed once) and the plain-SQL convenience form. The Spark
+    registry builder instead checkpoints the scored relation and runs
+    the bucket tail over the checkpoint, because Spark inlines a
+    twice-referenced CTE (the cuts aggregate + final select would each
+    recompute the whole tf ⋈ weights chain)."""
+    mat = "MATERIALIZED " if d == "duck" else ""
+    lead = (
+        f"scored AS {mat}({dsir_scored_sql(d, tf_rel, target_lang, buckets)}),\n    "
+    )
+    return dsir_bucket_sql(d, "scored", lead_ctes=lead)
 
 
 # ---------------------------------------------------------------------------
@@ -1653,6 +1780,25 @@ def bind_hx_and_bloom(spark, then):
     )
 
 
+def checkpoint_scored(spark, slot: str, scored_df):
+    """localCheckpoint a per-doc scored relation and expose it as a temp
+    view for a :func:`quantile_cut_case` bucket tail (VERDICT r9
+    item 1): Spark inlines a twice-referenced CTE, so the cuts
+    aggregate and the final select would EACH recompute the whole
+    corpus-scale scoring chain — the checkpoint's LogicalRDD computes
+    once and both readers bind it. Slot-tracked (``staged_checkpoint``
+    contract: a rebuild releases the superseded blocks; callers
+    materialize results before re-invoking). Callers run this INSIDE
+    the staged-tf/label memo lock that pinned the inputs, so builds of
+    the same query serialize there and the fixed view name cannot be
+    clobbered mid-bind (the ADVICE r08 TOCTOU class)."""
+    from torchfusion_spark.session import staged_checkpoint
+
+    view = f"__tf_{slot}"
+    staged_checkpoint(spark, slot, scored_df).createOrReplaceTempView(view)
+    return view
+
+
 def bind_tf_and_labels(spark, then):
     """Resolve a plan over BOTH the staged tf relation and the staged
     label relation with a consistency proof (code-review r09): nesting
@@ -1706,7 +1852,7 @@ def cls_labels_sql(
     """
 
 
-def quality_classifier_sql(
+def quality_classifier_scored_sql(
     d: str, tf_rel: str | None = None, lab_rel: str | None = None,
     buckets: int = DSIR_BUCKETS, train_pct: int = CLS_TRAIN_PCT,
 ) -> str:
@@ -1729,8 +1875,9 @@ def quality_classifier_sql(
     (neg_tot + V)) per hashed feature bucket b (add-one smoothing over
     the OBSERVED bucket universe V), bias = ln((n_pos + 1)/(n_neg + 1)).
     A doc's decision statistic is bias + Σ tf·w_b; the ranking score is
-    the length-normalized Σ tf·w_b / n_tokens (``avg_log_odds``), with
-    NTILE(5) quintiles and a top-40% keep flag — the DSIR output shape.
+    the length-normalized Σ tf·w_b / n_tokens (``avg_log_odds``); the
+    quintile + top-40% keep tail lives in
+    :func:`quality_classifier_bucket_sql` — the DSIR output shape.
 
     Faithful to fastText's HASHED feature space (the same 65536 md5
     buckets :func:`dsir_importance_sql` uses): the weight relation is
@@ -1754,9 +1901,10 @@ def quality_classifier_sql(
     tf for the train-slice class counts, once against the per-doc score
     rollup (docs-sized, far smaller than tf). Class counts roll up
     map-side to ≤V rows; the weight vector BROADCASTS back onto tf; one
-    per-doc rollup. The global quintile is one NTILE sort — at 100 TB
-    swap for the ``events_winsorize`` broadcast-quantile pattern and
-    accept approximate cut points."""
+    per-doc rollup. This generator emits the per-doc SCORE relation
+    only; the quintile assignment lives in
+    :func:`quality_classifier_bucket_sql` (broadcast cut points — the
+    former global NTILE sort was VERDICT r9's one scale-killer)."""
     mat = "MATERIALIZED " if d == "duck" else ""
     tf_body = tf_rel or f"{mat}({unigram_tf_sql(d)})"
     tf_cte = f"tf AS {tf_body}," if tf_rel is None else ""
@@ -1804,23 +1952,55 @@ def quality_classifier_sql(
         SELECT doc_id, lang,
                CAST(SUM(tf) AS BIGINT) AS n_tokens,
                SUM(lw) AS lw_sum
-        FROM terms GROUP BY doc_id, lang),
-    scored AS (
-        SELECT p.doc_id, p.lang, p.n_tokens, lab.label, lab.is_train,
-               ROUND(CAST(p.lw_sum AS DOUBLE) / p.n_tokens, 6) AS avg_log_odds,
-               CAST(CASE WHEN ROUND(pr.bias + CAST(p.lw_sum AS DOUBLE), 6) > 0
-                    THEN 1 ELSE 0 END AS INT) AS predicted
-        FROM per_doc p JOIN {labn} lab ON p.doc_id = lab.doc_id
-        CROSS JOIN prior pr)
+        FROM terms GROUP BY doc_id, lang)
+    SELECT p.doc_id, p.lang, p.n_tokens, lab.label, lab.is_train,
+           ROUND(CAST(p.lw_sum AS DOUBLE) / p.n_tokens, 6) AS avg_log_odds,
+           CAST(CASE WHEN ROUND(pr.bias + CAST(p.lw_sum AS DOUBLE), 6) > 0
+                THEN 1 ELSE 0 END AS INT) AS predicted
+    FROM per_doc p JOIN {labn} lab ON p.doc_id = lab.doc_id
+    CROSS JOIN prior pr
+    """
+
+
+def quality_classifier_bucket_sql(
+    d: str, scored_rel: str, lead_ctes: str = ""
+) -> str:
+    """Quintile tail over the classifier's per-doc score relation
+    (doc_id, lang, n_tokens, label, is_train, avg_log_odds, predicted):
+    four global cut points from a 1-row aggregate, broadcast back,
+    quintile + top-40% keep by comparison — the
+    :func:`quantile_cut_case` fragment (VERDICT r9 item 1)."""
+    cuts, join, case = quantile_cut_case(
+        d, rel=scored_rel, score="avg_log_odds", n=5, desc=True
+    )
+    hint = "/*+ BROADCAST(cuts) */ " if d == "spark" else ""
+    return f"""
+    WITH {lead_ctes}{cuts}
     SELECT doc_id, lang, n_tokens, label, is_train, avg_log_odds, predicted,
            CAST(q AS BIGINT) AS quintile,
            CAST(CASE WHEN q <= 2 THEN 1 ELSE 0 END AS INT) AS kept
     FROM (
-        SELECT doc_id, lang, n_tokens, label, is_train, avg_log_odds, predicted,
-               NTILE(5) OVER (ORDER BY avg_log_odds DESC, doc_id) AS q
-        FROM scored)
+        SELECT {hint}s.doc_id, s.lang, s.n_tokens, s.label, s.is_train,
+               s.avg_log_odds, s.predicted, {case} AS q
+        FROM {scored_rel} s {join})
     ORDER BY doc_id
     """
+
+
+def quality_classifier_sql(
+    d: str, tf_rel: str | None = None, lab_rel: str | None = None,
+    buckets: int = DSIR_BUCKETS, train_pct: int = CLS_TRAIN_PCT,
+) -> str:
+    """One-statement composition of :func:`quality_classifier_scored_sql`
+    + :func:`quality_classifier_bucket_sql` — the oracle path (scored is
+    a MATERIALIZED CTE) and the plain-SQL convenience form; the Spark
+    registry builder checkpoints the scored relation instead (Spark
+    inlines a twice-referenced CTE, which would re-run the whole
+    train + score chain for the cuts aggregate)."""
+    mat = "MATERIALIZED " if d == "duck" else ""
+    scored = quality_classifier_scored_sql(d, tf_rel, lab_rel, buckets, train_pct)
+    lead = f"scored AS {mat}({scored}),\n    "
+    return quality_classifier_bucket_sql(d, "scored", lead_ctes=lead)
 
 
 def quality_ensemble_sql(
@@ -1848,17 +2028,40 @@ def quality_ensemble_sql(
     ``tf_rel`` is supplied (the oracle path), ONE shared materialized tf
     CTE is hoisted here and passed to both sub-generators — letting each
     inline its own would tokenize the corpus twice per oracle run
-    (code-review r09)."""
+    (code-review r09). Both sub-pipelines' scored relations are hoisted
+    as MATERIALIZED CTEs so their quintile/tercile cut aggregates
+    (:func:`quantile_cut_case`, VERDICT r9 item 1) read them without
+    recompute; the Spark registry builder checkpoints them instead."""
     if tf_rel is None:
-        mat = "MATERIALIZED " if d == "duck" else ""
-        tf_body = f"tf AS {mat}({unigram_tf_sql(d)}),"
+        mat0 = "MATERIALIZED " if d == "duck" else ""
+        tf_body = f"tf AS {mat0}({unigram_tf_sql(d)}),"
         tf_rel = "tf"
     else:
         tf_body = ""
-    cls = quality_classifier_sql(d, tf_rel=tf_rel, lab_rel=lab_rel)
-    ppl = lm_perplexity_sql(d, tf_rel=tf_rel)
+    mat = "MATERIALIZED " if d == "duck" else ""
+    cls_scored = quality_classifier_scored_sql(d, tf_rel=tf_rel, lab_rel=lab_rel)
+    ppl_scored = lm_scored_sql(d, tf_rel=tf_rel)
+    lead = f"""{tf_body}
+    cls_scored AS {mat}({cls_scored}),
+    ppl_scored AS {mat}({ppl_scored}),
+    """
+    return quality_ensemble_bucket_sql(
+        d, "cls_scored", "ppl_scored", lead_ctes=lead
+    )
+
+
+def quality_ensemble_bucket_sql(
+    d: str, cls_scored_rel: str, ppl_scored_rel: str, lead_ctes: str = ""
+) -> str:
+    """The ensemble's composition tail over the two per-doc score
+    relations: applies the classifier quintile and perplexity tercile
+    tails (each a nested-WITH CTE, so their ``cuts`` names stay
+    scoped), then joins the two doc-sized signal relations once on
+    doc_id — the ONE extra join the ensemble adds."""
+    cls = quality_classifier_bucket_sql(d, cls_scored_rel)
+    ppl = lm_bucket_sql(d, ppl_scored_rel)
     return f"""
-    WITH {tf_body}
+    WITH {lead_ctes}
     cls AS ({cls}),
     ppl AS ({ppl}),
     sig AS (

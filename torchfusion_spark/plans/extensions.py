@@ -669,14 +669,20 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="CCNet-style LM quality scoring: add-one-smoothed unigram LM "
     "trained on the corpus itself, per-doc avg negative log-prob + "
     "perplexity (entropy_sql's DECIMAL-sum determinism discipline), "
-    "head/middle/tail buckets by per-language NTILE terciles; unigram "
-    "counts broadcast onto the shared staged tf relation",
+    "head/middle/tail buckets by per-language broadcast percentile cut "
+    "points (quantile_cut_case — no per-lang NTILE sort, so a dominant "
+    "language cannot concentrate one window partition); unigram counts "
+    "broadcast onto the shared staged tf relation",
 )
 def text_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return textstats._staged_unigrams(
-        spark,
-        then=lambda tfn: spark.sql(textstats.lm_perplexity_sql("spark", tf_rel=tfn)),
-    )
+    def _build(tfn):
+        # checkpoint the doc-sized score relation so the tercile tail's
+        # cuts aggregate + final select read it once (VERDICT r9 item 1)
+        sc = spark.sql(textstats.lm_scored_sql("spark", tf_rel=tfn))
+        v = textstats.checkpoint_scored(spark, "ppl_scored", sc)
+        return spark.sql(textstats.lm_bucket_sql("spark", v))
+
+    return textstats._staged_unigrams(spark, then=_build)
 
 
 @query(
@@ -694,12 +700,18 @@ def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     # binds TWO staged views: resolved via the key-revalidated binder —
     # nested locks alone can't prove the two stagings saw one corpus
     # (code-review r09; the ADVICE r08 TOCTOU class)
-    return textstats.bind_tf_and_labels(
-        spark,
-        lambda tfn, labn: spark.sql(
-            textstats.quality_classifier_sql("spark", tf_rel=tfn, lab_rel=labn)
-        ),
-    )
+    def _build(tfn, labn):
+        # checkpoint the per-doc score relation so the quintile tail's
+        # cuts aggregate + final select read it once (VERDICT r9 item 1)
+        sc = spark.sql(
+            textstats.quality_classifier_scored_sql(
+                "spark", tf_rel=tfn, lab_rel=labn
+            )
+        )
+        v = textstats.checkpoint_scored(spark, "cls_scored", sc)
+        return spark.sql(textstats.quality_classifier_bucket_sql("spark", v))
+
+    return textstats.bind_tf_and_labels(spark, _build)
 
 
 @query(
@@ -713,13 +725,24 @@ def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def pipeline_quality_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
     # binds the same two staged views as the classifier — same
-    # key-revalidated binder
-    return textstats.bind_tf_and_labels(
-        spark,
-        lambda tfn, labn: spark.sql(
-            textstats.quality_ensemble_sql("spark", tf_rel=tfn, lab_rel=labn)
-        ),
-    )
+    # key-revalidated binder; both sub-pipelines' scored relations are
+    # checkpointed so each computes once (VERDICT r9 item 1)
+    def _build(tfn, labn):
+        cv = textstats.checkpoint_scored(
+            spark,
+            "cls_scored",
+            spark.sql(
+                textstats.quality_classifier_scored_sql(
+                    "spark", tf_rel=tfn, lab_rel=labn
+                )
+            ),
+        )
+        pv = textstats.checkpoint_scored(
+            spark, "ppl_scored", spark.sql(textstats.lm_scored_sql("spark", tf_rel=tfn))
+        )
+        return spark.sql(textstats.quality_ensemble_bucket_sql("spark", cv, pv))
+
+    return textstats.bind_tf_and_labels(spark, _build)
 
 
 @query(
@@ -735,10 +758,14 @@ def pipeline_quality_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
     "distribution tables roll up from the shared staged tf relation",
 )
 def sample_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return textstats._staged_unigrams(
-        spark,
-        then=lambda tfn: spark.sql(textstats.dsir_importance_sql("spark", tf_rel=tfn)),
-    )
+    def _build(tfn):
+        # checkpoint the doc-sized score relation so the quintile tail's
+        # cuts aggregate + final select read it once (VERDICT r9 item 1)
+        sc = spark.sql(textstats.dsir_scored_sql("spark", tf_rel=tfn))
+        v = textstats.checkpoint_scored(spark, "dsir_scored", sc)
+        return spark.sql(textstats.dsir_bucket_sql("spark", v))
+
+    return textstats._staged_unigrams(spark, then=_build)
 
 
 _sql_pair(
