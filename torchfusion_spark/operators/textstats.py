@@ -2236,7 +2236,15 @@ def bpe_train_sql(
 
 
 def bpe_train(spark, rounds: int = BPE_TRAIN_ROUNDS):
-    """Spark-side iterative BPE trainer: the same fragments as the
+    """Spark-side iterative BPE trainer — public entry point, returns
+    the merge-table DataFrame; see :func:`_bpe_train_with_key` for the
+    algorithm and :func:`bpe_merges` for the provenance-carrying
+    variant consumers must use."""
+    return _bpe_train_with_key(spark, rounds)[1]
+
+
+def _bpe_train_with_key(spark, rounds: int = BPE_TRAIN_ROUNDS):
+    """Iterative BPE trainer: the same fragments as the
     oracle statement, executed as a checkpointed round loop so each
     round's symbol stream is materialized ONCE (Catalyst's CTE inlining
     makes the one-statement form exponential in rounds — see
@@ -2246,7 +2254,16 @@ def bpe_train(spark, rounds: int = BPE_TRAIN_ROUNDS):
     round's merge, replacing the oracle's 1-row cross join. The round-0
     stream snapshots the staged tf relation INSIDE the memo lock, so a
     concurrent docs-view swap cannot mix corpora mid-train; checkpoints
-    are immutable, so later rounds are swap-proof by construction."""
+    are immutable, so later rounds are swap-proof by construction.
+
+    Returns ``(trained_key, merge_df)`` — the docs-view key the round-0
+    snapshot ACTUALLY bound, carried WITH the result instead of through
+    a shared session attribute: a concurrent direct train (the
+    ``corpus_bpe_train`` registry query calls this without the
+    ``bpe_merges`` memo lock) could overwrite a shared attribute between
+    a sibling's train call and its read, stamping corpus A's merges
+    with corpus B's key and letting ``bind_tf_and_merges`` prove a
+    false consistency (ADVICE r09)."""
     from pyspark.sql.types import LongType, StringType, StructField, StructType
 
     from torchfusion_spark.session import (
@@ -2260,14 +2277,18 @@ def bpe_train(spark, rounds: int = BPE_TRAIN_ROUNDS):
     slot = f"bpe_s_{nonce}"
     view = f"__bpe_s_{nonce}"
 
+    trained: dict[str, object] = {}
+
     def _s0(tfn: str):
         # record which corpus this training run actually snapshotted:
         # _tf_unigram_key is authoritative while the unigrams lock is
         # held here — a key read BEFORE bpe_train (as bpe_merges once
         # did) can be poisoned by a view swap during training, and the
         # content-derived docs key makes swap-back ABA reproducible
-        # (code-review r09, third pass)
-        spark._tf_bpe_trained_key = spark._tf_unigram_key
+        # (code-review r09, third pass). Captured in a closure-local,
+        # NOT a session attribute — see the provenance note above
+        # (ADVICE r09).
+        trained["key"] = spark._tf_unigram_key
         return staged_checkpoint(spark, slot, spark.sql(_bpe_sym0_sql("spark", tfn)))
 
     s = _staged_unigrams(spark, then=_s0)
@@ -2293,7 +2314,7 @@ def bpe_train(spark, rounds: int = BPE_TRAIN_ROUNDS):
             StructField("pair_count", LongType(), False),
         ]
     )
-    return spark.createDataFrame(merges, schema).orderBy("round")
+    return trained.get("key"), spark.createDataFrame(merges, schema).orderBy("round")
 
 
 def bpe_merges(spark) -> tuple[object, list[tuple[str, str]]]:
@@ -2302,23 +2323,28 @@ def bpe_merges(spark) -> tuple[object, list[tuple[str, str]]]:
     re-reads them per invocation, and re-running the 3-round trainer
     each time would triple the staging actions for an artifact of ≤3
     tuples. The memo key is the key the trainer's round-0 snapshot
-    ACTUALLY used (recorded inside the unigrams lock by
-    :func:`bpe_train`), never a key read before training: a view swap
+    ACTUALLY used — returned BY the train call itself
+    (:func:`_bpe_train_with_key`), never a key read before training or
+    one relayed through a shared session attribute: a view swap
     mid-train would otherwise store corpus B's merges under corpus A's
-    key, and the content-derived docs key makes a swap-back reproduce
-    the stale key (ABA) — code-review r09. Returns ``(key, merges)`` so
-    the caller can prove the snapshot it holds matches the corpus it
-    binds. Lock order: bpe_merges → unigrams (via :func:`bpe_train`) —
-    nothing acquires them reversed."""
+    key, the content-derived docs key makes a swap-back reproduce the
+    stale key (ABA) — code-review r09 — and a CONCURRENT direct train
+    (``corpus_bpe_train`` runs outside this memo lock) could overwrite
+    a shared attribute between this function's train call and its read
+    (ADVICE r09). Returns ``(key, merges)`` so the caller can prove the
+    snapshot it holds matches the corpus it binds. Lock order:
+    bpe_merges → unigrams (via the trainer) — nothing acquires them
+    reversed."""
     from torchfusion_spark.operators import dedup
     from torchfusion_spark.session import memo_lock
 
     with memo_lock(spark, "bpe_merges"):
         cur = dedup._docs_key(spark)
         if getattr(spark, "_tf_bpe_merges_key", object()) != cur:
-            rows = bpe_train(spark).collect()
+            key, df = _bpe_train_with_key(spark)
+            rows = df.collect()
             spark._tf_bpe_merges = [(r.left_sym, r.right_sym) for r in rows]
-            spark._tf_bpe_merges_key = spark._tf_bpe_trained_key
+            spark._tf_bpe_merges_key = key
         return spark._tf_bpe_merges_key, list(spark._tf_bpe_merges)
 
 
