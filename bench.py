@@ -126,6 +126,10 @@ HEADLINE = [
     # repeat factors → concrete per-doc epoch copies; broadcast plan +
     # scan-speed fan-out)
     "sample_upsample_epochs",
+    # round-10 addition: incremental URL dedup against the persisted
+    # seen-set (index build memoized per corpus; the benched cost is the
+    # batch canonicalize + broadcast probe — the recurring-ingest shape)
+    "dedup_url_incremental",
 ]
 
 # Streaming witnesses carry round-over-round timing accountability but are

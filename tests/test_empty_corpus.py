@@ -76,6 +76,7 @@ DOC_OPS = [
     "text_decontaminate_spans",
     "text_gopher_rules",
     "dedup_url_canonical",
+    "dedup_url_incremental",
     "pipeline_quality_gate",
     "corpus_url_filter",
     "sample_temperature_mixture",

@@ -34,6 +34,7 @@ NULL_OPS = [
     "multimodal_features",      # mapInPandas NULL payload guards
     "text_gopher_rules",        # every rule's array/regex arithmetic on NULL text
     "dedup_url_canonical",      # NULL source → NULL canonical_url → singleton (ADVICE r08)
+    "dedup_url_incremental",    # NULL-canonical batch docs stay singletons; never indexed
     "corpus_url_filter",        # NULL source → NULL url; rules must not cross-mark NULLs
     "pipeline_quality_gate",    # NULL source fails closed with reason 'source'
     "text_quality_classifier",  # NULL-text docs labeled but absent from tf → absent from scores

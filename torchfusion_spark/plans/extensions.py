@@ -70,6 +70,19 @@ _sql_pair(
     "canonicalization at scan speed",
 )
 @query(
+    "dedup_url_incremental",
+    dedup.url_incremental_equiv_sql("duck"),
+    doc="recurring-crawl URL dedup (VERDICT r9 item 5): the canonical-URL "
+    "seen-set over the earlier crawl half persists as (canonical_url, "
+    "keeper) parquet — structurally unable to re-canonicalize — and the "
+    "new batch canonicalizes at scan speed and probes it via broadcast, "
+    "so the 100 TB index side never shuffles; oracle = the full-corpus "
+    "canonical dedup over index ∪ batch restricted to batch docs (the "
+    "crawl-order equality the pytest witness already pins)",
+)
+def dedup_url_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.url_incremental_query(spark)
+@query(
     "dedup_minhash_lsh",
     dedup.minhash_lsh_sql("duck"),
     doc="MinHash(16 perms)+LSH(8 bands) near-dup pairs with exact Jaccard "
