@@ -914,7 +914,11 @@ SEQ_LEN = 512  # tokens per packed training sequence
 PACK_SHARDS = 8  # per-language parallelism of the prefix-sum
 
 
-def pack_sequences_sql(d: str, seq_len: int = SEQ_LEN, shards: int = PACK_SHARDS) -> str:
+def pack_sequences_sql(
+    d: str, seq_len: int = SEQ_LEN, shards: int = PACK_SHARDS,
+    rel: str = "documents", n_toks: str | None = None, key: str | None = None,
+    order_tail: str = "doc_id", lead_ctes: str = "",
+) -> str:
     """Sequence packing for pretraining batches: concatenate each
     language's docs in deterministic hash order and chunk the token
     stream into fixed ``seq_len`` packs; each doc is assigned to the pack
@@ -929,21 +933,30 @@ def pack_sequences_sql(d: str, seq_len: int = SEQ_LEN, shards: int = PACK_SHARDS
     per-language running offset is broadcast back. Global start offset =
     shard prefix + local cumsum − own tokens. All BIGINT arithmetic (no
     float drift); hash order makes pack assignment reproducible across
-    engines, runs and partitionings."""
+    engines, runs and partitionings.
+
+    ``rel``/``n_toks``/``key``/``order_tail``/``lead_ctes`` let the
+    pretraining pipeline pack its UPSAMPLED survivor stream (hash key =
+    doc_id#epoch_idx so each training copy lands independently, token
+    counts precomputed, tie-break extended to the copy index); registry
+    defaults are byte-identical. Columns named in ``order_tail`` beyond
+    doc_id must exist in ``rel`` and are carried through ``t``."""
     str_t = "STRING" if d == "spark" else "VARCHAR"
-    h = G.hash56(f"CAST(doc_id AS {str_t})", d)
-    n_toks = G.arr_size(G.split_ws("text", d), d)
+    h = G.hash56(key or f"CAST(doc_id AS {str_t})", d)
+    n_toks = n_toks or G.arr_size(G.split_ws("text", d), d)
     pack_id = G.intdiv("start_tok", str(seq_len), d)
     end_pack = G.intdiv("start_tok + n_tokens - 1", str(seq_len), d)
     first_doc = "min_by(doc_id, start_tok)" if d == "spark" else "arg_min(doc_id, start_tok)"
+    extra = [c.strip() for c in order_tail.split(",") if c.strip() != "doc_id"]
+    xc = "".join(f", {c}" for c in extra)
     return f"""
-    WITH t AS (
-        SELECT doc_id, lang, CAST({n_toks} AS BIGINT) AS n_tokens, h, h % {shards} AS shard
-        FROM (SELECT doc_id, lang, text, {h} AS h FROM documents)),
+    WITH {lead_ctes}t AS (
+        SELECT doc_id, lang, CAST({n_toks} AS BIGINT) AS n_tokens, h, h % {shards} AS shard{xc}
+        FROM (SELECT *, {h} AS h FROM {rel})),
     loc AS (
         SELECT doc_id, lang, shard, n_tokens,
                SUM(n_tokens) OVER (
-                   PARTITION BY lang, shard ORDER BY h, doc_id
+                   PARTITION BY lang, shard ORDER BY h, {order_tail}
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lcum
         FROM t),
     tot AS (SELECT lang, shard, SUM(n_tokens) AS tot FROM t GROUP BY lang, shard),
@@ -1241,7 +1254,10 @@ def mixture_plan_sql(d: str, budget: int = MIXTURE_BUDGET) -> str:
 TEMP_ALPHA = "0.3"  # XLM-R's multilingual sampling exponent
 
 
-def temperature_mixture_sql(d: str, budget: int = MIXTURE_BUDGET) -> str:
+def temperature_mixture_sql(
+    d: str, budget: int = MIXTURE_BUDGET, rel: str = "documents",
+    n_toks: str | None = None,
+) -> str:
     """Temperature-scaled mixture sampling (public method: the
     exponentiated-multinomial rebalancing of XLM-R / mT5 — sample
     language i with probability q_i = p_i^alpha / sum_j p_j^alpha,
@@ -1260,13 +1276,18 @@ def temperature_mixture_sql(d: str, budget: int = MIXTURE_BUDGET) -> str:
     rounding boundary, the same accepted risk class as the 6dp cosine
     rounding. Scale shape: one map-combined rollup to |languages| rows;
     the windows run on that tiny relation; nothing after the first
-    aggregate scales with the corpus."""
-    n_toks = G.arr_size(G.split_ws("text", d), d)
+    aggregate scales with the corpus.
+
+    ``rel``/``n_toks`` parameterize the corpus relation and its token
+    expression so the pretraining pipeline (r10) can plan the mixture
+    over its SURVIVOR set (carrying a precomputed ``n_tokens`` column)
+    with the registry defaults byte-identical."""
+    n_toks = n_toks or G.arr_size(G.split_ws("text", d), d)
     pa = f"CAST(ROUND(pow(CAST(n AS DOUBLE) / total, {TEMP_ALPHA}), 9) AS DECIMAL(12,9))"
     return f"""
     WITH avail AS (
         SELECT lang, CAST(SUM({n_toks}) AS BIGINT) AS n
-        FROM documents GROUP BY lang),
+        FROM {rel} GROUP BY lang),
     w AS (SELECT lang, n, SUM(n) OVER () AS total FROM avail),
     t AS (SELECT lang, n, total, {pa} AS pa FROM w),
     z AS (SELECT lang, n, total, pa, SUM(pa) OVER () AS zsum FROM t),
@@ -2456,7 +2477,11 @@ def bpe_apply_sql(
 UPSAMPLE_SEED = "up1"  # bump to re-deal the fractional-copy lottery
 
 
-def upsample_epochs_sql(d: str, budget: int = MIXTURE_BUDGET, seed: str = UPSAMPLE_SEED) -> str:
+def upsample_epochs_sql(
+    d: str, budget: int = MIXTURE_BUDGET, seed: str = UPSAMPLE_SEED,
+    rel: str = "documents", n_toks: str | None = None,
+    carry: tuple[str, ...] = (),
+) -> str:
     """Materialize the temperature-mixture plan's repeat factors into
     concrete per-document training copies — the step that turns
     :func:`temperature_mixture_sql`'s per-language ``repeat_factor``
@@ -2478,22 +2503,29 @@ def upsample_epochs_sql(d: str, budget: int = MIXTURE_BUDGET, seed: str = UPSAMP
     BROADCASTS onto one documents scan; the copy fan-out is a per-row
     sequence explode at scan speed — zero data-sized shuffles (the
     ORDER BY is presentation). Downsampled-out docs (q = 0, lottery
-    miss) vanish via the empty sequence."""
-    mix = temperature_mixture_sql(d, budget=budget)
+    miss) vanish via the empty sequence.
+
+    ``rel``/``n_toks``/``carry`` parameterize the corpus relation, its
+    token expression, and extra columns to carry through the fan-out
+    (the pretraining pipeline threads ``n_tokens`` so packing needs no
+    join back); registry defaults are byte-identical to round 9."""
+    mix = temperature_mixture_sql(d, budget=budget, rel=rel, n_toks=n_toks)
     str_t = "STRING" if d == "spark" else "VARCHAR"
     big = "DECIMAL(38,0)" if d == "spark" else "HUGEINT"
     key_expr = f"CAST(doc_id AS {str_t}) || '#{seed}'"
     bucket = f"{G.hash56(key_expr, d)} % 1000000"
     idiv = G.intdiv("m.target_tokens", "m.available_tokens", d)
     series = G.seq("1", "n_copies", d)
+    cc = "".join(f", {c}" for c in carry)
+    cd = "".join(f", d.{c}" for c in carry)
     if d == "spark":
         fan = (
-            "SELECT doc_id, lang, n_copies, epoch_idx FROM counted "
+            f"SELECT doc_id, lang, n_copies{cc}, epoch_idx FROM counted "
             f"LATERAL VIEW explode({series}) AS epoch_idx"
         )
     else:
         fan = (
-            f"SELECT doc_id, lang, n_copies, "
+            f"SELECT doc_id, lang, n_copies{cc}, "
             f"CAST(UNNEST({series}) AS BIGINT) AS epoch_idx FROM counted"
         )
     hint = "/*+ BROADCAST(m) */ " if d == "spark" else ""
@@ -2504,9 +2536,153 @@ def upsample_epochs_sql(d: str, budget: int = MIXTURE_BUDGET, seed: str = UPSAMP
                CAST(({idiv})
                     + CASE WHEN CAST({bucket} AS {big}) * m.available_tokens
                                 < CAST(m.target_tokens % m.available_tokens AS {big}) * 1000000
-                           THEN 1 ELSE 0 END AS BIGINT) AS n_copies
-        FROM documents d JOIN mix m ON d.lang = m.lang)
-    SELECT doc_id, lang, n_copies, CAST(epoch_idx AS BIGINT) AS epoch_idx
+                           THEN 1 ELSE 0 END AS BIGINT) AS n_copies{cd}
+        FROM {rel} d JOIN mix m ON d.lang = m.lang)
+    SELECT doc_id, lang, n_copies{cc}, CAST(epoch_idx AS BIGINT) AS epoch_idx
     FROM ({fan})
     ORDER BY doc_id, epoch_idx
     """
+
+
+# ---------------------------------------------------------------------------
+# The end-to-end pretraining recipe (round 10, VERDICT r9 item 4)
+#
+# The FineWeb/Nemotron-CC shape a real curation user runs as ONE job:
+# URL-quality filter → canonical-URL dedup → quality-signal ensemble
+# keep → benchmark decontamination (eval slice held out, overlapping
+# docs dropped) → temperature mixture plan over the SURVIVORS →
+# upsample materialization → sequence packing. Every stage is an
+# independently-certified operator; this witness proves they COMPOSE
+# without recomputation: one tf build, one Gopher/label pass, one
+# shingle pass, one documents scan into the survivor set, then a
+# language-bounded plan drives copy fan-out and the two-level-prefix
+# pack — no repeated corpus scans (the survivor relation is
+# checkpointed on Spark / MATERIALIZED on the oracle).
+# ---------------------------------------------------------------------------
+
+
+def pretrain_keep_sql(
+    d: str,
+    tf_rel: str | None = None,
+    lab_rel: str | None = None,
+    sh_rel: str | None = None,
+    cls_rel: str | None = None,
+    ppl_rel: str | None = None,
+) -> str:
+    """The pipeline's SURVIVOR relation (doc_id, lang, n_tokens): a doc
+    trains iff it passes all five URL-shape rules, is its canonical
+    URL's earliest crawl, wins the Nemotron-style quality-signal
+    majority (Gopher ∧/∨ classifier ∧/∨ perplexity, ≥2 of 3), is not
+    part of the held-out eval slice (doc_id % 50 == 0 — the
+    ``decontaminate_sql`` benchmark stand-in, excluded from training
+    outright) and shares < 5 word-3-grams with that slice. n_tokens is
+    computed here once (scan-speed split) so no downstream stage
+    touches text again.
+
+    Plan shape: uf/uk are scan-speed codegen + one keeper window; ens
+    reads the two scored relations (checkpointed on Spark, MATERIALIZED
+    here); cont reads the staged shingle relation; the four verdicts
+    join the documents scan doc_id-keyed (co-partitioned at 100 TB) —
+    each CTE is referenced exactly ONCE, so Catalyst's CTE inlining
+    duplicates nothing."""
+    from torchfusion_spark.operators import dedup
+
+    mat = "MATERIALIZED " if d == "duck" else ""
+    lead = ""
+    if cls_rel is None or ppl_rel is None:
+        if tf_rel is None:
+            lead += f"tf AS {mat}({unigram_tf_sql(d)}),\n    "
+            tf_rel = "tf"
+        if cls_rel is None:
+            scored = quality_classifier_scored_sql(d, tf_rel=tf_rel, lab_rel=lab_rel)
+            lead += f"cls_scored AS {mat}({scored}),\n    "
+            cls_rel = "cls_scored"
+        if ppl_rel is None:
+            lead += f"ppl_scored AS {mat}({lm_scored_sql(d, tf_rel=tf_rel)}),\n    "
+            ppl_rel = "ppl_scored"
+    n_toks = G.arr_size(G.split_ws("text", d), d)
+    return f"""
+    WITH {lead}uf AS ({url_filter_sql(d)}),
+    uk AS ({dedup.url_canonical_dedup_sql(d)}),
+    ens AS ({quality_ensemble_bucket_sql(d, cls_rel, ppl_rel)}),
+    cont AS {mat}({decontaminate_sql(d, sh_rel=sh_rel)})
+    SELECT d.doc_id, d.lang, CAST({n_toks} AS BIGINT) AS n_tokens
+    FROM documents d
+    JOIN uf ON d.doc_id = uf.doc_id
+    JOIN uk ON d.doc_id = uk.doc_id
+    JOIN ens ON d.doc_id = ens.doc_id
+    LEFT JOIN cont ON d.doc_id = cont.doc_id
+    WHERE uf.kept = 1 AND uk.kept AND ens.kept = 1
+      AND cont.doc_id IS NULL AND d.doc_id % 50 <> 0
+    """
+
+
+def pretrain_tail_sql(
+    d: str,
+    rel: str,
+    budget: int = MIXTURE_BUDGET,
+    seq_len: int = SEQ_LEN,
+    shards: int = PACK_SHARDS,
+    lead_ctes: str = "",
+) -> str:
+    """Mixture → upsample → pack over the survivor relation ``rel``:
+    the temperature plan rolls survivors up to |languages| rows and
+    BROADCASTS back for the exact-lottery copy fan-out (n_tokens rides
+    the fan so packing needs no join back to the corpus); each training
+    COPY packs independently under a doc_id#epoch_idx hash key through
+    the two-level prefix sum. Nothing here re-reads text."""
+    str_t = "STRING" if d == "spark" else "VARCHAR"
+    ups = upsample_epochs_sql(
+        d, budget=budget, rel=rel, n_toks="n_tokens", carry=("n_tokens",)
+    )
+    key = f"CAST(doc_id AS {str_t}) || '#' || CAST(epoch_idx AS {str_t})"
+    return pack_sequences_sql(
+        d,
+        seq_len=seq_len,
+        shards=shards,
+        rel="ups",
+        n_toks="n_tokens",
+        key=key,
+        order_tail="doc_id, epoch_idx",
+        lead_ctes=f"{lead_ctes}ups AS ({ups}),\n    ",
+    )
+
+
+def pretrain_corpus_sql(d: str) -> str:
+    """One-statement composition of :func:`pretrain_keep_sql` +
+    :func:`pretrain_tail_sql` — the oracle path (survivors are a
+    MATERIALIZED CTE, every staged relation inlined MATERIALIZED) and
+    the plain-SQL convenience form. The Spark registry builder instead
+    binds the session-staged tf/label/shingle relations, checkpoints
+    the two scored relations and the survivor set, and runs the tail
+    over the checkpoints — same fragments, computed once."""
+    mat = "MATERIALIZED " if d == "duck" else ""
+    keep = pretrain_keep_sql(d)
+    return pretrain_tail_sql(d, "keep", lead_ctes=f"keep AS {mat}({keep}),\n    ")
+
+
+def bind_tf_labels_hx(spark, then):
+    """Triple-staged binder for the pretraining pipeline: the tf, label
+    and shingle relations must all describe ONE corpus. Extends
+    :func:`bind_tf_and_labels`'s key-revalidated nest with the shingle
+    stage innermost — all three memo keys must equal the live docs-view
+    key while all three locks are held, else the nest retries (the
+    outer binder already treats a ``None`` resolution as a swap). Lock
+    order: unigrams → cls_labels → hx; the only other hx nesting is
+    bloom → hx, which never holds unigrams/cls_labels, so no cycle."""
+    from torchfusion_spark.operators import dedup
+
+    def _inner(tfn, labn):
+        def _check(hxn):
+            cur = dedup._docs_key(spark)
+            if (
+                getattr(spark, "_tf_unigram_key", None) == cur
+                and getattr(spark, "_tf_cls_label_key", None) == cur
+                and getattr(spark, "_tf_hx_key", None) == cur
+            ):
+                return then(tfn, labn, hxn)
+            return None  # a swap interleaved the stagings — retry the nest
+
+        return dedup._staged_hx(spark, then=_check)
+
+    return bind_tf_and_labels(spark, _inner)
