@@ -130,6 +130,11 @@ HEADLINE = [
     # seen-set (index build memoized per corpus; the benched cost is the
     # batch canonicalize + broadcast probe — the recurring-ingest shape)
     "dedup_url_incremental",
+    # round-11 addition: the end-to-end pretraining corpus assembly
+    # (filter → dedup → ensemble → decontaminate → mixture → upsample →
+    # pack, composed over the shared staged/checkpointed relations) —
+    # the benched cost is the composition over already-staged inputs
+    "pipeline_pretrain_corpus",
 ]
 
 # Streaming witnesses carry round-over-round timing accountability but are

@@ -85,6 +85,7 @@ DOC_OPS = [
     "corpus_bpe_train",
     "corpus_bpe_apply",
     "sample_upsample_epochs",
+    "pipeline_pretrain_corpus",
 ]
 EMB_OPS = [
     "sim_cosine_topk",

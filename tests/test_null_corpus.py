@@ -43,6 +43,8 @@ NULL_OPS = [
     "corpus_bpe_apply",         # learned merges + segmentation over the same
     "sample_upsample_epochs",   # mixture plan over NULL-pruned tokens; NULL-text docs still fan out
     "sim_near_dup_collapse",    # NULL embeddings excluded at norm_cte before bucketing
+    "text_lm_perplexity",       # per-lang cuts joined null-safely; NULL-lang group kept (ADVICE r10)
+    "pipeline_pretrain_corpus",  # full composition over NULL text/source/lang
 ]
 
 
@@ -66,9 +68,19 @@ def null_sf_dir(tmp_path_factory):
     sources = docs.column("source").to_pylist()
     for i in range(0, len(sources), 13):
         sources[i] = None
+    # NULL langs too (ADVICE r10 #3): per-language quantile cuts join the
+    # cut points back onto the scored docs — a plain equi-join on lang
+    # silently drops the NULL-lang group on BOTH dialects (invisible to
+    # the parity hash), so the join must be null-safe and this fixture
+    # must exercise it. Stride 17 is coprime with 7 so most NULL-lang
+    # docs keep non-NULL text and therefore appear in the tf relation.
+    langs = docs.column("lang").to_pylist()
+    for i in range(0, len(langs), 17):
+        langs[i] = None
     cols = {n: docs.column(n) for n in docs.column_names}
     cols["text"] = pa.array(texts, pa.string())
     cols["source"] = pa.array(sources, pa.string())
+    cols["lang"] = pa.array(langs, pa.string())
     pq.write_table(pa.table(cols), f"{dst}/documents.parquet")
     ev = pq.read_table(f"{src}/events.parquet")
     vals = ev.column("value").to_pylist()
@@ -145,3 +157,34 @@ def test_null_source_urls_are_singletons(spark, tables, null_sf_dir):
     for r in null_rows:
         assert r.keeper_doc_id == r.doc_id, r
         assert r.kept is True, r
+
+
+def test_null_lang_docs_survive_perplexity(spark, tables, null_sf_dir):
+    """ADVICE r10 #3: the per-language tercile cuts are joined back onto
+    the scored docs; a plain equi-join on lang drops the NULL-lang group
+    on BOTH dialects, so the parity hash cannot catch it. Pin the
+    semantics directly: every doc with NULL lang but non-NULL text must
+    appear in text_lm_perplexity's output (in its own NULL-lang tercile
+    group), exactly as the old NTILE PARTITION BY lang kept it."""
+    from torchfusion_spark.plans import REGISTRY
+    from torchfusion_spark.sources import load_tables
+
+    spark._tf_tables_loaded = None
+    load_tables(spark, null_sf_dir)
+    try:
+        expected = {
+            r.doc_id
+            for r in spark.sql(
+                "SELECT doc_id FROM documents WHERE lang IS NULL AND text IS NOT NULL"
+            ).collect()
+        }
+        rows = REGISTRY["text_lm_perplexity"].builder(spark, null_sf_dir).collect()
+    finally:
+        spark._tf_tables_loaded = None
+        load_tables(spark, tables)
+    assert len(expected) >= 2, "fixture must produce multiple NULL-lang docs with text"
+    got = {r.doc_id for r in rows if r.lang is None}
+    assert expected <= got, sorted(expected - got)[:10]
+    for r in rows:
+        if r.lang is None:
+            assert r.ppl_bucket in ("head", "middle", "tail"), r

@@ -85,8 +85,13 @@ _EXPECTED = {
     "text_quality_classifier": {"bnl_join"},
     # the ensemble composes the classifier and the LM scorer verbatim —
     # it inherits exactly their whitelisted 1-row-totals cross joins and
-    # adds only a doc_id-keyed join of the two doc-sized score relations
-    "pipeline_quality_ensemble": {"bnl_join"},
+    # adds only a doc_id-keyed join of the two doc-sized score relations.
+    # That composition join is SMJ even at gate scale since r11: the
+    # null-safe per-lang cuts join (ADVICE r10 #3) makes the ppl side's
+    # static size estimate unknown, so Catalyst stops auto-broadcasting
+    # it — which is the _EXPECTED_AT_SCALE plan anyway (both sides grow
+    # with the corpus; AQE re-plans to broadcast at runtime when small)
+    "pipeline_quality_ensemble": {"bnl_join", "sort_merge_join"},
     # (corpus_bpe_train needs no whitelist: the Spark side is the
     # checkpointed round loop — its audited final plan is the tiny merge
     # table; per-round work runs in staging actions like
@@ -116,6 +121,14 @@ _EXPECTED = {
     "corpus_mixture_plan": {"global_window"},
     "sample_temperature_mixture": {"global_window"},
     "sample_upsample_epochs": {"global_window"},
+    # the pretraining composition (VERDICT r9 item 4): its survivor-set
+    # joins (documents ⋈ url-filter ⋈ url-keeper ⋈ ensemble ⋈ decontam)
+    # are doc_id-keyed with BOTH sides corpus-scale — co-partitioned SMJ
+    # is the 100 TB plan (the quality_gate/ensemble class); its only
+    # global windows are the embedded temperature-mixture normalizer
+    # over the ≤|langs|-row rollup (the sample_upsample_epochs class) —
+    # the corpus-scale pack prefix-sum stays partitioned by (lang, shard)
+    "pipeline_pretrain_corpus": {"sort_merge_join", "global_window"},
 }
 
 

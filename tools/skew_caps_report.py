@@ -144,6 +144,53 @@ def main() -> None:
         "note": "linear formulation: cost O(occurrences), no pair blow-up to cap",
     }
 
+    # classifier 64Ki hash-bucket rollup skew (VERDICT r9 item 6): the
+    # trained classifier's class-count rollup groups the corpus tf
+    # relation by (th % 65536) — stop-words concentrate a few buckets.
+    # The 100 TB claim is that the hash-partial (map-side combine)
+    # bounds the reduce side at ≤ shuffle-partitions rows per bucket no
+    # matter how hot the bucket's INPUT is; this section measures that
+    # input distribution on the skewed corpus (the operator's own staged
+    # tf relation and bucket expression, so the report cannot measure a
+    # different feature space than the classifier aggregates).
+    from pyspark.sql import functions as F
+
+    from torchfusion_spark.operators import textstats
+
+    tfn = textstats._staged_unigrams(spark)
+    buckets = spark.sql(
+        f"SELECT (th % {textstats.DSIR_BUCKETS}) AS hb, COUNT(*) AS tf_rows, "
+        f"CAST(SUM(tf) AS BIGINT) AS occurrences FROM {tfn} GROUP BY (th % {textstats.DSIR_BUCKETS})"
+    )
+    bstats = buckets.agg(
+        F.count("*").alias("n_buckets"),
+        F.max("tf_rows").alias("top_rows"),
+        F.max("occurrences").alias("top_occ"),
+    ).first()
+    med_rows = buckets.approxQuantile("tf_rows", [0.5], 0.01)[0]
+    # log2-band histogram of bucket input sizes — the shape the map-side
+    # combine flattens (every band reduces to ≤ partitions rows/bucket)
+    bands = {
+        f"2^{int(r.band)}": r.n
+        for r in buckets.selectExpr(
+            "CAST(floor(log2(greatest(tf_rows, 1))) AS INT) AS band"
+        ).groupBy("band").count().withColumnRenamed("count", "n").collect()
+    }
+    report["caps"]["classifier_hash_buckets"] = {
+        "feature_buckets": textstats.DSIR_BUCKETS,
+        "observed_buckets": bstats["n_buckets"],
+        "hot_bucket_tf_rows": bstats["top_rows"],
+        "hot_bucket_occurrences": bstats["top_occ"],
+        "median_bucket_tf_rows": med_rows,
+        "skew_factor": round(bstats["top_rows"] / max(med_rows, 1), 1),
+        "bucket_size_histogram_log2": dict(sorted(bands.items(), key=lambda kv: int(kv[0][2:]))),
+        "reduce_side_bound_rows_per_bucket": int(
+            spark.conf.get("spark.sql.shuffle.partitions")
+        ),
+        "note": "hash-partial combine caps every bucket's reduce-side input "
+        "at one partial row per map partition regardless of input skew",
+    }
+
     # embedding mega-cluster collapse (r8): the hot LSH bucket's output,
     # pair-enumerating query vs collapse query — the collapse witness's
     # bounded-output claim, measured on the skewed corpus rather than

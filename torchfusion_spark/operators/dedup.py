@@ -18,6 +18,7 @@ Scale design (100 TB):
 
 from __future__ import annotations
 
+import os
 import threading
 
 from torchfusion_spark.operators import sqlgen as G
@@ -1440,19 +1441,54 @@ def url_incremental_equiv_sql(d: str) -> str:
     """
 
 
+def _url_index_cleanup(base: str) -> None:
+    """Best-effort ``.scratch/url_index_*`` hygiene (ADVICE r10 #4):
+    remove this process's index dirs at interpreter exit, and sweep
+    dirs left by DEAD pids (a crashed session cannot clean up after
+    itself). Live foreign pids are never touched — their dirs may back
+    resolved plans in that process."""
+    import shutil
+
+    try:
+        entries = os.listdir(base)
+    except OSError:
+        return
+    for name in entries:
+        if not name.startswith("url_index_"):
+            continue
+        try:
+            pid = int(name.rsplit("_", 1)[1])
+        except ValueError:
+            continue
+        if pid != os.getpid():
+            try:
+                os.kill(pid, 0)  # raises if the pid is gone
+                continue
+            except ProcessLookupError:
+                pass
+            except OSError:
+                continue
+        shutil.rmtree(os.path.join(base, name), ignore_errors=True)
+
+
 def url_incremental_query(spark):
     """Registry builder for ``dedup_url_incremental`` (VERDICT r9
     item 5): persist the canonical-URL seen-set over the lower-half
-    crawl (memoized per docs-view identity — the index build is the
+    crawl (built once per corpus — the index build is the
     once-per-snapshot cost the incremental shape exists to amortize),
     then probe the upper-half batch against it. The index parquet lives
-    under the repo's gitignored ``.scratch`` dir, keyed by corpus so a
-    concurrent build for a DIFFERENT corpus can never overwrite files a
-    resolved plan still references; the whole check-build-probe runs
-    inside the ``url_index`` memo lock (resolve-inside-lock, the ADVICE
-    r08 TOCTOU discipline)."""
+    under the repo's gitignored ``.scratch`` dir at a path derived from
+    the corpus key + pid, with a ``_TF_BUILT`` marker written AFTER the
+    parquet lands: the build is skipped whenever the marker exists, so
+    an A→B→A docs-view swap-back reuses corpus A's intact index instead
+    of overwriting files a previously resolved, not-yet-collected plan
+    for A still references (ADVICE r10 #4 — the old session-attribute
+    memo forgot A when B was built and re-overwrote A's path). Stale
+    dirs are swept at exit / when their owning pid is dead. The whole
+    check-build-probe runs inside the ``url_index`` memo lock
+    (resolve-inside-lock, the ADVICE r08 TOCTOU discipline)."""
+    import atexit
     import hashlib
-    import os
 
     from torchfusion_spark.session import memo_lock
 
@@ -1465,13 +1501,19 @@ def url_incremental_query(spark):
         )
         tag = hashlib.md5(repr(key).encode()).hexdigest()[:16]
         path = os.path.join(base, f"url_index_{tag}_{os.getpid()}")
-        if getattr(spark, "_tf_url_index_key", object()) != key:
+        if not getattr(url_incremental_query, "_cleanup_registered", False):
+            atexit.register(_url_index_cleanup, base)
+            url_incremental_query._cleanup_registered = True
+            _url_index_cleanup(base)  # sweep dead-pid leftovers now
+        marker = os.path.join(path, "_TF_BUILT")
+        if not os.path.exists(marker):
             build_url_index(
                 spark,
                 path,
                 rel=f"(SELECT * FROM documents WHERE doc_id < {split}) __url_idx_src",
             )
-            spark._tf_url_index_key = key
+            with open(marker, "w") as f:
+                f.write(tag)
         batch = f"(SELECT * FROM documents WHERE doc_id >= {split}) __url_batch_src"
         return dedup_url_incremental(spark, batch, path)
 

@@ -691,8 +691,11 @@ def text_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     def _build(tfn):
         # checkpoint the doc-sized score relation so the tercile tail's
         # cuts aggregate + final select read it once (VERDICT r9 item 1)
-        sc = spark.sql(textstats.lm_scored_sql("spark", tf_rel=tfn))
-        v = textstats.checkpoint_scored(spark, "ppl_scored", sc)
+        v = textstats.checkpoint_scored(
+            spark,
+            "ppl_scored",
+            lambda: spark.sql(textstats.lm_scored_sql("spark", tf_rel=tfn)),
+        )
         return spark.sql(textstats.lm_bucket_sql("spark", v))
 
     return textstats._staged_unigrams(spark, then=_build)
@@ -716,12 +719,15 @@ def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     def _build(tfn, labn):
         # checkpoint the per-doc score relation so the quintile tail's
         # cuts aggregate + final select read it once (VERDICT r9 item 1)
-        sc = spark.sql(
-            textstats.quality_classifier_scored_sql(
-                "spark", tf_rel=tfn, lab_rel=labn
-            )
+        v = textstats.checkpoint_scored(
+            spark,
+            "cls_scored",
+            lambda: spark.sql(
+                textstats.quality_classifier_scored_sql(
+                    "spark", tf_rel=tfn, lab_rel=labn
+                )
+            ),
         )
-        v = textstats.checkpoint_scored(spark, "cls_scored", sc)
         return spark.sql(textstats.quality_classifier_bucket_sql("spark", v))
 
     return textstats.bind_tf_and_labels(spark, _build)
@@ -744,18 +750,68 @@ def pipeline_quality_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
         cv = textstats.checkpoint_scored(
             spark,
             "cls_scored",
-            spark.sql(
+            lambda: spark.sql(
                 textstats.quality_classifier_scored_sql(
                     "spark", tf_rel=tfn, lab_rel=labn
                 )
             ),
         )
         pv = textstats.checkpoint_scored(
-            spark, "ppl_scored", spark.sql(textstats.lm_scored_sql("spark", tf_rel=tfn))
+            spark,
+            "ppl_scored",
+            lambda: spark.sql(textstats.lm_scored_sql("spark", tf_rel=tfn)),
         )
         return spark.sql(textstats.quality_ensemble_bucket_sql("spark", cv, pv))
 
     return textstats.bind_tf_and_labels(spark, _build)
+
+
+@query(
+    "pipeline_pretrain_corpus",
+    textstats.pretrain_corpus_sql("duck"),
+    doc="end-to-end pretraining corpus assembly (VERDICT r9 item 4): "
+    "URL-shape filter → canonical-URL dedup → quality-signal ensemble "
+    "majority → benchmark decontamination (held-out eval slice + "
+    "3-gram overlap) → temperature mixture → upsample fan-out → "
+    "sequence packing, composed from the independently-certified "
+    "fragments; one staged tf build, one label pass, one shingle pass "
+    "feed checkpointed cls/ppl score relations and a checkpointed "
+    "survivor set, then a |languages|-row plan drives the copy fan-out "
+    "and the two-level-prefix pack — no repeated corpus scans",
+)
+def pipeline_pretrain_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # binds THREE staged views (tf + labels + shingles) via the
+    # key-revalidated triple binder; the two scored relations and the
+    # survivor set are checkpointed (and memo-shared with the
+    # classifier/perplexity/ensemble queries) so each corpus-scale
+    # relation computes once per session
+    def _build(tfn, labn, hxn):
+        cv = textstats.checkpoint_scored(
+            spark,
+            "cls_scored",
+            lambda: spark.sql(
+                textstats.quality_classifier_scored_sql(
+                    "spark", tf_rel=tfn, lab_rel=labn
+                )
+            ),
+        )
+        pv = textstats.checkpoint_scored(
+            spark,
+            "ppl_scored",
+            lambda: spark.sql(textstats.lm_scored_sql("spark", tf_rel=tfn)),
+        )
+        kv = textstats.checkpoint_scored(
+            spark,
+            "pretrain_keep",
+            lambda: spark.sql(
+                textstats.pretrain_keep_sql(
+                    "spark", sh_rel=hxn, cls_rel=cv, ppl_rel=pv
+                )
+            ),
+        )
+        return spark.sql(textstats.pretrain_tail_sql("spark", kv))
+
+    return textstats.bind_tf_labels_hx(spark, _build)
 
 
 @query(
@@ -774,8 +830,11 @@ def sample_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     def _build(tfn):
         # checkpoint the doc-sized score relation so the quintile tail's
         # cuts aggregate + final select read it once (VERDICT r9 item 1)
-        sc = spark.sql(textstats.dsir_scored_sql("spark", tf_rel=tfn))
-        v = textstats.checkpoint_scored(spark, "dsir_scored", sc)
+        v = textstats.checkpoint_scored(
+            spark,
+            "dsir_scored",
+            lambda: spark.sql(textstats.dsir_scored_sql("spark", tf_rel=tfn)),
+        )
         return spark.sql(textstats.dsir_bucket_sql("spark", v))
 
     return textstats._staged_unigrams(spark, then=_build)

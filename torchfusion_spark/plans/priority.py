@@ -9,25 +9,24 @@ valuable queries first.
 
 Ordering policy (documented so the ranking is auditable, not gamed) --
 ROTATED each round so the budget certifies the weakest evidence first.
-Round 9 (rotated against the CORRECTNESS_r01..r08 union): after r08's 50
-rows landed, the latest-green vintages are 19 names at r05 (the rows just
-past the r8 budget line, iterative BPE, the staged dedup/similarity
-pipelines, the streaming witnesses), 50 at r06, 50 at r07 and 50 at r08,
-plus five brand-new round-9 queries with no row at all. The
-weakest-first order is therefore:
-1. ranks 1-5: the round-9 additions (``text_quality_classifier``,
-   ``pipeline_quality_ensemble``, ``corpus_bpe_train``,
-   ``corpus_bpe_apply``, ``sample_upsample_epochs``) -- no CORRECTNESS
+Round 11 (rotated against the CORRECTNESS_r01..r10 union): the r10 driver
+run re-certified the same 50 names as r9, so the latest-green vintages are
+24 names at r06 (4 rounds stale), 50 at r07, 50 at r08 and 50 at r10, plus
+``dedup_url_incremental`` -- registered in round 10 but never ranked, so it
+fell to slot 175 and never reached the budget. The weakest-first order is
+therefore:
+
+1. ranks 1-2: ``dedup_url_incremental`` (registered r10, never ranked)
+   and ``pipeline_pretrain_corpus`` (new this round) -- no CORRECTNESS
    row at all;
-2. ranks 6-24: the 19 r05-latest names the r8 budget could not reach --
-   the promise in the r8 rotation notes, honored;
-3. ranks 25-74: the r06 block in its prior internal order -- the first 26
-   land inside the 50-row budget, so after this round the minimum
-   latest-green vintage across the registry becomes r06 (24 r06 names
-   remain for the r10 rotation);
-4. ranks 75-124: the r07 block, prior internal order;
-5. ranks 125-174: the 50 names r08 just certified (freshest evidence
-   last), keeping their r8 rank order.
+2. ranks 3-26: the 24 r06-vintage names in their prior internal order --
+   after this round the minimum latest-green vintage becomes r07;
+3. ranks 27-50: the first 24 names of the r07 block (prior internal
+   order), filling the 50-row budget;
+4. ranks 51-76: the remaining 26 r07 names, leading the r12 rotation;
+5. ranks 77-126: the r08 block, prior internal order;
+6. ranks 127-176: the 50 names r10 just certified (freshest evidence
+   last), keeping their r10 rank order.
 
 The suffix after the prefix is the canonical registry name used everywhere
 else (bench.py, tools/verify_local.py, tests).
@@ -36,60 +35,10 @@ else (bench.py, tools/verify_local.py, tests).
 from __future__ import annotations
 
 PRIORITY: list[str] = [
-    # -- ranks 1-5: the round-9 additions, no CORRECTNESS row yet --
-    "text_quality_classifier",
-    "pipeline_quality_ensemble",
-    "corpus_bpe_train",
-    "corpus_bpe_apply",
-    "sample_upsample_epochs",
-    # -- ranks 6-24: the 19 r05-latest re-certs (past the r8 budget line) --
-    "sample_train_split",
-    "multimodal_resize",
-    "multimodal_frame_sample",
-    "corpus_bpe_pairs",
-    "text_decontaminate_bloom",
-    "sim_cosine_near_dup",
-    "sim_ivf_topk",
-    "sim_kmeans",
-    "sim_cosine_near_dup_lsh",
-    "sim_semantic_dedup",
-    "dedup_containment",
-    "pipeline_dedup_canonical",
-    "stream_sliding_counts",
-    "stream_session_window",
-    "stream_dedup_counts",
-    "stream_static_join",
-    "stream_stream_join",
-    "stream_stateful_cents",
-    "stream_stateful_user_stats",
-    # -- ranks 21-70: the r06 block (prior internal order; ranks 21-50
-    # land inside the 50-row budget, the last 20 lead the r10 rotation) --
-    "select_distinct",
-    "sort_limit_offset",
-    "filter_like_family",
-    "values_inline_table",
-    "fn_cast_try_cast",
-    "fn_conditional",
-    "fn_math",
-    "fn_string_basics",
-    "fn_array_ops",
-    "fn_struct_map",
-    "fn_json",
-    "join_left_outer",
-    "join_right_outer",
-    "join_semi",
-    "join_theta",
-    "join_using",
-    "setop_union_all",
-    "setop_intersect_all",
-    "subq_correlated_scalar",
-    "subq_not_in",
-    "lateral_subquery",
-    "cte_recursive",
-    "agg_distinct_count",
-    "agg_approx",
-    "agg_collect_set",
-    "agg_cube",
+    # -- ranks 1-2: never certified (r10 registration + new this round) --
+    "dedup_url_incremental",
+    "pipeline_pretrain_corpus",
+    # -- ranks 3-26: the 24 r06-vintage re-certs (4 rounds stale) --
     "win_running_sum",
     "win_lag_lead",
     "win_range_interval_frame",
@@ -114,7 +63,7 @@ PRIORITY: list[str] = [
     "dedup_simhash",
     "dedup_ngram_jaccard",
     "dedup_minhash_clusters",
-    # -- ranks 71-120: the r07 block (prior internal order) --
+    # -- ranks 27-50: the oldest r07 names, filling the budget --
     "fn_time_bucket",
     "fn_string_extras",
     "fn_string_regex_hash",
@@ -139,6 +88,7 @@ PRIORITY: list[str] = [
     "agg_rollup",
     "agg_grouping_sets",
     "agg_stats",
+    # -- ranks 51-76: the remaining r07 block (leads the r12 rotation) --
     "agg_median",
     "agg_min_max_by",
     "agg_minmax_first",
@@ -165,8 +115,7 @@ PRIORITY: list[str] = [
     "text_lm_perplexity",
     "sample_dsir_importance",
     "text_gopher_rules",
-    # -- ranks 121-170: the r08-certified 50 (freshest evidence last;
-    # r8 rank order preserved) --
+    # -- ranks 77-126: the r08 block (prior internal order) --
     "dedup_url_canonical",
     "sim_near_dup_collapse",
     "pipeline_quality_gate",
@@ -217,6 +166,57 @@ PRIORITY: list[str] = [
     "corpus_shuffle_shards",
     "sample_weighted_topk",
     "sample_group_quota",
+    # -- ranks 127-176: the r10-certified 50 (freshest evidence last) --
+    "text_quality_classifier",
+    "pipeline_quality_ensemble",
+    "corpus_bpe_train",
+    "corpus_bpe_apply",
+    "sample_upsample_epochs",
+    "sample_train_split",
+    "multimodal_resize",
+    "multimodal_frame_sample",
+    "corpus_bpe_pairs",
+    "text_decontaminate_bloom",
+    "sim_cosine_near_dup",
+    "sim_ivf_topk",
+    "sim_kmeans",
+    "sim_cosine_near_dup_lsh",
+    "sim_semantic_dedup",
+    "dedup_containment",
+    "pipeline_dedup_canonical",
+    "stream_sliding_counts",
+    "stream_session_window",
+    "stream_dedup_counts",
+    "stream_static_join",
+    "stream_stream_join",
+    "stream_stateful_cents",
+    "stream_stateful_user_stats",
+    "select_distinct",
+    "sort_limit_offset",
+    "filter_like_family",
+    "values_inline_table",
+    "fn_cast_try_cast",
+    "fn_conditional",
+    "fn_math",
+    "fn_string_basics",
+    "fn_array_ops",
+    "fn_struct_map",
+    "fn_json",
+    "join_left_outer",
+    "join_right_outer",
+    "join_semi",
+    "join_theta",
+    "join_using",
+    "setop_union_all",
+    "setop_intersect_all",
+    "subq_correlated_scalar",
+    "subq_not_in",
+    "lateral_subquery",
+    "cte_recursive",
+    "agg_distinct_count",
+    "agg_approx",
+    "agg_collect_set",
+    "agg_cube",
 ]
 
 
