@@ -715,22 +715,16 @@ def test_url_incremental_index_survives_corpus_swap_back(spark, tables):
     previously resolved, not-yet-collected plan for A still referenced.
     Pin: swap-back does NOT rewrite A's files (mtimes unchanged), and
     the plan resolved before the swap still collects afterwards."""
-    import hashlib
     import os
 
-    from torchfusion_spark.operators.dedup import _docs_key
+    from torchfusion_spark.operators.dedup import _docs_key, _url_index_path
     from torchfusion_spark.plans import REGISTRY
 
     builder = REGISTRY["dedup_url_incremental"].builder
     orig = spark.table("documents")
     try:
         df_a = builder(spark, tables)  # resolves A's plan; builds A's index
-        key = _docs_key(spark)
-        base = os.path.join(
-            os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".scratch"
-        )
-        tag = hashlib.md5(repr(key).encode()).hexdigest()[:16]
-        path_a = os.path.join(base, f"url_index_{tag}_{os.getpid()}")
+        path_a = _url_index_path(_docs_key(spark))
         assert os.path.exists(os.path.join(path_a, "_TF_BUILT"))
         files_a = {
             f: os.path.getmtime(os.path.join(path_a, "urls", f))

@@ -153,42 +153,38 @@ def main() -> None:
     # input distribution on the skewed corpus (the operator's own staged
     # tf relation and bucket expression, so the report cannot measure a
     # different feature space than the classifier aggregates).
-    from pyspark.sql import functions as F
-
     from torchfusion_spark.operators import textstats
 
     tfn = textstats._staged_unigrams(spark)
-    buckets = spark.sql(
+    # the rollup output is bounded at 64Ki rows — collect ONCE and
+    # derive max/median/histogram in Python instead of re-running the
+    # corpus-scale GROUP BY per statistic (code-review r11)
+    rows = spark.sql(
         f"SELECT (th % {textstats.DSIR_BUCKETS}) AS hb, COUNT(*) AS tf_rows, "
         f"CAST(SUM(tf) AS BIGINT) AS occurrences FROM {tfn} GROUP BY (th % {textstats.DSIR_BUCKETS})"
-    )
-    bstats = buckets.agg(
-        F.count("*").alias("n_buckets"),
-        F.max("tf_rows").alias("top_rows"),
-        F.max("occurrences").alias("top_occ"),
-    ).first()
-    med_rows = buckets.approxQuantile("tf_rows", [0.5], 0.01)[0]
-    # log2-band histogram of bucket input sizes — the shape the map-side
-    # combine flattens (every band reduces to ≤ partitions rows/bucket)
-    bands = {
-        f"2^{int(r.band)}": r.n
-        for r in buckets.selectExpr(
-            "CAST(floor(log2(greatest(tf_rows, 1))) AS INT) AS band"
-        ).groupBy("band").count().withColumnRenamed("count", "n").collect()
-    }
+    ).collect()
+    sizes = sorted(r.tf_rows for r in rows)
+    med_rows = sizes[len(sizes) // 2] if sizes else 0
+    bands: dict = {}
+    for n in sizes:
+        bands[f"2^{max(n, 1).bit_length() - 1}"] = bands.get(
+            f"2^{max(n, 1).bit_length() - 1}", 0
+        ) + 1
+    # the map-side-combine bound is one partial row per MAP partition of
+    # the tf relation — its actual partition count, not the shuffle conf
+    tf_parts = spark.table(tfn).rdd.getNumPartitions()
     report["caps"]["classifier_hash_buckets"] = {
         "feature_buckets": textstats.DSIR_BUCKETS,
-        "observed_buckets": bstats["n_buckets"],
-        "hot_bucket_tf_rows": bstats["top_rows"],
-        "hot_bucket_occurrences": bstats["top_occ"],
+        "observed_buckets": len(rows),
+        "hot_bucket_tf_rows": max(sizes, default=0),
+        "hot_bucket_occurrences": max((r.occurrences for r in rows), default=0),
         "median_bucket_tf_rows": med_rows,
-        "skew_factor": round(bstats["top_rows"] / max(med_rows, 1), 1),
+        "skew_factor": round(max(sizes, default=0) / max(med_rows, 1), 1),
         "bucket_size_histogram_log2": dict(sorted(bands.items(), key=lambda kv: int(kv[0][2:]))),
-        "reduce_side_bound_rows_per_bucket": int(
-            spark.conf.get("spark.sql.shuffle.partitions")
-        ),
+        "tf_relation_partitions": tf_parts,
+        "reduce_side_bound_rows_per_bucket": tf_parts,
         "note": "hash-partial combine caps every bucket's reduce-side input "
-        "at one partial row per map partition regardless of input skew",
+        "at one partial row per tf map partition regardless of input skew",
     }
 
     # embedding mega-cluster collapse (r8): the hot LSH bucket's output,

@@ -18,6 +18,7 @@ Scale design (100 TB):
 
 from __future__ import annotations
 
+import itertools
 import os
 import threading
 
@@ -1486,21 +1487,32 @@ def url_incremental_query(spark):
     memo forgot A when B was built and re-overwrote A's path). Stale
     dirs are swept at exit / when their owning pid is dead. The whole
     check-build-probe runs inside the ``url_index`` memo lock
-    (resolve-inside-lock, the ADVICE r08 TOCTOU discipline)."""
+    (resolve-inside-lock, the ADVICE r08 TOCTOU discipline).
+
+    The split point is collected ONCE here (a 1-row control-plane read,
+    the ``connected_components`` sanctioned class) and inlined as a
+    LITERAL into both slice predicates: as a scalar subquery the probe
+    plan re-ran the MAX(doc_id) aggregate four times (each reference of
+    either slice re-executes it — 4 full doc_id column scans and 4
+    single-partition exchanges per probe, measured r11). The oracle
+    keeps the declarative subquery spelling; results are identical
+    because both derive the same half-the-max-crawl-id split. An empty
+    corpus (MAX = NULL) makes both slices empty via a FALSE predicate —
+    the same rows the oracle's NULL-comparison split yields."""
     import atexit
-    import hashlib
 
     from torchfusion_spark.session import memo_lock
 
-    split = _url_split_subq("spark")
     with memo_lock(spark, "url_index"):
         key = _docs_key(spark)
-        base = os.path.join(
-            os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
-            ".scratch",
-        )
-        tag = hashlib.md5(repr(key).encode()).hexdigest()[:16]
-        path = os.path.join(base, f"url_index_{tag}_{os.getpid()}")
+        row = spark.sql(
+            f"SELECT {G.intdiv('MAX(doc_id)', '2', 'spark')} AS s FROM documents"
+        ).first()
+        split = "NULL" if row is None or row.s is None else str(row.s)
+        idx_pred = "FALSE" if split == "NULL" else f"doc_id < {split}"
+        batch_pred = "FALSE" if split == "NULL" else f"doc_id >= {split}"
+        path = _url_index_path(key)
+        base = os.path.dirname(path)
         if not getattr(url_incremental_query, "_cleanup_registered", False):
             atexit.register(_url_index_cleanup, base)
             url_incremental_query._cleanup_registered = True
@@ -1510,12 +1522,38 @@ def url_incremental_query(spark):
             build_url_index(
                 spark,
                 path,
-                rel=f"(SELECT * FROM documents WHERE doc_id < {split}) __url_idx_src",
+                rel=f"(SELECT * FROM documents WHERE {idx_pred}) __url_idx_src",
             )
             with open(marker, "w") as f:
-                f.write(tag)
-        batch = f"(SELECT * FROM documents WHERE doc_id >= {split}) __url_batch_src"
+                f.write(os.path.basename(path))
+        batch = f"(SELECT * FROM documents WHERE {batch_pred}) __url_batch_src"
         return dedup_url_incremental(spark, batch, path)
+
+
+def _url_index_path(key) -> str:
+    """Index parquet dir for a docs-view key — shared by the builder and
+    its tests so the path scheme cannot drift between them. Keyed by
+    (md5 of the key's repr, pid): the pid isolates concurrent
+    processes, the tag isolates corpora within one. The ``_docs_key``
+    always-rebuild sentinel (a bare ``object()`` for un-analyzable
+    views) gets a per-instance nonce path: its repr embeds a transient
+    address that CPython can REUSE for a later sentinel, so two
+    different unknown corpora could alias one marker path and skip the
+    rebuild the sentinel exists to force (code-review r11)."""
+    import hashlib
+
+    base = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        ".scratch",
+    )
+    if type(key) is object:  # the un-analyzable-view sentinel
+        nonce = next(_url_index_nonce)
+        return os.path.join(base, f"url_index_unkeyed{nonce}_{os.getpid()}")
+    tag = hashlib.md5(repr(key).encode()).hexdigest()[:16]
+    return os.path.join(base, f"url_index_{tag}_{os.getpid()}")
+
+
+_url_index_nonce = itertools.count()
 
 
 def dedup_url_incremental(spark, new_rel: str, path: str):

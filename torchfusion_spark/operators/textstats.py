@@ -1810,7 +1810,7 @@ def bind_hx_and_bloom(spark, then):
     )
 
 
-def checkpoint_scored(spark, slot: str, scored_df):
+def checkpoint_scored(spark, slot: str, scored_thunk):
     """localCheckpoint a per-doc scored relation and expose it as a temp
     view for a :func:`quantile_cut_case` bucket tail (VERDICT r9
     item 1): Spark inlines a twice-referenced CTE, so the cuts
@@ -1827,8 +1827,11 @@ def checkpoint_scored(spark, slot: str, scored_df):
     cost is a full scoring job, not just plan analysis). A memo hit
     returns the live view without touching the data; the key is the
     same docs-view identity every staged relation keys on, so a corpus
-    swap rebuilds. ``scored_df`` may be a zero-arg callable, resolved
-    only on miss. Callers run this INSIDE the staged-tf/label memo lock
+    swap rebuilds. ``scored_thunk`` is a ZERO-ARG CALLABLE producing
+    the scored DataFrame, resolved only on miss — requiring the thunk
+    (rather than also accepting an eager DataFrame) keeps the
+    nothing-resolves-on-a-hit contract structural (code-review r11).
+    Callers run this INSIDE the staged-tf/label memo lock
     that pinned the inputs, so builds of the same slot serialize there,
     the check-then-act below is race-free for its slot, and the fixed
     view name cannot be clobbered mid-bind (the ADVICE r08 TOCTOU
@@ -1843,8 +1846,7 @@ def checkpoint_scored(spark, slot: str, scored_df):
     if memo.get(slot) == key and slot in pool:
         return view  # live checkpoint for this corpus — reuse, no rescore
     memo.pop(slot, None)  # stale entry must not survive a failed rebuild
-    df = scored_df() if callable(scored_df) else scored_df
-    staged_checkpoint(spark, slot, df).createOrReplaceTempView(view)
+    staged_checkpoint(spark, slot, scored_thunk()).createOrReplaceTempView(view)
     memo[slot] = key
     return view
 
