@@ -148,7 +148,7 @@ def main() -> None:
     # trained classifier's class-count rollup groups the corpus tf
     # relation by (th % 65536) — stop-words concentrate a few buckets.
     # The 100 TB claim is that the hash-partial (map-side combine)
-    # bounds the reduce side at ≤ shuffle-partitions rows per bucket no
+    # bounds the reduce side at ≤ tf-map-partitions rows per bucket no
     # matter how hot the bucket's INPUT is; this section measures that
     # input distribution on the skewed corpus (the operator's own staged
     # tf relation and bucket expression, so the report cannot measure a
@@ -181,8 +181,7 @@ def main() -> None:
         "median_bucket_tf_rows": med_rows,
         "skew_factor": round(max(sizes, default=0) / max(med_rows, 1), 1),
         "bucket_size_histogram_log2": dict(sorted(bands.items(), key=lambda kv: int(kv[0][2:]))),
-        "tf_relation_partitions": tf_parts,
-        "reduce_side_bound_rows_per_bucket": tf_parts,
+        "reduce_side_bound_rows_per_bucket": tf_parts,  # = tf partition count
         "note": "hash-partial combine caps every bucket's reduce-side input "
         "at one partial row per tf map partition regardless of input skew",
     }

@@ -1505,9 +1505,7 @@ def url_incremental_query(spark):
 
     with memo_lock(spark, "url_index"):
         key = _docs_key(spark)
-        row = spark.sql(
-            f"SELECT {G.intdiv('MAX(doc_id)', '2', 'spark')} AS s FROM documents"
-        ).first()
+        row = spark.sql(f"SELECT {_url_split_subq('spark')} AS s").first()
         split = "NULL" if row is None or row.s is None else str(row.s)
         idx_pred = "FALSE" if split == "NULL" else f"doc_id < {split}"
         batch_pred = "FALSE" if split == "NULL" else f"doc_id >= {split}"
