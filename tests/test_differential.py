@@ -722,3 +722,79 @@ def test_pow_9dp_rounding_agrees_cross_engine(spark, duck):
         (rows[i], sp[i], du[i]) for i in range(len(rows)) if sp[i] != du[i]
     ]
     assert not mismatches, mismatches[:10]
+
+
+@st.composite
+def quantile_cut_inputs(draw):
+    n_docs = draw(st.integers(1, 36))
+    langs = [
+        draw(st.sampled_from(["en", "de", "fr", None])) for _ in range(n_docs)
+    ]
+    # small integer score domain → deliberate heavy ties (the semantics
+    # NTILE and value-defined buckets disagree on)
+    scores = [draw(st.integers(0, 12)) for _ in range(n_docs)]
+    n = draw(st.sampled_from([2, 3, 5]))
+    desc = draw(st.booleans())
+    grouped = draw(st.booleans())
+    return langs, scores, n, desc, grouped
+
+
+@settings(
+    max_examples=50,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(case=quantile_cut_inputs())
+def test_differential_quantile_cut_case(spark, duck, case):
+    """The broadcast-cut NTILE replacement (VERDICT r9 item 1) on RANDOM
+    score relations — ties, constant groups, singleton groups, NULL
+    group keys, asc/desc, grouped/global: both dialects must emit
+    identical buckets, and four semantic invariants must hold in
+    Python: (1) every input row survives (the NULL-group drop ADVICE
+    r10 #3 fixed is structurally impossible to reintroduce unnoticed),
+    (2) buckets stay in 1..n, (3) equal scores in a group share a
+    bucket (the value-defined tie rule), (4) bucket order is monotone
+    in score within a group."""
+    import pandas as pd
+
+    from torchfusion_spark.operators.textstats import quantile_cut_case
+
+    langs, scores, n, desc, grouped = case
+    pdf = pd.DataFrame(
+        {"doc_id": range(len(langs)), "lang": langs, "score": [float(s) for s in scores]}
+    )
+    spark.createDataFrame(pdf).createOrReplaceTempView("qc_scores")
+    duck.execute("CREATE OR REPLACE VIEW qc_scores AS SELECT * FROM pdf")
+    by = "lang" if grouped else None
+    out = {}
+    for d in ("spark", "duck"):
+        cuts, join, caseexpr = quantile_cut_case(
+            d, rel="qc_scores", score="score", n=n, desc=desc, by=by, alias="t"
+        )
+        sql = (
+            f"WITH {cuts} SELECT t.doc_id, t.lang, t.score, "
+            f"CAST({caseexpr} AS INT) AS bucket "
+            f"FROM qc_scores t {join} ORDER BY t.doc_id"
+        )
+        rows = (
+            spark.sql(sql).collect() if d == "spark" else duck.execute(sql).fetchall()
+        )
+        out[d] = [tuple(r) for r in rows]
+    assert out["spark"] == out["duck"], (case, out)
+    rows = out["spark"]
+    assert len(rows) == len(langs)  # (1) nothing dropped, NULL groups included
+    by_group: dict = {}
+    for _doc, lang, score, bucket in rows:
+        assert 1 <= bucket <= n  # (2)
+        by_group.setdefault(lang if grouped else "", []).append((score, bucket))
+    for members in by_group.values():
+        seen = {}
+        for score, bucket in members:
+            assert seen.setdefault(score, bucket) == bucket  # (3) ties agree
+        ordered = sorted(members)
+        bks = [b for _, b in ordered]
+        if desc:
+            assert all(a >= b for a, b in zip(bks, bks[1:]))  # (4) better score, better bucket
+        else:
+            assert all(a <= b for a, b in zip(bks, bks[1:]))

@@ -1513,7 +1513,14 @@ def quantile_cut_case(
     fragment in lockstep."""
     whens, cols = [], []
     for i in range(1, n):
-        frac = f"{n - i}.0/{n}" if desc else f"{i}.0/{n}"
+        # the fraction must be a LITERAL, never an in-SQL division: Spark
+        # evaluates `1.0/3` as DECIMAL division at scale 6 (p=0.333333)
+        # while DuckDB keeps full precision — a 3e-7 disagreement in p
+        # that interpolation amplifies past the 6dp cut rounding on tied
+        # score groups (caught by the quantile_cut differential fuzzer).
+        # repr() of the Python float is the exact IEEE double; both
+        # engines convert the same decimal string to that same double.
+        frac = repr((n - i) / n if desc else i / n)
         if d == "spark" and not QUANTILE_EXACT:
             p = f"approx_percentile({score}, {frac}, 10000)"
         elif d == "spark":
