@@ -798,3 +798,89 @@ def test_differential_quantile_cut_case(spark, duck, case):
             assert all(a >= b for a, b in zip(bks, bks[1:]))  # (4) better score, better bucket
         else:
             assert all(a <= b for a, b in zip(bks, bks[1:]))
+
+
+@st.composite
+def random_urls(draw):
+    host_seg = st.text(
+        alphabet="abcdefgHIJK0123456789-", min_size=1, max_size=8
+    )
+    path_seg = st.text(
+        alphabet="abcXYZ0123456789._-%~", min_size=0, max_size=6
+    )
+    urls = []
+    for _ in range(draw(st.integers(1, 25))):
+        scheme = draw(st.sampled_from(["http://", "https://", ""]))
+        host = ".".join(
+            draw(st.lists(host_seg, min_size=1, max_size=3))
+        )
+        port = draw(st.sampled_from(["", ":80", ":443", ":8080"]))
+        path = "".join(
+            "/" + draw(path_seg) for _ in range(draw(st.integers(0, 4)))
+        )
+        if draw(st.booleans()):
+            path += "/"
+        keys = draw(
+            st.lists(
+                st.sampled_from(
+                    ["utm_source", "utm_campaign", "ref", "fbclid", "gclid",
+                     "id", "q", "page", "a", "utm_X", "refx"]
+                ),
+                max_size=4,
+            )
+        )
+        query = "&".join(f"{k}={draw(path_seg)}" for k in keys)
+        frag = draw(st.sampled_from(["", "#top", "#a/b?c=d", "#"]))
+        q = f"?{query}" if (query or draw(st.booleans())) else ""
+        urls.append(f"{scheme}{host}{port}{path}{q}{frag}")
+    return urls
+
+
+@settings(
+    max_examples=40,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(urls=random_urls())
+def test_differential_url_canonicalization(spark, duck, urls):
+    """The URL canonicalization regex chain on RANDOM structured URLs —
+    schemes (http/https/none), mixed-case hosts, default and explicit
+    ports, trailing slashes, tracking and non-tracking params, empty
+    queries, fragments with separators inside: the registry witnesses
+    it only on the fixture's three messy spellings, so this sweeps the
+    string/regex dialect intersection (regexp_extract group semantics,
+    char-class replace, split/sort/join) where Catalyst and DuckDB
+    could disagree. Light Python invariants: no fragment survives, the
+    scheme is normalized, listed tracking params never survive as
+    whole keys."""
+    import pandas as pd
+
+    from torchfusion_spark.operators.dedup import url_canonical_sql
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(len(urls)),
+            "source": [f"src{i % 3}" for i in range(len(urls))],
+            "url": urls,
+        }
+    )
+    spark.createDataFrame(pdf).createOrReplaceTempView("qc_urls")
+    duck.execute("CREATE OR REPLACE VIEW qc_urls AS SELECT * FROM pdf")
+    out = {}
+    for d in ("spark", "duck"):
+        sql = (
+            f"SELECT doc_id, canonical_url FROM "
+            f"({url_canonical_sql(d, rel='qc_urls', url_expr='url')}) ORDER BY doc_id"
+        )
+        rows = (
+            spark.sql(sql).collect() if d == "spark" else duck.execute(sql).fetchall()
+        )
+        out[d] = [tuple(r) for r in rows]
+    assert out["spark"] == out["duck"], (urls, out)
+    for _doc, canon in out["spark"]:
+        assert canon is None or "#" not in canon, (canon,)
+        assert canon is None or canon.startswith("https://"), (canon,)
+        if canon:
+            for k in ("utm_source", "utm_campaign", "fbclid", "gclid"):
+                assert f"?{k}=" not in canon and f"&{k}=" not in canon, (canon,)

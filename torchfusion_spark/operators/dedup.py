@@ -118,14 +118,22 @@ def url_canonical_dedup_sql(d: str) -> str:
     """
 
 
-def url_canonical_sql(d: str, rel: str = "documents") -> str:
+def url_canonical_sql(d: str, rel: str = "documents", url_expr: str | None = None) -> str:
     """The (doc_id, source, canonical_url) canonicalization relation —
     the per-row scan-speed half of :func:`url_canonical_dedup_sql`,
     factored so the incremental path (:func:`build_url_index` /
     :func:`dedup_url_incremental`) canonicalizes ONLY the relation it is
     given: the full corpus once at index build, then each crawl batch —
-    never the 100 TB index side again."""
-    raw_url = messy_url_case(d)
+    never the 100 TB index side again. A URL whose host the scheme
+    regex cannot parse canonicalizes to NULL — no URL evidence, so the
+    doc rides the NULL-canonical singleton rule downstream instead of
+    colliding on a mangled string (URL-fuzzer finding, r11).
+    ``url_expr`` overrides the
+    fixture URL constructor with a raw column/expression over ``rel`` —
+    the real-ingest spelling (and the differential fuzzer's hook: the
+    regex chain runs on arbitrary strings there, not just the
+    fixture's)."""
+    raw_url = url_expr or messy_url_case(d)
     u1 = G.regex_replace_all(
         G.regex_replace_all("url", "#.*$", "", d), "^http://", "https://", d
     )
@@ -154,8 +162,10 @@ def url_canonical_sql(d: str, rel: str = "documents") -> str:
                    "&(utm_[a-z]+|ref|fbclid|gclid)=[^&]*", "", d)}, 2) AS q2s
         FROM pieces)
     SELECT doc_id, source,
+           CASE WHEN host = '' THEN NULL ELSE
            'https://' || host || path ||
-           CASE WHEN {params} = '' THEN '' ELSE '?' || {params} END AS canonical_url
+           CASE WHEN {params} = '' THEN '' ELSE '?' || {params} END
+           END AS canonical_url
     FROM qnorm
     """
 

@@ -44,7 +44,16 @@ def split_ws(expr: str, d: str) -> str:
 
 
 def arr_join(arr: str, sep: str, d: str) -> str:
-    return f"concat_ws('{sep}', {arr})" if d == "spark" else f"array_to_string({arr}, '{sep}')"
+    """Join array elements with a separator. Spark's ``concat_ws`` never
+    returns NULL — an empty (or NULL) array joins to '' — while DuckDB's
+    ``array_to_string`` returns NULL for both, so the DuckDB side
+    COALESCEs to '' to pin one semantics. Caught by the URL fuzzer: a
+    URL with no query params joined an empty param list to NULL on the
+    oracle side only, nulling its canonical form (the fixture universe
+    always carries params, so the hash gate never saw it)."""
+    if d == "spark":
+        return f"concat_ws('{sep}', {arr})"
+    return f"COALESCE(array_to_string({arr}, '{sep}'), '')"
 
 
 def arr_slice(arr: str, start: str, length: int, d: str) -> str:
