@@ -884,3 +884,72 @@ def test_differential_url_canonicalization(spark, duck, urls):
         if canon:
             for k in ("utm_source", "utm_campaign", "fbclid", "gclid"):
                 assert f"?{k}=" not in canon and f"&{k}=" not in canon, (canon,)
+
+
+@st.composite
+def gopher_docs(draw):
+    word = st.sampled_from(
+        ["the", "and", "of", "to", "a", "der", "und", "wort", "data",
+         "x1", "##", "...", "naïve", "Über", "İstanbul", "ß", "12345",
+         "a" * 25, "", "-", "*", "—"]
+    )
+    docs = []
+    for _ in range(draw(st.integers(1, 12))):
+        lines = []
+        for _ in range(draw(st.integers(0, 6))):
+            words = [draw(word) for _ in range(draw(st.integers(0, 12)))]
+            line = " ".join(words)
+            prefix = draw(st.sampled_from(["", "- ", "* ", "  - ", "\t"]))
+            suffix = draw(st.sampled_from(["", "...", "…", " ..."]))
+            lines.append(prefix + line + suffix)
+        text = "\n".join(lines) if lines else draw(st.sampled_from(["", " "]))
+        lang = draw(st.sampled_from(["en", "de", "fr", "zh", "xx", None]))
+        docs.append((text if draw(st.integers(0, 19)) else None, lang))
+    return docs
+
+
+@settings(
+    max_examples=40,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(docs=gopher_docs())
+def test_differential_gopher_rules(spark, duck, docs):
+    """The Gopher rule battery on RANDOM multi-line documents — bullets,
+    ellipsis endings (ASCII and Unicode), tabs, empty lines, unicode
+    case-mapping hazards (İ/ß/Ü), NULL text, unknown/NULL langs: the
+    fixture corpus is a flat word stream with no newlines, so the
+    line-based rules (bullet/ellipsis fractions) had never seen a
+    second line from either the gate or the older text fuzzers (their
+    alphabet blacklists control chars). Both engines must emit
+    identical flags, and the published rule structure must hold:
+    binary flags, n_failed the exact complement, kept the conjunction."""
+    import pandas as pd
+
+    from torchfusion_spark.operators.textstats import gopher_rules_sql
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(len(docs)),
+            "text": [t for t, _ in docs],
+            "lang": [lg for _, lg in docs],
+        }
+    )
+    spark.createDataFrame(pdf).createOrReplaceTempView("qc_docs")
+    duck.execute("CREATE OR REPLACE VIEW qc_docs AS SELECT * FROM pdf")
+    out = {}
+    for d in ("spark", "duck"):
+        sql = (
+            f"SELECT * FROM ({gopher_rules_sql(d, rel='qc_docs')}) ORDER BY doc_id"
+        )
+        rows = (
+            spark.sql(sql).collect() if d == "spark" else duck.execute(sql).fetchall()
+        )
+        out[d] = [tuple(r) for r in rows]
+    assert out["spark"] == out["duck"], (docs, out["spark"], out["duck"])
+    for row in out["spark"]:
+        flags = row[2:9]
+        assert all(f in (0, 1) for f in flags), row
+        assert row[9] == 7 - sum(flags), row  # n_failed is the complement
+        assert row[10] == (1 if sum(flags) == 7 else 0), row  # kept = AND
