@@ -953,3 +953,118 @@ def test_differential_gopher_rules(spark, duck, docs):
         assert all(f in (0, 1) for f in flags), row
         assert row[9] == 7 - sum(flags), row  # n_failed is the complement
         assert row[10] == (1 if sum(flags) == 7 else 0), row  # kept = AND
+
+
+@st.composite
+def pii_texts(draw):
+    frag = st.sampled_from(
+        ["bob.smith@mail.example.com", "a@b.cc", "x@y", "@", "user+tag@host.org",
+         "https://a.example.com/p?q=1", "http://x", "httpz://nope",
+         "123456", "12345", "1234567890123", "id=987654321",
+         "plain", "words", "a.b", "dots...", "über", "%+-._",
+         "mail@multi.part.co.uk.", "(wrapped@paren.io)", "end."]
+    )
+    texts = []
+    for _ in range(draw(st.integers(1, 15))):
+        n = draw(st.integers(0, 10))
+        sep = draw(st.sampled_from([" ", "  ", "\n", ","]))
+        texts.append(sep.join(draw(frag) for _ in range(n)))
+    return texts
+
+
+@settings(
+    max_examples=40,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(texts=pii_texts())
+def test_differential_pii_redaction(spark, duck, texts):
+    """The PII regex chain (emails → URLs → long digit runs, counts plus
+    redacted-text hash) on RANDOM concatenations of near-miss and
+    matching fragments — partial emails, bare @, schemes that almost
+    match, 5/6/13-digit runs, punctuation-wrapped addresses, newline
+    separators: regexp_extract_all/regexp_replace greediness and class
+    semantics must agree between engines on every composition, and the
+    typed placeholders must actually replace every counted match (the
+    fingerprint pins the replacement, not just the counts)."""
+    import pandas as pd
+
+    from torchfusion_spark.operators.textstats import pii_redact_sql
+
+    pdf = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    spark.createDataFrame(pdf).createOrReplaceTempView("qc_pii")
+    duck.execute("CREATE OR REPLACE VIEW qc_pii AS SELECT * FROM pdf")
+    out = {}
+    for d in ("spark", "duck"):
+        sql = pii_redact_sql(d, rel="qc_pii")
+        rows = (
+            spark.sql(sql).collect() if d == "spark" else duck.execute(sql).fetchall()
+        )
+        out[d] = [tuple(r) for r in rows]
+    assert out["spark"] == out["duck"], (texts, out["spark"], out["duck"])
+
+
+@settings(
+    max_examples=40,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(
+    texts=st.lists(
+        st.text(
+            # FULL printable space incl. newlines, tabs, quotes and
+            # backslashes — the older primitives fuzz feeds a VALUES
+            # literal and must blacklist them; this variant goes through
+            # a DataFrame view, so the characters the quoting rules
+            # exclude (exactly the ones data-derived-literal bugs love)
+            # finally reach the fragments as DATA
+            alphabet=st.characters(
+                blacklist_categories=("Cs",),
+                whitelist_characters="\n\t'\"\\",
+                blacklist_characters="\r\x00",
+            ),
+            min_size=0,
+            max_size=60,
+        ),
+        min_size=1,
+        max_size=6,
+    ),
+    which=st.sampled_from(["quality", "tokens", "fingerprint"]),
+)
+def test_differential_textstats_primitives_hostile_chars(
+    spark, duck, restore_documents, texts, which
+):
+    """Same fragments as test_differential_textstats_primitives, but the
+    documents arrive via a view instead of a VALUES literal, so
+    newlines, tabs, single/double quotes and backslashes reach the
+    tokenizer/regex/hash chain as data. A divergence here is the
+    data-derived-literal class (the Spark-backslash-literal hazard) or
+    an engine disagreement on control-char tokenization."""
+    import pandas as pd
+
+    from torchfusion_spark.operators.textstats import (
+        fingerprint_sql,
+        text_quality_sql,
+        token_count_sql,
+    )
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(len(texts)),
+            "text": texts,
+            "lang": ["en"] * len(texts),
+            "n_chars": [len(t) for t in texts],
+        }
+    )
+    spark.createDataFrame(pdf).createOrReplaceTempView("documents")
+    duck.execute("CREATE OR REPLACE VIEW documents AS SELECT * FROM pdf")
+    gen = {
+        "quality": text_quality_sql,
+        "tokens": token_count_sql,
+        "fingerprint": fingerprint_sql,
+    }[which]
+    got = [tuple(r) for r in spark.sql(gen("spark")).collect()]
+    want = [tuple(r) for r in duck.execute(gen("duck")).fetchall()]
+    assert got == want, f"textstats divergence ({which}) on texts: {texts!r}"

@@ -776,7 +776,7 @@ PII_URL = "https?://[^ ]+"
 PII_LONG_ID = "[0-9]{6,}"
 
 
-def pii_redact_sql(d: str) -> str:
+def pii_redact_sql(d: str, rel: str = "documents") -> str:
     """PII scrubbing for training corpora: replace emails / URLs / long
     digit runs with typed placeholder tokens and report per-doc match
     counts plus a fingerprint of the redacted text (so the gate verifies
@@ -794,7 +794,7 @@ def pii_redact_sql(d: str) -> str:
                CAST({G.regex_count("text", PII_URL, d)} AS BIGINT) AS n_urls,
                CAST({G.regex_count("text", PII_LONG_ID, d)} AS BIGINT) AS n_long_ids,
                {red} AS red
-        FROM documents)
+        FROM {rel})
     SELECT doc_id, n_emails, n_urls, n_long_ids,
            CAST(length(red) AS BIGINT) AS redacted_len,
            {G.hash56("red", d)} AS redacted_hash
