@@ -1068,3 +1068,70 @@ def test_differential_textstats_primitives_hostile_chars(
     got = [tuple(r) for r in spark.sql(gen("spark")).collect()]
     want = [tuple(r) for r in duck.execute(gen("duck")).fetchall()]
     assert got == want, f"textstats divergence ({which}) on texts: {texts!r}"
+
+
+@st.composite
+def event_rows(draw):
+    val = st.sampled_from(
+        # |value| stays under 1e6 — the zscore moment contract's exact
+        # DECIMAL domain (beyond it both engines overflow the square sum)
+        [0.0, -0.0, 1.5, -1.5, 49.999999, 50.0, -50.0, 99.5, -99.5,
+         999999.499999, -999999.499999, 0.0000005, -0.0000005,
+         123.456789, None]
+    )
+    rows = []
+    for i in range(draw(st.integers(2, 30))):
+        rows.append(
+            (
+                i,
+                draw(st.sampled_from(["view", "click", "purchase"])),
+                draw(val),
+            )
+        )
+    return rows
+
+
+@settings(
+    max_examples=40,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(rows=event_rows())
+def test_differential_events_value_edges(spark, tables, duck, rows):
+    """Histogram binning, winsorize clipping and DECIMAL-moment z-scores
+    on HOSTILE value distributions — negatives (FLOOR(v/width) on a
+    negative value must floor the same way), ±0.0, bin-boundary values
+    (±50 with width 50), magnitudes near the DECIMAL(18,6) edge, 5e-7
+    rounding boundaries, NULLs, and constant groups (zero variance →
+    the 1e-12 guard): the fixture's event values are clean positives,
+    so none of these branches ever reached the gate."""
+    import pandas as pd
+
+    from torchfusion_spark.operators.events_ops import (
+        anomaly_zscore_sql,
+        histogram_sql,
+        winsorize_sql,
+    )
+    from torchfusion_spark.sources import load_tables
+
+    pdf = pd.DataFrame(
+        {
+            "event_id": [r[0] for r in rows],
+            "ts": pd.to_datetime("2024-01-01"),
+            "user_id": [r[0] % 5 for r in rows],
+            "event_type": [r[1] for r in rows],
+            "value": [r[2] for r in rows],
+            "props": "{}",
+        }
+    )
+    spark.createDataFrame(pdf).createOrReplaceTempView("events")
+    duck.execute("CREATE OR REPLACE VIEW events AS SELECT * FROM pdf")
+    try:
+        for gen in (histogram_sql, winsorize_sql, anomaly_zscore_sql):
+            got = [tuple(r) for r in spark.sql(gen("spark")).collect()]
+            want = [tuple(r) for r in duck.execute(gen("duck")).fetchall()]
+            assert got == want, (gen.__name__, rows, got, want)
+    finally:
+        spark._tf_tables_loaded = None
+        load_tables(spark, tables)

@@ -293,7 +293,7 @@ def histogram_sql(d: str, width: int = 50) -> str:
            CAST(COUNT(*) AS BIGINT) AS n,
            ROUND(MIN(value), 6) AS bin_min, ROUND(MAX(value), 6) AS bin_max
     FROM events GROUP BY event_type, CAST(FLOOR(value / {width}) AS BIGINT)
-    ORDER BY event_type, bin
+    ORDER BY event_type, bin NULLS FIRST
     """
 
 
@@ -363,20 +363,34 @@ def anomaly_zscore_sql(d: str, threshold: float = 3.0) -> str:
     across engines/partitionings, decimal sums are not, so the z-scores
     are bit-stable and the gate can hash them. The moment relation is a
     few rows → broadcast back onto the scan; total cost is one map-side-
-    combined shuffle plus one pass."""
+    combined shuffle plus one pass.
+
+    Edge contract (events-fuzzer, r11): a single-event type has zero
+    sample variance — the greatest(n-1, 1) guard + the 1e-12 variance
+    floor yield z = 0 instead of an ANSI divide-by-zero job abort; the
+    exact-moment domain is |value| < 1e6 at 6dp (past it the square
+    sum exceeds both engines' 128-bit decimal headroom)."""
+    # the square-sum factor precision is per-dialect: DuckDB keeps a
+    # DECIMAL(18)x(18) product INT64-backed and overflows at |v| >= 1e6,
+    # so its factors go through DECIMAL(19,6) (INT128-backed, product
+    # DECIMAL(38,12)); Spark's (18,6)x(18,6) -> DECIMAL(37,12) is already
+    # exact, and widening IT would push past 38 and trigger
+    # precision-loss scale reduction. Identical exact values either way
+    # for the documented |value| < 1e6 domain (events-fuzzer finding).
+    fp = 18 if d == "spark" else 19
     return f"""
     WITH m AS (
         SELECT event_type,
                CAST(COUNT(*) AS BIGINT) AS n,
                SUM(CAST(value AS DECIMAL(18,6))) AS s1,
-               SUM(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6))) AS s2
+               SUM(CAST(value AS DECIMAL({fp},6)) * CAST(value AS DECIMAL({fp},6))) AS s2
         FROM events GROUP BY event_type),
     z AS (
         SELECT e.event_id, e.event_type, e.value,
                ROUND((CAST(e.value AS DOUBLE) - CAST(m.s1 AS DOUBLE) / m.n)
                  / sqrt(greatest(
                        (CAST(m.s2 AS DOUBLE) - CAST(m.s1 AS DOUBLE) * CAST(m.s1 AS DOUBLE) / m.n)
-                           / (m.n - 1),
+                           / greatest(m.n - 1, 1),
                        1e-12)), 6) AS zscore
         FROM events e JOIN m ON e.event_type = m.event_type)
     SELECT event_id, event_type, ROUND(value, 6) AS value, zscore
