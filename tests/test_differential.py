@@ -1135,3 +1135,114 @@ def test_differential_events_value_edges(spark, tables, duck, rows):
     finally:
         spark._tf_tables_loaded = None
         load_tables(spark, tables)
+
+
+@st.composite
+def event_times(draw):
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    offs = st.sampled_from(
+        # microsecond-resolution offsets: exact 30-min gap boundary
+        # (strictly-greater split), one-us either side, same-instant
+        # collisions, multi-day jumps, and pre-1970 negatives
+        [0, 1, 1_799_999_999, 1_800_000_000, 1_800_000_001,
+         86_400_000_000, -86_400_000_000, -1_700_000_000_000_000]
+    )
+    rows = []
+    t = 0
+    for i in range(draw(st.integers(2, 25))):
+        if draw(st.booleans()):
+            t += draw(offs)
+        ts = None if not draw(st.integers(0, 9)) else base + dt.timedelta(
+            microseconds=t
+        )
+        rows.append((i, draw(st.integers(0, 3)), ts,
+                     draw(st.sampled_from(["view", "click", "purchase"]))))
+    return rows
+
+
+@settings(
+    max_examples=40,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(rows=event_times())
+def test_differential_event_time_edges(spark, tables, duck, rows):
+    """Sessionize and cohort retention on HOSTILE event times — gaps of
+    exactly 30 minutes and one microsecond either side (the
+    strictly-greater session split), same-instant collisions (the
+    (ts, event_id) tie-break), multi-day jumps, pre-1970 negative
+    epochs (truncating integer day/week division), and NULL
+    timestamps: the fixture's times are clean and well-spaced, so the
+    boundary arithmetic had never been exercised at the gate."""
+    import pandas as pd
+
+    from torchfusion_spark.operators.events_ops import retention_sql, sessionize_sql
+    from torchfusion_spark.sources import load_tables
+
+    pdf = pd.DataFrame(
+        {
+            "event_id": [r[0] for r in rows],
+            # explicit dtype: an all-NULL object column would otherwise
+            # reach DuckDB as type NULL and fail epoch_us binding
+            "ts": pd.Series([r[2] for r in rows], dtype="datetime64[us]"),
+            "user_id": [r[1] for r in rows],
+            "event_type": [r[3] for r in rows],
+            "value": 1.0,
+            "props": "{}",
+        }
+    )
+    spark.createDataFrame(pdf).createOrReplaceTempView("events")
+    duck.execute("CREATE OR REPLACE VIEW events AS SELECT * FROM pdf")
+    try:
+        for gen in (sessionize_sql, retention_sql):
+            got = [tuple(r) for r in spark.sql(gen("spark")).collect()]
+            want = [tuple(r) for r in duck.execute(gen("duck")).fetchall()]
+            assert got == want, (gen.__name__, rows, got, want)
+    finally:
+        spark._tf_tables_loaded = None
+        load_tables(spark, tables)
+
+
+@settings(
+    max_examples=40,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(rows=event_times())
+def test_differential_asof_join_ties(spark, tables, duck, rows):
+    """The as-of join's two GENUINELY independent implementations —
+    Spark union-tag + last(ignoreNulls) window vs DuckDB's native ASOF
+    LEFT JOIN — on hostile times: clicks and purchases at the SAME
+    instant (the <= tie the tag-sort encodes), several clicks sharing a
+    timestamp, purchases with no prior click (NULL as-of answer),
+    pre-1970 epochs, NULL timestamps. The event_times generator's type
+    column is remapped so click/purchase collisions are dense."""
+    import pandas as pd
+
+    from torchfusion_spark.operators.events_ops import ASOF_ORACLE, asof_join
+    from torchfusion_spark.sources import load_tables
+
+    types = ["click", "purchase", "click", "view"]
+    pdf = pd.DataFrame(
+        {
+            "event_id": [r[0] for r in rows],
+            "ts": pd.Series([r[2] for r in rows], dtype="datetime64[us]"),
+            "user_id": [r[1] % 2 for r in rows],  # dense per-user streams
+            "event_type": [types[(r[0] + len(r[3])) % 4] for r in rows],
+            "value": 1.0,
+            "props": "{}",
+        }
+    )
+    spark.createDataFrame(pdf).createOrReplaceTempView("events")
+    duck.execute("CREATE OR REPLACE VIEW events AS SELECT * FROM pdf")
+    try:
+        got = [tuple(r) for r in asof_join(spark).collect()]
+        want = [tuple(r) for r in duck.execute(ASOF_ORACLE).fetchall()]
+        assert got == want, (rows, got, want)
+    finally:
+        spark._tf_tables_loaded = None
+        load_tables(spark, tables)

@@ -335,12 +335,15 @@ def retention_sql(d: str) -> str:
     (same key, so AQE reuses the partitioning), and one tiny rollup on
     (cohort_week, week_offset). Day/week arithmetic is integer division
     on epoch micros — identical on both engines, no timezone or DATE
-    semantics in play."""
+    semantics in play. NULL-ts events are excluded up front (the
+    sessionize rule: no event time, no event-time semantics) — left in,
+    they formed a NULL cohort row whose position diverged under the
+    engines' opposite NULL-ordering defaults (time-fuzzer, r11)."""
     from torchfusion_spark.operators import sqlgen as G
 
     day = G.intdiv(_epoch_us("ts", d), str(US_PER_DAY), d)
     return f"""
-    WITH e AS (SELECT user_id, {day} AS day FROM events),
+    WITH e AS (SELECT user_id, {day} AS day FROM events WHERE ts IS NOT NULL),
     f AS (SELECT user_id, MIN(day) AS day0 FROM e GROUP BY user_id),
     w AS (
         SELECT e.user_id,
