@@ -830,7 +830,7 @@ def random_urls(draw):
             )
         )
         query = "&".join(f"{k}={draw(path_seg)}" for k in keys)
-        frag = draw(st.sampled_from(["", "#top", "#a/b?c=d", "#"]))
+        frag = draw(st.sampled_from(["", "#top", "#a/b?c=d", "#", "\n", "#f\n", "\r\n"]))
         q = f"?{query}" if (query or draw(st.booleans())) else ""
         urls.append(f"{scheme}{host}{port}{path}{q}{frag}")
     return urls
@@ -882,7 +882,7 @@ def test_differential_url_canonicalization(spark, duck, urls):
         assert canon is None or "#" not in canon, (canon,)
         assert canon is None or canon.startswith("https://"), (canon,)
         if canon:
-            for k in ("utm_source", "utm_campaign", "fbclid", "gclid"):
+            for k in ("utm_source", "utm_campaign", "fbclid", "gclid", "ref"):
                 assert f"?{k}=" not in canon and f"&{k}=" not in canon, (canon,)
 
 
@@ -1084,11 +1084,23 @@ def event_rows(draw):
         rows.append(
             (
                 i,
-                draw(st.sampled_from(["view", "click", "purchase"])),
+                draw(st.sampled_from(["view", "click", "purchase", None])),
                 draw(val),
             )
         )
     return rows
+
+
+@pytest.fixture()
+def restore_events(spark, tables):
+    """The events-view fuzzers clobber the view once per Hypothesis
+    example; reload the real corpus ONCE at test teardown instead of
+    40x inside the example loop (code-review r11)."""
+    yield
+    spark._tf_tables_loaded = None
+    from torchfusion_spark.sources import load_tables
+
+    load_tables(spark, tables)
 
 
 @settings(
@@ -1098,7 +1110,7 @@ def event_rows(draw):
     suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
 )
 @given(rows=event_rows())
-def test_differential_events_value_edges(spark, tables, duck, rows):
+def test_differential_events_value_edges(spark, restore_events, duck, rows):
     """Histogram binning, winsorize clipping and DECIMAL-moment z-scores
     on HOSTILE value distributions — negatives (FLOOR(v/width) on a
     negative value must floor the same way), ±0.0, bin-boundary values
@@ -1113,7 +1125,6 @@ def test_differential_events_value_edges(spark, tables, duck, rows):
         histogram_sql,
         winsorize_sql,
     )
-    from torchfusion_spark.sources import load_tables
 
     pdf = pd.DataFrame(
         {
@@ -1127,14 +1138,10 @@ def test_differential_events_value_edges(spark, tables, duck, rows):
     )
     spark.createDataFrame(pdf).createOrReplaceTempView("events")
     duck.execute("CREATE OR REPLACE VIEW events AS SELECT * FROM pdf")
-    try:
-        for gen in (histogram_sql, winsorize_sql, anomaly_zscore_sql):
-            got = [tuple(r) for r in spark.sql(gen("spark")).collect()]
-            want = [tuple(r) for r in duck.execute(gen("duck")).fetchall()]
-            assert got == want, (gen.__name__, rows, got, want)
-    finally:
-        spark._tf_tables_loaded = None
-        load_tables(spark, tables)
+    for gen in (histogram_sql, winsorize_sql, anomaly_zscore_sql):
+        got = [tuple(r) for r in spark.sql(gen("spark")).collect()]
+        want = [tuple(r) for r in duck.execute(gen("duck")).fetchall()]
+        assert got == want, (gen.__name__, rows, got, want)
 
 
 @st.composite
@@ -1169,7 +1176,7 @@ def event_times(draw):
     suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
 )
 @given(rows=event_times())
-def test_differential_event_time_edges(spark, tables, duck, rows):
+def test_differential_event_time_edges(spark, restore_events, duck, rows):
     """Sessionize and cohort retention on HOSTILE event times — gaps of
     exactly 30 minutes and one microsecond either side (the
     strictly-greater session split), same-instant collisions (the
@@ -1180,7 +1187,6 @@ def test_differential_event_time_edges(spark, tables, duck, rows):
     import pandas as pd
 
     from torchfusion_spark.operators.events_ops import retention_sql, sessionize_sql
-    from torchfusion_spark.sources import load_tables
 
     pdf = pd.DataFrame(
         {
@@ -1196,14 +1202,10 @@ def test_differential_event_time_edges(spark, tables, duck, rows):
     )
     spark.createDataFrame(pdf).createOrReplaceTempView("events")
     duck.execute("CREATE OR REPLACE VIEW events AS SELECT * FROM pdf")
-    try:
-        for gen in (sessionize_sql, retention_sql):
-            got = [tuple(r) for r in spark.sql(gen("spark")).collect()]
-            want = [tuple(r) for r in duck.execute(gen("duck")).fetchall()]
-            assert got == want, (gen.__name__, rows, got, want)
-    finally:
-        spark._tf_tables_loaded = None
-        load_tables(spark, tables)
+    for gen in (sessionize_sql, retention_sql):
+        got = [tuple(r) for r in spark.sql(gen("spark")).collect()]
+        want = [tuple(r) for r in duck.execute(gen("duck")).fetchall()]
+        assert got == want, (gen.__name__, rows, got, want)
 
 
 @settings(
@@ -1213,7 +1215,7 @@ def test_differential_event_time_edges(spark, tables, duck, rows):
     suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
 )
 @given(rows=event_times())
-def test_differential_asof_join_ties(spark, tables, duck, rows):
+def test_differential_asof_join_ties(spark, restore_events, duck, rows):
     """The as-of join's two GENUINELY independent implementations —
     Spark union-tag + last(ignoreNulls) window vs DuckDB's native ASOF
     LEFT JOIN — on hostile times: clicks and purchases at the SAME
@@ -1224,7 +1226,6 @@ def test_differential_asof_join_ties(spark, tables, duck, rows):
     import pandas as pd
 
     from torchfusion_spark.operators.events_ops import ASOF_ORACLE, asof_join
-    from torchfusion_spark.sources import load_tables
 
     types = ["click", "purchase", "click", "view"]
     pdf = pd.DataFrame(
@@ -1239,10 +1240,33 @@ def test_differential_asof_join_ties(spark, tables, duck, rows):
     )
     spark.createDataFrame(pdf).createOrReplaceTempView("events")
     duck.execute("CREATE OR REPLACE VIEW events AS SELECT * FROM pdf")
-    try:
-        got = [tuple(r) for r in asof_join(spark).collect()]
-        want = [tuple(r) for r in duck.execute(ASOF_ORACLE).fetchall()]
-        assert got == want, (rows, got, want)
-    finally:
-        spark._tf_tables_loaded = None
-        load_tables(spark, tables)
+    got = [tuple(r) for r in asof_join(spark).collect()]
+    want = [tuple(r) for r in duck.execute(ASOF_ORACLE).fetchall()]
+    assert got == want, (rows, got, want)
+
+
+def test_zscore_null_values_are_outside_the_sample(spark, restore_events, duck):
+    """Code-review r11: n was COUNT(*) while s1/s2 skip NULL values, so
+    one real event among N NULL-value rows z-scored at sqrt(N+1) and
+    was reported as an anomaly — both engines agreed, so neither the
+    hash gate nor the differential fuzzer could see it. Pin the
+    semantics directly: NULL-value rows are outside the sample (n =
+    COUNT(value)), so a lone real event has zero variance, z = 0, and
+    NOTHING is flagged."""
+    import pandas as pd
+
+    from torchfusion_spark.operators.events_ops import anomaly_zscore_sql
+
+    pdf = pd.DataFrame(
+        {
+            "event_id": range(12),
+            "ts": pd.Series([pd.Timestamp("2024-01-01")] * 12, dtype="datetime64[us]"),
+            "user_id": 1,
+            "event_type": "click",
+            "value": [100.0] + [None] * 11,
+        }
+    )
+    spark.createDataFrame(pdf).createOrReplaceTempView("events")
+    duck.execute("CREATE OR REPLACE VIEW events AS SELECT * FROM pdf")
+    assert spark.sql(anomaly_zscore_sql("spark")).count() == 0
+    assert duck.execute(anomaly_zscore_sql("duck")).fetchall() == []

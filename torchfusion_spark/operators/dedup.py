@@ -134,8 +134,17 @@ def url_canonical_sql(d: str, rel: str = "documents", url_expr: str | None = Non
     regex chain runs on arbitrary strings there, not just the
     fixture's)."""
     raw_url = url_expr or messy_url_case(d)
+    # pre-strip CR/LF from the raw URL (class built with chr() — the
+    # backslash-free discipline; constant-folds to a literal pattern):
+    # the chain's $-anchored regexes diverge on a trailing newline —
+    # Java's $ matches BEFORE a final line terminator, RE2's only at
+    # end-of-text — so a newline-tailed crawl URL stripped its fragment
+    # on Spark but not on DuckDB (code-review r11). A literal newline
+    # is not legal in a URL anyway (it would arrive %0A-encoded).
+    flag = "" if d == "spark" else ", 'g'"
+    strip_nl = f"regexp_replace(url, concat('[', chr(10), chr(13), ']'), ''{flag})"
     u1 = G.regex_replace_all(
-        G.regex_replace_all("url", "#.*$", "", d), "^http://", "https://", d
+        G.regex_replace_all(strip_nl, "#.*$", "", d), "^http://", "https://", d
     )
     params = G.arr_join(G.arr_sort(G.split_nonempty("q2s", "&", d), d), "&", d)
     return f"""

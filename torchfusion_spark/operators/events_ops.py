@@ -293,7 +293,7 @@ def histogram_sql(d: str, width: int = 50) -> str:
            CAST(COUNT(*) AS BIGINT) AS n,
            ROUND(MIN(value), 6) AS bin_min, ROUND(MAX(value), 6) AS bin_max
     FROM events GROUP BY event_type, CAST(FLOOR(value / {width}) AS BIGINT)
-    ORDER BY event_type, bin NULLS FIRST
+    ORDER BY event_type NULLS FIRST, bin NULLS FIRST
     """
 
 
@@ -368,7 +368,11 @@ def anomaly_zscore_sql(d: str, threshold: float = 3.0) -> str:
     few rows → broadcast back onto the scan; total cost is one map-side-
     combined shuffle plus one pass.
 
-    Edge contract (events-fuzzer, r11): a single-event type has zero
+    Edge contract (events-fuzzer + code-review r11): NULL-value rows
+    are outside the sample entirely — n = COUNT(value), not COUNT(*),
+    so they cannot deflate the mean and manufacture anomalies out of
+    the real events (1 real + 10 NULL rows used to z-score the real
+    one at sqrt(11)); a single-event type has zero
     sample variance — the greatest(n-1, 1) guard + the 1e-12 variance
     floor yield z = 0 instead of an ANSI divide-by-zero job abort; the
     exact-moment domain is |value| < 1e6 at 6dp (past it the square
@@ -384,7 +388,7 @@ def anomaly_zscore_sql(d: str, threshold: float = 3.0) -> str:
     return f"""
     WITH m AS (
         SELECT event_type,
-               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(COUNT(value) AS BIGINT) AS n,
                SUM(CAST(value AS DECIMAL(18,6))) AS s1,
                SUM(CAST(value AS DECIMAL({fp},6)) * CAST(value AS DECIMAL({fp},6))) AS s2
         FROM events GROUP BY event_type),
@@ -395,7 +399,8 @@ def anomaly_zscore_sql(d: str, threshold: float = 3.0) -> str:
                        (CAST(m.s2 AS DOUBLE) - CAST(m.s1 AS DOUBLE) * CAST(m.s1 AS DOUBLE) / m.n)
                            / greatest(m.n - 1, 1),
                        1e-12)), 6) AS zscore
-        FROM events e JOIN m ON e.event_type = m.event_type)
+        FROM events e JOIN m ON e.event_type = m.event_type
+        WHERE e.value IS NOT NULL)
     SELECT event_id, event_type, ROUND(value, 6) AS value, zscore
     FROM z WHERE abs(zscore) >= {threshold}
     ORDER BY event_id
