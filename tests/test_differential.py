@@ -1270,3 +1270,70 @@ def test_zscore_null_values_are_outside_the_sample(spark, restore_events, duck):
     duck.execute("CREATE OR REPLACE VIEW events AS SELECT * FROM pdf")
     assert spark.sql(anomaly_zscore_sql("spark")).count() == 0
     assert duck.execute(anomaly_zscore_sql("duck")).fetchall() == []
+
+
+@settings(
+    max_examples=40,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(rows=event_times())
+def test_differential_funnel_ordering(spark, restore_events, duck, rows):
+    """The ordered funnel's three-valued-logic flags on hostile stage
+    times — stages at the SAME instant (strict > comparisons must not
+    credit them), stages out of order, missing stages (NULL first-touch
+    → COALESCEd 0), NULL timestamps, pre-1970 epochs: the conditional
+    first-touch MIN plus NULL-safe comparisons must agree between the
+    DataFrame build and the DuckDB oracle on every composition."""
+    import pandas as pd
+
+    from torchfusion_spark.operators.events_ops import FUNNEL_ORACLE, funnel
+
+    types = ["view", "click", "purchase", "view"]
+    pdf = pd.DataFrame(
+        {
+            "event_id": [r[0] for r in rows],
+            "ts": pd.Series([r[2] for r in rows], dtype="datetime64[us]"),
+            "user_id": [r[1] % 2 for r in rows],
+            "event_type": [types[(r[0] + len(r[3])) % 4] for r in rows],
+            "value": 1.0,
+            "props": "{}",
+        }
+    )
+    spark.createDataFrame(pdf).createOrReplaceTempView("events")
+    duck.execute("CREATE OR REPLACE VIEW events AS SELECT * FROM pdf")
+    got = [tuple(r) for r in funnel(spark).collect()]
+    want = [tuple(r) for r in duck.execute(FUNNEL_ORACLE).fetchall()]
+    assert got == want, (rows, got, want)
+
+
+@settings(
+    max_examples=40,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(docs=gopher_docs())
+def test_differential_lang_id_ties(spark, duck, restore_documents, docs):
+    """Marker-word language ID on random marker-dense docs: score TIES
+    between languages (the fixed-order tie-break CASE chain — 'de'/'zh'
+    share the marker 'de'), zero-marker docs ('und'), NULL text and
+    unicode noise must rank identically on both engines."""
+    import pandas as pd
+
+    from torchfusion_spark.operators.textstats import lang_id_sql
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(len(docs)),
+            "text": [t for t, _ in docs],
+            "lang": [lg for _, lg in docs],
+            "n_chars": [len(t) if t else 0 for t, _ in docs],
+        }
+    )
+    spark.createDataFrame(pdf).createOrReplaceTempView("documents")
+    duck.execute("CREATE OR REPLACE VIEW documents AS SELECT * FROM pdf")
+    got = [tuple(r) for r in spark.sql(lang_id_sql("spark")).collect()]
+    want = [tuple(r) for r in duck.execute(lang_id_sql("duck")).fetchall()]
+    assert got == want, (docs, got, want)
