@@ -1337,3 +1337,53 @@ def test_differential_lang_id_ties(spark, duck, restore_documents, docs):
     got = [tuple(r) for r in spark.sql(lang_id_sql("spark")).collect()]
     want = [tuple(r) for r in duck.execute(lang_id_sql("duck")).fetchall()]
     assert got == want, (docs, got, want)
+
+
+def test_casemap_chars_cannot_split_group_identity(spark, duck, restore_documents):
+    """r11 lower_ascii discipline: the engines' unicode case maps
+    diverge (Spark lower('İ') = 'i'+U+0307, DuckDB = 'i'), so ANY
+    lower() on text feeding grouping/hashing/counting silently splits
+    token and shingle identity cross-engine — measured pre-fix: the
+    same İ-bearing doc produced a different shingle-hash SET on each
+    engine, which poisons every MinHash/SimHash/containment candidate
+    downstream. All tokenization now folds ASCII A-Z only
+    (sqlgen.lower_ascii). Pin the whole family on a case-map-hostile
+    doc set: shingle hash SETS, tf rollups, fingerprints, entropy and
+    repetition must be identical across engines."""
+    import pandas as pd
+
+    from torchfusion_spark.operators.dedup import hashed_shingle_sql
+    from torchfusion_spark.operators.textstats import (
+        entropy_sql,
+        fingerprint_sql,
+        repetition_sql,
+        unigram_tf_sql,
+    )
+
+    texts = [
+        "İstanbul The QUICK brown fox",
+        "istanbul the quick brown fox",
+        "STRASSE ß Straße gross GROSS",
+        "ΣΙΣΥΦΟΣ σίσυφος Σ ς",
+        "File İ FILE i İ I ı",
+    ]
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(len(texts)),
+            "text": texts,
+            "lang": ["en"] * len(texts),
+            "source": ["s"] * len(texts),
+            "n_chars": [len(t) for t in texts],
+        }
+    )
+    spark.createDataFrame(pdf).createOrReplaceTempView("documents")
+    duck.execute("CREATE OR REPLACE VIEW documents AS SELECT * FROM pdf")
+    # shingle arrays compare as SETS (DuckDB's list_distinct does not
+    # define element order; no consumer reads the raw array order)
+    sp = {r[0]: frozenset(r[1]) for r in spark.sql(hashed_shingle_sql("spark")).collect()}
+    du = {r[0]: frozenset(r[1]) for r in duck.execute(hashed_shingle_sql("duck")).fetchall()}
+    assert sp == du
+    for gen in (unigram_tf_sql, fingerprint_sql, entropy_sql, repetition_sql):
+        got = sorted(tuple(r) for r in spark.sql(gen("spark")).collect())
+        want = sorted(tuple(r) for r in duck.execute(gen("duck")).fetchall())
+        assert got == want, (gen.__name__, got, want)

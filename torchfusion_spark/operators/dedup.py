@@ -158,7 +158,7 @@ def url_canonical_sql(d: str, rel: str = "documents", url_expr: str | None = Non
         FROM norm),
     pieces AS (
         SELECT doc_id, source,
-               {G.regex_replace_all("lower(host_raw)", ":(80|443)$", "", d)} AS host,
+               {G.regex_replace_all(G.lower_ascii("host_raw"), ":(80|443)$", "", d)} AS host,
                regexp_extract(substr(u, 9 + length(host_raw)), '^([^?]*)', 0) AS path,
                substr(substr(u, 9 + length(host_raw)),
                       length(regexp_extract(substr(u, 9 + length(host_raw)), '^([^?]*)', 0)) + 1) AS q
@@ -188,7 +188,7 @@ def _shingle_cte(d: str, n: int = 3, rel: str = "documents") -> str:
     pass a second time (and, after a repartition, on the unfanned side of
     the exchange). ``size(toks) >= n`` is equivalent and pushes a cheap
     split() instead — measured 10× on the shingle stage."""
-    toks = G.split_ws("lower(text)", d)
+    toks = G.split_ws(G.lower_ascii("text"), d)
     sh = G.shingles_from_tokens("toks", n, d)
     return (
         f"SELECT doc_id, {sh} AS shingles "
@@ -410,7 +410,7 @@ def _simhash_band_keys(bands: int, d: str) -> list[str]:
 
 def simhash_sig_sql(d: str, rel: str = "documents", bits: int = 32) -> str:
     """s(doc_id, simhash): majority-vote sign bits over per-token hashes."""
-    toks = G.arr_distinct(G.split_ws("lower(text)", d), d)
+    toks = G.arr_distinct(G.split_ws(G.lower_ascii("text"), d), d)
     hashes = G.transform("toks", f"t -> {G.hash56('t', d)}", d)
     bit_terms = []
     for b in range(bits):
@@ -566,7 +566,7 @@ def ngram_blocks_sql(d: str, rel: str = "documents", n: int = 5) -> str:
     idiv = "div" if d == "spark" else "//"
     return f"""
     SELECT doc_id, lang, n_chars {idiv} 64 AS len_bucket, {gs} AS gs
-    FROM (SELECT doc_id, lang, n_chars, lower(text) AS s FROM {rel})
+    FROM (SELECT doc_id, lang, n_chars, {G.lower_ascii("text")} AS s FROM {rel})
     """
 
 
@@ -1042,7 +1042,7 @@ def substring_grams_sql(d: str, k: int = SUBSTRING_K, rel: str = "documents") ->
     tokens emit nothing (``seq`` is empty-guarded). ``pos`` is cast to
     BIGINT for cross-engine schema parity (Spark ``sequence`` yields INT,
     DuckDB ``range`` BIGINT)."""
-    toks = G.split_ws("lower(text)", d)
+    toks = G.split_ws(G.lower_ascii("text"), d)
     n_pos = f"{G.arr_size('toks', d)} - {k - 1}"
     pos_gen = G.seq("1", n_pos, d)
     pos = f"explode({pos_gen})" if d == "spark" else f"UNNEST({pos_gen})"
@@ -1211,7 +1211,7 @@ def _strip_tail_sql(
     token-count relation reads the raw table. Catalyst inlines view
     references, so routing BOTH through the fan-out view would run its
     repartition shuffle twice per query."""
-    toks = G.split_ws("lower(text)", d)
+    toks = G.split_ws(G.lower_ascii("text"), d)
     tok_at = G.elem_at("toks", "tpos", d)
     n_toks = G.arr_size("toks", d)
     tok_pos = G.seq("1", n_toks, d)

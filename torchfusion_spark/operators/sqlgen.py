@@ -43,6 +43,22 @@ def split_ws(expr: str, d: str) -> str:
     return f"split({expr}, ' ')" if d == "spark" else f"string_split({expr}, ' ')"
 
 
+def lower_ascii(expr: str) -> str:
+    """ASCII-only case fold — ONE spelling for both dialects. Never use
+    ``lower()`` on text that feeds grouping, hashing or counting: the
+    engines' unicode case maps diverge (Spark lower('İ') = 'i'+U+0307,
+    two codepoints; DuckDB = 'i', one — r11 fuzzer finding), which
+    silently splits token/shingle group identity cross-engine across
+    the whole dedup/tf family. ``translate`` folds A-Z only and passes
+    every other codepoint through untouched, byte-identical on both
+    engines; the fixture corpus is all-lowercase, so swapping this in
+    changed no committed result."""
+    return (
+        f"translate({expr}, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ',"
+        f" 'abcdefghijklmnopqrstuvwxyz')"
+    )
+
+
 def arr_join(arr: str, sep: str, d: str) -> str:
     """Join array elements with a separator. Spark's ``concat_ws`` never
     returns NULL — an empty (or NULL) array joins to '' — while DuckDB's

@@ -20,7 +20,7 @@ _LANG_MARKERS = {
 
 def text_quality_sql(d: str) -> str:
     """Length/punctuation/stopword/digit ratios + a composite quality score."""
-    toks = G.split_ws("lower(text)", d)
+    toks = G.split_ws(G.lower_ascii("text"), d)
     n_toks = G.arr_size("toks", d)
     stop_lit = G.array_lit([f"'{w}'" for w in _LANG_MARKERS["en"]], d)
     n_stop = G.arr_size(G.afilter("toks", f"t -> array_contains({stop_lit}, t)", d), d) \
@@ -75,7 +75,7 @@ def gopher_rules_sql(d: str, rel: str = "documents") -> str:
     # the mean-word-length rule is case-independent anyway. The lowered
     # tokens exist only for the membership tests (stop words, [a-z]),
     # where the dot-above residue cannot change the outcome.
-    raw = G.split_ws("lower(text)", d)
+    raw = G.split_ws(G.lower_ascii("text"), d)
     toks = G.afilter(raw, "t -> length(t) > 0", d)
     rawlen = G.afilter(G.split_ws("text", d), "t -> length(t) > 0", d)
     if d == "spark":
@@ -138,7 +138,7 @@ def gopher_rules_sql(d: str, rel: str = "documents") -> str:
 def lang_id_sql(d: str) -> str:
     """Marker-word language ID; deterministic tie-break by fixed language
     order. Emits predicted vs labeled language."""
-    toks = G.arr_distinct(G.split_ws("lower(text)", d), d)
+    toks = G.arr_distinct(G.split_ws(G.lower_ascii("text"), d), d)
     contains = "array_contains" if d == "spark" else "list_contains"
     scores = {
         lang: G.arr_size(
@@ -186,10 +186,11 @@ def token_count_sql(d: str) -> str:
 def fingerprint_sql(d: str) -> str:
     """Normalized-content fingerprint (56-bit) + duplicate-group sizes."""
     # duckdb regexp_replace is first-match-only without the 'g' flag
+    la = G.lower_ascii("text")
     norm = (
-        "trim(regexp_replace(lower(text), '[^a-z0-9 ]', ''))"
+        f"trim(regexp_replace({la}, '[^a-z0-9 ]', ''))"
         if d == "spark"
-        else "trim(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'))"
+        else f"trim(regexp_replace({la}, '[^a-z0-9 ]', '', 'g'))"
     )
     fp = G.hash56(norm, d)
     return f"""
@@ -320,7 +321,7 @@ def url_filter_sql(d: str) -> str:
         SELECT doc_id, {url} AS url FROM documents),
     parts AS (
         SELECT doc_id, url,
-               lower(regexp_extract(url, '^https?://([^/:?]+)', 1)) AS host,
+               {G.lower_ascii("regexp_extract(url, '^https?://([^/:?]+)', 1)")} AS host,
                regexp_extract({G.regex_replace_all("url", "^https?://[^/?]*", "", d)},
                               '^([^?#]*)', 0) AS path,
                regexp_extract(url, '[?]([^#]*)', 1) AS qpart
@@ -374,17 +375,18 @@ def source_filter_sql(d: str) -> str:
     on fingerprint (window count — the unavoidable global dup check); one
     map-combinable shuffle on source (tiny: |sources| rows); the 1-row
     corpus total broadcasts back. No joins against the fact table."""
-    toks = G.split_ws("lower(text)", d)
+    toks = G.split_ws(G.lower_ascii("text"), d)
     n_toks = G.arr_size("toks", d)
     stop_lit = G.array_lit([f"'{w}'" for w in _LANG_MARKERS["en"]], d)
     contains = "array_contains" if d == "spark" else "list_contains"
     n_stop = G.arr_size(G.afilter("toks", f"t -> {contains}({stop_lit}, t)", d), d)
     punct = G.regex_count("text", "[.,!?;:]", d)
     big = "DECIMAL(38,0)" if d == "spark" else "HUGEINT"
+    la = G.lower_ascii("text")
     norm = (
-        "trim(regexp_replace(lower(text), '[^a-z0-9 ]', ''))"
+        f"trim(regexp_replace({la}, '[^a-z0-9 ]', ''))"
         if d == "spark"
-        else "trim(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'))"
+        else f"trim(regexp_replace({la}, '[^a-z0-9 ]', '', 'g'))"
     )
     fp = G.hash56(norm, d)
     return f"""
@@ -455,7 +457,7 @@ def top_tokens_sql(d: str, k: int = 5) -> str:
     per-lang top-k window; at scale the count is map-side-combined so the
     exploded token stream never shuffles raw."""
 
-    toks = G.split_ws("lower(text)", d)
+    toks = G.split_ws(G.lower_ascii("text"), d)
     if d == "spark":
         exploded = (
             f"SELECT lang, t FROM (SELECT lang, {toks} AS toks FROM documents) "
@@ -481,7 +483,7 @@ def repetition_sql(d: str) -> str:
     per-doc rollup. High top_token_ratio / low distinct_ratio flags
     low-quality repetitive text for corpus filtering."""
 
-    toks = G.split_ws("lower(text)", d)
+    toks = G.split_ws(G.lower_ascii("text"), d)
     if d == "spark":
         exploded = (
             f"SELECT doc_id, t FROM (SELECT doc_id, {toks} AS toks FROM documents) "
@@ -902,7 +904,7 @@ def entropy_sql(d: str) -> str:
         exploded = "SELECT doc_id, UNNEST(chars) AS ch FROM c"
     return f"""
     WITH c AS (SELECT doc_id, {chars} AS chars
-               FROM (SELECT doc_id, lower(text) AS s FROM documents)),
+               FROM (SELECT doc_id, {G.lower_ascii("text")} AS s FROM documents)),
     e AS ({exploded}),
     counts AS (
         SELECT doc_id, ch, COUNT(*) AS cnt FROM e GROUP BY doc_id, ch),
@@ -1070,7 +1072,7 @@ def dup_gram_exploded_sql(d: str, n: int = DUP_GRAM_N) -> str:
     view gets its CTERelationDef ids remapped when the view is embedded
     in an outer WITH query, the canonicalized plans stop matching, and
     the cache is silently bypassed."""
-    toks = G.split_ws("lower(text)", d)
+    toks = G.split_ws(G.lower_ascii("text"), d)
     sh = G.shingles_from_tokens("toks", n, d)
     gh = G.hash56("g", d)
     if d == "spark":
@@ -1128,7 +1130,7 @@ def bpe_pairs_sql(d: str, k: int = BPE_TOP_K) -> str:
     ``top_tokens_sql``: pairs exploded from a hoisted token array (the
     lambda never re-splits), counted with map-side combine, then a
     cheap global TopK with deterministic count-then-pair ordering."""
-    toks = G.split_ws("lower(text)", d)
+    toks = G.split_ws(G.lower_ascii("text"), d)
     n = G.arr_size("toks", d)
     pair = G.arr_join(G.arr_slice("toks", "i", 2, d), " ", d)
     pairs = G.transform(G.seq("1", f"{n} - 1", d), f"i -> {pair}", d)
@@ -1175,7 +1177,7 @@ def winnow_fingerprint_sql(d: str, k: int = WINNOW_K, w: int = WINNOW_W) -> str:
                     "UNNEST(hx) AS h FROM g")
         pos_adj = "pos"
     return f"""
-    WITH t AS (SELECT doc_id, lower(text) AS s FROM documents),
+    WITH t AS (SELECT doc_id, {G.lower_ascii("text")} AS s FROM documents),
     g AS (SELECT doc_id, {npos} AS n_pos, {hashes} AS hx FROM t),
     e AS (SELECT doc_id, n_pos, {pos_adj} AS pos, h FROM ({exploded})),
     wmin AS (
@@ -1356,7 +1358,7 @@ def unigram_tf_sql(d: str, rel: str = "documents") -> str:
     join), and with CTE inlining the md5 pass would run 3× per query —
     staged once here, the downstream ``% buckets`` is free BIGINT math
     (code-review r07)."""
-    toks = G.split_ws("lower(text)", d)
+    toks = G.split_ws(G.lower_ascii("text"), d)
     if d == "spark":
         exploded = f"SELECT doc_id, lang, tok FROM (SELECT doc_id, lang, {toks} AS toks FROM {rel}) t LATERAL VIEW explode(toks) AS tok"
     else:

@@ -81,8 +81,8 @@ def applyinpandas_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT doc_id, CAST(pos AS INT) AS pos, word
     FROM (
-        SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word,
-               unnest(range(1, len(string_split(lower(text), ' ')) + 1)) AS pos
+        SELECT doc_id, unnest(string_split(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' ')) AS word,
+               unnest(range(1, len(string_split(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' ')) + 1)) AS pos
         FROM documents WHERE doc_id < 50)
     WHERE word <> ''
     ORDER BY doc_id, pos
@@ -93,12 +93,21 @@ def applyinpandas_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
 def udtf_word_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.functions import udtf
 
+    import string
+
+    _ASCII_FOLD = str.maketrans(string.ascii_uppercase, string.ascii_lowercase)
+
     @udtf(returnType="pos int, word string")
     class WordPositions:
         def eval(self, text: str):
             if text is None:
                 return
-            for i, w in enumerate(text.lower().split(" ")):
+            # ASCII-only fold, mirroring the oracle's translate() —
+            # Python str.lower() follows the Java-style unicode case
+            # map ('İ' -> 'i' + combining dot) that the engines
+            # disagree on (r11 lower_ascii discipline)
+            folded = text.translate(_ASCII_FOLD)
+            for i, w in enumerate(folded.split(" ")):
                 if w:
                     yield i + 1, w
 
