@@ -9,24 +9,21 @@ valuable queries first.
 
 Ordering policy (documented so the ranking is auditable, not gamed) --
 ROTATED each round so the budget certifies the weakest evidence first.
-Round 11 (rotated against the CORRECTNESS_r01..r10 union): the r10 driver
-run re-certified the same 50 names as r9, so the latest-green vintages are
-24 names at r06 (4 rounds stale), 50 at r07, 50 at r08 and 50 at r10, plus
-``dedup_url_incremental`` -- registered in round 10 but never ranked, so it
-fell to slot 175 and never reached the budget. The weakest-first order is
+Round 12 (rotated against the CORRECTNESS_r01..r11 union): r11 certified
+its top 50 exactly (zero overlap with r10), so every registry name now has
+a current-testdata green row and the latest-green vintages are 26 names at
+r07, 50 at r08, 50 at r10 and 50 at r11. The weakest-first order is
 therefore:
 
-1. ranks 1-2: ``dedup_url_incremental`` (registered r10, never ranked)
-   and ``pipeline_pretrain_corpus`` (new this round) -- no CORRECTNESS
-   row at all;
-2. ranks 3-26: the 24 r06-vintage names in their prior internal order --
-   after this round the minimum latest-green vintage becomes r07;
-3. ranks 27-50: the first 24 names of the r07 block (prior internal
-   order), filling the 50-row budget;
-4. ranks 51-76: the remaining 26 r07 names, leading the r12 rotation;
-5. ranks 77-126: the r08 block, prior internal order;
-6. ranks 127-176: the 50 names r10 just certified (freshest evidence
-   last), keeping their r10 rank order.
+1. new r12 registrations (uncertified -- no CORRECTNESS row at all) go to
+   rank 1 as they land, ahead of every re-cert;
+2. the 26 r07-vintage names in their prior internal order -- after this
+   round the minimum latest-green vintage becomes r08;
+3. the r08 block (prior internal order); its head fills the remainder of
+   the 50-row budget;
+4. the r10 block (prior internal order);
+5. the 50 names r11 just certified (freshest evidence last), keeping
+   their r11 rank order.
 
 The suffix after the prefix is the canonical registry name used everywhere
 else (bench.py, tools/verify_local.py, tests).
@@ -35,60 +32,7 @@ else (bench.py, tools/verify_local.py, tests).
 from __future__ import annotations
 
 PRIORITY: list[str] = [
-    # -- ranks 1-2: never certified (r10 registration + new this round) --
-    "dedup_url_incremental",
-    "pipeline_pretrain_corpus",
-    # -- ranks 3-26: the 24 r06-vintage re-certs (4 rounds stale) --
-    "win_running_sum",
-    "win_lag_lead",
-    "win_range_interval_frame",
-    "win_groups_frame_rewrite",
-    "pivot_status_by_priority",
-    "unpivot_stack",
-    "udaf_grouped_agg",
-    "udtf_word_positions",
-    "q1_pricing_summary",
-    "q6_revenue_forecast",
-    "sample_hash_stratified",
-    "skew_salted_agg",
-    "skew_salted_join",
-    "text_quality_stats",
-    "pipeline_corpus_clean",
-    "argmax_embeddings",
-    "argmax_constructed_array",
-    "torch_inference_classes",
-    "sim_cosine_topk",
-    "multimodal_features",
-    "dedup_exact",
-    "dedup_simhash",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_clusters",
-    # -- ranks 27-50: the oldest r07 names, filling the budget --
-    "fn_time_bucket",
-    "fn_string_extras",
-    "fn_string_regex_hash",
-    "fn_datetime",
-    "fn_datetime_construct",
-    "fn_datetime_format",
-    "fn_bitwise",
-    "fn_array_higher_order",
-    "fn_explode_unnest",
-    "join_inner",
-    "join_anti",
-    "join_cross",
-    "join_full_outer",
-    "sort_nulls_ordering",
-    "cte_chained",
-    "subq_scalar",
-    "subq_in",
-    "setop_union_distinct",
-    "setop_intersect",
-    "setop_except",
-    "setop_except_all",
-    "agg_rollup",
-    "agg_grouping_sets",
-    "agg_stats",
-    # -- ranks 51-76: the remaining r07 block (leads the r12 rotation) --
+    # -- ranks 1-26: the 26 r07-vintage re-certs (5 rounds stale) --
     "agg_median",
     "agg_min_max_by",
     "agg_minmax_first",
@@ -115,7 +59,7 @@ PRIORITY: list[str] = [
     "text_lm_perplexity",
     "sample_dsir_importance",
     "text_gopher_rules",
-    # -- ranks 77-126: the r08 block (prior internal order) --
+    # -- the r08 block (prior internal order); head fills the budget --
     "dedup_url_canonical",
     "sim_near_dup_collapse",
     "pipeline_quality_gate",
@@ -166,7 +110,7 @@ PRIORITY: list[str] = [
     "corpus_shuffle_shards",
     "sample_weighted_topk",
     "sample_group_quota",
-    # -- ranks 127-176: the r10-certified 50 (freshest evidence last) --
+    # -- the r10 block (prior internal order) --
     "text_quality_classifier",
     "pipeline_quality_ensemble",
     "corpus_bpe_train",
@@ -217,6 +161,57 @@ PRIORITY: list[str] = [
     "agg_approx",
     "agg_collect_set",
     "agg_cube",
+    # -- the r11-certified 50 (freshest evidence last) --
+    "dedup_url_incremental",
+    "pipeline_pretrain_corpus",
+    "win_running_sum",
+    "win_lag_lead",
+    "win_range_interval_frame",
+    "win_groups_frame_rewrite",
+    "pivot_status_by_priority",
+    "unpivot_stack",
+    "udaf_grouped_agg",
+    "udtf_word_positions",
+    "q1_pricing_summary",
+    "q6_revenue_forecast",
+    "sample_hash_stratified",
+    "skew_salted_agg",
+    "skew_salted_join",
+    "text_quality_stats",
+    "pipeline_corpus_clean",
+    "argmax_embeddings",
+    "argmax_constructed_array",
+    "torch_inference_classes",
+    "sim_cosine_topk",
+    "multimodal_features",
+    "dedup_exact",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_clusters",
+    "fn_time_bucket",
+    "fn_string_extras",
+    "fn_string_regex_hash",
+    "fn_datetime",
+    "fn_datetime_construct",
+    "fn_datetime_format",
+    "fn_bitwise",
+    "fn_array_higher_order",
+    "fn_explode_unnest",
+    "join_inner",
+    "join_anti",
+    "join_cross",
+    "join_full_outer",
+    "sort_nulls_ordering",
+    "cte_chained",
+    "subq_scalar",
+    "subq_in",
+    "setop_union_distinct",
+    "setop_intersect",
+    "setop_except",
+    "setop_except_all",
+    "agg_rollup",
+    "agg_grouping_sets",
+    "agg_stats",
 ]
 
 
