@@ -677,7 +677,11 @@ def test_pretrain_survivors_match_stage_conjunction(spark, tables):
         ).collect()
     }
     for r in keep:
-        assert r.n_tokens == toks[r.doc_id], (r.doc_id, r.n_tokens, toks[r.doc_id])
+        n = toks.get(r.doc_id)
+        # toks only covers text IS NOT NULL docs — a NULL-text survivor
+        # would be a gate bug; fail with the doc_id, not a KeyError
+        assert n is not None, f"NULL-text doc {r.doc_id} survived the keep gate"
+        assert r.n_tokens == n, (r.doc_id, r.n_tokens, n)
 
 
 def test_scored_checkpoint_reused_across_scorer_queries(spark, tables):

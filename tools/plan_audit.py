@@ -86,12 +86,10 @@ _EXPECTED = {
     # the ensemble composes the classifier and the LM scorer verbatim —
     # it inherits exactly their whitelisted 1-row-totals cross joins and
     # adds only a doc_id-keyed join of the two doc-sized score relations.
-    # That composition join is SMJ even at gate scale since r11: the
-    # null-safe per-lang cuts join (ADVICE r10 #3) makes the ppl side's
-    # static size estimate unknown, so Catalyst stops auto-broadcasting
-    # it — which is the _EXPECTED_AT_SCALE plan anyway (both sides grow
-    # with the corpus; AQE re-plans to broadcast at runtime when small)
-    "pipeline_quality_ensemble": {"bnl_join", "sort_merge_join"},
+    # Its gate-scale SMJ allowance is CONDITIONAL (ADVICE r11 #2): see
+    # _ensemble_smj_justified below — granted only while the null-safe
+    # spelling that justifies it is actually in the generated SQL.
+    "pipeline_quality_ensemble": {"bnl_join"},
     # (corpus_bpe_train needs no whitelist: the Spark side is the
     # checkpointed round loop — its audited final plan is the tiny merge
     # table; per-round work runs in staging actions like
@@ -261,6 +259,21 @@ def _at_scale(sf_dir: str) -> bool:
         return False
 
 
+def _ensemble_smj_justified() -> bool:
+    """pipeline_quality_ensemble's gate-scale SMJ allowance exists ONLY
+    because the null-safe per-lang cuts join (Spark ``<=>``, ADVICE r10
+    #3) in the LM scorer blocks Catalyst's static size estimate for the
+    ppl side, so it stops auto-broadcasting it at sf0.01 (AQE re-plans
+    to broadcast at runtime when the side really is small; at scale SMJ
+    is the intended plan anyway). Gate the allowance on that spelling
+    being present in the generated SQL: if the null-safe join is ever
+    removed, a genuinely-small side that stops broadcasting is a
+    regression again and the audit must flag it (ADVICE r11 #2)."""
+    from torchfusion_spark.operators.textstats import quality_ensemble_sql
+
+    return "<=>" in quality_ensemble_sql("spark")
+
+
 def audit(spark, sf_dir: str, names=None) -> dict[str, dict]:
     from torchfusion_spark.plans import REGISTRY
     from torchfusion_spark.sources import load_tables
@@ -286,6 +299,8 @@ def audit(spark, sf_dir: str, names=None) -> dict[str, dict]:
         expected = set(_EXPECTED.get(name, ()))
         if at_scale:
             expected |= _EXPECTED_AT_SCALE.get(name, set())
+        if name == "pipeline_quality_ensemble" and _ensemble_smj_justified():
+            expected.add("sort_merge_join")
         flags = []
         for op, flag in _FLAG_NAMES.items():
             n = counts.get(op, 0)

@@ -1461,13 +1461,21 @@ def url_incremental_equiv_sql(d: str) -> str:
     """
 
 
+_URL_INDEX_MAX_AGE_SEC = 7 * 24 * 3600
+
+
 def _url_index_cleanup(base: str) -> None:
     """Best-effort ``.scratch/url_index_*`` hygiene (ADVICE r10 #4):
     remove this process's index dirs at interpreter exit, and sweep
     dirs left by DEAD pids (a crashed session cannot clean up after
-    itself). Live foreign pids are never touched — their dirs may back
-    resolved plans in that process."""
+    itself). Live foreign pids are normally never touched — their dirs
+    may back resolved plans in that process — but a dir untouched for
+    a week is swept even if its pid number is alive: pids recycle, and
+    an unrelated live process reusing a dead session's pid would
+    otherwise pin that session's dirs on disk forever (ADVICE r11 #3).
+    Disk-growth hygiene only, never correctness."""
     import shutil
+    import time
 
     try:
         entries = os.listdir(base)
@@ -1480,15 +1488,17 @@ def _url_index_cleanup(base: str) -> None:
             pid = int(name.rsplit("_", 1)[1])
         except ValueError:
             continue
+        full = os.path.join(base, name)
         if pid != os.getpid():
             try:
                 os.kill(pid, 0)  # raises if the pid is gone
-                continue
+                if time.time() - os.path.getmtime(full) < _URL_INDEX_MAX_AGE_SEC:
+                    continue  # genuinely live owner (or young enough to assume so)
             except ProcessLookupError:
                 pass
             except OSError:
                 continue
-        shutil.rmtree(os.path.join(base, name), ignore_errors=True)
+        shutil.rmtree(full, ignore_errors=True)
 
 
 def url_incremental_query(spark):
@@ -1564,13 +1574,26 @@ def _url_index_path(key) -> str:
         ".scratch",
     )
     if type(key) is object:  # the un-analyzable-view sentinel
+        import shutil
+
         nonce = next(_url_index_nonce)
-        return os.path.join(base, f"url_index_unkeyed{nonce}_{os.getpid()}")
+        path = os.path.join(base, f"url_index_unkeyed{nonce}_{os.getpid()}")
+        # disk hygiene (ADVICE r11 #3): the sentinel forces a rebuild per
+        # call, so without this every un-analyzable-view probe leaks a
+        # dir until interpreter exit. The previous unkeyed dir is safe to
+        # drop when the NEXT one is minted: unkeyed views get no
+        # reuse-across-builds guarantee (that is what the sentinel
+        # means), so only the most recent build's plans are supported.
+        while _url_index_prev_unkeyed:
+            shutil.rmtree(_url_index_prev_unkeyed.pop(), ignore_errors=True)
+        _url_index_prev_unkeyed.append(path)
+        return path
     tag = hashlib.md5(repr(key).encode()).hexdigest()[:16]
     return os.path.join(base, f"url_index_{tag}_{os.getpid()}")
 
 
 _url_index_nonce = itertools.count()
+_url_index_prev_unkeyed: list[str] = []
 
 
 def dedup_url_incremental(spark, new_rel: str, path: str):

@@ -69,21 +69,21 @@ def gopher_rules_sql(d: str, rel: str = "documents") -> str:
     every rule is whole-stage-codegen array/regex arithmetic, so at
     100 TB this runs at scan speed and the keep flag composes with any
     downstream sampler as a plain filter."""
-    # length statistics run on the UNLOWERED tokens: engines disagree on
-    # special unicode case maps (Spark lower('İ') = 'i'+U+0307, two
-    # codepoints; DuckDB = 'i', one — Gopher-fuzzer finding, r11), and
-    # the mean-word-length rule is case-independent anyway. The lowered
-    # tokens exist only for the membership tests (stop words, [a-z]),
-    # where the dot-above residue cannot change the outcome.
+    # tokens are lower_ascii-folded ONCE and reused for both membership
+    # tests (stop words, [a-z]) and length statistics: lower_ascii is a
+    # 1:1 A-Z translate, so it preserves every element's length — unlike
+    # unicode lower(), whose case maps diverge between engines (Spark
+    # lower('İ') = 'i'+U+0307, two codepoints; DuckDB = 'i', one — the
+    # r11 Gopher-fuzzer finding that is the reason lower() is banned
+    # here in the first place).
     raw = G.split_ws(G.lower_ascii("text"), d)
     toks = G.afilter(raw, "t -> length(t) > 0", d)
-    rawlen = G.afilter(G.split_ws("text", d), "t -> length(t) > 0", d)
     if d == "spark":
-        sum_len = "aggregate(lentoks, 0L, (a, x) -> a + length(x))"
+        sum_len = "aggregate(toks, 0L, (a, x) -> a + length(x))"
         alpha_lam = "t -> t rlike '[a-z]'"
         lines = "split(text, chr(10))"
     else:
-        sum_len = "COALESCE(list_sum(list_transform(lentoks, x -> length(x))), 0)"
+        sum_len = "COALESCE(list_sum(list_transform(toks, x -> length(x))), 0)"
         alpha_lam = "t -> regexp_matches(t, '[a-z]')"
         lines = "string_split(text, chr(10))"
     n_alpha = G.arr_size(G.afilter("toks", alpha_lam, d), d)
@@ -99,7 +99,7 @@ def gopher_rules_sql(d: str, rel: str = "documents") -> str:
     n_ell = G.arr_size(G.afilter("lines", "l -> l LIKE '%...'", d), d)
     return f"""
     WITH t AS (
-        SELECT doc_id, lang, text, {toks} AS toks, {rawlen} AS lentoks,
+        SELECT doc_id, lang, text, {toks} AS toks,
                {lines} AS lines FROM {rel}),
     m AS (
         SELECT doc_id,
