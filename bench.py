@@ -208,6 +208,7 @@ def main() -> None:
             _staged_hx,
             _staged_substring_grams,
             minhash_clusters,
+            url_incremental_query,
         )
         from torchfusion_spark.operators.similarity import _staged_norms
         from torchfusion_spark.operators.textstats import (
@@ -240,6 +241,12 @@ def main() -> None:
                 pool.submit(_staged_substring_grams, spark),  # positional grams
                 pool.submit(_staged_unigrams, spark),  # BM25/LM term freqs
                 pool.submit(_staged_labels, spark),  # classifier Gopher labels
+                # one-time persisted URL seen-set (VERDICT r11 item 5):
+                # the builder writes the index parquet eagerly and
+                # returns the probe plan unexecuted — exactly the
+                # session-staged build this pass exists to charge to
+                # staging_warm_sec instead of the query's cold number
+                pool.submit(url_incremental_query, spark),
             ]
             roots[0].result()  # hx must land before its three consumers
             deps = [
