@@ -135,6 +135,11 @@ HEADLINE = [
     # pack, composed over the shared staged/checkpointed relations) —
     # the benched cost is the composition over already-staged inputs
     "pipeline_pretrain_corpus",
+    # round-12 addition: the O(log n)-rounds star-contraction clusters
+    # variant (deep/chain graphs) — benched from day one; the LSH pair
+    # relation it reads is session-staged, so the benched cost is the
+    # contraction loop itself
+    "dedup_minhash_clusters_star",
 ]
 
 # Streaming witnesses carry round-over-round timing accountability but are

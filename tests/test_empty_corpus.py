@@ -43,6 +43,7 @@ DOC_OPS = [
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_minhash_clusters",
+    "dedup_minhash_clusters_star",
     "dedup_containment",
     "dedup_substring",
     "pipeline_dedup_canonical",

@@ -342,6 +342,18 @@ def dedup_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_minhash_clusters_star",
+    dedup.minhash_clusters_oracle_sql(),
+    doc="same clusters via alternating large-star/small-star contraction "
+    "(Kiveris et al.) — O(log n) rounds instead of propagation's "
+    "O(diameter), the variant deep/chain-shaped duplicate graphs need; "
+    "oracle = the same recursive-CTE transitive closure",
+)
+def dedup_minhash_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.connected_components_star(dedup.minhash_lsh(spark))
+
+
+@query(
     "pipeline_dedup_canonical",
     dedup.canonical_oracle_sql(),
     doc="composed dedup→canonical pipeline: LSH near-dup clusters joined "

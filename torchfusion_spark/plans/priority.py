@@ -32,7 +32,9 @@ else (bench.py, tools/verify_local.py, tests).
 from __future__ import annotations
 
 PRIORITY: list[str] = [
-    # -- ranks 1-26: the 26 r07-vintage re-certs (5 rounds stale) --
+    # -- new r12 registrations: no CORRECTNESS row at all --
+    "dedup_minhash_clusters_star",
+    # -- the 26 r07-vintage re-certs (5 rounds stale) --
     "agg_median",
     "agg_min_max_by",
     "agg_minmax_first",
