@@ -140,6 +140,9 @@ HEADLINE = [
     # relation it reads is session-staged, so the benched cost is the
     # contraction loop itself
     "dedup_minhash_clusters_star",
+    # round-12 addition: perceptual payload dedup (byte aHash via Arrow
+    # scan + the SimHash banded Hamming tail) — benched from day one
+    "multimodal_dedup",
 ]
 
 # Streaming witnesses carry round-over-round timing accountability but are

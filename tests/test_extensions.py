@@ -96,6 +96,34 @@ def test_multimodal_features_match_byte_math(spark, tables):
         )
 
 
+def test_multimodal_dedup_matches_bruteforce_hamming(spark, tables):
+    """Python recompute: the banded pair query equals brute-force
+    all-pairs Hamming <= 3 over independently recomputed aHashes — the
+    pigeonhole guarantee (3 flips touch <= 3 of 4 bands) is exact while
+    no bucket exceeds the cap, which a gate-sf corpus never does."""
+    import os
+
+    from torchfusion_spark.operators.multimodal import PHASH_MAX_HAMMING, _ahash32
+    from torchfusion_spark.plans import REGISTRY
+
+    sf = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    got = {
+        (r.id_a, r.id_b): r.hamming
+        for r in REGISTRY["multimodal_dedup"].builder(spark, sf).collect()
+    }
+    docs = spark.sql("SELECT doc_id, text FROM documents WHERE text IS NOT NULL").collect()
+    ph = {r.doc_id: _ahash32(r.text.encode("utf-8")) for r in docs if len(r.text) > 0}
+    ids = sorted(ph)
+    want = {
+        (a, b): (ph[a] ^ ph[b]).bit_count()
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if (ph[a] ^ ph[b]).bit_count() <= PHASH_MAX_HAMMING
+    }
+    assert got == want
+    assert len(want) > 0  # the witness must exercise real pairs
+
+
 def test_multimodal_real_decode_is_explicit_stub():
     from torchfusion_spark.operators.multimodal import _decode_real
 

@@ -202,3 +202,129 @@ SELECT doc_id,
            (a, x) -> a + x) % 256 AS INT) AS checksum16
 FROM documents ORDER BY doc_id
 """
+
+
+PHASH_BITS = 32
+PHASH_MAX_HAMMING = 3
+
+
+def _ahash32(b: bytes) -> int:
+    """32-bit byte-level aHash (average hash — the standard perceptual-
+    image-dedup fingerprint, computed here over raw payload bytes since
+    the env has no codecs; a real decoder would feed pixel blocks into
+    the SAME bit rule with zero plumbing changes): split the payload
+    into 32 contiguous stride-sized blocks, bit j = 1 iff block j's mean
+    byte >= the payload's mean byte. The compare is an exact BIGINT
+    cross-multiplication (``bsum * n >= tsum * blen`` — the
+    corpus_source_filter discipline), never a float mean, so the DuckDB
+    oracle reproduces every bit exactly. Empty trailing blocks (n < 32)
+    contribute bit 0 — in the oracle they simply produce no group row."""
+    n = len(b)
+    stride = -(-n // PHASH_BITS)
+    tot = sum(b)
+    h = 0
+    for blk in range(PHASH_BITS):
+        seg = b[blk * stride : (blk + 1) * stride]
+        if seg and sum(seg) * n >= tot * len(seg):
+            h |= 1 << blk
+    return h
+
+
+def perceptual_hash(df: DataFrame) -> DataFrame:
+    """(doc_id, payload, ...) → (doc_id, simhash): the aHash fingerprint
+    via mapInPandas (Arrow batches — the real multimodal decode→hash
+    plumbing). The output column is named ``simhash`` so the banded
+    Hamming self-join is the EXACT generator the text SimHash family
+    already certifies (`dedup.simhash_body_sql`) — one pair algorithm,
+    two fingerprint front-ends. NULL/empty payloads emit no row (the
+    text family's ``WHERE n > 0``): an undecodable image cannot be
+    near anything."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, sigs = [], []
+            for did, b in zip(pdf["doc_id"], pdf["payload"]):
+                if b is None or len(b) == 0:
+                    continue
+                ids.append(did)
+                sigs.append(_ahash32(bytes(b)))
+            yield pd.DataFrame({"doc_id": ids, "simhash": sigs})
+
+    return df.mapInPandas(op, schema="doc_id bigint, simhash bigint")
+
+
+def _staged_phash(spark: SparkSession, then=None):
+    """The payload-fingerprint relation staged once per (session, docs
+    view) — 12 bytes per doc; memoized like the text SimHash signature
+    so repeated dedup calls never re-run the Arrow scan. ``then`` (the
+    family-wide r9 binder discipline) runs INSIDE the memo lock with the
+    staged view name, so consumers resolve their final plan before a
+    concurrent docs-view swap can rebind ``__mm_phash`` (ADVICE r08
+    TOCTOU). The lock is NOT reentrant — never wrap this call in another
+    ``memo_lock("mm_phash")``."""
+    from torchfusion_spark.operators.dedup import _docs_key
+    from torchfusion_spark.session import memo_lock, staged_cache
+
+    key = _docs_key(spark)
+    with memo_lock(spark, "mm_phash"):
+        if getattr(spark, "_tf_mm_phash_key", object()) != key:
+            s = staged_cache(spark, "mm_phash", perceptual_hash(attach_payload(spark)))
+            s.count()
+            s.createOrReplaceTempView("__mm_phash")
+            spark._tf_mm_phash_key = key
+        return then("__mm_phash") if then is not None else "__mm_phash"
+
+
+def dedup_query(spark: SparkSession, max_hamming: int = PHASH_MAX_HAMMING) -> DataFrame:
+    """Perceptual near-dup pairs over the binary payload (the image-dedup
+    stage of a multimodal 100 TB pipeline): one linear Arrow scan builds
+    the 32-bit fingerprints, then the text-SimHash banded self-join
+    (8-bit band keys, hot buckets capped, Hamming verify on the carried
+    signature — ONE shuffle on the band key, never all-pairs) finds
+    pairs within ``max_hamming``. Pigeonhole: <= 3 flipped bits touch
+    <= 3 of the 4 bands, so every qualifying pair shares a band key."""
+    from torchfusion_spark.operators.dedup import simhash_body_sql
+
+    return _staged_phash(
+        spark,
+        then=lambda rel: spark.sql(simhash_body_sql("spark", rel, PHASH_BITS, max_hamming)),
+    )
+
+
+def mm_dedup_oracle_sql(max_hamming: int = PHASH_MAX_HAMMING) -> str:
+    """DuckDB oracle: recompute the aHash straight from the text (ASCII
+    corpus ⇒ byte == char code) with the same exact-integer bit rule,
+    then run the IDENTICAL banded-join SQL the Spark side uses."""
+    from torchfusion_spark.operators.dedup import simhash_body_sql
+
+    fingerprint = f"""
+    SELECT b.doc_id,
+           SUM(CASE WHEN b.bsum * b.n >= t.tsum * b.blen
+                    THEN CAST(1 AS BIGINT) << b.blk ELSE 0 END) AS simhash
+    FROM (
+        SELECT doc_id, n, CAST((i - 1) // stride AS INT) AS blk,
+               SUM(c) AS bsum, COUNT(*) AS blen
+        FROM (
+            SELECT doc_id, n, stride, i,
+                   CAST(unicode(substr(text, CAST(i AS INT), 1)) AS BIGINT) AS c
+            FROM (
+                SELECT doc_id, text, n, stride, unnest(range(1, n + 1)) AS i
+                FROM (
+                    SELECT doc_id, text, length(text) AS n,
+                           (length(text) + {PHASH_BITS - 1}) // {PHASH_BITS} AS stride
+                    FROM documents
+                    WHERE text IS NOT NULL AND length(text) > 0)))
+        GROUP BY doc_id, n, blk) b
+    JOIN (
+        SELECT doc_id, SUM(CAST(unicode(substr(text, CAST(i AS INT), 1)) AS BIGINT)) AS tsum
+        FROM (
+            SELECT doc_id, text, unnest(range(1, length(text) + 1)) AS i
+            FROM documents WHERE text IS NOT NULL AND length(text) > 0)
+        GROUP BY doc_id) t ON b.doc_id = t.doc_id
+    GROUP BY b.doc_id
+    """
+    return simhash_body_sql("duck", "ph", PHASH_BITS, max_hamming).replace(
+        "WITH bands AS",
+        f"WITH ph AS MATERIALIZED ({fingerprint}),\n    bands AS",
+        1,
+    )

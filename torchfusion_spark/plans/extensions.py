@@ -354,6 +354,18 @@ def dedup_minhash_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_dedup",
+    multimodal.mm_dedup_oracle_sql(),
+    doc="perceptual near-dup over the binary payload (image-dedup stage): "
+    "32-bit byte-level aHash via mapInPandas (exact-integer bit rule), "
+    "then the text-SimHash banded Hamming self-join generator verbatim; "
+    "oracle recomputes the fingerprint in SQL and runs the same tail",
+)
+def multimodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return multimodal.dedup_query(spark)
+
+
+@query(
     "pipeline_dedup_canonical",
     dedup.canonical_oracle_sql(),
     doc="composed dedup→canonical pipeline: LSH near-dup clusters joined "

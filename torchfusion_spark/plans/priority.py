@@ -34,6 +34,7 @@ from __future__ import annotations
 PRIORITY: list[str] = [
     # -- new r12 registrations: no CORRECTNESS row at all --
     "dedup_minhash_clusters_star",
+    "multimodal_dedup",
     # -- the 26 r07-vintage re-certs (5 rounds stale) --
     "agg_median",
     "agg_min_max_by",
