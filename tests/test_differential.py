@@ -1387,3 +1387,246 @@ def test_casemap_chars_cannot_split_group_identity(spark, duck, restore_document
         got = sorted(tuple(r) for r in spark.sql(gen("spark")).collect())
         want = sorted(tuple(r) for r in duck.execute(gen("duck")).fetchall())
         assert got == want, (gen.__name__, got, want)
+
+
+# -- round-12 fuzzers: MinHash fold / SimHash banding / BPE merge parity ----
+
+
+@st.composite
+def minhash_hx_inputs(draw):
+    # small value domain on purpose: forces signature collisions, shared
+    # band keys, and hot buckets so the cap path is exercised; a few
+    # full-domain values keep the generic path honest
+    n_docs = draw(st.integers(1, 14))
+    hx = [
+        draw(
+            st.lists(
+                st.one_of(
+                    st.integers(0, 20),
+                    st.integers(0, 4294967310),
+                ),
+                min_size=1,  # the shingle pipeline never emits an empty hx
+                max_size=8,
+            )
+        )
+        for _ in range(n_docs)
+    ]
+    threshold = draw(st.sampled_from([0.0, 0.3, 0.6]))
+    max_bucket = draw(st.sampled_from([2, 4, 64]))
+    return hx, threshold, max_bucket
+
+
+@settings(
+    max_examples=40,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(case=minhash_hx_inputs())
+def test_differential_minhash_fold_and_pairs(spark, duck, case):
+    """The 16-perm MinHash signature fold (Spark: one aggregate() fold;
+    DuckDB: K list_min passes — completely different spellings from one
+    generator) plus the banded pair pipeline downstream, on RANDOM hx
+    relations: duplicate hashes, tiny value domains (bucket collisions),
+    hot buckets under a small cap, thresholds incl. 0. The signature is
+    also recomputed in plain Python from the published (A, B, P)
+    constants — a same-on-both-engines fold bug cannot hide behind the
+    differential."""
+    import pandas as pd
+
+    from torchfusion_spark.operators import sqlgen as G
+    from torchfusion_spark.operators.dedup import minhash_body_sql, sig_rel_sql
+
+    hx, threshold, max_bucket = case
+    pdf = pd.DataFrame({"doc_id": range(len(hx)), "hx": hx})
+    # pin hx to BIGINT on both sides: the real relation is hash56-typed
+    # (CAST ... AS BIGINT); an inferred INT32 list would overflow the
+    # fold's multiplication as a fixture artifact, not a fragment bug
+    spark.createDataFrame(pdf, "doc_id bigint, hx array<bigint>").createOrReplaceTempView(
+        "mh_hx"
+    )
+    duck.execute(
+        "CREATE OR REPLACE VIEW mh_hx AS SELECT doc_id, CAST(hx AS BIGINT[]) AS hx FROM pdf"
+    )
+
+    sp_sig = {
+        r.doc_id: tuple(r.sig)
+        for r in spark.sql(sig_rel_sql("spark", "mh_hx")).collect()
+    }
+    du_sig = {
+        r[0]: tuple(r[2])
+        for r in duck.execute(sig_rel_sql("duck", "mh_hx")).fetchall()
+    }
+    assert sp_sig == du_sig, (hx, sp_sig, du_sig)
+    want_sig = {
+        i: tuple(
+            min((G.MINHASH_A[k] * x + G.MINHASH_B[k]) % G.MINHASH_P for x in v)
+            for k in range(G._K)
+        )
+        for i, v in enumerate(hx)
+    }
+    assert sp_sig == want_sig, (hx, sp_sig, want_sig)
+
+    spark.sql(
+        f"CREATE OR REPLACE TEMPORARY VIEW mh_sig AS {sig_rel_sql('spark', 'mh_hx')}"
+    )
+    duck.execute(f"CREATE OR REPLACE VIEW mh_sig AS {sig_rel_sql('duck', 'mh_hx')}")
+    body = lambda d: minhash_body_sql(d, "mh_sig", threshold, max_bucket=max_bucket)
+    got = [tuple(r) for r in spark.sql(body("spark")).collect()]
+    want = [tuple(r) for r in duck.execute(body("duck")).fetchall()]
+    assert got == want, (case, got, want)
+
+
+@st.composite
+def simhash_doc_inputs(draw):
+    # repeated tokens from a tiny vocabulary create near-dup docs (small
+    # Hamming distances); free unicode text sweeps the tokenizer + md5
+    word = st.sampled_from(["alpha", "beta", "gama", "ALPHA", "x", "_", "ß", "é1"])
+    near = st.lists(word, min_size=0, max_size=8).map(" ".join)
+    wild = st.text(
+        alphabet=st.characters(blacklist_categories=("Cs",)),
+        min_size=0,
+        max_size=40,
+    )
+    n_docs = draw(st.integers(1, 10))
+    texts = [draw(st.one_of(near, near, wild)) for _ in range(n_docs)]
+    max_hamming = draw(st.sampled_from([0, 2, 6]))
+    max_bucket = draw(st.sampled_from([2, 256]))
+    return texts, max_hamming, max_bucket
+
+
+@settings(
+    max_examples=40,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(case=simhash_doc_inputs())
+def test_differential_simhash_sig_and_band_keys(spark, duck, case):
+    """SimHash end-to-end on RANDOM docs (newlines, quotes, backslashes,
+    unicode — DataFrame views, so nothing is literal-escaped): the
+    majority-vote signature must match cross-engine AND a plain-Python
+    recompute (distinct tokens of split-on-space after the A-Z-only
+    fold, md5-prefix hashes, 2*ones > n votes); the banded pair query
+    (8-bit band keys from shr/& slices, hot-bucket cap, bit_count
+    Hamming verify) must agree cross-engine."""
+    import hashlib
+
+    import pandas as pd
+
+    from torchfusion_spark.operators.dedup import simhash_body_sql, simhash_sig_sql
+
+    texts, max_hamming, max_bucket = case
+    pdf = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    spark.createDataFrame(pdf).createOrReplaceTempView("sh_docs")
+    duck.execute("CREATE OR REPLACE VIEW sh_docs AS SELECT * FROM pdf")
+
+    sp = {r.doc_id: r.simhash for r in spark.sql(simhash_sig_sql("spark", rel="sh_docs")).collect()}
+    du = dict(duck.execute(simhash_sig_sql("duck", rel="sh_docs")).fetchall())
+    assert sp == du, (texts, sp, du)
+
+    fold = str.maketrans(
+        "ABCDEFGHIJKLMNOPQRSTUVWXYZ", "abcdefghijklmnopqrstuvwxyz"
+    )
+    want = {}
+    for i, t in enumerate(texts):
+        toks = set(t.translate(fold).split(" "))
+        hashes = [
+            int(hashlib.md5(tok.encode("utf-8")).hexdigest()[:14], 16) for tok in toks
+        ]
+        n = len(toks)
+        want[i] = sum(
+            1 << b
+            for b in range(32)
+            if 2 * sum((h >> b) & 1 for h in hashes) > n
+        )
+    assert sp == want, (texts, sp, want)
+
+    spark.sql(
+        f"CREATE OR REPLACE TEMPORARY VIEW sh_sig AS {simhash_sig_sql('spark', rel='sh_docs')}"
+    )
+    duck.execute(
+        f"CREATE OR REPLACE VIEW sh_sig AS {simhash_sig_sql('duck', rel='sh_docs')}"
+    )
+    body = lambda d: simhash_body_sql(d, "sh_sig", 32, max_hamming, max_bucket)
+    got = [tuple(r) for r in spark.sql(body("spark")).collect()]
+    dwant = [tuple(r) for r in duck.execute(body("duck")).fetchall()]
+    assert got == dwant, (case, got, dwant)
+
+
+def _ref_bpe(words: dict, rounds: int) -> list:
+    """Plain-Python Sennrich BPE reference: per round, count adjacent
+    symbol pairs weighted by word frequency, pick (max count, then
+    lexicographically smallest pair), merge it greedily left-to-right
+    without overlap ('aaa' + (a,a) → ('aa','a'))."""
+    streams = {w: list(w) + ["_"] for w in words}
+    merges = []
+    for r in range(1, rounds + 1):
+        cnt: dict = {}
+        for w, syms in streams.items():
+            for a, b in zip(syms, syms[1:]):
+                cnt[(a, b)] = cnt.get((a, b), 0) + words[w]
+        if not cnt:
+            break
+        mx = max(cnt.values())
+        a, b = min(k for k, v in cnt.items() if v == mx)
+        merges.append((r, a, b, a + b, mx))
+        for w, syms in streams.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            streams[w] = out
+    return merges
+
+
+@st.composite
+def bpe_tf_inputs(draw):
+    # low-entropy alphabet drives real merge cascades and ties; quotes,
+    # backslashes, the end-of-word marker itself and unicode sweep the
+    # literal-escaping and substr/length paths
+    tok = st.text(
+        alphabet=st.sampled_from(list("aab_'\\ß日x")),
+        min_size=0,
+        max_size=6,
+    )
+    n = draw(st.integers(1, 8))
+    toks = draw(st.lists(tok, min_size=n, max_size=n, unique=True))
+    tfs = [draw(st.integers(1, 5)) for _ in toks]
+    return list(zip(toks, tfs))
+
+
+@settings(
+    max_examples=40,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(case=bpe_tf_inputs())
+def test_differential_bpe_train_merge_parity(spark, duck, case):
+    """The BPE trainer's gaps-and-islands merge fragments on RANDOM word
+    streams ('aaa'-style self-overlaps, merge-pair ties, the '_' marker
+    inside words, quotes/backslashes/unicode): the unrolled 2-round
+    statement — composed from the SAME _bpe_sym0/_bpe_top/_bpe_merge
+    fragments the checkpointed Spark loop uses — must agree cross-engine
+    AND with a plain-Python Sennrich reference (the same-on-both-engines
+    trap: an agreed-but-wrong merge rule is invisible to the
+    differential alone)."""
+    import pandas as pd
+
+    from torchfusion_spark.operators.textstats import bpe_train_sql
+
+    pdf = pd.DataFrame(
+        {"tok": [t for t, _ in case], "tf": [f for _, f in case]}
+    )
+    spark.createDataFrame(pdf).createOrReplaceTempView("bpe_tf")
+    duck.execute("CREATE OR REPLACE VIEW bpe_tf AS SELECT * FROM pdf")
+    got = [tuple(r) for r in spark.sql(bpe_train_sql("spark", 2, tf_rel="bpe_tf")).collect()]
+    want = [tuple(r) for r in duck.execute(bpe_train_sql("duck", 2, tf_rel="bpe_tf")).fetchall()]
+    assert got == want, (case, got, want)
+    ref = _ref_bpe(dict(case), 2)
+    assert got == ref, (case, got, ref)
