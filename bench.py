@@ -136,9 +136,10 @@ HEADLINE = [
     # the benched cost is the composition over already-staged inputs
     "pipeline_pretrain_corpus",
     # round-12 addition: the O(log n)-rounds star-contraction clusters
-    # variant (deep/chain graphs) — benched from day one; the LSH pair
-    # relation it reads is session-staged, so the benched cost is the
-    # contraction loop itself
+    # variant (deep/chain graphs) — benched from day one; the SIGNATURE
+    # relation is session-staged, so the benched cost is the banded LSH
+    # pair join plus the contraction loop (re-run every call on purpose —
+    # the loop is the thing this witness times)
     "dedup_minhash_clusters_star",
     # round-12 addition: perceptual payload dedup (byte aHash via Arrow
     # scan + the SimHash banded Hamming tail) — benched from day one
@@ -218,6 +219,7 @@ def main() -> None:
             minhash_clusters,
             url_incremental_query,
         )
+        from torchfusion_spark.operators.multimodal import _staged_phash
         from torchfusion_spark.operators.similarity import _staged_norms
         from torchfusion_spark.operators.textstats import (
             _staged_bloom,
@@ -249,6 +251,10 @@ def main() -> None:
                 pool.submit(_staged_substring_grams, spark),  # positional grams
                 pool.submit(_staged_unigrams, spark),  # BM25/LM term freqs
                 pool.submit(_staged_labels, spark),  # classifier Gopher labels
+                # payload aHash fingerprints (multimodal_dedup's staged
+                # relation — the r03/r06 contract: staging_warm_sec covers
+                # every session-staged relation the headline set uses)
+                pool.submit(_staged_phash, spark),
                 # one-time persisted URL seen-set (VERDICT r11 item 5):
                 # the builder writes the index parquet eagerly and
                 # returns the probe plan unexecuted — exactly the

@@ -1461,21 +1461,33 @@ def url_incremental_equiv_sql(d: str) -> str:
     """
 
 
-_URL_INDEX_MAX_AGE_SEC = 7 * 24 * 3600
+def _pid_started_after(pid: int, ts: float) -> bool:
+    """True when ``pid``'s process provably started AFTER ``ts`` — i.e.
+    it cannot be the process that created a file stamped ``ts``, so the
+    pid number was recycled. ``/proc/<pid>``'s own ctime is the process
+    start; when /proc is unavailable, answer False (conservative: treat
+    the live pid as the owner)."""
+    try:
+        # 60 s slack: the dir mtime is the build END, which postdates the
+        # owner's start by the build duration; only a start strictly
+        # after the stamp proves recycling
+        return os.stat(f"/proc/{pid}").st_ctime > ts + 60
+    except OSError:
+        return False
 
 
 def _url_index_cleanup(base: str) -> None:
     """Best-effort ``.scratch/url_index_*`` hygiene (ADVICE r10 #4):
     remove this process's index dirs at interpreter exit, and sweep
     dirs left by DEAD pids (a crashed session cannot clean up after
-    itself). Live foreign pids are normally never touched — their dirs
-    may back resolved plans in that process — but a dir untouched for
-    a week is swept even if its pid number is alive: pids recycle, and
-    an unrelated live process reusing a dead session's pid would
-    otherwise pin that session's dirs on disk forever (ADVICE r11 #3).
-    Disk-growth hygiene only, never correctness."""
+    itself). Live foreign pids are never touched UNLESS the pid number
+    was provably recycled — the process started after the dir was built
+    (ADVICE r11 #3), so it cannot be the owner. A genuinely live owner
+    keeps its dirs indefinitely: an age cutoff here would delete a
+    long-lived recurring-crawl session's in-use index out from under
+    its resolved probe plans (code-review r12). Disk-growth hygiene
+    only, never correctness."""
     import shutil
-    import time
 
     try:
         entries = os.listdir(base)
@@ -1492,8 +1504,8 @@ def _url_index_cleanup(base: str) -> None:
         if pid != os.getpid():
             try:
                 os.kill(pid, 0)  # raises if the pid is gone
-                if time.time() - os.path.getmtime(full) < _URL_INDEX_MAX_AGE_SEC:
-                    continue  # genuinely live owner (or young enough to assume so)
+                if not _pid_started_after(pid, os.path.getmtime(full)):
+                    continue  # live owner — never touch its dirs
             except ProcessLookupError:
                 pass
             except OSError:
@@ -1539,6 +1551,8 @@ def url_incremental_query(spark):
         idx_pred = "FALSE" if split == "NULL" else f"doc_id < {split}"
         batch_pred = "FALSE" if split == "NULL" else f"doc_id >= {split}"
         path = _url_index_path(key)
+        if type(key) is object:  # unkeyed sentinel: bound this session's dirs
+            _drop_prev_unkeyed(spark, path)
         base = os.path.dirname(path)
         if not getattr(url_incremental_query, "_cleanup_registered", False):
             atexit.register(_url_index_cleanup, base)
@@ -1574,26 +1588,33 @@ def _url_index_path(key) -> str:
         ".scratch",
     )
     if type(key) is object:  # the un-analyzable-view sentinel
-        import shutil
-
         nonce = next(_url_index_nonce)
-        path = os.path.join(base, f"url_index_unkeyed{nonce}_{os.getpid()}")
-        # disk hygiene (ADVICE r11 #3): the sentinel forces a rebuild per
-        # call, so without this every un-analyzable-view probe leaks a
-        # dir until interpreter exit. The previous unkeyed dir is safe to
-        # drop when the NEXT one is minted: unkeyed views get no
-        # reuse-across-builds guarantee (that is what the sentinel
-        # means), so only the most recent build's plans are supported.
-        while _url_index_prev_unkeyed:
-            shutil.rmtree(_url_index_prev_unkeyed.pop(), ignore_errors=True)
-        _url_index_prev_unkeyed.append(path)
-        return path
+        return os.path.join(base, f"url_index_unkeyed{nonce}_{os.getpid()}")
     tag = hashlib.md5(repr(key).encode()).hexdigest()[:16]
     return os.path.join(base, f"url_index_{tag}_{os.getpid()}")
 
 
+def _drop_prev_unkeyed(spark, new_path: str) -> None:
+    """Disk hygiene for the un-analyzable-view sentinel (ADVICE r11 #3):
+    the sentinel forces a rebuild per call, so without this every
+    unkeyed probe leaks a dir until interpreter exit. The previous
+    unkeyed dir is dropped when THIS SESSION mints its next one —
+    per-session tracking, never the module level: two SparkSessions in
+    one process must not delete each other's live index dirs
+    (code-review r12). Caveat this trades away: an unexecuted probe
+    plan from this session's PREVIOUS unkeyed call loses its backing
+    files — unkeyed views carry no reuse-across-builds guarantee (that
+    is what the sentinel means), so only the most recent build's plans
+    are supported."""
+    import shutil
+
+    prev = spark.__dict__.setdefault("_tf_url_unkeyed_prev", [])
+    while prev:
+        shutil.rmtree(prev.pop(), ignore_errors=True)
+    prev.append(new_path)
+
+
 _url_index_nonce = itertools.count()
-_url_index_prev_unkeyed: list[str] = []
 
 
 def dedup_url_incremental(spark, new_rel: str, path: str):
@@ -1648,8 +1669,30 @@ def connected_components_star(pairs, max_iter: int = 20):
     toward stars rooted at component minima; termination = stable
     symmetric edge set (count + hash-sum compare, no driver-side edge
     materialization). Output matches :func:`connected_components`:
-    (doc_id, component=min reachable id)."""
+    (doc_id, component=min reachable id).
+
+    No ``SMALL_GRAPH_EDGES`` short-circuit ON PURPOSE: this function is
+    the registered witness for the star path itself — short-circuiting
+    to the single-task union-find at gate scale would certify the fast
+    path twice and the contraction loop never. Checkpoints are
+    slot-tracked over TWO alternating slots (the sibling's discipline):
+    each checkpoint releases the blocks from two checkpoints ago, which
+    nothing references anymore (the current edge set is a checkpointed
+    leaf independent of its ancestors), so a long loop holds two edge
+    generations instead of ~3 per round until driver GC."""
     from pyspark.sql import functions as F
+
+    from torchfusion_spark.session import staged_checkpoint, staging_nonce
+
+    spark = pairs.sparkSession
+    nonce = staging_nonce(spark)
+    n_ck = 0
+
+    def ck(df):
+        nonlocal n_ck
+        out = staged_checkpoint(spark, f"ccs_{nonce}_e_{n_ck % 2}", df)
+        n_ck += 1
+        return out
 
     def sym(e):
         return (
@@ -1667,9 +1710,7 @@ def connected_components_star(pairs, max_iter: int = 20):
         ).collect()[0]
         return (r.n, r.h)
 
-    e = sym(
-        pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
-    ).localCheckpoint()
+    e = ck(sym(pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))))
     prev = sig(e)
     for _ in range(max_iter):
         # large-star: (v, m) for v > u, m = min(N(u) ∪ {u})
@@ -1680,7 +1721,7 @@ def connected_components_star(pairs, max_iter: int = 20):
             .filter(F.col("v") > F.col("u"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
         )
-        e = sym(large).localCheckpoint()
+        e = ck(sym(large))
         # small-star over the smaller-or-equal neighborhood
         es = e.filter(F.col("v") < F.col("u"))
         smins = es.groupBy("u").agg(F.min("v").alias("m"))
@@ -1689,14 +1730,28 @@ def connected_components_star(pairs, max_iter: int = 20):
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .union(smins.select("u", F.col("m").alias("v")))
         )
-        e = sym(small).localCheckpoint()
+        e = ck(sym(small))
         cur = sig(e)
         if cur == prev:
             break
         prev = cur
+    else:
+        # falling out of the round budget without a stable edge set would
+        # return components computed from a PARTIALLY contracted graph —
+        # silently wrong labels the driver would certify (the sibling
+        # propagation loop fails loudly for the same reason). Rounds grow
+        # ~log2(diameter), so 20 covers ~500k-deep chains; deeper graphs
+        # must raise max_iter, not get wrong answers.
+        raise RuntimeError(
+            f"connected_components_star: edge set still contracting after "
+            f"{max_iter} rounds — component diameter exceeds ~2^{max_iter}; "
+            "raise max_iter"
+        )
     comp = (
         e.groupBy("u")
         .agg(F.min("v").alias("mv"))
         .select(F.col("u").alias("doc_id"), F.least(F.col("u"), F.col("mv")).alias("component"))
     )
-    return comp.orderBy("doc_id")
+    out = comp.orderBy("doc_id")
+    out._tf_cc_nonce = nonce
+    return out

@@ -350,7 +350,18 @@ def dedup_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     "oracle = the same recursive-CTE transitive closure",
 )
 def dedup_minhash_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.connected_components_star(dedup.minhash_lsh(spark))
+    # deliberately NOT memoized (unlike dedup_minhash_clusters): each call
+    # re-runs the contraction loop so its cost stays visible to the bench.
+    # Each call supersedes the last, so the previous call's two checkpoint
+    # slots (which back only the superseded plan) are released here.
+    from torchfusion_spark.session import release_staged_group
+
+    prev = getattr(spark, "_tf_ccs_last_nonce", None)
+    if prev is not None:
+        release_staged_group(spark, f"ccs_{prev}_")
+    out = dedup.connected_components_star(dedup.minhash_lsh(spark))
+    spark._tf_ccs_last_nonce = out._tf_cc_nonce
+    return out
 
 
 @query(
