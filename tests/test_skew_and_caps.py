@@ -255,11 +255,15 @@ def test_capped_bucket_stats_observability(spark, tables):
         simhash_capped_bucket_stats,
     )
 
+    from torchfusion_spark.operators.multimodal import phash_capped_bucket_stats
+
     assert simhash_capped_bucket_stats(spark).count() == 0
     assert minhash_capped_bucket_stats(spark).count() == 0
+    assert phash_capped_bucket_stats(spark).count() == 0
     # the surface reports when a cap WOULD bite: tighten max_bucket to 1
     # and the boilerplate-free corpus still has some 2+ buckets
     assert simhash_capped_bucket_stats(spark, max_bucket=1).count() > 0
+    assert phash_capped_bucket_stats(spark, max_bucket=1).count() > 0
 
 
 def test_staged_lifecycle_no_storage_leak(spark, tables):

@@ -103,6 +103,18 @@ def main() -> None:
         "excluded_pair_bound": sum(r.bsz * (r.bsz - 1) // 2 for r in sh),
     }
 
+    # multimodal_dedup's payload-fingerprint banding shares the SimHash
+    # cap; the observer reuses the operator's own band-key spelling
+    from torchfusion_spark.operators.multimodal import phash_capped_bucket_stats
+
+    ph = phash_capped_bucket_stats(spark).collect()
+    report["caps"]["multimodal_phash"] = {
+        "max_bucket": SIMHASH_MAX_BUCKET,
+        "capped_buckets": len(ph),
+        "largest_bucket": max((r.bsz for r in ph), default=0),
+        "excluded_pair_bound": sum(r.bsz * (r.bsz - 1) // 2 for r in ph),
+    }
+
     # n-gram block cap: (lang, len_bucket) blocks the capped join skips
     blocks = spark.sql(
         f"SELECT lang, len_bucket, COUNT(*) AS n FROM ({ngram_blocks_sql('spark')}) "
