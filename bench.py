@@ -230,21 +230,22 @@ def main() -> None:
         # Dependency-aware parallel build (round-7): the staged
         # relations are independent Spark jobs apart from the shared
         # hashed-shingle relation (__tf_hx feeds minhash/containment/
-        # bloom). Phase 1 overlaps the five roots — the shingle+md5
+        # bloom). Phase 1 overlaps the seven roots — the shingle+md5
         # pass, the embedding norms, the positional grams, the unigram
-        # term-frequency pass and the classifier's Gopher-label pass
-        # scan different columns and the
-        # local[32] scheduler interleaves their tasks; phase 2 overlaps
-        # the three hx consumers. Safe
+        # term-frequency pass, the classifier's Gopher-label pass, the
+        # payload-fingerprint Arrow scan and the URL-index build scan
+        # different columns and the local[32] scheduler interleaves
+        # their tasks; phase 2 overlaps the three hx consumers. Safe
         # concurrently: each builder runs exactly once here and writes
         # a distinct staged_cache slot / memo attribute, so no two
         # threads ever race on the same slot. Sequential wall was
         # ~9.8s at sf0.1; this schedule measures ~5–6s — the same
         # shape a real cluster would use (staging jobs submitted
-        # concurrently, FAIR-scheduled).
+        # concurrently, FAIR-scheduled). Pool width covers every root
+        # so none serializes behind a full pool.
         from concurrent.futures import ThreadPoolExecutor
 
-        with ThreadPoolExecutor(max_workers=6) as pool:
+        with ThreadPoolExecutor(max_workers=8) as pool:
             roots = [
                 pool.submit(_staged_hx, spark),  # shared shingle+md5 relation
                 pool.submit(_staged_norms, spark),  # __sim_norms

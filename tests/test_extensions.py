@@ -739,6 +739,41 @@ def test_scored_checkpoint_reused_across_scorer_queries(spark, tables):
         orig.createOrReplaceTempView("documents")
 
 
+def test_url_index_cleanup_ownership_rules(tmp_path):
+    """The stale-dir sweep's ownership proof (code-review r12): a live
+    foreign pid keeps its dir exactly when its /proc start time matches
+    the start the builder recorded on the marker; a mismatched start is
+    a recycled pid (swept), a dead pid is swept, and an undecidable
+    young dir is left alone."""
+    import os
+
+    from torchfusion_spark.operators.dedup import (
+        _pid_start_time,
+        _url_index_cleanup,
+    )
+
+    base = str(tmp_path)
+    owner = os.path.join(base, "url_index_aaaa_1")  # pid 1 is always alive
+    os.makedirs(owner)
+    with open(os.path.join(owner, "_TF_BUILT"), "w") as f:
+        f.write(f"x\n{_pid_start_time(1)}")
+    recycled = os.path.join(base, "url_index_bbbb_1")
+    os.makedirs(recycled)
+    with open(os.path.join(recycled, "_TF_BUILT"), "w") as f:
+        f.write("x\n123.0")  # pid 1 did not start at epoch+123s
+    dead = os.path.join(base, "url_index_cccc_999999")
+    os.makedirs(dead)
+    undecidable = os.path.join(base, "url_index_dddd_1")  # no marker line 2
+    os.makedirs(undecidable)
+    with open(os.path.join(undecidable, "_TF_BUILT"), "w") as f:
+        f.write("x")
+    _url_index_cleanup(base)
+    assert os.path.exists(owner)  # verified live owner — kept
+    assert not os.path.exists(recycled)  # start-time mismatch — swept
+    assert not os.path.exists(dead)  # dead pid — swept
+    assert os.path.exists(undecidable)  # unknowable + young — left alone
+
+
 def test_url_incremental_index_survives_corpus_swap_back(spark, tables):
     """ADVICE r10 #4: the registry builder's index build is keyed by a
     ``_TF_BUILT`` marker at the corpus-tagged path, not a last-corpus

@@ -86,34 +86,21 @@ def main() -> None:
         url_groups, "canonical_url"
     )
 
-    # MinHash hot-bucket cap: buckets excluded from the candidate self-join
-    mh = minhash_capped_bucket_stats(spark).collect()
-    report["caps"]["minhash_lsh"] = {
-        "max_bucket": MAX_BUCKET,
-        "capped_buckets": len(mh),
-        "largest_bucket": max((r.bsz for r in mh), default=0),
-        "excluded_pair_bound": sum(r.bsz * (r.bsz - 1) // 2 for r in mh),
-    }
-
-    sh = simhash_capped_bucket_stats(spark).collect()
-    report["caps"]["simhash"] = {
-        "max_bucket": SIMHASH_MAX_BUCKET,
-        "capped_buckets": len(sh),
-        "largest_bucket": max((r.bsz for r in sh), default=0),
-        "excluded_pair_bound": sum(r.bsz * (r.bsz - 1) // 2 for r in sh),
-    }
-
-    # multimodal_dedup's payload-fingerprint banding shares the SimHash
-    # cap; the observer reuses the operator's own band-key spelling
+    # hot-bucket caps for the three banded families — one observer query
+    # and one report shape (dedup.capped_bucket_stats/_report), each over
+    # the family's own staged relation and band-key spelling
+    from torchfusion_spark.operators.dedup import capped_bucket_report
     from torchfusion_spark.operators.multimodal import phash_capped_bucket_stats
 
-    ph = phash_capped_bucket_stats(spark).collect()
-    report["caps"]["multimodal_phash"] = {
-        "max_bucket": SIMHASH_MAX_BUCKET,
-        "capped_buckets": len(ph),
-        "largest_bucket": max((r.bsz for r in ph), default=0),
-        "excluded_pair_bound": sum(r.bsz * (r.bsz - 1) // 2 for r in ph),
-    }
+    report["caps"]["minhash_lsh"] = capped_bucket_report(
+        minhash_capped_bucket_stats(spark).collect(), MAX_BUCKET
+    )
+    report["caps"]["simhash"] = capped_bucket_report(
+        simhash_capped_bucket_stats(spark).collect(), SIMHASH_MAX_BUCKET
+    )
+    report["caps"]["multimodal_phash"] = capped_bucket_report(
+        phash_capped_bucket_stats(spark).collect(), SIMHASH_MAX_BUCKET
+    )
 
     # n-gram block cap: (lang, len_bucket) blocks the capped join skips
     blocks = spark.sql(

@@ -530,28 +530,48 @@ def simhash_capped_bucket_stats(spark, bits: int = 32, max_bucket: int = SIMHASH
     ``sum(bsz*(bsz-1)/2)`` bounds the per-band candidate pairs the cap
     dropped (a pair is truly lost only if EVERY shared band is capped).
     tests/test_skew_and_caps.py pins the fixture-corpus value."""
-    exploded = G.band_explode(
-        _staged_simhash_sig(spark, bits), _simhash_band_keys(bits // 8, "spark"), "spark"
+    return capped_bucket_stats(
+        spark,
+        _staged_simhash_sig(spark, bits),
+        _simhash_band_keys(bits // 8, "spark"),
+        max_bucket,
     )
+
+
+def capped_bucket_stats(spark, rel: str, band_keys: list[str], max_bucket: int):
+    """ONE spelling for every banded family's cap observer (SimHash,
+    MinHash, the multimodal payload fingerprint): the (band, bkey, bsz)
+    buckets the hot-band cap EXCLUDES from the candidate join, over the
+    family's own staged relation and band-key expressions — a future
+    cap-semantics fix lands in every observer at once (code-review
+    r12)."""
+    exploded = G.band_explode(rel, band_keys, "spark")
     return spark.sql(f"""
     SELECT band, bkey, CAST(COUNT(*) AS BIGINT) AS bsz
     FROM ({exploded})
     GROUP BY band, bkey HAVING COUNT(*) > {max_bucket}
     ORDER BY band, bkey
     """)
+
+
+def capped_bucket_report(rows, max_bucket: int) -> dict:
+    """The skew report's per-family dict from a collected stats frame —
+    shared so the three report sections cannot drift either."""
+    return {
+        "max_bucket": max_bucket,
+        "capped_buckets": len(rows),
+        "largest_bucket": max((r.bsz for r in rows), default=0),
+        "excluded_pair_bound": sum(r.bsz * (r.bsz - 1) // 2 for r in rows),
+    }
 
 
 def minhash_capped_bucket_stats(spark, max_bucket: int = MAX_BUCKET):
     """MinHash-LSH twin of :func:`simhash_capped_bucket_stats`: the
     (band, bkey) buckets whose size exceeds the hot-bucket cap."""
     minhash_lsh(spark)  # ensure __minhash_sig is staged (memoized)
-    exploded = G.band_explode("__minhash_sig", G.band_exprs("sig", "spark"), "spark")
-    return spark.sql(f"""
-    SELECT band, bkey, CAST(COUNT(*) AS BIGINT) AS bsz
-    FROM ({exploded})
-    GROUP BY band, bkey HAVING COUNT(*) > {max_bucket}
-    ORDER BY band, bkey
-    """)
+    return capped_bucket_stats(
+        spark, "__minhash_sig", G.band_exprs("sig", "spark"), max_bucket
+    )
 
 
 def ngram_blocks_sql(d: str, rel: str = "documents", n: int = 5) -> str:
@@ -746,7 +766,12 @@ def connected_components(pairs, max_iter: int = 25):
         )
         new_labels = staged_checkpoint(
             spark,
-            f"cc_{nonce}_labels_{rnd % 2}",
+            # letter suffix, NOT a digit: release_staged_group treats any
+            # trailing "_<digits>" as a nonce reference when matching
+            # protected in-flight groups, so a generation digit would make
+            # this slot un-releasable whenever some thread's live staging
+            # nonce happens to equal the generation (code-review r12)
+            f"cc_{nonce}_labels{'AB'[rnd % 2]}",
             labels.join(nbr, "node", "left").select(
                 "node",
                 F.least(F.col("comp"), F.coalesce(F.col("ncomp"), F.col("comp"))).alias("comp"),
@@ -1461,33 +1486,55 @@ def url_incremental_equiv_sql(d: str) -> str:
     """
 
 
-def _pid_started_after(pid: int, ts: float) -> bool:
-    """True when ``pid``'s process provably started AFTER ``ts`` — i.e.
-    it cannot be the process that created a file stamped ``ts``, so the
-    pid number was recycled. ``/proc/<pid>``'s own ctime is the process
-    start; when /proc is unavailable, answer False (conservative: treat
-    the live pid as the owner)."""
+def _pid_start_time(pid: int) -> float | None:
+    """Absolute start time (epoch seconds) of ``pid`` from
+    ``/proc/<pid>/stat`` field 22 (clock ticks since boot) + the boot
+    time from ``/proc/stat``. Parsed after the last ')' — the comm field
+    may contain spaces and parens. None when unknowable (no procfs):
+    /proc/<pid>'s own inode timestamps are NOT a reliable proxy (dentry
+    eviction recreates them with the current time — code-review r12)."""
     try:
-        # 60 s slack: the dir mtime is the build END, which postdates the
-        # owner's start by the build duration; only a start strictly
-        # after the stamp proves recycling
-        return os.stat(f"/proc/{pid}").st_ctime > ts + 60
-    except OSError:
-        return False
+        with open(f"/proc/{pid}/stat", "rb") as f:
+            stat = f.read().decode("ascii", "replace")
+        ticks = float(stat.rsplit(")", 1)[1].split()[19])  # field 22
+        with open("/proc/stat") as f:
+            btime = next(
+                float(line.split()[1]) for line in f if line.startswith("btime ")
+            )
+        return btime + ticks / os.sysconf("SC_CLK_TCK")
+    except (OSError, StopIteration, IndexError, ValueError):
+        return None
+
+
+_URL_INDEX_MAX_AGE_SEC = 7 * 24 * 3600  # undecidable-ownership backstop only
+
+
+def _marker_recorded_start(full: str) -> float | None:
+    """The builder's own process-start time, recorded on the marker's
+    second line at build-complete; None for pre-r12 markers."""
+    try:
+        with open(os.path.join(full, "_TF_BUILT")) as f:
+            lines = f.read().splitlines()
+        return float(lines[1])
+    except (OSError, IndexError, ValueError):
+        return None
 
 
 def _url_index_cleanup(base: str) -> None:
     """Best-effort ``.scratch/url_index_*`` hygiene (ADVICE r10 #4):
     remove this process's index dirs at interpreter exit, and sweep
     dirs left by DEAD pids (a crashed session cannot clean up after
-    itself). Live foreign pids are never touched UNLESS the pid number
-    was provably recycled — the process started after the dir was built
-    (ADVICE r11 #3), so it cannot be the owner. A genuinely live owner
-    keeps its dirs indefinitely: an age cutoff here would delete a
-    long-lived recurring-crawl session's in-use index out from under
-    its resolved probe plans (code-review r12). Disk-growth hygiene
-    only, never correctness."""
+    itself). A live foreign pid is the OWNER — never touched — exactly
+    when its /proc start time matches the start time the builder
+    recorded on the marker (pid recycling is thereby detected
+    precisely, not inferred from ages: an idle week-old but live owner
+    keeps its dirs — code-review r12 both passes). Only when ownership
+    is UNDECIDABLE (no procfs, or a pre-start-time marker) does the
+    7-day age backstop apply, so a recycled pid cannot pin a dead
+    session's dirs forever (ADVICE r11 #3). Disk-growth hygiene only,
+    never correctness."""
     import shutil
+    import time
 
     try:
         entries = os.listdir(base)
@@ -1504,12 +1551,19 @@ def _url_index_cleanup(base: str) -> None:
         if pid != os.getpid():
             try:
                 os.kill(pid, 0)  # raises if the pid is gone
-                if not _pid_started_after(pid, os.path.getmtime(full)):
-                    continue  # live owner — never touch its dirs
             except ProcessLookupError:
-                pass
+                pass  # dead owner — sweep
             except OSError:
-                continue
+                continue  # EPERM etc.: alive but unprobeable — leave it
+            else:
+                live_start = _pid_start_time(pid)
+                recorded = _marker_recorded_start(full)
+                if live_start is not None and recorded is not None:
+                    if abs(live_start - recorded) < 2.0:
+                        continue  # verified owner — never touch
+                    # start times disagree: the pid was recycled — sweep
+                elif time.time() - os.path.getmtime(full) < _URL_INDEX_MAX_AGE_SEC:
+                    continue  # undecidable and young — leave it
         shutil.rmtree(full, ignore_errors=True)
 
 
@@ -1566,7 +1620,10 @@ def url_incremental_query(spark):
                 rel=f"(SELECT * FROM documents WHERE {idx_pred}) __url_idx_src",
             )
             with open(marker, "w") as f:
-                f.write(os.path.basename(path))
+                # line 2: this process's start time — the cleanup sweep's
+                # exact ownership proof against pid recycling
+                start = _pid_start_time(os.getpid())
+                f.write(os.path.basename(path) + (f"\n{start}" if start else ""))
         batch = f"(SELECT * FROM documents WHERE {batch_pred}) __url_batch_src"
         return dedup_url_incremental(spark, batch, path)
 
@@ -1690,7 +1747,8 @@ def connected_components_star(pairs, max_iter: int = 20):
 
     def ck(df):
         nonlocal n_ck
-        out = staged_checkpoint(spark, f"ccs_{nonce}_e_{n_ck % 2}", df)
+        # letter suffix, not a digit — see connected_components' labels slot
+        out = staged_checkpoint(spark, f"ccs_{nonce}_e{'AB'[n_ck % 2]}", df)
         n_ck += 1
         return out
 
@@ -1741,12 +1799,25 @@ def connected_components_star(pairs, max_iter: int = 20):
         # silently wrong labels the driver would certify (the sibling
         # propagation loop fails loudly for the same reason). Rounds grow
         # ~log2(diameter), so 20 covers ~500k-deep chains; deeper graphs
-        # must raise max_iter, not get wrong answers.
+        # must raise max_iter, not get wrong answers. Release this failed
+        # call's checkpoint group first — nothing can reference it after
+        # the raise, and the builder's supersede-release only ever
+        # targets the last SUCCESSFUL nonce (code-review r12).
+        from torchfusion_spark.session import release_staged_group
+
+        release_staged_group(spark, f"ccs_{nonce}_")
         raise RuntimeError(
             f"connected_components_star: edge set still contracting after "
             f"{max_iter} rounds — component diameter exceeds ~2^{max_iter}; "
             "raise max_iter"
         )
+    # the returned plan reads only the FINAL edge checkpoint; the other
+    # alternating slot holds the penultimate generation — dead weight the
+    # moment the loop ends, so release it here and leave exactly one live
+    # slot per call for the builder's supersede-release to reap
+    from torchfusion_spark.session import release_staged_group
+
+    release_staged_group(spark, f"ccs_{nonce}_e{'AB'[n_ck % 2]}")
     comp = (
         e.groupBy("u")
         .agg(F.min("v").alias("mv"))

@@ -337,20 +337,16 @@ def phash_capped_bucket_stats(spark: SparkSession, max_bucket: int | None = None
     fingerprint relation with the SAME band-key spelling the pair query
     uses (``_simhash_band_keys``), so this cannot measure a different
     cap than the operator applies."""
-    from torchfusion_spark.operators import sqlgen as G
-    from torchfusion_spark.operators.dedup import SIMHASH_MAX_BUCKET, _simhash_band_keys
+    from torchfusion_spark.operators.dedup import (
+        SIMHASH_MAX_BUCKET,
+        _simhash_band_keys,
+        capped_bucket_stats,
+    )
 
     cap = SIMHASH_MAX_BUCKET if max_bucket is None else max_bucket
-
-    def stats(rel: str) -> DataFrame:
-        exploded = G.band_explode(
-            rel, _simhash_band_keys(PHASH_BITS // 8, "spark"), "spark"
-        )
-        return spark.sql(f"""
-        SELECT band, bkey, CAST(COUNT(*) AS BIGINT) AS bsz
-        FROM ({exploded})
-        GROUP BY band, bkey HAVING COUNT(*) > {cap}
-        ORDER BY band, bkey
-        """)
-
-    return _staged_phash(spark, then=stats)
+    return _staged_phash(
+        spark,
+        then=lambda rel: capped_bucket_stats(
+            spark, rel, _simhash_band_keys(PHASH_BITS // 8, "spark"), cap
+        ),
+    )

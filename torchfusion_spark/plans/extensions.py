@@ -352,16 +352,24 @@ def dedup_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_minhash_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     # deliberately NOT memoized (unlike dedup_minhash_clusters): each call
     # re-runs the contraction loop so its cost stays visible to the bench.
-    # Each call supersedes the last, so the previous call's two checkpoint
-    # slots (which back only the superseded plan) are released here.
-    from torchfusion_spark.session import release_staged_group
+    # Each call supersedes the last, so the previous call's surviving
+    # checkpoint slot (the final edge set, backing only the superseded
+    # plan) is released here. The whole read-release-run-store runs under
+    # one memo lock: unsynchronized, two concurrent builders would race
+    # the attribute (leaking the loser's group) and a releasing call
+    # could unpersist a completed sibling's not-yet-collected result
+    # (code-review r12). Supersede semantics stand: materialize one
+    # call's result before invoking the builder again — all registry,
+    # bench and gate flows do.
+    from torchfusion_spark.session import memo_lock, release_staged_group
 
-    prev = getattr(spark, "_tf_ccs_last_nonce", None)
-    if prev is not None:
-        release_staged_group(spark, f"ccs_{prev}_")
-    out = dedup.connected_components_star(dedup.minhash_lsh(spark))
-    spark._tf_ccs_last_nonce = out._tf_cc_nonce
-    return out
+    with memo_lock(spark, "ccs_star"):
+        prev = getattr(spark, "_tf_ccs_last_nonce", None)
+        if prev is not None:
+            release_staged_group(spark, f"ccs_{prev}_")
+        out = dedup.connected_components_star(dedup.minhash_lsh(spark))
+        spark._tf_ccs_last_nonce = out._tf_cc_nonce
+        return out
 
 
 @query(
