@@ -1630,3 +1630,176 @@ def test_differential_bpe_train_merge_parity(spark, duck, case):
     assert got == want, (case, got, want)
     ref = _ref_bpe(dict(case), 2)
     assert got == ref, (case, got, ref)
+
+
+@st.composite
+def pack_docs_inputs(draw):
+    n_docs = draw(st.integers(1, 20))
+    docs = []
+    for i in range(n_docs):
+        lang = draw(st.sampled_from(["en", "de", None]))
+        kind = draw(st.integers(0, 5))
+        if kind == 0:
+            text = None  # NULL text -> NULL token count -> NULL pack group
+        elif kind == 1:
+            text = ""  # split('') = [''] -> 1 token on both engines
+        else:
+            text = " ".join("w" for _ in range(draw(st.integers(1, 9))))
+        docs.append((i, lang, text))
+    seq_len = draw(st.sampled_from([4, 16]))
+    shards = draw(st.sampled_from([1, 2, 4]))
+    return docs, seq_len, shards
+
+
+@settings(
+    max_examples=40,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(case=pack_docs_inputs())
+def test_differential_pack_sequences_prefix_sum(spark, duck, restore_documents, case):
+    """The two-level distributed prefix sum behind sequence packing on
+    RANDOM corpora (NULL langs, NULL/empty texts, tiny seq_len forcing
+    boundary spans, 1-4 shards): cross-engine row equality, plus a
+    plain-Python recompute of the full shard/cumsum/offset/pack pipeline
+    for the non-NULL universe — an agreed-but-wrong offset rule cannot
+    hide behind the differential."""
+    import hashlib
+
+    import pandas as pd
+
+    from torchfusion_spark.operators.textstats import pack_sequences_sql
+
+    docs, seq_len, shards = case
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [d for d, _, _ in docs],
+            "lang": [lg for _, lg, _ in docs],
+            "text": [t for _, _, t in docs],
+            "source": ["s"] * len(docs),
+            "n_chars": [len(t) if t else 0 for _, _, t in docs],
+        }
+    )
+    spark.createDataFrame(
+        pdf, "doc_id bigint, lang string, text string, source string, n_chars bigint"
+    ).createOrReplaceTempView("documents")
+    duck.execute("CREATE OR REPLACE VIEW documents AS SELECT * FROM pdf")
+    got = [tuple(r) for r in spark.sql(pack_sequences_sql("spark", seq_len, shards)).collect()]
+    want = [
+        tuple(r)
+        for r in duck.execute(pack_sequences_sql("duck", seq_len, shards)).fetchall()
+    ]
+    assert got == want, (case, got, want)
+
+    # python recompute (non-NULL universe)
+    def h56(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:14], 16)
+
+    rows = [
+        (d, lg, len(t.split(" ")), h56(str(d)))
+        for d, lg, t in docs
+        if t is not None
+    ]
+    start: dict = {}
+    for lang in {lg for _, lg, _, _ in rows}:
+        shard_tot = {}
+        for sh in range(shards):
+            grp = sorted(
+                ((h, d, n) for d, lg, n, h in rows if lg == lang and h % shards == sh),
+            )
+            shard_tot[sh] = sum(n for _, _, n in grp)
+        off, run = {}, 0
+        for sh in range(shards):
+            off[sh] = run
+            run += shard_tot[sh]
+        for sh in range(shards):
+            grp = sorted(
+                ((h, d, n) for d, lg, n, h in rows if lg == lang and h % shards == sh),
+            )
+            cum = 0
+            for h, d, n in grp:
+                start[d] = (lang, off[sh] + cum, n)
+                cum += n
+    packs: dict = {}
+    for d, (lang, s, n) in start.items():
+        pid = s // seq_len
+        epid = (s + n - 1) // seq_len
+        p = packs.setdefault((lang, pid), {"n_docs": 0, "tok": 0, "span": 0, "first": None})
+        p["n_docs"] += 1
+        p["tok"] += n
+        p["span"] += 1 if pid != epid else 0
+        if p["first"] is None or s < p["first"][0]:
+            p["first"] = (s, d)
+    key = lambda t: (t[0] is not None, t[0] or "", t[1])
+    ref = sorted(
+        (
+            (lang, pid, v["n_docs"], v["tok"], v["span"], v["first"][1])
+            for (lang, pid), v in packs.items()
+        ),
+        key=key,
+    )
+    got_nn = sorted((t for t in got if t[1] is not None), key=key)
+    assert got_nn == ref, (case, got_nn, ref)
+
+
+@st.composite
+def containment_docs_inputs(draw):
+    # docs built from a tiny vocabulary so word-3-gram shingles collide;
+    # a shared boilerplate prefix drives the df-prune at small max_df
+    vocab = ["aa", "bb", "cc", "dd"]
+    n_docs = draw(st.integers(1, 10))
+    boiler = "aa bb cc dd"
+    docs = []
+    for i in range(n_docs):
+        toks = [draw(st.sampled_from(vocab)) for _ in range(draw(st.integers(0, 8)))]
+        body = " ".join(toks)
+        if draw(st.booleans()):
+            body = f"{boiler} {body}"
+        docs.append((i, body))
+    threshold = draw(st.sampled_from([0.5, 0.8]))
+    max_df = draw(st.sampled_from([2, 4, 64]))
+    return docs, threshold, max_df
+
+
+@settings(
+    max_examples=40,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(case=containment_docs_inputs())
+def test_differential_containment_staged_vs_relational(spark, duck, restore_documents, case):
+    """Containment near-dup on RANDOM low-entropy corpora with the
+    df-prune biting (max_df down to 2): the STAGED Spark path (grouped
+    inverted lists, in-row pair fan-out) against the relational oracle
+    spelling — the two most physically different formulations of one
+    operator in the repo; boilerplate-heavy docs, sub-3-token docs (no
+    shingles) and exact-duplicate docs all mixed in."""
+    import pandas as pd
+
+    from torchfusion_spark.operators import dedup
+
+    docs, threshold, max_df = case
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [d for d, _ in docs],
+            "text": [t for _, t in docs],
+            "lang": ["en"] * len(docs),
+            "source": ["s"] * len(docs),
+            "n_chars": [len(t) for _, t in docs],
+        }
+    )
+    spark.createDataFrame(
+        pdf, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    ).createOrReplaceTempView("documents")
+    duck.execute("CREATE OR REPLACE VIEW documents AS SELECT * FROM pdf")
+    got = [
+        tuple(r)
+        for r in dedup.containment(spark, threshold=threshold, max_df=max_df).collect()
+    ]
+    want = [
+        tuple(r)
+        for r in duck.execute(dedup.containment_sql("duck", threshold, max_df)).fetchall()
+    ]
+    assert got == want, (case, got, want)

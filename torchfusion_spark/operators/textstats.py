@@ -950,7 +950,15 @@ def pack_sequences_sql(
     doc_id#epoch_idx so each training copy lands independently, token
     counts precomputed, tie-break extended to the copy index); registry
     defaults are byte-identical. Columns named in ``order_tail`` beyond
-    doc_id must exist in ``rel`` and are carried through ``t``."""
+    doc_id must exist in ``rel`` and are carried through ``t``.
+
+    NULL safety (r12 pack fuzzer, the ADVICE r10 #3 class): the
+    shard-offset join is null-safe on ``lang`` so a NULL-lang doc packs
+    its own NULL-lang stream — a plain equi-join dropped those docs on
+    BOTH engines in lockstep, invisible to the hash gate and caught
+    only by the fuzzer's plain-Python reference; and the presentation
+    ORDER BY pins NULLS FIRST on both nullable keys (Spark's ASC
+    default vs DuckDB's NULLS LAST)."""
     str_t = "STRING" if d == "spark" else "VARCHAR"
     h = G.hash56(key or f"CAST(doc_id AS {str_t})", d)
     n_toks = n_toks or G.arr_size(G.split_ws("text", d), d)
@@ -979,7 +987,9 @@ def pack_sequences_sql(
     g AS (
         SELECT loc.doc_id, loc.lang, loc.n_tokens,
                pre.off + loc.lcum - loc.n_tokens AS start_tok
-        FROM loc JOIN pre ON loc.lang = pre.lang AND loc.shard = pre.shard)
+        FROM loc JOIN pre
+          ON loc.lang {"<=>" if d == "spark" else "IS NOT DISTINCT FROM"} pre.lang
+         AND loc.shard = pre.shard)
     SELECT lang,
            CAST({pack_id} AS BIGINT) AS pack_id,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
@@ -987,7 +997,7 @@ def pack_sequences_sql(
            CAST(SUM(CASE WHEN {pack_id} <> {end_pack} THEN 1 ELSE 0 END) AS BIGINT) AS n_spanning,
            CAST({first_doc} AS BIGINT) AS first_doc
     FROM g GROUP BY lang, {pack_id}
-    ORDER BY lang, pack_id
+    ORDER BY lang NULLS FIRST, pack_id NULLS FIRST
     """
 
 
