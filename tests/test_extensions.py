@@ -2389,6 +2389,33 @@ def test_bpe_apply_matches_python_reference(spark, tables):
     assert any_compressed  # the learned merges must actually fire somewhere
 
 
+def test_upsample_and_pack_keep_null_lang_docs(spark, tables):
+    """r12 pack-fuzzer finding class, swept to its siblings: the mixture
+    plan's GROUP BY keeps a NULL-lang row, so the upsample fan-out and
+    the pack shard-offset join must be null-safe on lang — with plain
+    equi-joins, NULL-lang docs silently got zero training copies and
+    vanished from packing on BOTH engines in lockstep (invisible to the
+    hash gate)."""
+    from torchfusion_spark.operators.textstats import (
+        pack_sequences_sql,
+        upsample_epochs_sql,
+    )
+
+    orig = spark.table("documents")
+    try:
+        spark.sql(
+            "SELECT doc_id, text, source, n_chars, "
+            "CASE WHEN doc_id % 3 = 0 THEN NULL ELSE lang END AS lang "
+            "FROM documents"
+        ).createOrReplaceTempView("documents")
+        ups = spark.sql(upsample_epochs_sql("spark")).collect()
+        assert any(r.lang is None for r in ups), "NULL-lang docs got no copies"
+        packs = spark.sql(pack_sequences_sql("spark")).collect()
+        assert any(r.lang is None for r in packs), "NULL-lang stream not packed"
+    finally:
+        orig.createOrReplaceTempView("documents")
+
+
 def test_upsample_epochs_matches_python_recompute(spark, tables):
     """Pin the upsample materializer: per-doc copies recomputed from the
     mixture plan's exact integers (whole copies = target DIV avail,

@@ -630,7 +630,12 @@ def ngram_body_sql(d: str, g_rel: str, threshold: float, max_block: int = NGRAM_
             SELECT a.doc_id AS id_a, b.doc_id AS id_b, {inter} AS ins,
                    a.n AS na, b.n AS nb
             FROM gn a JOIN gn b
-              ON a.lang = b.lang AND a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id
+              -- null-safe on lang (r12 sweep of the pack-fuzzer class):
+              -- NULL-lang docs form their own block and can near-dup
+              -- among themselves; plain equality silently excluded them
+              -- from ALL pairing on both engines in lockstep
+              ON a.lang {"<=>" if d == "spark" else "IS NOT DISTINCT FROM"} b.lang
+             AND a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id
              AND least(a.n, b.n) >= {threshold} * greatest(a.n, b.n)))
     WHERE jaccard >= {threshold}
     ORDER BY id_a, id_b

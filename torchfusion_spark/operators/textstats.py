@@ -219,7 +219,7 @@ def corpus_clean_sql(d: str) -> str:
         FROM kept)
     SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
            CAST(SUM(n_chars) AS BIGINT) AS total_chars
-    FROM w WHERE rn = 1 GROUP BY lang ORDER BY lang
+    FROM w WHERE rn = 1 GROUP BY lang ORDER BY lang NULLS FIRST
     """
 
 
@@ -426,7 +426,7 @@ def source_filter_sql(d: str) -> str:
                       AND s.dup_docs * 2 <= s.n_docs
                 THEN 1 ELSE 0 END AS INT) AS kept
     FROM src s CROSS JOIN tot t
-    ORDER BY s.source
+    ORDER BY s.source NULLS FIRST
     """
 
 
@@ -472,7 +472,7 @@ def top_tokens_sql(d: str, k: int = 5) -> str:
         SELECT lang, t AS token, CAST(n AS BIGINT) AS n,
                ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n DESC, t) AS rk
         FROM c)
-    SELECT lang, token, n FROM r WHERE rk <= {k} ORDER BY lang, token
+    SELECT lang, token, n FROM r WHERE rk <= {k} ORDER BY lang NULLS FIRST, token
     """
 
 
@@ -850,7 +850,7 @@ def group_quota_sample_sql(d: str, quota: int = GROUP_QUOTA) -> str:
                CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY {h}, doc_id) AS BIGINT) AS rk
         FROM documents)
     SELECT doc_id, lang, rk FROM r WHERE rk <= {quota}
-    ORDER BY lang, rk
+    ORDER BY lang NULLS FIRST, rk
     """
 
 
@@ -881,7 +881,7 @@ def token_budget_sql(d: str, budget: int = TOKEN_BUDGET) -> str:
         FROM t)
     SELECT doc_id, lang, n_tokens, cum_tokens
     FROM c WHERE cum_tokens <= {budget}
-    ORDER BY lang, cum_tokens, doc_id
+    ORDER BY lang NULLS FIRST, cum_tokens, doc_id
     """
 
 
@@ -1065,7 +1065,7 @@ def train_split_sql(d: str, pct_train: int = 80, pct_val: int = 10) -> str:
     SELECT split, lang,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
            CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
-    FROM t GROUP BY split, lang ORDER BY split, lang
+    FROM t GROUP BY split, lang ORDER BY split, lang NULLS FIRST
     """
 
 
@@ -1267,7 +1267,7 @@ def mixture_plan_sql(d: str, budget: int = MIXTURE_BUDGET) -> str:
            CAST(least(available_tokens, {target}) AS BIGINT) AS planned_tokens,
            ROUND(CAST(least(available_tokens, {target}) AS DOUBLE)
                  / available_tokens, 6) AS keep_rate
-    FROM w ORDER BY source
+    FROM w ORDER BY source NULLS FIRST
     """
 
 
@@ -1323,7 +1323,7 @@ def temperature_mixture_sql(
            CAST(LEAST(n, target_tokens) AS BIGINT) AS planned_tokens,
            ROUND(CAST(LEAST(n, target_tokens) AS DOUBLE) / n, 6) AS keep_rate,
            ROUND(CAST(target_tokens AS DOUBLE) / n, 6) AS repeat_factor
-    FROM plan ORDER BY lang
+    FROM plan ORDER BY lang NULLS FIRST
     """
 
 
@@ -2566,7 +2566,13 @@ def upsample_epochs_sql(
     ``rel``/``n_toks``/``carry`` parameterize the corpus relation, its
     token expression, and extra columns to carry through the fan-out
     (the pretraining pipeline threads ``n_tokens`` so packing needs no
-    join back); registry defaults are byte-identical to round 9."""
+    join back); registry defaults are byte-identical to round 9.
+
+    The mixture join is null-safe on ``lang`` (r12 sweep of the pack
+    fuzzer's finding class): the mixture plan's GROUP BY keeps a
+    NULL-lang row, but a plain equi-join silently gave NULL-lang docs
+    ZERO training copies on both engines in lockstep — invisible to
+    the hash gate, the ADVICE r10 #3 class."""
     mix = temperature_mixture_sql(d, budget=budget, rel=rel, n_toks=n_toks)
     str_t = "STRING" if d == "spark" else "VARCHAR"
     big = "DECIMAL(38,0)" if d == "spark" else "HUGEINT"
@@ -2595,7 +2601,8 @@ def upsample_epochs_sql(
                     + CASE WHEN CAST({bucket} AS {big}) * m.available_tokens
                                 < CAST(m.target_tokens % m.available_tokens AS {big}) * 1000000
                            THEN 1 ELSE 0 END AS BIGINT) AS n_copies{cd}
-        FROM {rel} d JOIN mix m ON d.lang = m.lang)
+        FROM {rel} d JOIN mix m
+          ON d.lang {"<=>" if d == "spark" else "IS NOT DISTINCT FROM"} m.lang)
     SELECT doc_id, lang, n_copies{cc}, CAST(epoch_idx AS BIGINT) AS epoch_idx
     FROM ({fan})
     ORDER BY doc_id, epoch_idx
