@@ -2412,6 +2412,23 @@ def test_upsample_and_pack_keep_null_lang_docs(spark, tables):
         assert any(r.lang is None for r in ups), "NULL-lang docs got no copies"
         packs = spark.sql(pack_sequences_sql("spark")).collect()
         assert any(r.lang is None for r in packs), "NULL-lang stream not packed"
+        # ngram blocking: two NULL-lang near-identical docs must pair —
+        # the plain-equality block key excluded NULL-lang docs from ALL
+        # pairing (and the null-safe pin must hold the blocking-key
+        # spelling, whatever it is)
+        from torchfusion_spark.operators import dedup as ddp
+
+        near = spark.sql(
+            "SELECT CAST(900001 AS BIGINT) AS doc_id, "
+            "'the quick brown fox jumps over the lazy dog again' AS text, "
+            "CAST(NULL AS STRING) AS lang, 's' AS source, CAST(49 AS BIGINT) AS n_chars "
+            "UNION ALL SELECT CAST(900002 AS BIGINT), "
+            "'the quick brown fox jumps over the lazy dog today', "
+            "CAST(NULL AS STRING), 's', CAST(49 AS BIGINT)"
+        )
+        near.createOrReplaceTempView("documents")
+        pairs = {(r.id_a, r.id_b) for r in ddp.ngram_jaccard(spark).collect()}
+        assert (900001, 900002) in pairs, "NULL-lang near-dups did not pair"
     finally:
         orig.createOrReplaceTempView("documents")
 

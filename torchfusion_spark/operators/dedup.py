@@ -612,12 +612,22 @@ def ngram_body_sql(d: str, g_rel: str, threshold: float, max_block: int = NGRAM_
       key as the join; the oracle applies the identical cap."""
     inter = G.arr_intersect_size("a.gs", "b.gs", d)
     mat = "MATERIALIZED " if d == "duck" else ""
+    # NULL-lang docs form their own block and near-dup among themselves
+    # (r12 sweep of the pack-fuzzer class) — via an INJECTIVE non-null
+    # block key ('0' for NULL, '1' || lang otherwise: '0' cannot collide
+    # with any '1'-prefixed real lang), not a null-safe join operator:
+    # the <=> spelling cost 2 extra shingle-set exchanges at sf1, and a
+    # key derived only in the join de-co-partitioned it from the cap
+    # window. One hoisted key drives BOTH, so the window's exchange is
+    # reused by the self-join exactly as before (code-review r12 third
+    # pass).
+    lang_key = "CASE WHEN lang IS NULL THEN '0' ELSE '1' || lang END"
     return f"""
     WITH gn AS {mat}(
-        SELECT doc_id, lang, len_bucket, gs, n FROM (
-            SELECT doc_id, lang, len_bucket, gs, {G.arr_size('gs', d)} AS n,
-                   COUNT(*) OVER (PARTITION BY lang, len_bucket) AS blk
-            FROM {g_rel})
+        SELECT doc_id, lang_key, len_bucket, gs, n FROM (
+            SELECT doc_id, lang_key, len_bucket, gs, {G.arr_size('gs', d)} AS n,
+                   COUNT(*) OVER (PARTITION BY lang_key, len_bucket) AS blk
+            FROM (SELECT *, {lang_key} AS lang_key FROM {g_rel} g_rel_t))
         WHERE blk <= {max_block})
     SELECT id_a, id_b, jaccard FROM (
         -- greatest(union, 1): two empty-shingle docs (text shorter than
@@ -630,11 +640,7 @@ def ngram_body_sql(d: str, g_rel: str, threshold: float, max_block: int = NGRAM_
             SELECT a.doc_id AS id_a, b.doc_id AS id_b, {inter} AS ins,
                    a.n AS na, b.n AS nb
             FROM gn a JOIN gn b
-              -- null-safe on lang (r12 sweep of the pack-fuzzer class):
-              -- NULL-lang docs form their own block and can near-dup
-              -- among themselves; plain equality silently excluded them
-              -- from ALL pairing on both engines in lockstep
-              ON a.lang {"<=>" if d == "spark" else "IS NOT DISTINCT FROM"} b.lang
+              ON a.lang_key = b.lang_key
              AND a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id
              AND least(a.n, b.n) >= {threshold} * greatest(a.n, b.n)))
     WHERE jaccard >= {threshold}

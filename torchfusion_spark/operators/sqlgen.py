@@ -134,6 +134,21 @@ def arr_union_size(a: str, b: str, d: str) -> str:
     return f"len(list_distinct(list_concat({a}, {b})))"
 
 
+def null_eq(a: str, b: str, d: str) -> str:
+    """Null-safe equality — ONE spelling for both dialects (Spark
+    ``<=>``, DuckDB ``IS NOT DISTINCT FROM``). Required on any join
+    between a per-group plan/stats relation and the stream it grades
+    when the group key is nullable (lang, source): plain ``=`` drops
+    the NULL group on BOTH engines in lockstep, invisible to the hash
+    gate (the r10 quantile-cuts / r12 pack-upsample-ngram class).
+    Scale note: Spark plans ``<=>`` as a hash-joinable key, but its
+    static size estimate goes unknown — for joins where that demotes a
+    broadcast, prefer a precomputed non-null key pair (the ngram
+    blocking join uses ``(key IS NULL, coalesce(key, ''))``)."""
+    op = "<=>" if d == "spark" else "IS NOT DISTINCT FROM"
+    return f"{a} {op} {b}"
+
+
 def xor(a: str, b: str, d: str) -> str:
     return f"({a} ^ {b})" if d == "spark" else f"xor({a}, {b})"
 

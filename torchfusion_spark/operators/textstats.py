@@ -988,7 +988,7 @@ def pack_sequences_sql(
         SELECT loc.doc_id, loc.lang, loc.n_tokens,
                pre.off + loc.lcum - loc.n_tokens AS start_tok
         FROM loc JOIN pre
-          ON loc.lang {"<=>" if d == "spark" else "IS NOT DISTINCT FROM"} pre.lang
+          ON {G.null_eq("loc.lang", "pre.lang", d)}
          AND loc.shard = pre.shard)
     SELECT lang,
            CAST({pack_id} AS BIGINT) AS pack_id,
@@ -1553,8 +1553,11 @@ def quantile_cut_case(
     key = f"{by}, " if by else ""
     grp = f" GROUP BY {by}" if by else ""
     cuts = f"cuts AS (SELECT {key}{', '.join(cols)} FROM {rel}{grp})"
-    null_eq = "<=>" if d == "spark" else "IS NOT DISTINCT FROM"
-    join = f"JOIN cuts ON {alias}.{by} {null_eq} cuts.{by}" if by else "CROSS JOIN cuts"
+    join = (
+        f"JOIN cuts ON {G.null_eq(f'{alias}.{by}', f'cuts.{by}', d)}"
+        if by
+        else "CROSS JOIN cuts"
+    )
     case = f"CASE {' '.join(whens)} ELSE {n} END"
     return cuts, join, case
 
@@ -2601,8 +2604,7 @@ def upsample_epochs_sql(
                     + CASE WHEN CAST({bucket} AS {big}) * m.available_tokens
                                 < CAST(m.target_tokens % m.available_tokens AS {big}) * 1000000
                            THEN 1 ELSE 0 END AS BIGINT) AS n_copies{cd}
-        FROM {rel} d JOIN mix m
-          ON d.lang {"<=>" if d == "spark" else "IS NOT DISTINCT FROM"} m.lang)
+        FROM {rel} d JOIN mix m ON {G.null_eq("d.lang", "m.lang", d)})
     SELECT doc_id, lang, n_copies{cc}, CAST(epoch_idx AS BIGINT) AS epoch_idx
     FROM ({fan})
     ORDER BY doc_id, epoch_idx
