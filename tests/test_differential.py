@@ -1803,3 +1803,133 @@ def test_differential_containment_staged_vs_relational(spark, duck, restore_docu
         for r in duck.execute(dedup.containment_sql("duck", threshold, max_df)).fetchall()
     ]
     assert got == want, (case, got, want)
+
+
+@st.composite
+def winnow_texts(draw):
+    # low-entropy repeats force window-min ties; free unicode sweeps the
+    # rolling-hash substr/length paths; short docs hit the degenerate
+    # 1..w-1-gram fingerprint rule
+    rep = st.text(alphabet="ab", min_size=0, max_size=30)
+    wild = st.text(
+        alphabet=st.characters(blacklist_categories=("Cs",)), min_size=0, max_size=30
+    )
+    n = draw(st.integers(1, 8))
+    return [draw(st.one_of(rep, wild)) for _ in range(n)]
+
+
+@settings(
+    max_examples=40,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(texts=winnow_texts())
+def test_differential_winnow_fingerprints(spark, duck, restore_documents, texts):
+    """MOSS winnowing on RANDOM docs: the per-position rolling-hash
+    explode, the w-window MIN, the short-input degenerate rule and the
+    distinct-fingerprint rollup must agree cross-engine AND with a
+    plain-Python winnower."""
+    import hashlib
+
+    import pandas as pd
+
+    from torchfusion_spark.operators.textstats import (
+        WINNOW_K,
+        WINNOW_W,
+        winnow_fingerprint_sql,
+    )
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(len(texts)),
+            "text": texts,
+            "lang": ["en"] * len(texts),
+            "source": ["s"] * len(texts),
+            "n_chars": [len(t) for t in texts],
+        }
+    )
+    spark.createDataFrame(pdf).createOrReplaceTempView("documents")
+    duck.execute("CREATE OR REPLACE VIEW documents AS SELECT * FROM pdf")
+    got = [tuple(r) for r in spark.sql(winnow_fingerprint_sql("spark")).collect()]
+    want = [tuple(r) for r in duck.execute(winnow_fingerprint_sql("duck")).fetchall()]
+    assert got == want, (texts, got, want)
+
+    fold = str.maketrans("ABCDEFGHIJKLMNOPQRSTUVWXYZ", "abcdefghijklmnopqrstuvwxyz")
+    ref = []
+    for i, t in enumerate(texts):
+        s = t.translate(fold)
+        n_pos = max(len(s) - WINNOW_K + 1, 0)
+        if n_pos == 0:
+            continue
+        hx = [
+            int(hashlib.md5(s[p : p + WINNOW_K].encode("utf-8")).hexdigest()[:14], 16)
+            for p in range(n_pos)
+        ]
+        sels = {
+            min(hx[p : p + WINNOW_W])
+            for p in range(max(n_pos - WINNOW_W + 1, 1))
+        }
+        ref.append((i, n_pos, len(sels), sum(v % 1000000007 for v in sels)))
+    assert got == ref, (texts, got, ref)
+
+
+@st.composite
+def weighted_sample_inputs(draw):
+    n = draw(st.integers(1, 30))
+    n_chars = [draw(st.sampled_from([0, 1, 7, 64, 4096])) for _ in range(n)]
+    k = draw(st.sampled_from([1, 5, 100]))
+    return n_chars, k
+
+
+@settings(
+    max_examples=40,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(case=weighted_sample_inputs())
+def test_differential_weighted_sample_keys(spark, duck, restore_documents, case):
+    """Efraimidis-Spirtes weighted sampling on RANDOM weight profiles
+    (zero-weight docs hit the greatest(n,1) guard; k beyond the corpus
+    returns everything): the 6dp-rounded ln(u)/w keys and the TopK
+    selection must agree cross-engine AND with a plain-Python
+    recompute from the same md5-derived uniforms."""
+    import hashlib
+    import math
+
+    import pandas as pd
+
+    from torchfusion_spark.operators.textstats import weighted_sample_sql
+
+    n_chars, k = case
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(len(n_chars)),
+            "text": ["w" * c for c in n_chars],
+            "lang": ["en"] * len(n_chars),
+            "source": ["s"] * len(n_chars),
+            "n_chars": n_chars,
+        }
+    )
+    spark.createDataFrame(
+        pdf, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    ).createOrReplaceTempView("documents")
+    duck.execute("CREATE OR REPLACE VIEW documents AS SELECT * FROM pdf")
+    got = [tuple(r) for r in spark.sql(weighted_sample_sql("spark", k)).collect()]
+    want = [tuple(r) for r in duck.execute(weighted_sample_sql("duck", k)).fetchall()]
+    assert got == want, (case, got, want)
+
+    def key(doc_id: int, w: int) -> float:
+        u = (
+            int(hashlib.md5(str(doc_id).encode()).hexdigest()[:14], 16) % 1_000_000
+            + 0.5
+        ) / 1_000_000.0
+        v = math.log(u) / max(w, 1)
+        return math.copysign(math.floor(abs(v) * 1e6 + 0.5) / 1e6, v)
+
+    ref = sorted(
+        ((i, "en", c, key(i, c)) for i, c in enumerate(n_chars)),
+        key=lambda t: (-t[3], t[0]),
+    )[:k]
+    assert got == ref, (case, got, ref)
