@@ -1933,3 +1933,91 @@ def test_differential_weighted_sample_keys(spark, duck, restore_documents, case)
         key=lambda t: (-t[3], t[0]),
     )[:k]
     assert got == ref, (case, got, ref)
+
+
+@st.composite
+def budget_docs_inputs(draw):
+    n = draw(st.integers(1, 24))
+    docs = []
+    for i in range(n):
+        lang = draw(st.sampled_from(["en", "de", None]))
+        text = draw(
+            st.one_of(
+                st.none(),
+                st.just(""),
+                st.integers(1, 12).map(lambda w: " ".join("t" for _ in range(w))),
+            )
+        )
+        docs.append((i, lang, text))
+    quota = draw(st.sampled_from([1, 3, 40]))
+    budget = draw(st.sampled_from([5, 25, 5000]))
+    return docs, quota, budget
+
+
+@settings(
+    max_examples=40,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(case=budget_docs_inputs())
+def test_differential_quota_and_token_budget(spark, duck, restore_documents, case):
+    """Per-group quota sampling and the greedy token-budget fill on
+    RANDOM corpora (NULL langs in their own window partition, NULL-text
+    docs whose NULL token count rides the window SUM's NULL-skip):
+    cross-engine equality plus plain-Python references for both."""
+    import hashlib
+
+    import pandas as pd
+
+    from torchfusion_spark.operators.textstats import (
+        group_quota_sample_sql,
+        token_budget_sql,
+    )
+
+    docs, quota, budget = case
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [d for d, _, _ in docs],
+            "lang": [lg for _, lg, _ in docs],
+            "text": [t for _, _, t in docs],
+            "source": ["s"] * len(docs),
+            "n_chars": [len(t) if t else 0 for _, _, t in docs],
+        }
+    )
+    spark.createDataFrame(
+        pdf, "doc_id bigint, lang string, text string, source string, n_chars bigint"
+    ).createOrReplaceTempView("documents")
+    duck.execute("CREATE OR REPLACE VIEW documents AS SELECT * FROM pdf")
+
+    def h56(i: int) -> int:
+        return int(hashlib.md5(str(i).encode()).hexdigest()[:14], 16)
+
+    for gen, args in ((group_quota_sample_sql, quota), (token_budget_sql, budget)):
+        got = [tuple(r) for r in spark.sql(gen("spark", args)).collect()]
+        want = [tuple(r) for r in duck.execute(gen("duck", args)).fetchall()]
+        assert got == want, (gen.__name__, case, got, want)
+
+    # python reference: quota = first `quota` per lang in (hash, doc_id)
+    # order; budget = greedy cumulative fill with NULL token counts
+    # contributing nothing (the SQL window SUM skips NULLs)
+    langs = {lg for _, lg, _ in docs}
+    ref_q, ref_b = [], []
+    for lg in langs:
+        grp = sorted((h56(d), d, t) for d, l, t in docs if l == lg)
+        for rk, (_, d, _) in enumerate(grp, 1):
+            if rk <= quota:
+                ref_q.append((d, lg, rk))
+        cum = None  # window SUM is NULL until the first non-NULL count
+        for _, d, t in grp:
+            n = len(t.split(" ")) if t is not None else None
+            if n is not None:
+                cum = (cum or 0) + n
+            if cum is not None and cum <= budget:
+                ref_b.append((d, lg, n, cum))
+    key = lambda t: (t[1] is not None, t[1] or "", t[-1], t[0])
+    got_q = [tuple(r) for r in spark.sql(group_quota_sample_sql("spark", quota)).collect()]
+    assert sorted(got_q, key=key) == sorted(ref_q, key=key), (case, got_q, ref_q)
+    got_b = [tuple(r) for r in spark.sql(token_budget_sql("spark", budget)).collect()]
+    kb = lambda t: (t[1] is not None, t[1] or "", t[3], t[0])
+    assert sorted(got_b, key=kb) == sorted(ref_b, key=kb), (case, got_b, ref_b)
