@@ -2021,3 +2021,74 @@ def test_differential_quota_and_token_budget(spark, duck, restore_documents, cas
     got_b = [tuple(r) for r in spark.sql(token_budget_sql("spark", budget)).collect()]
     kb = lambda t: (t[1] is not None, t[1] or "", t[3], t[0])
     assert sorted(got_b, key=kb) == sorted(ref_b, key=kb), (case, got_b, ref_b)
+
+
+@st.composite
+def chunk_texts(draw):
+    wild = st.text(
+        alphabet=st.characters(blacklist_categories=("Cs",)), min_size=0, max_size=500
+    )
+    n = draw(st.integers(1, 6))
+    return [draw(st.one_of(st.none(), st.just(""), wild)) for _ in range(n)]
+
+
+@settings(
+    max_examples=40,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(texts=chunk_texts())
+def test_differential_chunk_overlap_windows(spark, duck, restore_documents, texts):
+    """Overlapping character-window chunking on RANDOM docs (NULL/empty
+    texts, unicode substr boundaries, docs shorter than one window and
+    longer than several): cross-engine equality plus a plain-Python
+    reference of the window arithmetic, trailing-partial rule and
+    empty-doc single-empty-chunk rule."""
+    import hashlib
+
+    import pandas as pd
+
+    from torchfusion_spark.operators.textstats import (
+        CHUNK_OVERLAP,
+        CHUNK_SIZE,
+        chunk_overlap_sql,
+    )
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(len(texts)),
+            "text": texts,
+            "lang": ["en"] * len(texts),
+            "source": ["s"] * len(texts),
+            "n_chars": [len(t) if t else 0 for t in texts],
+        }
+    )
+    spark.createDataFrame(
+        pdf, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    ).createOrReplaceTempView("documents")
+    duck.execute("CREATE OR REPLACE VIEW documents AS SELECT * FROM pdf")
+    got = [tuple(r) for r in spark.sql(chunk_overlap_sql("spark")).collect()]
+    want = [tuple(r) for r in duck.execute(chunk_overlap_sql("duck")).fetchall()]
+    assert got == want, (texts, got, want)
+
+    stride = CHUNK_SIZE - CHUNK_OVERLAP
+    ref = []
+    for d, t in enumerate(texts):
+        if t is None:
+            continue  # engines agree: NULL text fans out to no chunks
+        n = len(t)
+        n_win = max(n - 1, 0) // stride + 1
+        for i in range(n_win):
+            chunk = t[i * stride : i * stride + CHUNK_SIZE]
+            ref.append(
+                (
+                    d,
+                    "en",
+                    i,
+                    1 + i * stride,
+                    len(chunk),
+                    int(hashlib.md5(chunk.encode("utf-8")).hexdigest()[:14], 16),
+                )
+            )
+    assert got == ref, (texts, got, ref)

@@ -1030,8 +1030,12 @@ def chunk_overlap_sql(d: str, size: int = CHUNK_SIZE, overlap: int = CHUNK_OVERL
     chunk = f"substr(text, 1 + i * {stride}, {size})"
     return f"""
     WITH s AS (
+        -- NULL-text docs emit NO chunks (the multimodal frame rule; an
+        -- unguarded fan-out emitted one meaningless all-NULL chunk row —
+        -- agreed by both engines, caught by the r12 chunk fuzzer's
+        -- python reference)
         SELECT doc_id, lang, text, length(text) AS n_chars, {starts} AS idx
-        FROM documents),
+        FROM documents WHERE text IS NOT NULL),
     c AS (
         SELECT doc_id, lang, i AS chunk_idx, {chunk} AS chunk
         FROM ({exploded}))
