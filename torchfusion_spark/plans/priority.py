@@ -9,21 +9,21 @@ valuable queries first.
 
 Ordering policy (documented so the ranking is auditable, not gamed) --
 ROTATED each round so the budget certifies the weakest evidence first.
-Round 12 (rotated against the CORRECTNESS_r01..r11 union): r11 certified
-its top 50 exactly (zero overlap with r10), so every registry name now has
-a current-testdata green row and the latest-green vintages are 26 names at
-r07, 50 at r08, 50 at r10 and 50 at r11. The weakest-first order is
+Round 13 (rotated against the CORRECTNESS_r01..r12 union): r12 certified
+its top 50 exactly (zero overlap with r11), so every registry name has a
+current-testdata green row and the latest-green vintages are 28 names at
+r08, 50 at r10, 50 at r11 and 50 at r12. The weakest-first order is
 therefore:
 
-1. new r12 registrations (uncertified -- no CORRECTNESS row at all) go to
+1. new r13 registrations (uncertified -- no CORRECTNESS row at all) go to
    rank 1 as they land, ahead of every re-cert;
-2. the 26 r07-vintage names in their prior internal order -- after this
-   round the minimum latest-green vintage becomes r08;
-3. the r08 block (prior internal order); its head fills the remainder of
+2. the 28 r08-vintage names in their prior internal order -- after this
+   round the minimum latest-green vintage becomes r10;
+3. the r10 block (prior internal order); its head fills the remainder of
    the 50-row budget;
-4. the r10 block (prior internal order);
-5. the 50 names r11 just certified (freshest evidence last), keeping
-   their r11 rank order.
+4. the r11 block (prior internal order);
+5. the 50 names r12 just certified (freshest evidence last), keeping
+   their r12 rank order.
 
 The suffix after the prefix is the canonical registry name used everywhere
 else (bench.py, tools/verify_local.py, tests).
@@ -32,59 +32,7 @@ else (bench.py, tools/verify_local.py, tests).
 from __future__ import annotations
 
 PRIORITY: list[str] = [
-    # -- new r12 registrations: no CORRECTNESS row at all --
-    "dedup_minhash_clusters_star",
-    "multimodal_dedup",
-    # -- the 26 r07-vintage re-certs (5 rounds stale) --
-    "agg_median",
-    "agg_min_max_by",
-    "agg_minmax_first",
-    "agg_regression",
-    "agg_bool",
-    "agg_bitwise",
-    "agg_any_count_if",
-    "agg_string_agg",
-    "win_ranking",
-    "win_first_last",
-    "win_percent_cume",
-    "win_range_frame",
-    "applyinpandas_spread",
-    "q9_product_profit",
-    "events_sessionize",
-    "events_session_window",
-    "events_rollup_two_level",
-    "events_range_join",
-    "dedup_substring",
-    "corpus_source_filter",
-    "corpus_strip_dup_spans",
-    "text_decontaminate_spans",
-    "text_bm25_topk",
-    "text_lm_perplexity",
-    "sample_dsir_importance",
-    "text_gopher_rules",
-    # -- the r08 block (prior internal order); head fills the budget --
-    "dedup_url_canonical",
-    "sim_near_dup_collapse",
-    "pipeline_quality_gate",
-    "corpus_url_filter",
-    "sample_temperature_mixture",
-    "events_asof_join",
-    "events_funnel",
-    "events_retention",
-    "text_lang_id",
-    "text_token_count",
-    "stream_windowed_counts",
-    "dedup_minhash_lsh",
-    "q3_shipping_priority",
-    "q10_returned_items",
-    "q11_important_stock",
-    "q15_top_supplier",
-    "q16_parts_supplier",
-    "q18_large_volume_customer",
-    "q22_global_sales_opportunity",
-    "sim_quantize_int8",
-    "corpus_chunk_overlap",
-    "q14_promo_revenue",
+    # -- the 28 r08-vintage re-certs (5 rounds stale) --
     "q17_small_quantity_revenue",
     "corpus_pack_sequences",
     "q13_customer_distribution",
@@ -113,7 +61,7 @@ PRIORITY: list[str] = [
     "corpus_shuffle_shards",
     "sample_weighted_topk",
     "sample_group_quota",
-    # -- the r10 block (prior internal order) --
+    # -- the r10 block (prior internal order); head fills the budget --
     "text_quality_classifier",
     "pipeline_quality_ensemble",
     "corpus_bpe_train",
@@ -164,7 +112,7 @@ PRIORITY: list[str] = [
     "agg_approx",
     "agg_collect_set",
     "agg_cube",
-    # -- the r11-certified 50 (freshest evidence last) --
+    # -- the r11 block (prior internal order) --
     "dedup_url_incremental",
     "pipeline_pretrain_corpus",
     "win_running_sum",
@@ -215,6 +163,57 @@ PRIORITY: list[str] = [
     "agg_rollup",
     "agg_grouping_sets",
     "agg_stats",
+    # -- the r12-certified 50 (freshest evidence last) --
+    "dedup_minhash_clusters_star",
+    "multimodal_dedup",
+    "agg_median",
+    "agg_min_max_by",
+    "agg_minmax_first",
+    "agg_regression",
+    "agg_bool",
+    "agg_bitwise",
+    "agg_any_count_if",
+    "agg_string_agg",
+    "win_ranking",
+    "win_first_last",
+    "win_percent_cume",
+    "win_range_frame",
+    "applyinpandas_spread",
+    "q9_product_profit",
+    "events_sessionize",
+    "events_session_window",
+    "events_rollup_two_level",
+    "events_range_join",
+    "dedup_substring",
+    "corpus_source_filter",
+    "corpus_strip_dup_spans",
+    "text_decontaminate_spans",
+    "text_bm25_topk",
+    "text_lm_perplexity",
+    "sample_dsir_importance",
+    "text_gopher_rules",
+    "dedup_url_canonical",
+    "sim_near_dup_collapse",
+    "pipeline_quality_gate",
+    "corpus_url_filter",
+    "sample_temperature_mixture",
+    "events_asof_join",
+    "events_funnel",
+    "events_retention",
+    "text_lang_id",
+    "text_token_count",
+    "stream_windowed_counts",
+    "dedup_minhash_lsh",
+    "q3_shipping_priority",
+    "q10_returned_items",
+    "q11_important_stock",
+    "q15_top_supplier",
+    "q16_parts_supplier",
+    "q18_large_volume_customer",
+    "q22_global_sales_opportunity",
+    "sim_quantize_int8",
+    "corpus_chunk_overlap",
+    "q14_promo_revenue",
 ]
 
 
