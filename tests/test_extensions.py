@@ -2508,3 +2508,75 @@ def test_upsample_epochs_matches_python_recompute(spark, tables):
     de_mix = next(r for r in sk_mix if r.lang == "de")
     assert de_mix.target_tokens // de_mix.available_tokens >= 2
     assert all(n >= 2 for n in de_copies.values())  # whole copies materialized
+
+
+def test_multimodal_oracles_are_byte_true_on_non_ascii(spark, tables, tmp_path):
+    """ADVICE r13 (medium): the multimodal oracles previously fingerprinted
+    CODEPOINTS (unicode(substr(text, i, 1)) over length(text)) while the
+    Spark side hashes UTF-8 payload BYTES — a corpus containing chr(200)*5
+    produced different near-dup pair sets on the two engines, silently
+    un-oracling the gate the moment non-ASCII text entered. All four
+    oracles now decode exact bytes from hex(encode(text)); this test runs
+    Spark and DuckDB side-by-side on a deliberately non-ASCII corpus
+    (including the verified chr(200) repro, multibyte Latin-1, and
+    4-byte emoji) and compares exact rows for every multimodal operator."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from torchfusion_spark.operators.multimodal import (
+        FEATURES_ORACLE,
+        FRAMES_ORACLE,
+        RESIZE_ORACLE,
+        dedup_query,
+        features_query,
+        frames_query,
+        mm_dedup_oracle_sql,
+        thumbnail_query,
+    )
+    from torchfusion_spark.sources import load_tables
+
+    texts = [
+        chr(200) * 5,                       # the ADVICE repro: 2-byte codepoints
+        chr(200) * 5,                       # its exact dup -> a guaranteed pair
+        "naïve café ☕" * 12, # mixed 1/2/3-byte, >128 bytes (2 frames)
+        "\U0001f600" * 40,                  # 4-byte emoji, 160 bytes
+        "plain ascii control text",         # the old assumption's happy path
+        "",                                 # empty -> no frames, '' thumb
+        None,                               # NULL -> SQL-null features
+    ]
+    d = tmp_path / "nonascii_docs"
+    d.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(list(range(len(texts))), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+                "lang": pa.array(["xx"] * len(texts)),
+                "source": pa.array(["src0"] * len(texts)),
+                "n_chars": pa.array([len(t) if t else 0 for t in texts], pa.int64()),
+            }
+        ),
+        str(d / "documents.parquet"),
+    )
+    for t in ("region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "embeddings"):
+        pq.write_table(pq.read_table(f"{tables}/{t}.parquet").slice(0, 1), str(d / f"{t}.parquet"))
+    spark._tf_tables_loaded = None
+    load_tables(spark, str(d))
+    try:
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW documents AS SELECT * FROM '{d}/documents.parquet'")
+        feats = sorted(tuple(r) for r in features_query(spark).collect())
+        assert feats == sorted(tuple(r) for r in con.execute(FEATURES_ORACLE).fetchall())
+        frames = sorted(tuple(r) for r in frames_query(spark).collect())
+        assert frames == sorted(tuple(r) for r in con.execute(FRAMES_ORACLE).fetchall())
+        assert any(r[0] == 2 and r[1] == 1 for r in frames)  # multibyte doc really spans 2 frames
+        thumbs = sorted(tuple(r) for r in thumbnail_query(spark).collect())
+        assert thumbs == sorted(tuple(r) for r in con.execute(RESIZE_ORACLE).fetchall())
+        pairs = sorted(tuple(r) for r in dedup_query(spark).collect())
+        assert pairs == sorted(tuple(r) for r in con.execute(mm_dedup_oracle_sql()).fetchall())
+        assert (0, 1, 0) in pairs  # the chr(200) twins pair at hamming 0 on BOTH engines
+    finally:
+        spark._tf_tables_loaded = None
+        load_tables(spark, tables)

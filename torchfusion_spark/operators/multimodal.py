@@ -124,12 +124,37 @@ def frames_query(spark: SparkSession) -> DataFrame:
     return sample_frames(attach_payload(spark)).orderBy("doc_id", "frame_idx")
 
 
-# Oracle: same frame slicing straight off the text (ASCII ⇒ byte == char code).
+def _duck_byte(h: str, i: str) -> str:
+    """DuckDB expression for the ``i``-th (1-based) BYTE of the payload
+    whose hex dump is column ``h`` (``hex(encode(text))``).  DuckDB's
+    ``substr`` has no BLOB overload, so exact byte access goes through
+    the hex string: two hex digits decoded by ``strpos`` against a
+    '123456789ABCDEF' table ('0' maps to 0 because strpos returns 0 on a
+    miss).  This is what makes every multimodal oracle *byte*-true — the
+    Spark side hashes UTF-8 payload bytes, and the pre-r13 codepoint
+    spelling (``unicode(substr(text, i, 1))``) silently diverged on any
+    non-ASCII text (ADVICE r12, verified with chr(200) corpora)."""
+    return (
+        f"(16*strpos('123456789ABCDEF', substr({h}, CAST(2*({i})-1 AS INT), 1))"
+        f" + strpos('123456789ABCDEF', substr({h}, CAST(2*({i}) AS INT), 1)))"
+    )
+
+
+# the per-doc payload relation every byte-true oracle starts from: the hex
+# dump of the utf-8 payload plus its byte length (octet_length, not the
+# codepoint-counting length())
+_DUCK_PAYLOAD = (
+    "SELECT doc_id, hex(encode(text)) AS h, octet_length(encode(text)) AS n FROM documents"
+)
+
+
+# Oracle: same frame slicing straight off the payload BYTES (hex-dump
+# access — the corpus need not be ASCII).
 FRAMES_ORACLE = f"""
 WITH f AS (
-    SELECT doc_id, text, length(text) AS n,
-           unnest(range(0, (length(text) + {FRAME_BYTES * FRAME_EVERY} - 1) // {FRAME_BYTES * FRAME_EVERY})) AS i
-    FROM documents)
+    SELECT doc_id, h, n,
+           unnest(range(0, (n + {FRAME_BYTES * FRAME_EVERY} - 1) // {FRAME_BYTES * FRAME_EVERY})) AS i
+    FROM ({_DUCK_PAYLOAD}))
 SELECT doc_id, CAST(i AS INT) AS frame_idx,
        CAST(i * {FRAME_BYTES * FRAME_EVERY} AS INT) AS frame_offset,
        CAST(list_reduce(
@@ -137,7 +162,7 @@ SELECT doc_id, CAST(i AS INT) AS frame_idx,
                list_transform(
                    range(i * {FRAME_BYTES * FRAME_EVERY} + 1,
                          least(i * {FRAME_BYTES * FRAME_EVERY} + {FRAME_BYTES}, n) + 1),
-                   j -> CAST(unicode(substr(text, CAST(j AS INT), 1)) AS BIGINT))),
+                   j -> CAST({_duck_byte("h", "j")} AS BIGINT))),
            (a, x) -> a + x) % 65536 AS INT) AS frame_sum
 FROM f ORDER BY doc_id, frame_idx
 """
@@ -179,28 +204,26 @@ RESIZE_ORACLE = f"""
 SELECT doc_id,
        COALESCE(array_to_string(list_transform(
            list_filter(range(0, {THUMB_WIDTH}),
-                       j -> j * ((length(text) + {THUMB_WIDTH - 1}) // {THUMB_WIDTH}) < length(text)),
-           j -> CAST(unicode(substr(text,
-                    CAST(j * ((length(text) + {THUMB_WIDTH - 1}) // {THUMB_WIDTH}) + 1 AS INT),
-                    1)) AS INT)), ','), '') AS thumb
-FROM documents ORDER BY doc_id
+                       j -> j * ((n + {THUMB_WIDTH - 1}) // {THUMB_WIDTH}) < n),
+           j -> CAST({_duck_byte("h", f"j * ((n + {THUMB_WIDTH - 1}) // {THUMB_WIDTH}) + 1")} AS INT)), ','), '') AS thumb
+FROM ({_DUCK_PAYLOAD}) ORDER BY doc_id
 """
 
 
-# DuckDB oracle: reproduces the byte-level features straight from the text
-# (payload is its utf-8 encoding; the corpus is ASCII so char code = byte).
-FEATURES_ORACLE = """
+# DuckDB oracle: reproduces the byte-level features straight from the
+# utf-8 payload bytes (hex-dump access — no ASCII assumption).
+FEATURES_ORACLE = f"""
 SELECT doc_id,
        'text/plain' AS mime,
-       octet_length(encode(text)) AS n_bytes,
-       CASE WHEN length(text) > 0 THEN unicode(substr(text, 1, 1)) ELSE -1 END AS first_byte,
-       CASE WHEN length(text) > 0 THEN unicode(substr(text, length(text), 1)) ELSE -1 END AS last_byte,
+       n AS n_bytes,
+       CASE WHEN n > 0 THEN CAST({_duck_byte("h", "1")} AS INT) ELSE -1 END AS first_byte,
+       CASE WHEN n > 0 THEN CAST({_duck_byte("h", "n")} AS INT) ELSE -1 END AS last_byte,
        CAST(list_reduce(
            list_prepend(CAST(0 AS BIGINT),
-               list_transform(range(1, least(length(text), 16) + 1),
-                              i -> CAST(unicode(substr(text, CAST(i AS INT), 1)) AS BIGINT))),
+               list_transform(range(1, least(n, 16) + 1),
+                              i -> CAST({_duck_byte("h", "i")} AS BIGINT))),
            (a, x) -> a + x) % 256 AS INT) AS checksum16
-FROM documents ORDER BY doc_id
+FROM ({_DUCK_PAYLOAD}) ORDER BY doc_id
 """
 
 
@@ -292,8 +315,9 @@ def dedup_query(spark: SparkSession, max_hamming: int = PHASH_MAX_HAMMING) -> Da
 
 
 def mm_dedup_oracle_sql(max_hamming: int = PHASH_MAX_HAMMING) -> str:
-    """DuckDB oracle: recompute the aHash straight from the text (ASCII
-    corpus ⇒ byte == char code) with the same exact-integer bit rule,
+    """DuckDB oracle: recompute the aHash straight from the utf-8 payload
+    BYTES (hex-dump access — pre-r13 this read codepoints and diverged on
+    any non-ASCII text, ADVICE r12) with the same exact-integer bit rule,
     then run the IDENTICAL banded-join SQL the Spark side uses."""
     from torchfusion_spark.operators.dedup import simhash_body_sql
 
@@ -306,20 +330,20 @@ def mm_dedup_oracle_sql(max_hamming: int = PHASH_MAX_HAMMING) -> str:
                SUM(c) AS bsum, COUNT(*) AS blen
         FROM (
             SELECT doc_id, n, stride, i,
-                   CAST(unicode(substr(text, CAST(i AS INT), 1)) AS BIGINT) AS c
+                   CAST({_duck_byte("h", "i")} AS BIGINT) AS c
             FROM (
-                SELECT doc_id, text, n, stride, unnest(range(1, n + 1)) AS i
+                SELECT doc_id, h, n, stride, unnest(range(1, n + 1)) AS i
                 FROM (
-                    SELECT doc_id, text, length(text) AS n,
-                           (length(text) + {PHASH_BITS - 1}) // {PHASH_BITS} AS stride
-                    FROM documents
-                    WHERE text IS NOT NULL AND length(text) > 0)))
+                    SELECT doc_id, h, n,
+                           (n + {PHASH_BITS - 1}) // {PHASH_BITS} AS stride
+                    FROM ({_DUCK_PAYLOAD})
+                    WHERE h IS NOT NULL AND n > 0)))
         GROUP BY doc_id, n, blk) b
     JOIN (
-        SELECT doc_id, SUM(CAST(unicode(substr(text, CAST(i AS INT), 1)) AS BIGINT)) AS tsum
+        SELECT doc_id, SUM(CAST({_duck_byte("h", "i")} AS BIGINT)) AS tsum
         FROM (
-            SELECT doc_id, text, unnest(range(1, length(text) + 1)) AS i
-            FROM documents WHERE text IS NOT NULL AND length(text) > 0)
+            SELECT doc_id, h, unnest(range(1, n + 1)) AS i
+            FROM ({_DUCK_PAYLOAD}) WHERE h IS NOT NULL AND n > 0)
         GROUP BY doc_id) t ON b.doc_id = t.doc_id
     GROUP BY b.doc_id
     """
