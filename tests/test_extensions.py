@@ -767,11 +767,22 @@ def test_url_index_cleanup_ownership_rules(tmp_path):
     os.makedirs(undecidable)
     with open(os.path.join(undecidable, "_TF_BUILT"), "w") as f:
         f.write("x")
+    # ADVICE r13 #4: a PROVABLY-ALIVE pid whose marker lacks a start
+    # record (legacy marker / build in progress) keeps its dir even past
+    # the 7-day backstop — the backstop applies only when the pid probe
+    # itself is undecidable, never to a possibly-live owner's files.
+    live_old = os.path.join(base, "url_index_eeee_1")
+    os.makedirs(live_old)
+    with open(os.path.join(live_old, "_TF_BUILT"), "w") as f:
+        f.write("x")
+    week_ago = __import__("time").time() - 8 * 24 * 3600
+    os.utime(live_old, (week_ago, week_ago))
     _url_index_cleanup(base)
     assert os.path.exists(owner)  # verified live owner — kept
     assert not os.path.exists(recycled)  # start-time mismatch — swept
     assert not os.path.exists(dead)  # dead pid — swept
     assert os.path.exists(undecidable)  # unknowable + young — left alone
+    assert os.path.exists(live_old)  # alive owner, no recorded start — kept at ANY age
 
 
 def test_url_incremental_index_survives_corpus_swap_back(spark, tables):
@@ -2580,3 +2591,98 @@ def test_multimodal_oracles_are_byte_true_on_non_ascii(spark, tables, tmp_path):
     finally:
         spark._tf_tables_loaded = None
         load_tables(spark, tables)
+
+
+def test_legacy_marker_upgraded_on_probe(spark, tables):
+    """ADVICE r13 #4 companion: a marker-hit probe on a pre-r13 marker
+    (no start-time line) rewrites it in place with this process's start
+    time, closing the live-pid-but-no-recorded-start window the cleanup
+    sweep must otherwise leave alone forever."""
+    import os
+
+    from torchfusion_spark.operators.dedup import (
+        _docs_key,
+        _marker_recorded_start,
+        _pid_start_time,
+        _url_index_path,
+    )
+    from torchfusion_spark.plans import REGISTRY
+
+    builder = REGISTRY["dedup_url_incremental"].builder
+    builder(spark, tables).count()
+    path = _url_index_path(_docs_key(spark))
+    marker = os.path.join(path, "_TF_BUILT")
+    with open(marker) as f:
+        first_line = f.read().splitlines()[0]
+    with open(marker, "w") as f:
+        f.write(first_line)  # forge a legacy single-line marker
+    assert _marker_recorded_start(path) is None
+    builder(spark, tables).count()  # marker hit — must upgrade, not rebuild
+    recorded = _marker_recorded_start(path)
+    assert recorded is not None
+    assert abs(recorded - _pid_start_time(os.getpid())) < 2.0
+
+
+def test_drop_prev_unkeyed_is_per_thread(spark, tmp_path):
+    """ADVICE r13 #2: the unkeyed-index supersede tracking is
+    per-(session, thread) — thread B minting its next unkeyed dir must
+    not rmtree a dir thread A's still-collecting probe plan reads; only
+    the SAME thread's next call supersedes its previous dir."""
+    import os
+    import threading
+
+    from torchfusion_spark.operators.dedup import _drop_prev_unkeyed
+
+    spark.__dict__.pop("_tf_url_unkeyed_prev", None)
+    dirs = {n: str(tmp_path / n) for n in ("a", "b", "c")}
+    for d in dirs.values():
+        os.makedirs(d)
+
+    t = threading.Thread(target=_drop_prev_unkeyed, args=(spark, dirs["a"]))
+    t.start()
+    t.join()
+    _drop_prev_unkeyed(spark, dirs["b"])  # main thread's FIRST dir
+    assert os.path.exists(dirs["a"])  # sibling thread's live dir untouched
+    _drop_prev_unkeyed(spark, dirs["c"])  # main thread's next: supersedes b
+    assert not os.path.exists(dirs["b"])
+    assert os.path.exists(dirs["a"])
+    spark.__dict__.pop("_tf_url_unkeyed_prev", None)
+
+
+def test_star_supersede_reaps_completed_sibling_thread_group(spark):
+    """ADVICE r13 #3: once connected_components_star RETURNS, its nonce's
+    in-flight record is cleared, so a supersede-release issued from a
+    DIFFERENT thread (pooled bench threads alternating calls) reaps the
+    superseded final edge checkpoint instead of protecting it for the
+    life of the owning thread."""
+    import threading
+
+    from torchfusion_spark.operators.dedup import connected_components_star
+    from torchfusion_spark.session import release_staged_group
+
+    done = threading.Event()
+    release_me = threading.Event()
+    nonce = []
+
+    def owner():
+        chain = spark.createDataFrame([(0, 1), (1, 2)], "id_a bigint, id_b bigint")
+        out = connected_components_star(chain, max_iter=8)
+        out.count()  # materialized: supersede semantics apply from here
+        nonce.append(out._tf_cc_nonce)
+        done.set()
+        release_me.wait(timeout=60)  # stay ALIVE while the sibling releases
+
+    t = threading.Thread(target=owner)
+    t.start()
+    try:
+        assert done.wait(timeout=120)
+        n = nonce[0]
+        assert n not in spark.__dict__.get("_tf_thread_nonces", {}).values()
+        pool = spark.__dict__.get("_tf_ck_pool", {})
+        assert any(s.startswith(f"ccs_{n}_") for s in pool)  # one live slot remains
+        released = release_staged_group(spark, f"ccs_{n}_")  # sibling supersede
+        assert released == 1
+        assert not any(s.startswith(f"ccs_{n}_") for s in pool)
+    finally:
+        release_me.set()
+        t.join()

@@ -1573,8 +1573,19 @@ def _url_index_cleanup(base: str) -> None:
                     if abs(live_start - recorded) < 2.0:
                         continue  # verified owner — never touch
                     # start times disagree: the pid was recycled — sweep
+                elif live_start is not None:
+                    # the pid is provably ALIVE but the marker carries no
+                    # start time (a pre-r13 marker, or a build still in
+                    # progress): the live pid may well BE the owner, so
+                    # never age-sweep the dir out from under it (ADVICE
+                    # r13 #4 — the old 7-day backstop here deleted a live
+                    # owner's week-old dir mid-probe). The dir unpins the
+                    # moment the owner exits (its pid probe then fails);
+                    # the builder also upgrades legacy markers in place,
+                    # so this state is transient.
+                    continue
                 elif time.time() - os.path.getmtime(full) < _URL_INDEX_MAX_AGE_SEC:
-                    continue  # undecidable and young — leave it
+                    continue  # pid probe undecidable (no procfs) and young — leave it
         shutil.rmtree(full, ignore_errors=True)
 
 
@@ -1635,6 +1646,16 @@ def url_incremental_query(spark):
                 # exact ownership proof against pid recycling
                 start = _pid_start_time(os.getpid())
                 f.write(os.path.basename(path) + (f"\n{start}" if start else ""))
+        elif _marker_recorded_start(path) is None:
+            # legacy (pre-r13) marker with no start-time line: upgrade it
+            # in place on this successful probe — the path is keyed to
+            # OUR pid, so ownership is certain — closing the window in
+            # which a foreign sweep sees a live pid but no recorded start
+            # (ADVICE r13 #4).
+            start = _pid_start_time(os.getpid())
+            if start is not None:
+                with open(marker, "w") as f:
+                    f.write(f"{os.path.basename(path)}\n{start}")
         batch = f"(SELECT * FROM documents WHERE {batch_pred}) __url_batch_src"
         return dedup_url_incremental(spark, batch, path)
 
@@ -1666,17 +1687,26 @@ def _drop_prev_unkeyed(spark, new_path: str) -> None:
     """Disk hygiene for the un-analyzable-view sentinel (ADVICE r11 #3):
     the sentinel forces a rebuild per call, so without this every
     unkeyed probe leaks a dir until interpreter exit. The previous
-    unkeyed dir is dropped when THIS SESSION mints its next one —
-    per-session tracking, never the module level: two SparkSessions in
+    unkeyed dir is dropped when THE SAME THREAD of this session mints
+    its next one — per-(session, thread) tracking: two SparkSessions in
     one process must not delete each other's live index dirs
-    (code-review r12). Caveat this trades away: an unexecuted probe
-    plan from this session's PREVIOUS unkeyed call loses its backing
-    files — unkeyed views carry no reuse-across-builds guarantee (that
-    is what the sentinel means), so only the most recent build's plans
-    are supported."""
+    (code-review r12), and two THREADS sharing one session must not
+    either — thread B superseding "the session's" previous dir while
+    thread A's just-resolved probe plan is still collecting against it
+    rmtree'd A's files mid-scan (ADVICE r13 #2; the caller's
+    ``url_index`` memo lock doesn't cover A's collect, which runs after
+    the lock is released). A finished thread's last dir persists until
+    interpreter exit, where ``_url_index_cleanup`` removes every
+    own-pid dir unconditionally. Caveat this trades away: an unexecuted
+    probe plan from the same thread's PREVIOUS unkeyed call loses its
+    backing files — unkeyed views carry no reuse-across-builds
+    guarantee (that is what the sentinel means), so only each thread's
+    most recent build's plans are supported."""
     import shutil
+    import threading
 
-    prev = spark.__dict__.setdefault("_tf_url_unkeyed_prev", [])
+    prev_by_thread = spark.__dict__.setdefault("_tf_url_unkeyed_prev", {})
+    prev = prev_by_thread.setdefault(threading.get_ident(), [])
     while prev:
         shutil.rmtree(prev.pop(), ignore_errors=True)
     prev.append(new_path)
@@ -1814,9 +1844,10 @@ def connected_components_star(pairs, max_iter: int = 20):
         # call's checkpoint group first — nothing can reference it after
         # the raise, and the builder's supersede-release only ever
         # targets the last SUCCESSFUL nonce (code-review r12).
-        from torchfusion_spark.session import release_staged_group
+        from torchfusion_spark.session import finish_staging_nonce, release_staged_group
 
         release_staged_group(spark, f"ccs_{nonce}_")
+        finish_staging_nonce(spark, nonce)
         raise RuntimeError(
             f"connected_components_star: edge set still contracting after "
             f"{max_iter} rounds — component diameter exceeds ~2^{max_iter}; "
@@ -1825,10 +1856,16 @@ def connected_components_star(pairs, max_iter: int = 20):
     # the returned plan reads only the FINAL edge checkpoint; the other
     # alternating slot holds the penultimate generation — dead weight the
     # moment the loop ends, so release it here and leave exactly one live
-    # slot per call for the builder's supersede-release to reap
-    from torchfusion_spark.session import release_staged_group
+    # slot per call for the builder's supersede-release to reap. The
+    # nonce's in-flight record is cleared WITH it: the loop is complete,
+    # so only supersede semantics apply from here, and keeping the record
+    # would protect the final slot from a SIBLING thread's
+    # supersede-release for as long as this thread lives (ADVICE r13 #3 —
+    # pooled bench threads leaked one edge checkpoint per alternation).
+    from torchfusion_spark.session import finish_staging_nonce, release_staged_group
 
     release_staged_group(spark, f"ccs_{nonce}_e{'AB'[n_ck % 2]}")
+    finish_staging_nonce(spark, nonce)
     comp = (
         e.groupBy("u")
         .agg(F.min("v").alias("mv"))

@@ -270,6 +270,25 @@ def staging_nonce(spark) -> int:
         return n
 
 
+def finish_staging_nonce(spark, nonce: int) -> None:
+    """Mark an iterative builder's nonce COMPLETE: drop the issuing
+    thread's in-flight record so a release sweep from a SIBLING thread
+    can reap the group once it is superseded. Without this, the
+    in-flight protection in :func:`_protected_nonces` outlives the loop
+    it exists for — e.g. pooled bench threads alternating
+    ``dedup_minhash_clusters_star`` calls left each superseded call's
+    final edge checkpoint protected (hence leaked) for as long as the
+    owning pool thread stayed alive (ADVICE r13 #3). Guarded on the
+    nonce still being the thread's CURRENT record: the same thread may
+    have drawn a newer nonce since, and that one is someone else's
+    in-flight state."""
+    with _STAGING_NONCE_LOCK:
+        records = spark.__dict__.get("_tf_thread_nonces", {})
+        tid = threading.get_ident()
+        if records.get(tid) == nonce:
+            del records[tid]
+
+
 def session(
     app_name: str = "torchfusion_spark",
     master: str | None = None,
