@@ -95,6 +95,9 @@ HEADLINE = [
     # scoring — both read the session-staged unigram-tf relation
     "text_bm25_topk",
     "text_lm_perplexity",
+    # round-13 addition: hybrid retrieval fusion (RRF over the BM25 +
+    # dense cosine top-k lists) — reads both staged relations
+    "retrieval_rrf_fusion",
     # round-7 addition: DSIR importance weighting — same staged relation
     "sample_dsir_importance",
     # round-7 addition: Gopher quality-rule filter — the cheapest shape

@@ -2092,3 +2092,191 @@ def test_differential_chunk_overlap_windows(spark, duck, restore_documents, text
                 )
             )
     assert got == ref, (texts, got, ref)
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval fusion (RRF): cross-engine equality on hostile random
+# corpora PLUS a full plain-Python recompute of both rankers and the fusion
+# (the [[engine-disciplines]] rule: the recompute catches agreed-but-wrong
+# formulas that cross-engine equality can't).
+# ---------------------------------------------------------------------------
+
+
+@st.composite
+def rrf_corpus_inputs(draw):
+    seed = draw(st.integers(0, 10_000))
+    n_docs = draw(st.integers(0, 24))
+    n_vecs = draw(st.sampled_from([0, 3, 8, 24]))
+    return seed, n_docs, n_vecs
+
+
+def _rrf_make_corpus(seed: int, n_docs: int, n_vecs: int):
+    """Deterministic hostile corpus: texts mixing BM25 query terms with
+    filler (NULL / empty / single-space / unicode cases), 64-dim
+    quarter-integer embeddings (exact in FLOAT and DOUBLE) with NULLs."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    vocab = ["hash", "join", "vector", "scan", "merge", "stream", "window",
+             "customer", "slow", "batch", "the", "データ", "Aa", "x"]
+    docs = []
+    for i in range(n_docs):
+        kind = int(rng.integers(0, 8))
+        if kind == 0:
+            text = None
+        elif kind == 1:
+            text = ""
+        elif kind == 2:
+            text = " "  # split(' ') -> ['', ''] on both engines
+        else:
+            text = " ".join(
+                vocab[int(j)] for j in rng.integers(0, len(vocab), int(rng.integers(1, 12)))
+            )
+        docs.append((i, text))
+    vecs = []
+    for i in range(n_vecs):
+        if rng.integers(0, 7) == 0:
+            vecs.append((i, None))
+        else:
+            comps = (rng.integers(-8, 9, 64) / 4.0).tolist()
+            comps[0] = comps[0] if any(comps) else 1.0  # never the zero vector
+            vecs.append((i, comps))
+    return docs, vecs
+
+
+def _rrf_python_ref(docs, vecs):
+    """Independent recompute of BM25 top-20, cosine top-20 and the RRF
+    fusion (k=60, out=10) mirroring the generators' exact arithmetic:
+    DECIMAL(2,1) literal products, left-fold dots, HALF_UP rounding on
+    the shortest double repr (Spark's BigDecimal.valueOf semantics)."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from torchfusion_spark.operators.retrieval import RRF_IN_K, RRF_K, RRF_OUT_K
+    from torchfusion_spark.operators.textstats import BM25_QUERIES
+
+    def rnd(x: float, places: int) -> Decimal:
+        return Decimal(repr(x)).quantize(Decimal(1).scaleb(-places), ROUND_HALF_UP)
+
+    # --- BM25 over the non-NULL-text universe ---
+    tf: dict = {}
+    n_tok: dict = {}
+    for d, t in docs:
+        if t is None:
+            continue
+        toks = t.translate(str.maketrans(
+            "ABCDEFGHIJKLMNOPQRSTUVWXYZ", "abcdefghijklmnopqrstuvwxyz")).split(" ")
+        n_tok[d] = len(toks)
+        for tok in toks:
+            tf[(d, tok)] = tf.get((d, tok), 0) + 1
+    bm_ranks: dict = {}
+    if n_tok:
+        n_d = len(n_tok)
+        tot = sum(n_tok.values())
+        df: dict = {}
+        for (_, tok), _c in tf.items():
+            df[tok] = df.get(tok, 0) + 1
+        scores: dict = {}
+        for q, term in BM25_QUERIES:
+            if term not in df:
+                continue
+            idf = math.log(1.0 + (n_d - df[term] + 0.5) / (df[term] + 0.5))
+            for d in n_tok:
+                c = tf.get((d, term))
+                if not c:
+                    continue
+                num = float(Decimal(c) * Decimal("2.2"))  # tf * (k1+1), DECIMAL exact
+                den = c + 1.2 * (0.25 + 0.75 * ((float(n_tok[d]) * n_d) / tot))
+                s = scores.setdefault((q, d), Decimal(0))
+                scores[(q, d)] = s + rnd(idf * num / den, 9)
+        by_q: dict = {}
+        for (q, d), s in scores.items():
+            by_q.setdefault(q, []).append((-s, d))
+        for q, lst in by_q.items():
+            for r, (_, d) in enumerate(sorted(lst), 1):
+                if r <= RRF_IN_K:
+                    bm_ranks[(q, d)] = r
+
+    # --- dense cosine over the non-NULL-embedding universe ---
+    def dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + x * y
+        return acc
+
+    nv = {i: (v, math.sqrt(dot(v, v))) for i, v in vecs if v is not None}
+    dn_ranks: dict = {}
+    for q in sorted({qq for qq, _ in BM25_QUERIES}):
+        if q not in nv:
+            continue
+        qv, qn = nv[q]
+        sims = sorted(
+            (-rnd(dot(qv, cv) / (qn * cn), 6), c)
+            for c, (cv, cn) in nv.items()
+            if c != q
+        )
+        for r, (_, c) in enumerate(sims, 1):
+            if r <= RRF_IN_K:
+                dn_ranks[(q, c)] = r
+
+    # --- fusion ---
+    fused: dict = {}
+    for (q, d), r in bm_ranks.items():
+        e = fused.setdefault((q, d), [None, None, Decimal(0)])
+        e[0] = r
+        e[2] += rnd(1.0 / (RRF_K + r), 9)
+    for (q, d), r in dn_ranks.items():
+        e = fused.setdefault((q, d), [None, None, Decimal(0)])
+        e[1] = r
+        e[2] += rnd(1.0 / (RRF_K + r), 9)
+    out = []
+    for q in sorted({qq for qq, _ in fused}):
+        rows = sorted(
+            ((-s, d, bm, dn) for (qq, d), (bm, dn, s) in fused.items() if qq == q)
+        )
+        for r, (neg_s, d, bm, dn) in enumerate(rows, 1):
+            if r <= RRF_OUT_K:
+                out.append((q, d, bm, dn, float(-neg_s), r))
+    return out
+
+
+@settings(
+    max_examples=40,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(case=rrf_corpus_inputs())
+def test_differential_rrf_fusion(spark, duck, restore_documents, case):
+    import pandas as pd
+
+    from torchfusion_spark.operators.retrieval import rrf_fusion_sql
+
+    docs, vecs = _rrf_make_corpus(*case)
+    doc_rows = [(d, t, "en", "s", len(t) if t else 0) for d, t in docs]
+    vec_rows = [(i, v, 0) for i, v in vecs]
+    # pandas frames for DuckDB with dtypes pinned: an all-NULL (or empty)
+    # text column otherwise infers float64 and binds as DOUBLE
+    pdf = pd.DataFrame(
+        doc_rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
+    ).astype({"doc_id": "int64", "text": "string", "lang": "string",
+              "source": "string", "n_chars": "int64"})
+    edf = pd.DataFrame(vec_rows, columns=["vec_id", "embedding", "label"]).astype(
+        {"vec_id": "int64", "embedding": "object", "label": "int32"}
+    )
+    spark.createDataFrame(
+        doc_rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    ).createOrReplaceTempView("documents")
+    spark.createDataFrame(
+        vec_rows, "vec_id bigint, embedding array<float>, label int"
+    ).createOrReplaceTempView("embeddings")
+    duck.execute("CREATE OR REPLACE VIEW documents AS SELECT * FROM pdf")
+    duck.execute(
+        "CREATE OR REPLACE VIEW embeddings AS "
+        "SELECT vec_id, CAST(embedding AS FLOAT[]) AS embedding, label FROM edf"
+    )
+    got = [tuple(r) for r in spark.sql(rrf_fusion_sql("spark")).collect()]
+    want = [tuple(r) for r in duck.execute(rrf_fusion_sql("duck")).fetchall()]
+    assert got == want, (case, got, want)
+    ref = _rrf_python_ref(docs, vecs)
+    assert got == ref, (case, got, ref)

@@ -72,6 +72,7 @@ DOC_OPS = [
     "pipeline_corpus_clean",
     "corpus_source_filter",
     "text_bm25_topk",
+    "retrieval_rrf_fusion",
     "text_lm_perplexity",
     "sample_dsir_importance",
     "corpus_strip_dup_spans",

@@ -56,6 +56,7 @@ _EXPECTED = {
     "join_theta": {"bnl_join", "cartesian"},  # inequality-only predicate
     "join_full_outer": {"sort_merge_join"},  # Spark can't broadcast a FULL OUTER side
     "sim_cosine_topk": {"bnl_join"},  # broadcast query side × candidates
+    "retrieval_rrf_fusion": {"bnl_join"},  # dense side = the sim_cosine_topk shape
     "sim_cosine_near_dup": {"bnl_join"},  # gated exact verifier (vec_id cap)
     "events_asof_join": {"bnl_join"},  # banded join, band side broadcast
     "events_range_join": {"bnl_join"},  # banded range join

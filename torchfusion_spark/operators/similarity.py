@@ -93,22 +93,38 @@ def _staged_norms(spark, then=None):
     return "__sim_norms"
 
 
-def cosine_topk_sql(d: str, k: int = 10, n_queries: int = 8, rel: str | None = None) -> str:
+def cosine_topk_sql(
+    d: str,
+    k: int = 10,
+    n_queries: int = 8,
+    rel: str | None = None,
+    query_pred: str | None = None,
+    with_rank: bool = False,
+) -> str:
     """Exact top-k cosine neighbors for each query vector (brute force).
 
     Spark plan: tiny query side → broadcast nested-loop against the full
     table, then per-query TopK window. No shuffle of the big side.
+
+    ``query_pred`` overrides the default ``vec_id < n_queries`` query-row
+    selector (the RRF fusion aligns query vectors with the BM25 literal
+    query ids); ``with_rank`` additionally emits the per-query rank as
+    ``dn_rank`` (CAST to BIGINT — Spark's ROW_NUMBER is INT, DuckDB's is
+    BIGINT, and the fusion's schema compare needs one type). Defaults
+    reproduce the registered ``sim_cosine_topk`` text byte-for-byte.
     """
     n_rel = rel or f"(SELECT * FROM ({norm_cte(d)}))"
     mat = "MATERIALIZED " if d == "duck" else ""
+    qp = query_pred or f"vec_id < {n_queries}"
+    rank_col = ", CAST(rn AS BIGINT) AS dn_rank" if with_rank else ""
     return f"""
     WITH n AS {mat}(SELECT * FROM {n_rel}),
-    q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM n WHERE vec_id < {n_queries}),
+    q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM n WHERE {qp}),
     sims AS (
         SELECT {"/*+ BROADCAST(q) */" if d == "spark" else ""} q.q_id, c.vec_id AS cand_id,
                ROUND({_dot('q.qv', 'c.v', d)} / (q.qn * c.nrm), 6) AS cosine
         FROM n c JOIN q ON c.vec_id <> q.q_id)
-    SELECT q_id, cand_id, cosine FROM (
+    SELECT q_id, cand_id, cosine{rank_col} FROM (
         SELECT q_id, cand_id, cosine,
                ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, cand_id) AS rn
         FROM sims)

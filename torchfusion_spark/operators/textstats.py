@@ -1419,8 +1419,15 @@ def _staged_unigrams(spark, then=None) -> str:
     return "__tf_unigrams"
 
 
-def bm25_topk_sql(d: str, k: int = BM25_TOP_K, tf_rel: str | None = None) -> str:
+def bm25_topk_sql(
+    d: str, k: int = BM25_TOP_K, tf_rel: str | None = None, with_rank: bool = False
+) -> str:
     """Okapi BM25 top-k retrieval for a fixed literal query set.
+
+    ``with_rank`` additionally emits the per-query rank as ``bm_rank``
+    (CAST to BIGINT for cross-engine schema identity) — consumed by the
+    RRF fusion; the default reproduces the registered ``text_bm25_topk``
+    text byte-for-byte.
 
     Shape: ONE corpus-sized shuffle builds the (doc, term, tf, n_tok)
     relation (map-side combined; the doc-length window is folded into
@@ -1442,6 +1449,7 @@ def bm25_topk_sql(d: str, k: int = BM25_TOP_K, tf_rel: str | None = None) -> str
     tf_cte = f"tf AS {tf_body}," if tf_rel is None else ""
     tfn = tf_rel or "tf"
     vals = ", ".join(f"({q}, '{t}')" for q, t in BM25_QUERIES)
+    rank_col = ",\n           CAST(rn AS BIGINT) AS bm_rank" if with_rank else ""
     if d == "spark":
         qsrc = f"SELECT * FROM VALUES {vals} AS t(query_id, term)"
     else:
@@ -1474,7 +1482,7 @@ def bm25_topk_sql(d: str, k: int = BM25_TOP_K, tf_rel: str | None = None) -> str
                SUM(s_term) AS score
         FROM scored GROUP BY query_id, doc_id)
     SELECT query_id, doc_id, n_matched,
-           ROUND(CAST(score AS DOUBLE), 6) AS bm25
+           ROUND(CAST(score AS DOUBLE), 6) AS bm25{rank_col}
     FROM (
         SELECT query_id, doc_id, n_matched, score,
                ROW_NUMBER() OVER (PARTITION BY query_id

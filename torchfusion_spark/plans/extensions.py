@@ -9,7 +9,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from torchfusion_spark import streaming
-from torchfusion_spark.operators import dedup, events_ops, multimodal, similarity, textstats
+from torchfusion_spark.operators import (
+    dedup,
+    events_ops,
+    multimodal,
+    retrieval,
+    similarity,
+    textstats,
+)
 from torchfusion_spark.plans.registry import query
 
 
@@ -717,6 +724,22 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats._staged_unigrams(
         spark, then=lambda tfn: spark.sql(textstats.bm25_topk_sql("spark", tf_rel=tfn))
     )
+
+
+@query(
+    "retrieval_rrf_fusion",
+    retrieval.rrf_fusion_sql("duck"),
+    doc="hybrid retrieval fusion (Cormack et al. 2009 RRF, k=60): fuses "
+    "the BM25 top-20 and dense cosine top-20 lists per query via "
+    "UNION ALL + one map-combinable GROUP BY (never a FULL OUTER join — "
+    "Spark can't broadcast a full-outer side, and the union shape "
+    "generalizes to R rankers); contributions ROUND(1/(60+rank),9) as "
+    "DECIMAL so the fused ordering is accumulation-order-proof; both "
+    "corpus-sized inputs resolve from the session-staged tf/norms "
+    "relations inside their memo locks",
+)
+def retrieval_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return retrieval.rrf_fusion(spark)
 
 
 @query(

@@ -32,6 +32,8 @@ else (bench.py, tools/verify_local.py, tests).
 from __future__ import annotations
 
 PRIORITY: list[str] = [
+    # -- new r13 registrations (uncertified) --
+    "retrieval_rrf_fusion",
     # -- the 28 r08-vintage re-certs (5 rounds stale) --
     "q17_small_quantity_revenue",
     "corpus_pack_sequences",
