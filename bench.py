@@ -147,6 +147,9 @@ HEADLINE = [
     # round-12 addition: perceptual payload dedup (byte aHash via Arrow
     # scan + the SimHash banded Hamming tail) — benched from day one
     "multimodal_dedup",
+    # round-13 addition: frame-level perceptual dedup (sampled-frame
+    # aHash → packed-key banded tail → containment-shape doc verdict)
+    "multimodal_frame_dedup",
 ]
 
 # Streaming witnesses carry round-over-round timing accountability but are
@@ -222,7 +225,7 @@ def main() -> None:
             minhash_clusters,
             url_incremental_query,
         )
-        from torchfusion_spark.operators.multimodal import _staged_phash
+        from torchfusion_spark.operators.multimodal import _staged_frame_phash, _staged_phash
         from torchfusion_spark.operators.similarity import _staged_norms
         from torchfusion_spark.operators.textstats import (
             _staged_bloom,
@@ -259,6 +262,8 @@ def main() -> None:
                 # relation — the r03/r06 contract: staging_warm_sec covers
                 # every session-staged relation the headline set uses)
                 pool.submit(_staged_phash, spark),
+                # per-frame aHash fingerprints (multimodal_frame_dedup)
+                pool.submit(_staged_frame_phash, spark),
                 # one-time persisted URL seen-set (VERDICT r11 item 5):
                 # the builder writes the index parquet eagerly and
                 # returns the probe plan unexecuted — exactly the

@@ -2280,3 +2280,128 @@ def test_differential_rrf_fusion(spark, duck, restore_documents, case):
     assert got == want, (case, got, want)
     ref = _rrf_python_ref(docs, vecs)
     assert got == ref, (case, got, ref)
+
+
+# ---------------------------------------------------------------------------
+# Frame-level perceptual dedup: cross-engine equality on corpora built from
+# shared 128-byte segments (so sampled frames genuinely collide), plus an
+# independent brute-force Python reference — valid because at fuzz scale
+# (<= 240 frames) the hot-band cap never engages, so the banded join's
+# candidate set is exactly the pigeonhole superset of every hamming<=3 pair.
+# ---------------------------------------------------------------------------
+
+
+@st.composite
+def frame_corpus_inputs(draw):
+    seed = draw(st.integers(0, 10_000))
+    n_docs = draw(st.integers(0, 14))
+    return seed, n_docs
+
+
+def _frame_make_corpus(seed: int, n_docs: int):
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    # segment pool: 128-byte building blocks (frame stride) so concatenated
+    # docs share exact sampled frames; one segment carries non-ASCII bytes
+    # to exercise the hex-dump byte access in the oracle
+    letters = "abcdefghijklmnopqrstuvwxyz "
+    pool = [
+        "".join(letters[int(j)] for j in rng.integers(0, len(letters), 128))
+        for _ in range(5)
+    ]
+    pool.append(("é" * 16 + "ü" * 16 + "deadbeefcafebabe" * 4)[:96] + "x" * 0)
+    docs = []
+    for i in range(n_docs):
+        kind = int(rng.integers(0, 8))
+        if kind == 0:
+            text = None
+        elif kind == 1:
+            text = ""
+        else:
+            segs = [pool[int(j)] for j in rng.integers(0, len(pool), int(rng.integers(1, 6)))]
+            text = "".join(segs)
+            if kind == 2 and text:  # point mutation: near-identical frame
+                p = int(rng.integers(0, len(text)))
+                text = text[:p] + "Q" + text[p + 1:]
+            elif kind == 3:  # ragged tail frame (< 32 bytes)
+                text = text[: len(text) - int(rng.integers(1, 100))] or "z"
+        docs.append((i, text))
+    return docs
+
+
+def _frame_python_ref(docs):
+    """Brute-force recompute: sample frames (32 bytes every 128), per-byte
+    threshold bits (c_j * flen >= fsum), ALL cross-doc frame pairs with
+    hamming <= 3, containment-shape doc verdict."""
+    from torchfusion_spark.operators.multimodal import (
+        FRAME_BYTES,
+        FRAME_EVERY,
+        FRAME_MAX_HAMMING,
+    )
+
+    step = FRAME_BYTES * FRAME_EVERY
+    frames = []  # (doc, idx, bits)
+    for d, t in docs:
+        if t is None:
+            continue
+        b = t.encode("utf-8")
+        if not b:
+            continue
+        for idx, off in enumerate(range(0, len(b), step)):
+            fb = b[off : off + FRAME_BYTES]
+            tot, n = sum(fb), len(fb)
+            sig = sum(1 << j for j, c in enumerate(fb) if c * n >= tot)
+            frames.append((d, idx, sig))
+    n_frames: dict = {}
+    for d, _, _ in frames:
+        n_frames[d] = n_frames.get(d, 0) + 1
+    agg: dict = {}
+    for ai in range(len(frames)):
+        for bi in range(ai + 1, len(frames)):
+            da, fa, sa = frames[ai]
+            db, fb_, sb = frames[bi]
+            if da == db:
+                continue
+            if bin(sa ^ sb).count("1") > FRAME_MAX_HAMMING:
+                continue
+            (lo, flo), (hi, fhi) = sorted(((da, fa), (db, fb_)))
+            e = agg.setdefault((lo, hi), [0, set(), set()])
+            e[0] += 1
+            e[1].add(flo)
+            e[2].add(fhi)
+    out = []
+    for (a, b), (np_, ma, mb) in sorted(agg.items()):
+        la, lb = len(ma), len(mb)
+        keep = 1 if (2 * la >= n_frames[a] or 2 * lb >= n_frames[b]) else 0
+        out.append((a, b, np_, la, n_frames[a], lb, n_frames[b], keep))
+    return out
+
+
+@settings(
+    max_examples=40,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(case=frame_corpus_inputs())
+def test_differential_frame_dedup(spark, duck, restore_documents, case):
+    import pandas as pd
+
+    from torchfusion_spark.operators import multimodal
+
+    docs = _frame_make_corpus(*case)
+    doc_rows = [(d, t, "en", "s", len(t) if t else 0) for d, t in docs]
+    pdf = pd.DataFrame(
+        doc_rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
+    ).astype({"doc_id": "int64", "text": "string", "lang": "string",
+              "source": "string", "n_chars": "int64"})
+    spark.createDataFrame(
+        doc_rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    ).createOrReplaceTempView("documents")
+    duck.execute("CREATE OR REPLACE VIEW documents AS SELECT * FROM pdf")
+    got = [tuple(r) for r in multimodal.frame_dedup_query(spark).collect()]
+    want = [tuple(r) for r in duck.execute(multimodal.mm_frame_dedup_oracle_sql()).fetchall()]
+    assert got == want, (case, got, want)
+    ref = _frame_python_ref(docs)
+    assert got == ref, (case, got, ref)

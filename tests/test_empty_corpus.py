@@ -45,6 +45,7 @@ DOC_OPS = [
     "dedup_minhash_clusters",
     "dedup_minhash_clusters_star",
     "multimodal_dedup",
+    "multimodal_frame_dedup",
     "dedup_containment",
     "dedup_substring",
     "pipeline_dedup_canonical",

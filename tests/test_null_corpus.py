@@ -33,6 +33,7 @@ NULL_OPS = [
     "fn_time_bucket",           # DECIMAL agg over NULL values
     "multimodal_features",      # mapInPandas NULL payload guards
     "multimodal_dedup",         # NULL/empty payloads emit no fingerprint row
+    "multimodal_frame_dedup",   # NULL/empty payloads emit no frames at all
     "text_gopher_rules",        # every rule's array/regex arithmetic on NULL text
     "dedup_url_canonical",      # NULL source → NULL canonical_url → singleton (ADVICE r08)
     "dedup_url_incremental",    # NULL-canonical batch docs stay singletons; never indexed

@@ -90,7 +90,10 @@ def main() -> None:
     # and one report shape (dedup.capped_bucket_stats/_report), each over
     # the family's own staged relation and band-key spelling
     from torchfusion_spark.operators.dedup import capped_bucket_report
-    from torchfusion_spark.operators.multimodal import phash_capped_bucket_stats
+    from torchfusion_spark.operators.multimodal import (
+        frame_phash_capped_bucket_stats,
+        phash_capped_bucket_stats,
+    )
 
     report["caps"]["minhash_lsh"] = capped_bucket_report(
         minhash_capped_bucket_stats(spark).collect(), MAX_BUCKET
@@ -100,6 +103,9 @@ def main() -> None:
     )
     report["caps"]["multimodal_phash"] = capped_bucket_report(
         phash_capped_bucket_stats(spark).collect(), SIMHASH_MAX_BUCKET
+    )
+    report["caps"]["multimodal_frame_phash"] = capped_bucket_report(
+        frame_phash_capped_bucket_stats(spark).collect(), SIMHASH_MAX_BUCKET
     )
 
     # n-gram block cap: (lang, len_bucket) blocks the capped join skips

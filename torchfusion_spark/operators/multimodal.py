@@ -374,3 +374,179 @@ def phash_capped_bucket_stats(spark: SparkSession, max_bucket: int | None = None
             spark, rel, _simhash_band_keys(PHASH_BITS // 8, "spark"), cap
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Frame-level perceptual dedup (VERDICT r12 item 6): whole-payload aHash
+# misses near-dup VIDEO/long-audio whose duplication is per-segment — at
+# 100 TB the unit of perceptual identity is the sampled frame, and the
+# doc-level verdict is an overlap fraction (the containment shape).
+# ---------------------------------------------------------------------------
+
+FRAME_KEY_MULT = 1 << 20  # fkey = doc_id * MULT + frame_idx; 2^20 sampled
+# frames/payload = ~1.5 days of video at 1 sampled frame/128 bytes-of-
+# second — a real pipeline would shard longer payloads upstream
+FRAME_MAX_HAMMING = PHASH_MAX_HAMMING
+
+
+def frame_fingerprints(df: DataFrame) -> DataFrame:
+    """(doc_id, payload, ...) → (doc_id, frame_idx, simhash): the
+    ``sample_frames`` 1→N fan-out feeding each sampled frame (a ≤
+    ``FRAME_BYTES``-byte slice every ``FRAME_EVERY`` frames) through the
+    SAME exact-integer aHash bit rule as the whole-payload fingerprint
+    (``_ahash32``; frames are ≤ 32 bytes so the stride is 1 and bit j is
+    the per-byte threshold ``c_j * flen >= fsum`` — the DuckDB oracle
+    reproduces every bit). NULL/empty payloads emit no frames (an
+    undecodable video can be near nothing)."""
+    step = FRAME_BYTES * FRAME_EVERY
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, sigs = [], [], []
+            for did, b in zip(pdf["doc_id"], pdf["payload"]):
+                if b is None or len(b) == 0:
+                    continue
+                bb = bytes(b)
+                for idx, off in enumerate(range(0, len(bb), step)):
+                    ids.append(did)
+                    idxs.append(idx)
+                    sigs.append(_ahash32(bb[off : off + FRAME_BYTES]))
+            yield pd.DataFrame({"doc_id": ids, "frame_idx": idxs, "simhash": sigs})
+
+    return df.mapInPandas(op, schema="doc_id bigint, frame_idx int, simhash bigint")
+
+
+def _staged_frame_phash(spark: SparkSession, then=None):
+    """Per-frame fingerprint relation staged once per (session, docs
+    view) — the ``_staged_phash`` discipline (memo-locked, ``then``
+    binds the consumer plan inside the lock)."""
+    from torchfusion_spark.operators.dedup import _docs_key
+    from torchfusion_spark.session import memo_lock, staged_cache
+
+    key = _docs_key(spark)
+    with memo_lock(spark, "mm_fphash"):
+        if getattr(spark, "_tf_mm_fphash_key", object()) != key:
+            s = staged_cache(spark, "mm_fphash", frame_fingerprints(attach_payload(spark)))
+            s.count()
+            s.createOrReplaceTempView("__mm_fphash")
+            spark._tf_mm_fphash_key = key
+        return then("__mm_fphash") if then is not None else "__mm_fphash"
+
+
+def frame_dedup_tail_sql(d: str, fp_rel: str, max_hamming: int = FRAME_MAX_HAMMING) -> str:
+    """The frame-pair → doc-verdict tail over a (doc_id, frame_idx,
+    simhash) relation. Frames pack into one BIGINT key (doc*MULT+idx) so
+    the banded-Hamming pair generator is the text-SimHash SQL VERBATIM —
+    one pair algorithm, three fingerprint front-ends (token, payload,
+    frame); same-doc frame pairs drop on unpack. The doc verdict is the
+    containment shape: a pair is a near-dup when either side has >= half
+    its sampled frames matched (exact 2*matched >= n_frames integers —
+    catches the short-clip-inside-long-video case the symmetric Jaccard
+    ratio misses). Scale: one shuffle on the band key (hot bands capped
+    at {SIMHASH_MAX_BUCKET}), one pair-sized rollup, two doc-keyed
+    equi-joins for the frame counts — never all-pairs."""
+    from torchfusion_spark.operators.dedup import simhash_body_sql
+
+    m = FRAME_KEY_MULT
+    div = "DIV" if d == "spark" else "//"
+    mat = "MATERIALIZED " if d == "duck" else ""
+    body = simhash_body_sql(d, "fsig", PHASH_BITS, max_hamming)
+    return f"""
+    WITH fp AS {mat}(SELECT * FROM {fp_rel}),
+    fsig AS (
+        SELECT doc_id * {m} + frame_idx AS doc_id, simhash FROM fp),
+    pairs AS ({body}),
+    cross_pairs AS (
+        SELECT id_a {div} {m} AS doc_a, CAST(id_a % {m} AS INT) AS frame_a,
+               id_b {div} {m} AS doc_b, CAST(id_b % {m} AS INT) AS frame_b
+        FROM pairs WHERE id_a {div} {m} <> id_b {div} {m}),
+    counts AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_frames
+        FROM fp GROUP BY doc_id),
+    roll AS (
+        SELECT doc_a, doc_b, CAST(COUNT(*) AS BIGINT) AS n_frame_pairs,
+               CAST(COUNT(DISTINCT frame_a) AS BIGINT) AS matched_a,
+               CAST(COUNT(DISTINCT frame_b) AS BIGINT) AS matched_b
+        FROM cross_pairs GROUP BY doc_a, doc_b)
+    SELECT r.doc_a, r.doc_b, r.n_frame_pairs,
+           r.matched_a, ca.n_frames AS frames_a,
+           r.matched_b, cb.n_frames AS frames_b,
+           CAST(CASE WHEN 2 * r.matched_a >= ca.n_frames
+                       OR 2 * r.matched_b >= cb.n_frames
+                     THEN 1 ELSE 0 END AS INT) AS near_dup
+    FROM roll r
+    JOIN counts ca ON r.doc_a = ca.doc_id
+    JOIN counts cb ON r.doc_b = cb.doc_id
+    ORDER BY doc_a, doc_b
+    """
+
+
+def frame_dedup_query(spark: SparkSession, max_hamming: int = FRAME_MAX_HAMMING) -> DataFrame:
+    return _staged_frame_phash(
+        spark, then=lambda rel: spark.sql(frame_dedup_tail_sql("spark", rel, max_hamming))
+    )
+
+
+def mm_frame_dedup_oracle_sql(max_hamming: int = FRAME_MAX_HAMMING) -> str:
+    """DuckDB oracle: per-frame aHash recomputed straight from the utf-8
+    payload BYTES (hex-dump access, byte-true on non-ASCII text), then
+    the identical packed-key banded tail. Frames are ≤ 32 bytes, so the
+    aHash stride is 1 and bit j is the exact per-byte threshold
+    ``c_j * flen >= fsum`` — no float arithmetic anywhere."""
+    step = FRAME_BYTES * FRAME_EVERY
+    fingerprint = f"""
+    SELECT fb.doc_id, fb.fi AS frame_idx,
+           SUM(CASE WHEN fb.c * fs.flen >= fs.fsum
+                    THEN CAST(1 AS BIGINT) << fb.j ELSE 0 END) AS simhash
+    FROM (
+        SELECT doc_id, fi, CAST(i - fi * {step} - 1 AS INT) AS j,
+               CAST({_duck_byte("h", "i")} AS BIGINT) AS c, i
+        FROM (
+            SELECT doc_id, h, n, fi,
+                   unnest(range(fi * {step} + 1,
+                                least(fi * {step} + {FRAME_BYTES}, n) + 1)) AS i
+            FROM (
+                SELECT doc_id, h, n,
+                       unnest(range(0, (n + {step} - 1) // {step})) AS fi
+                FROM ({_DUCK_PAYLOAD})
+                WHERE h IS NOT NULL AND n > 0))) fb
+    JOIN (
+        SELECT doc_id, fi, SUM(CAST({_duck_byte("h", "i")} AS BIGINT)) AS fsum,
+               COUNT(*) AS flen
+        FROM (
+            SELECT doc_id, h, fi,
+                   unnest(range(fi * {step} + 1,
+                                least(fi * {step} + {FRAME_BYTES}, n) + 1)) AS i
+            FROM (
+                SELECT doc_id, h, n,
+                       unnest(range(0, (n + {step} - 1) // {step})) AS fi
+                FROM ({_DUCK_PAYLOAD})
+                WHERE h IS NOT NULL AND n > 0))
+        GROUP BY doc_id, fi) fs
+      ON fb.doc_id = fs.doc_id AND fb.fi = fs.fi
+    GROUP BY fb.doc_id, fb.fi
+    """
+    return frame_dedup_tail_sql("duck", f"(SELECT * FROM ({fingerprint}))", max_hamming)
+
+
+def frame_phash_capped_bucket_stats(spark: SparkSession, max_bucket: int | None = None):
+    """Hot-band cap observability for the FRAME fingerprint family —
+    same measurement discipline as :func:`phash_capped_bucket_stats`,
+    over the packed frame keys the pair query actually joins on."""
+    from torchfusion_spark.operators.dedup import (
+        SIMHASH_MAX_BUCKET,
+        _simhash_band_keys,
+        capped_bucket_stats,
+    )
+
+    cap = SIMHASH_MAX_BUCKET if max_bucket is None else max_bucket
+
+    def _stats(rel):
+        fs = f"(SELECT doc_id * {FRAME_KEY_MULT} + frame_idx AS doc_id, simhash FROM {rel})"
+        v = "__mm_fsig_stats"
+        spark.sql(f"SELECT * FROM {fs}").createOrReplaceTempView(v)
+        return capped_bucket_stats(
+            spark, v, _simhash_band_keys(PHASH_BITS // 8, "spark"), cap
+        )
+
+    return _staged_frame_phash(spark, then=_stats)

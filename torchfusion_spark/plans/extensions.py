@@ -392,6 +392,22 @@ def multimodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_frame_dedup",
+    multimodal.mm_frame_dedup_oracle_sql(),
+    doc="frame-level perceptual dedup (near-dup VIDEO/long-audio whose "
+    "duplication is per-segment): the 1→N frame sampler feeds each "
+    "sampled frame through the exact-integer aHash bit rule, frames "
+    "pack into one BIGINT key (doc*2^20+idx) so the banded Hamming "
+    "self-join is the text-SimHash generator verbatim, and the doc "
+    "verdict is the containment shape — near-dup when either side has "
+    ">= half its sampled frames matched (exact 2*matched >= n_frames), "
+    "catching the short-clip-inside-long-video case",
+)
+def multimodal_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return multimodal.frame_dedup_query(spark)
+
+
+@query(
     "pipeline_dedup_canonical",
     dedup.canonical_oracle_sql(),
     doc="composed dedup→canonical pipeline: LSH near-dup clusters joined "
