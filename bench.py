@@ -163,6 +163,9 @@ STREAMING = [
     # paths, not just the stateless tumbling window
     "stream_stateful_user_stats",
     "stream_stream_join",
+    # round-13 addition: the watermark/late-data eviction witness (3-file
+    # backdated replay, append mode) — the state-eviction path benched
+    "stream_late_eviction",
 ]
 
 

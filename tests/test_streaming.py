@@ -192,3 +192,78 @@ def test_stream_dedup_oracle_data_contract(spark, tables):
         "events fixture violates the stream-dedup oracle contract: "
         f"{bad} event_ids duplicated across types or >1h apart"
     )
+
+
+def test_late_eviction_boundary_semantics(spark, tmp_path):
+    """Pin Spark's split-watermark boundary rules with a hand-crafted
+    3-batch corpus (the probe the oracle's model was derived from):
+
+    batch0 max 11:00 → wm after = 10:30; batch1 max 11:05 → wm 10:35.
+    * batch1's 10:05 (window end 10:10 <= CURRENT wm 10:30) is ACCEPTED —
+      the late filter uses the PREVIOUS batch's watermark (epoch), not
+      the current one (SPARK-40925 split).
+    * batch2's 10:07 (end 10:10) and 10:29 (end 10:30 == late wm 10:30)
+      are both DROPPED — drop iff window_end <= late watermark, boundary
+      equality drops.
+    * [10:20,10:30) end == eviction wm 10:30 → EMITTED (== emits) with
+      n=1 (only batch0's 10:25 — 10:29 arrived after finalization).
+    * final no-data batch wm = 11:40 - 30min = 11:10 finalizes
+      [11:00,11:10) (end == wm) and retains 11:40's window.
+    """
+    import os
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = str(tmp_path / "late_probe")
+    os.makedirs(d)
+
+    def write(ts_list, name, mt):
+        t = pa.Table.from_pandas(
+            pd.DataFrame({"ts": pd.to_datetime(ts_list), "event_type": ["a"] * len(ts_list)})
+        )
+        t = t.set_column(
+            t.schema.get_field_index("ts"), "ts", t.column("ts").cast(pa.timestamp("us"))
+        )
+        pq.write_table(t, f"{d}/{name}")
+        os.utime(f"{d}/{name}", (mt, mt))
+
+    write(["2024-01-01 10:00:00", "2024-01-01 10:25:00", "2024-01-01 11:00:00"],
+          "b0.parquet", 1_000_000_000)
+    write(["2024-01-01 10:05:00", "2024-01-01 11:05:00"], "b1.parquet", 1_000_000_100)
+    write(["2024-01-01 10:07:00", "2024-01-01 10:29:00", "2024-01-01 10:33:00",
+           "2024-01-01 11:40:00"], "b2.parquet", 1_000_000_200)
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    src = (
+        spark.readStream.schema("ts timestamp, event_type string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(d)
+    )
+    agg = (
+        src.withWatermark("ts", "30 minutes")
+        .groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("ws"), "event_type", "n")
+    )
+    q = (
+        agg.writeStream.outputMode("append").format("memory")
+        .queryName("tf_late_boundary").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    got = {
+        (str(r.ws), r.n) for r in spark.table("tf_late_boundary").collect()
+    }
+    assert got == {
+        ("2024-01-01 10:00:00", 2),  # 10:00 + late-but-accepted 10:05
+        ("2024-01-01 10:20:00", 1),  # 10:25 only; 10:29 dropped at boundary
+        ("2024-01-01 10:30:00", 1),  # 10:33 accepted (end 10:40 > late wm)
+        ("2024-01-01 11:00:00", 2),  # finalized by the no-data batch at == wm
+    }, got
+    dropped = sum(
+        o["numRowsDroppedByWatermark"]
+        for p in q.recentProgress
+        for o in p.get("stateOperators", [])
+    )
+    assert dropped == 2, dropped  # exactly 10:07 and 10:29

@@ -420,6 +420,22 @@ def pipeline_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_late_eviction",
+    streaming.late_eviction_oracle_sql(),
+    doc="watermark/late-data EVICTION witness: deliberately backdated "
+    "batches (3-file replay, one per micro-batch) through an append-mode "
+    "windowed aggregation pin WHICH rows the watermark drops vs emits — "
+    "Spark's split-watermark semantics (late filter = previous batch's "
+    "watermark, drop iff window_end <= wm; eviction/emission = current "
+    "watermark, emit iff window_end <= wm; final no-data batch at "
+    "max(ts)-delay), reproduced by the oracle in exact epoch-µs BIGINT "
+    "arithmetic",
+)
+def stream_late_eviction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return streaming.late_eviction(spark, sf_dir)
+
+
+@query(
     "stream_stateful_user_stats",
     streaming.STATEFUL_USER_STATS_ORACLE,
     doc="custom stateful streaming operator via applyInPandasWithState: "

@@ -35,6 +35,7 @@ PRIORITY: list[str] = [
     # -- new r13 registrations (uncertified) --
     "retrieval_rrf_fusion",
     "multimodal_frame_dedup",
+    "stream_late_eviction",
     # -- the 28 r08-vintage re-certs (5 rounds stale) --
     "q17_small_quantity_revenue",
     "corpus_pack_sequences",

@@ -545,3 +545,162 @@ def exactly_once_sink(
     # the newest snapshot partition, never materializes data on the driver
     newest = snap.agg(F.max("batch")).collect()[0][0]
     return snap.filter(F.col("batch") == newest)
+
+
+# ---------------------------------------------------------------------------
+# Late-data / watermark-eviction witness (VERDICT r12 item 4): the 8 prior
+# streaming witnesses are batch-parity-oracled on the happy path — none
+# certifies WHICH rows a watermark drops vs emits. This one feeds
+# deliberately backdated batches through a windowed aggregation in append
+# mode and pins Spark's split-watermark semantics (SPARK-40925, probed on
+# this engine version):
+#   * late-record filter in batch N uses the PREVIOUS batch's watermark
+#     (max event time over batches < N-1, minus delay) and drops a row iff
+#     its window END <= that watermark (boundary: == drops);
+#   * eviction/emission at the end of batch N uses the CURRENT watermark
+#     (max over batches < N, minus delay) and emits a window iff its END
+#     <= that watermark (boundary: == emits);
+#   * availableNow runs a final no-data micro-batch whose watermark is
+#     max(all event time) - delay, finalizing the remaining windows.
+# The DuckDB oracle reproduces all three rules in exact integer epoch-µs
+# arithmetic — this is the eviction contract a 100 TB streaming ingest
+# actually depends on.
+# ---------------------------------------------------------------------------
+
+LATE_DELAY_MIN = 30
+LATE_WINDOW_MIN = 10
+LATE_SHIFTS_MIN = (0, 45, 90)  # per-batch backdating (minutes)
+
+
+def _late_batches_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize the 3-file late-arrival corpus under ``.scratch`` —
+    batch b = events with ``event_id % 3 == b``, timestamps backdated by
+    ``LATE_SHIFTS_MIN[b]`` minutes, file mtimes strictly increasing so
+    the file source's (mtime, path) ordering replays batches
+    deterministically. Content-keyed by (sf_dir, events parquet mtime +
+    size), built once, atomic rename — concurrent builders race to an
+    identical directory."""
+    import shutil
+
+    ev_path = os.path.join(sf_dir, "events.parquet")
+    st = os.stat(ev_path)
+    key = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}|{st.st_mtime_ns}|{st.st_size}|v1".encode()
+    ).hexdigest()[:16]
+    root = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".scratch")
+    final = os.path.join(root, f"late_stream_{key}")
+    if os.path.isdir(final):
+        os.utime(final)  # mark live: readers keep their dir out of the sweep
+        return final
+    os.makedirs(root, exist_ok=True)
+    # best-effort hygiene for dead corpora keys (test tmp dirs churn the
+    # key): only dirs untouched for 7 days — touch-on-reuse above keeps
+    # any active key perpetually fresh, so the age backstop cannot sweep
+    # a dir a live session still resolves plans from (the ADVICE r12
+    # url-index lesson applied from day one)
+    import time as _time
+
+    for e in os.listdir(root):
+        if e.startswith("late_stream_") and e != f"late_stream_{key}":
+            p = os.path.join(root, e)
+            try:
+                if os.path.getmtime(p) < _time.time() - 7 * 86400:
+                    import shutil as _sh
+
+                    _sh.rmtree(p, ignore_errors=True)
+            except OSError:
+                pass
+    tmp = f"{final}.tmp.{os.getpid()}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp)
+    from torchfusion_spark.sources import read_table
+
+    try:
+        for b, shift in enumerate(LATE_SHIFTS_MIN):
+            part_dir = os.path.join(tmp, f"_build{b}")
+            (
+                # read from sf_dir directly (the scratch key is sf_dir):
+                # the session's `events` VIEW may point at another corpus
+                read_table(spark, sf_dir, "events")
+                .where(F.col("ts").isNotNull() & (F.col("event_id") % 3 == b))
+                .select(
+                    (F.col("ts") - F.expr(f"INTERVAL {shift} MINUTES")).alias("ts"),
+                    "event_type",
+                )
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(part_dir)
+            )
+            part = next(
+                f for f in os.listdir(part_dir)
+                if f.startswith("part-") and f.endswith(".parquet")
+            )
+            os.replace(os.path.join(part_dir, part), os.path.join(tmp, f"b{b}.parquet"))
+            shutil.rmtree(part_dir)
+            os.utime(os.path.join(tmp, f"b{b}.parquet"), (1_000_000_000 + b, 1_000_000_000 + b))
+        try:
+            os.rename(tmp, final)
+        except OSError:  # concurrent builder won the race to an identical dir
+            shutil.rmtree(tmp, ignore_errors=True)
+    except BaseException:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise
+    return final
+
+
+def late_eviction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Append-mode tumbling-window counts over the 3-batch late-arrival
+    replay (``maxFilesPerTrigger=1`` → one batch per file): the result
+    contains exactly the windows the eviction watermark finalized, with
+    counts excluding exactly the rows the late-record filter dropped —
+    both pinned by the integer-exact oracle."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    d = _late_batches_dir(spark, sf_dir)
+    src = (
+        spark.readStream.schema("ts timestamp, event_type string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(d)
+    )
+    agg = (
+        src.withWatermark("ts", f"{LATE_DELAY_MIN} minutes")
+        .groupBy(F.window("ts", f"{LATE_WINDOW_MIN} minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n")
+    )
+    name = "tf_stream_late_eviction"
+    return _run_to_memory(spark, agg, name, "append").orderBy("window_start", "event_type")
+
+
+def late_eviction_oracle_sql() -> str:
+    """DuckDB recompute of the split-watermark semantics in epoch-µs
+    BIGINT arithmetic (exact; boundary rules as probed: drop iff
+    window_end <= late wm, emit iff window_end <= eviction wm)."""
+    w_us = LATE_WINDOW_MIN * 60_000_000
+    d_us = LATE_DELAY_MIN * 60_000_000
+    shifts = " ".join(
+        f"WHEN {b} THEN {s * 60_000_000}" for b, s in enumerate(LATE_SHIFTS_MIN)
+    )
+    return f"""
+    WITH src AS (
+        SELECT CAST(event_id % 3 AS INT) AS b,
+               epoch_us(ts) - (CASE CAST(event_id % 3 AS INT) {shifts} END) AS e,
+               event_type
+        FROM events WHERE ts IS NOT NULL),
+    m AS (SELECT b, MAX(e) AS mx FROM src GROUP BY b),
+    lw AS (
+        SELECT s.b,
+               (SELECT MAX(m.mx) FROM m WHERE m.b < s.b - 1) - {d_us} AS late_wm
+        FROM (SELECT DISTINCT b FROM src) s),
+    kept AS (
+        SELECT src.e, src.event_type, (src.e // {w_us}) * {w_us} AS ws
+        FROM src JOIN lw ON src.b = lw.b
+        WHERE lw.late_wm IS NULL
+           OR (src.e // {w_us}) * {w_us} + {w_us} > lw.late_wm),
+    fw AS (SELECT MAX(e) - {d_us} AS final_wm FROM src)
+    SELECT make_timestamp(ws) AS window_start, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM kept, fw
+    WHERE ws + {w_us} <= fw.final_wm
+    GROUP BY ws, event_type
+    ORDER BY window_start, event_type
+    """
