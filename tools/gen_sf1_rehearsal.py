@@ -27,7 +27,7 @@ All rules are key-modulus deterministic (reproducible without an RNG
 ordering dependency). Pass --uniform to reproduce the old unskewed
 build.
 
-Usage: python tools/gen_sf1_rehearsal.py [src_sf_dir] [dst_dir] [--uniform]
+Usage: python tools/gen_sf1_rehearsal.py [src_sf_dir] [dst_dir] [--uniform] [--copies=N]
 Defaults: /root/testdata/sf0.1 → .scratch/sf1 (gitignored). Then:
   SPARK_GRAFT_SF_DIR=$PWD/.scratch/sf1 python bench.py
   BASELINE_DUCKDB_OUT=.scratch/duckdb_sf1.json \
@@ -81,8 +81,17 @@ def _reassign_mod(tbl: pa.Table, rule_col: str, mod: int, residue: int, target_c
 
 
 def main() -> None:
-    args = [a for a in sys.argv[1:] if a != "--uniform"]
+    global COPIES
+    args = [a for a in sys.argv[1:] if a != "--uniform" and not a.startswith("--copies")]
     skew = "--uniform" not in sys.argv[1:]
+    for a in sys.argv[1:]:
+        # --copies=30 scales the replication factor (VERDICT r12 item 2:
+        # the cap-behavior trend needs a SECOND skewed scale point; the
+        # key-modulus skew rules are replication-invariant, so hot-key
+        # FRACTIONS hold while absolute hot-bucket sizes grow with the
+        # corpus -- exactly the growth the caps must bound)
+        if a.startswith("--copies="):
+            COPIES = int(a.split("=", 1)[1])
     src = args[0] if len(args) > 0 else "/root/testdata/sf0.1"
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     dst = args[1] if len(args) > 1 else os.path.join(repo, ".scratch", "sf1")
