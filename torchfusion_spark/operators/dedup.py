@@ -1577,13 +1577,19 @@ def _url_index_cleanup(base: str) -> None:
                     # the pid is provably ALIVE but the marker carries no
                     # start time (a pre-r13 marker, or a build still in
                     # progress): the live pid may well BE the owner, so
-                    # never age-sweep the dir out from under it (ADVICE
-                    # r13 #4 — the old 7-day backstop here deleted a live
-                    # owner's week-old dir mid-probe). The dir unpins the
-                    # moment the owner exits (its pid probe then fails);
-                    # the builder also upgrades legacy markers in place,
-                    # so this state is transient.
-                    continue
+                    # the ordinary 7-day backstop must not sweep the dir
+                    # out from under it (ADVICE r13 #4 — the old backstop
+                    # here deleted a live owner's week-old dir mid-probe).
+                    # A true owner upgrades its legacy marker on its next
+                    # successful probe, so the only way this state lasts
+                    # is a DEAD owner whose pid was recycled by a
+                    # long-lived foreign process — bound that disk growth
+                    # with a 4x backstop instead of pinning forever
+                    # (code-review r13): at 28 idle days the plausibility
+                    # of a resolved-but-uncollected plan is nil on both
+                    # branches of the ambiguity.
+                    if time.time() - os.path.getmtime(full) < 4 * _URL_INDEX_MAX_AGE_SEC:
+                        continue
                 elif time.time() - os.path.getmtime(full) < _URL_INDEX_MAX_AGE_SEC:
                     continue  # pid probe undecidable (no procfs) and young — leave it
         shutil.rmtree(full, ignore_errors=True)
@@ -1857,15 +1863,21 @@ def connected_components_star(pairs, max_iter: int = 20):
     # alternating slot holds the penultimate generation — dead weight the
     # moment the loop ends, so release it here and leave exactly one live
     # slot per call for the builder's supersede-release to reap. The
-    # nonce's in-flight record is cleared WITH it: the loop is complete,
-    # so only supersede semantics apply from here, and keeping the record
-    # would protect the final slot from a SIBLING thread's
-    # supersede-release for as long as this thread lives (ADVICE r13 #3 —
-    # pooled bench threads leaked one edge checkpoint per alternation).
-    from torchfusion_spark.session import finish_staging_nonce, release_staged_group
+    # nonce's in-flight record is deliberately NOT cleared here (ADVICE
+    # r13 #3 suggested clearing at completion, but this round's review
+    # showed that reopens the code-review r12 race: between this return
+    # and the caller's collect(), a sibling thread's supersede-release
+    # would no longer see this thread in _protected_nonces and could
+    # unpersist the final edge checkpoint mid-read — localCheckpoint
+    # lineage is unrecoverable). The cost of keeping the record is a
+    # BOUNDED leak: at most one superseded group per *idle* pool thread,
+    # reaped the moment that thread draws any new staging nonce or
+    # exits; the race it prevents is wrong results. Only the FAILURE
+    # path below clears the record eagerly — after a raise nothing can
+    # reference the group.
+    from torchfusion_spark.session import release_staged_group
 
     release_staged_group(spark, f"ccs_{nonce}_e{'AB'[n_ck % 2]}")
-    finish_staging_nonce(spark, nonce)
     comp = (
         e.groupBy("u")
         .agg(F.min("v").alias("mv"))

@@ -97,12 +97,22 @@ FRAME_BYTES = 32
 FRAME_EVERY = 4  # sample every 4th frame
 
 
+def _iter_frames(b):
+    """The ONE sampled-frame geometry: yield (frame_idx, offset, bytes)
+    for every ``FRAME_EVERY``-th ``FRAME_BYTES``-byte frame of a payload.
+    Shared by :func:`sample_frames` and :func:`frame_fingerprints` so the
+    slicing rule (and its two byte-true DuckDB oracles) cannot drift
+    between the families (code-review r13)."""
+    step = FRAME_BYTES * FRAME_EVERY
+    for idx, off in enumerate(range(0, len(b), step)):
+        yield idx, off, b[off : off + FRAME_BYTES]
+
+
 def sample_frames(df: DataFrame) -> DataFrame:
     """Frame-sampling plumbing (video stand-in): the payload is a stream
     of fixed-size frames; emit every ``FRAME_EVERY``-th frame's metadata.
     One input row fans out to N output rows — the mapInPandas shape real
     video frame extraction uses (decoder would replace the byte slicing)."""
-    step = FRAME_BYTES * FRAME_EVERY
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -110,11 +120,11 @@ def sample_frames(df: DataFrame) -> DataFrame:
             for did, b in zip(pdf["doc_id"], pdf["payload"]):
                 if b is None:  # NULL payload: no frames (oracle: range(NULL) unnests to 0 rows)
                     continue
-                for idx, off in enumerate(range(0, len(b), step)):
+                for idx, off, fb in _iter_frames(b):
                     rows["doc_id"].append(did)
                     rows["frame_idx"].append(idx)
                     rows["frame_offset"].append(off)
-                    rows["frame_sum"].append(sum(b[off : off + FRAME_BYTES]) % 65536)
+                    rows["frame_sum"].append(sum(fb) % 65536)
             yield pd.DataFrame(rows)
 
     return df.mapInPandas(op, schema=FRAME_SCHEMA)
@@ -397,8 +407,11 @@ def frame_fingerprints(df: DataFrame) -> DataFrame:
     (``_ahash32``; frames are ≤ 32 bytes so the stride is 1 and bit j is
     the per-byte threshold ``c_j * flen >= fsum`` — the DuckDB oracle
     reproduces every bit). NULL/empty payloads emit no frames (an
-    undecodable video can be near nothing)."""
-    step = FRAME_BYTES * FRAME_EVERY
+    undecodable video can be near nothing). Frame indices must fit the
+    downstream BIGINT packing (doc·FRAME_KEY_MULT+idx) — a payload with
+    >= 2^20 sampled frames would silently collide into the next doc's
+    key space on BOTH engines (gate-invisible), so the cliff raises
+    loudly here instead (code-review r13)."""
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -407,10 +420,16 @@ def frame_fingerprints(df: DataFrame) -> DataFrame:
                 if b is None or len(b) == 0:
                     continue
                 bb = bytes(b)
-                for idx, off in enumerate(range(0, len(bb), step)):
+                for idx, _off, fb in _iter_frames(bb):
+                    if idx >= FRAME_KEY_MULT:
+                        raise ValueError(
+                            f"doc {did}: {idx + 1}+ sampled frames exceed the "
+                            f"FRAME_KEY_MULT={FRAME_KEY_MULT} packing range — "
+                            "shard the payload upstream"
+                        )
                     ids.append(did)
                     idxs.append(idx)
-                    sigs.append(_ahash32(bb[off : off + FRAME_BYTES]))
+                    sigs.append(_ahash32(fb))
             yield pd.DataFrame({"doc_id": ids, "frame_idx": idxs, "simhash": sigs})
 
     return df.mapInPandas(op, schema="doc_id bigint, frame_idx int, simhash bigint")
@@ -494,25 +513,13 @@ def mm_frame_dedup_oracle_sql(max_hamming: int = FRAME_MAX_HAMMING) -> str:
     aHash stride is 1 and bit j is the exact per-byte threshold
     ``c_j * flen >= fsum`` — no float arithmetic anywhere."""
     step = FRAME_BYTES * FRAME_EVERY
+    # ONE materialized per-byte expansion (hex-dump access is the
+    # oracle's heaviest relation — the pre-review spelling expanded it
+    # twice, once per join side; code-review r13)
     fingerprint = f"""
-    SELECT fb.doc_id, fb.fi AS frame_idx,
-           SUM(CASE WHEN fb.c * fs.flen >= fs.fsum
-                    THEN CAST(1 AS BIGINT) << fb.j ELSE 0 END) AS simhash
-    FROM (
+    WITH fbytes AS MATERIALIZED (
         SELECT doc_id, fi, CAST(i - fi * {step} - 1 AS INT) AS j,
-               CAST({_duck_byte("h", "i")} AS BIGINT) AS c, i
-        FROM (
-            SELECT doc_id, h, n, fi,
-                   unnest(range(fi * {step} + 1,
-                                least(fi * {step} + {FRAME_BYTES}, n) + 1)) AS i
-            FROM (
-                SELECT doc_id, h, n,
-                       unnest(range(0, (n + {step} - 1) // {step})) AS fi
-                FROM ({_DUCK_PAYLOAD})
-                WHERE h IS NOT NULL AND n > 0))) fb
-    JOIN (
-        SELECT doc_id, fi, SUM(CAST({_duck_byte("h", "i")} AS BIGINT)) AS fsum,
-               COUNT(*) AS flen
+               CAST({_duck_byte("h", "i")} AS BIGINT) AS c
         FROM (
             SELECT doc_id, h, fi,
                    unnest(range(fi * {step} + 1,
@@ -521,9 +528,14 @@ def mm_frame_dedup_oracle_sql(max_hamming: int = FRAME_MAX_HAMMING) -> str:
                 SELECT doc_id, h, n,
                        unnest(range(0, (n + {step} - 1) // {step})) AS fi
                 FROM ({_DUCK_PAYLOAD})
-                WHERE h IS NOT NULL AND n > 0))
-        GROUP BY doc_id, fi) fs
-      ON fb.doc_id = fs.doc_id AND fb.fi = fs.fi
+                WHERE h IS NOT NULL AND n > 0))),
+    fstat AS (
+        SELECT doc_id, fi, SUM(c) AS fsum, COUNT(*) AS flen
+        FROM fbytes GROUP BY doc_id, fi)
+    SELECT fb.doc_id, fb.fi AS frame_idx,
+           SUM(CASE WHEN fb.c * fs.flen >= fs.fsum
+                    THEN CAST(1 AS BIGINT) << fb.j ELSE 0 END) AS simhash
+    FROM fbytes fb JOIN fstat fs ON fb.doc_id = fs.doc_id AND fb.fi = fs.fi
     GROUP BY fb.doc_id, fb.fi
     """
     return frame_dedup_tail_sql("duck", f"(SELECT * FROM ({fingerprint}))", max_hamming)

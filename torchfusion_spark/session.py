@@ -271,16 +271,22 @@ def staging_nonce(spark) -> int:
 
 
 def finish_staging_nonce(spark, nonce: int) -> None:
-    """Mark an iterative builder's nonce COMPLETE: drop the issuing
-    thread's in-flight record so a release sweep from a SIBLING thread
-    can reap the group once it is superseded. Without this, the
-    in-flight protection in :func:`_protected_nonces` outlives the loop
-    it exists for — e.g. pooled bench threads alternating
-    ``dedup_minhash_clusters_star`` calls left each superseded call's
-    final edge checkpoint protected (hence leaked) for as long as the
-    owning pool thread stayed alive (ADVICE r13 #3). Guarded on the
-    nonce still being the thread's CURRENT record: the same thread may
-    have drawn a newer nonce since, and that one is someone else's
+    """Drop the issuing thread's in-flight nonce record for a FAILED or
+    ABANDONED staging group — after a raise nothing can reference the
+    group, so protecting it only leaks.
+
+    Deliberately NOT called on builder SUCCESS paths (for any iterative
+    family — ccs_/km_/bpe_): ADVICE r13 #3 suggested clearing at
+    completion to stop pooled threads protecting superseded groups, but
+    clearing before the caller materializes the returned plan reopens
+    the code-review r12 race — a sibling's supersede-release would
+    unpersist the completed call's final checkpoint mid-collect, and
+    localCheckpoint lineage truncation is unrecoverable. The accepted
+    tradeoff across all three iterative families is the BOUNDED leak:
+    at most one superseded group per idle pool thread, reaped when that
+    thread draws its next staging nonce or exits. Guarded on the nonce
+    still being the thread's CURRENT record: the same thread may have
+    drawn a newer nonce since, and that one is someone else's
     in-flight state."""
     with _STAGING_NONCE_LOCK:
         records = spark.__dict__.get("_tf_thread_nonces", {})

@@ -578,9 +578,15 @@ def _late_batches_dir(spark: SparkSession, sf_dir: str) -> str:
     ``LATE_SHIFTS_MIN[b]`` minutes, file mtimes strictly increasing so
     the file source's (mtime, path) ordering replays batches
     deterministically. Content-keyed by (sf_dir, events parquet mtime +
-    size), built once, atomic rename — concurrent builders race to an
-    identical directory."""
+    size), built once, atomic rename. Concurrency: same-process callers
+    serialize under ``memo_lock('late_stream')`` (two unserialized
+    threads would rmtree each other's build-tmp mid-write — code-review
+    r13); cross-process builders use pid+tid-scoped tmp dirs and race
+    only at the atomic rename, to identical content."""
     import shutil
+    import threading as _threading
+
+    from torchfusion_spark.session import memo_lock
 
     ev_path = os.path.join(sf_dir, "events.parquet")
     st = os.stat(ev_path)
@@ -589,6 +595,13 @@ def _late_batches_dir(spark: SparkSession, sf_dir: str) -> str:
     ).hexdigest()[:16]
     root = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".scratch")
     final = os.path.join(root, f"late_stream_{key}")
+    with memo_lock(spark, "late_stream"):
+        return _late_batches_build(spark, sf_dir, root, final, key, _threading.get_ident())
+
+
+def _late_batches_build(spark, sf_dir, root, final, key, tid) -> str:
+    import shutil
+
     if os.path.isdir(final):
         os.utime(final)  # mark live: readers keep their dir out of the sweep
         return final
@@ -610,7 +623,7 @@ def _late_batches_dir(spark: SparkSession, sf_dir: str) -> str:
                     _sh.rmtree(p, ignore_errors=True)
             except OSError:
                 pass
-    tmp = f"{final}.tmp.{os.getpid()}"
+    tmp = f"{final}.tmp.{os.getpid()}.{tid}"
     shutil.rmtree(tmp, ignore_errors=True)
     os.makedirs(tmp)
     from torchfusion_spark.sources import read_table
