@@ -163,9 +163,11 @@ STREAMING = [
     # paths, not just the stateless tumbling window
     "stream_stateful_user_stats",
     "stream_stream_join",
-    # round-13 addition: the watermark/late-data eviction witness (3-file
-    # backdated replay, append mode) — the state-eviction path benched
+    # round-13 addition: the watermark/late-data eviction witnesses
+    # (3-file backdated replays, append mode) — the windowed-agg and
+    # dedup state-eviction paths benched
     "stream_late_eviction",
+    "stream_late_dedup",
 ]
 
 

@@ -169,6 +169,8 @@ def test_streams_on_empty_source(spark, tables, tmp_path, restore_real_tables):
     assert dd.count() == 0
     le = streaming.late_eviction(spark, deg)
     assert le.count() == 0  # zero-batch replay: no windows finalized
+    ld = streaming.late_dedup(spark, deg)
+    assert ld.count() == 0  # zero rows: nothing to dedup or emit
     eo = streaming.exactly_once_sink(spark, deg, str(tmp_path / "deg_sink"))
     assert eo.count() == 0
     assert eo.columns == ["window_start", "event_type", "n", "cents", "batch"]

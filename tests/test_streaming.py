@@ -267,3 +267,66 @@ def test_late_eviction_boundary_semantics(spark, tmp_path):
         for o in p.get("stateOperators", [])
     )
     assert dropped == 2, dropped  # exactly 10:07 and 10:29
+
+
+def test_late_dedup_boundary_semantics(spark, tmp_path):
+    """Pin dropDuplicatesWithinWatermark's probed rules with hand-made
+    batches: (a) a duplicate whose orig state is live is dropped and does
+    NOT refresh expiry, yet its event time DOES advance the watermark;
+    (b) late filter = previous batch's watermark; (c) once the orig's
+    state is evicted (expiry <= that watermark), a re-occurrence is
+    emitted as a fresh row — only possible when the occurrences are
+    further apart than the delay."""
+    import os
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = str(tmp_path / "dedup_probe")
+    os.makedirs(d)
+
+    def write(rows, name, mt):
+        df = pd.DataFrame(rows, columns=["k", "ts"])
+        t = pa.Table.from_pandas(df)
+        t = t.set_column(
+            t.schema.get_field_index("ts"), "ts", t.column("ts").cast(pa.timestamp("us"))
+        )
+        pq.write_table(t, f"{d}/{name}")
+        os.utime(f"{d}/{name}", (mt, mt))
+
+    T = lambda s: pd.Timestamp(f"2024-01-01 {s}:00")
+    write([("A", T("10:00"))], "b0.parquet", 1_000_000_000)
+    # dup while state live -> dropped; 13:00 still advances wm to 12:30
+    write([("A", T("13:00"))], "b1.parquet", 1_000_000_100)
+    # a batch in between so end-of-b2 eviction (wm 12:30) evicts A (10:30)
+    write([("Y", T("13:05"))], "b2.parquet", 1_000_000_200)
+    # late filter for b3 = wm during b2 = 12:30: 10:00 <= 12:30 -> late;
+    # A's state is gone -> 13:30 re-occurrence EMITTED
+    write([("B", T("10:00")), ("A", T("13:30"))], "b3.parquet", 1_000_000_300)
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    src = (
+        spark.readStream.schema("k string, ts timestamp")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(d)
+    )
+    out = src.withWatermark("ts", "30 minutes").dropDuplicatesWithinWatermark(["k"])
+    q = (
+        out.writeStream.outputMode("append").format("memory")
+        .queryName("tf_dedup_boundary").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    got = sorted((r.k, str(r.ts)) for r in spark.table("tf_dedup_boundary").collect())
+    assert got == [
+        ("A", "2024-01-01 10:00:00"),
+        ("A", "2024-01-01 13:30:00"),  # re-emitted after eviction
+        ("Y", "2024-01-01 13:05:00"),
+    ], got
+    # exactly one late-filtered row (B), counted by the state operator
+    dropped = sum(
+        o["numRowsDroppedByWatermark"]
+        for p in q.recentProgress
+        for o in p.get("stateOperators", [])
+    )
+    assert dropped == 1, dropped

@@ -436,6 +436,21 @@ def stream_late_eviction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_late_dedup",
+    streaming.late_dedup_oracle_sql(),
+    doc="dropDuplicatesWithinWatermark under LATE arrivals: 3-batch "
+    "replay with two injected duplicate families pins the dedup-state "
+    "eviction contract — late filter and state-survival both bound by "
+    "the previous batch's watermark (== drops / == evicts), duplicates "
+    "never refresh expiry but DO advance the watermark, and an evicted "
+    "key re-emits only when the occurrences are further apart than the "
+    "delay; oracle reproduces the model in exact epoch-µs BIGINTs",
+)
+def stream_late_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return streaming.late_dedup(spark, sf_dir)
+
+
+@query(
     "stream_stateful_user_stats",
     streaming.STATEFUL_USER_STATS_ORACLE,
     doc="custom stateful streaming operator via applyInPandasWithState: "

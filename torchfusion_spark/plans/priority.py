@@ -36,6 +36,7 @@ PRIORITY: list[str] = [
     "retrieval_rrf_fusion",
     "multimodal_frame_dedup",
     "stream_late_eviction",
+    "stream_late_dedup",
     # -- the 28 r08-vintage re-certs (5 rounds stale) --
     "q17_small_quantity_revenue",
     "corpus_pack_sequences",

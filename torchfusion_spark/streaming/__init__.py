@@ -570,9 +570,11 @@ def exactly_once_sink(
 LATE_DELAY_MIN = 30
 LATE_WINDOW_MIN = 10
 LATE_SHIFTS_MIN = (0, 45, 90)  # per-batch backdating (minutes)
+LATE_DUP_X_MIN = 5  # dedup variant: batch-1 dup offset (state always live)
+LATE_DUP_Y_MIN = 600  # dedup variant: batch-2 dup offset (>> delay: 3-way split)
 
 
-def _late_batches_dir(spark: SparkSession, sf_dir: str) -> str:
+def _late_batches_dir(spark: SparkSession, sf_dir: str, variant: str = "agg") -> str:
     """Materialize the 3-file late-arrival corpus under ``.scratch`` —
     batch b = events with ``event_id % 3 == b``, timestamps backdated by
     ``LATE_SHIFTS_MIN[b]`` minutes, file mtimes strictly increasing so
@@ -590,16 +592,67 @@ def _late_batches_dir(spark: SparkSession, sf_dir: str) -> str:
 
     ev_path = os.path.join(sf_dir, "events.parquet")
     st = os.stat(ev_path)
+    recipe = f"{LATE_DELAY_MIN}|{LATE_SHIFTS_MIN}|{LATE_DUP_X_MIN}|{LATE_DUP_Y_MIN}"
     key = hashlib.md5(
-        f"{os.path.abspath(sf_dir)}|{st.st_mtime_ns}|{st.st_size}|v1".encode()
+        f"{os.path.abspath(sf_dir)}|{st.st_mtime_ns}|{st.st_size}|{variant}|{recipe}|v2".encode()
     ).hexdigest()[:16]
-    root = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".scratch")
+    # repo-root .scratch (three dirnames up from streaming/__init__.py —
+    # the url-index convention; a two-dirname spelling silently created
+    # torchfusion_spark/.scratch and orphaned the sweep, code-review r13)
+    root = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        ".scratch",
+    )
     final = os.path.join(root, f"late_stream_{key}")
     with memo_lock(spark, "late_stream"):
-        return _late_batches_build(spark, sf_dir, root, final, key, _threading.get_ident())
+        return _late_batches_build(
+            spark, sf_dir, root, final, key, _threading.get_ident(), variant
+        )
 
 
-def _late_batches_build(spark, sf_dir, root, final, key, tid) -> str:
+def _late_variant_frames(spark, sf_dir: str, variant: str):
+    """Per-batch DataFrames for a late-arrival replay variant. ``agg``:
+    organic rows only, (ts, event_type) — the windowed-agg witness.
+    ``dedup``: (event_id, ts, event_type) with two injected duplicate
+    families re-emitting batch-0 keys — X (batch 1, ts+5min: the state
+    is still live, every one must be dropped as a duplicate) and Y
+    (batch 2, ts+10h — far past the 30-min delay, so the orig-age
+    spectrum splits three ways with a wide re-accept band: late-dropped
+    (origs older than 10.5h before batch-0's max) / dup-dropped (origs
+    within 30min of it, plus every X dup) / EVICTED-then-re-accepted
+    (the ~10h band between). Any offset <= the delay could never
+    re-accept: a dup whose orig expired within the delay is itself
+    always late — that inequality IS dropDuplicatesWithinWatermark's
+    guarantee)."""
+    from torchfusion_spark.sources import read_table
+
+    ev = read_table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
+
+    def org(b, shift, cols):
+        return ev.where(F.col("event_id") % 3 == b).select(
+            *cols, (F.col("ts") - F.expr(f"INTERVAL {shift} MINUTES")).alias("ts"), "event_type"
+        )
+
+    if variant == "agg":
+        return [org(b, shift, []) for b, shift in enumerate(LATE_SHIFTS_MIN)]
+    assert variant == "dedup", variant
+
+    def dup(residue, plus_min):
+        return ev.where(F.col("event_id") % 30 == residue).select(
+            "event_id",
+            (F.col("ts") + F.expr(f"INTERVAL {plus_min} MINUTES")).alias("ts"),
+            "event_type",
+        )
+
+    ecol = ["event_id"]
+    return [
+        org(0, LATE_SHIFTS_MIN[0], ecol),
+        org(1, LATE_SHIFTS_MIN[1], ecol).union(dup(0, LATE_DUP_X_MIN)),
+        org(2, LATE_SHIFTS_MIN[2], ecol).union(dup(15, LATE_DUP_Y_MIN)),
+    ]
+
+
+def _late_batches_build(spark, sf_dir, root, final, key, tid, variant="agg") -> str:
     import shutil
 
     if os.path.isdir(final):
@@ -626,24 +679,14 @@ def _late_batches_build(spark, sf_dir, root, final, key, tid) -> str:
     tmp = f"{final}.tmp.{os.getpid()}.{tid}"
     shutil.rmtree(tmp, ignore_errors=True)
     os.makedirs(tmp)
-    from torchfusion_spark.sources import read_table
+    # frames read from sf_dir directly (the scratch key is sf_dir): the
+    # session's `events` VIEW may point at another corpus
+    frames = _late_variant_frames(spark, sf_dir, variant)
 
     try:
-        for b, shift in enumerate(LATE_SHIFTS_MIN):
+        for b, frame in enumerate(frames):
             part_dir = os.path.join(tmp, f"_build{b}")
-            (
-                # read from sf_dir directly (the scratch key is sf_dir):
-                # the session's `events` VIEW may point at another corpus
-                read_table(spark, sf_dir, "events")
-                .where(F.col("ts").isNotNull() & (F.col("event_id") % 3 == b))
-                .select(
-                    (F.col("ts") - F.expr(f"INTERVAL {shift} MINUTES")).alias("ts"),
-                    "event_type",
-                )
-                .coalesce(1)
-                .write.mode("overwrite")
-                .parquet(part_dir)
-            )
+            frame.coalesce(1).write.mode("overwrite").parquet(part_dir)
             part = next(
                 f for f in os.listdir(part_dir)
                 if f.startswith("part-") and f.endswith(".parquet")
@@ -716,4 +759,77 @@ def late_eviction_oracle_sql() -> str:
     WHERE ws + {w_us} <= fw.final_wm
     GROUP BY ws, event_type
     ORDER BY window_start, event_type
+    """
+
+
+def late_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``dropDuplicatesWithinWatermark`` under late arrivals — the
+    eviction-semantics witness for streaming DEDUP state (the agg twin
+    is :func:`late_eviction`). The 3-batch replay injects two duplicate
+    families against batch-0 keys; the probed model the oracle
+    reproduces exactly (split watermark again, and two dedup-specific
+    rules):
+      * late filter in batch N drops rows with ``ts <= W``, W = the
+        watermark in effect during batch N-1 (boundary: == drops);
+      * a duplicate key is dropped iff its first occurrence's state is
+        live — ``orig_ts + delay > W`` (same W; eviction at the end of
+        batch N-1 uses that batch's watermark, boundary: == evicts), and
+        duplicates do NOT refresh state expiry;
+      * dropped duplicates STILL advance the watermark (max is over all
+        input rows), and an accepted re-occurrence is emitted as a
+        fresh row — re-emission is only possible when the occurrences
+        are more than the delay apart."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    d = _late_batches_dir(spark, sf_dir, variant="dedup")
+    src = (
+        spark.readStream.schema("event_id bigint, ts timestamp, event_type string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(d)
+    )
+    out = (
+        src.withWatermark("ts", f"{LATE_DELAY_MIN} minutes")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select("event_id", "ts", "event_type")
+    )
+    name = "tf_stream_late_dedup"
+    return _run_to_memory(spark, out, name, "append").orderBy("event_id", "ts")
+
+
+def late_dedup_oracle_sql() -> str:
+    """DuckDB recompute of the probed dropDuplicatesWithinWatermark
+    model in exact epoch-µs BIGINT arithmetic. ``prev_wm(b)`` =
+    max event time over batches <= b-2 minus delay — simultaneously the
+    late-filter bound for batch b AND the strongest eviction any
+    batch-0 state faced before batch b (both are 'the watermark in
+    effect during batch b-1')."""
+    d_us = LATE_DELAY_MIN * 60_000_000
+    s1 = LATE_SHIFTS_MIN[1] * 60_000_000
+    s2 = LATE_SHIFTS_MIN[2] * 60_000_000
+    return f"""
+    WITH src AS (
+        SELECT CAST(event_id % 3 AS INT) AS b, event_id AS k,
+               epoch_us(ts) - (CASE CAST(event_id % 3 AS INT)
+                               WHEN 1 THEN {s1} WHEN 2 THEN {s2}
+                               ELSE 0 END) AS e,
+               event_type, 0 AS is_dup, CAST(NULL AS BIGINT) AS e0
+        FROM events WHERE ts IS NOT NULL
+        UNION ALL
+        SELECT 1, event_id, epoch_us(ts) + {LATE_DUP_X_MIN * 60_000_000}, event_type,
+               1, epoch_us(ts)
+        FROM events WHERE ts IS NOT NULL AND event_id % 30 = 0
+        UNION ALL
+        SELECT 2, event_id, epoch_us(ts) + {LATE_DUP_Y_MIN * 60_000_000}, event_type,
+               1, epoch_us(ts)
+        FROM events WHERE ts IS NOT NULL AND event_id % 30 = 15),
+    m AS (SELECT b, MAX(e) AS mx FROM src GROUP BY b),
+    pw AS (
+        SELECT s.b,
+               (SELECT MAX(m.mx) FROM m WHERE m.b <= s.b - 2) - {d_us} AS prev_wm
+        FROM (SELECT DISTINCT b FROM src) s)
+    SELECT k AS event_id, make_timestamp(e) AS ts, event_type
+    FROM src JOIN pw ON src.b = pw.b
+    WHERE (pw.prev_wm IS NULL OR src.e > pw.prev_wm)
+      AND (src.is_dup = 0
+           OR (pw.prev_wm IS NOT NULL AND src.e0 + {d_us} <= pw.prev_wm))
+    ORDER BY event_id, ts
     """
