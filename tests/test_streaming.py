@@ -330,3 +330,73 @@ def test_late_dedup_boundary_semantics(spark, tmp_path):
         for o in p.get("stateOperators", [])
     )
     assert dropped == 1, dropped
+
+
+def test_late_dedup_exact_boundaries(spark, tmp_path):
+    """Discriminating boundary pins for dropDuplicatesWithinWatermark
+    (code-review r13: the first boundary test's values were far from
+    every edge, so alternate models passed it too). With delay 30min,
+    wm during b1 = 10:30 (= b2's late filter AND the end-of-b1 eviction
+    bound), wm during b2 = 10:35:
+
+    * L@10:30  -> late-DROPPED: ts == previous-batch wm drops (a strict-<
+      filter would accept it);
+    * P@10:31 and dup A@10:31 -> ACCEPTED: just above the previous-batch
+      wm (a current-batch-wm filter at 10:35 would drop both);
+    * dup A accepted because A's expiry 10:30 == eviction wm 10:30
+      EVICTED it at the end of b1 (a strict-< eviction would keep A's
+      state and dup-drop it);
+    * dup K@10:32 DROPPED: K's expiry 10:35 > 10:30 survived that same
+      eviction (an eviction using the CURRENT wm 10:35 would have
+      evicted K too and re-accepted the dup)."""
+    import os
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = str(tmp_path / "dedup_boundaries")
+    os.makedirs(d)
+
+    def write(rows, name, mt):
+        df = pd.DataFrame(rows, columns=["k", "ts"])
+        t = pa.Table.from_pandas(df)
+        t = t.set_column(
+            t.schema.get_field_index("ts"), "ts", t.column("ts").cast(pa.timestamp("us"))
+        )
+        pq.write_table(t, f"{d}/{name}")
+        os.utime(f"{d}/{name}", (mt, mt))
+
+    T = lambda s: pd.Timestamp(f"2024-01-01 {s}:00")
+    write([("A", T("10:00")), ("K", T("10:05")), ("M", T("11:00"))], "b0.parquet", 1_000_000_000)
+    write([("N", T("11:05"))], "b1.parquet", 1_000_000_100)
+    write([("A", T("10:31")), ("K", T("10:32")), ("L", T("10:30")), ("P", T("10:31"))],
+          "b2.parquet", 1_000_000_200)
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    src = (
+        spark.readStream.schema("k string, ts timestamp")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(d)
+    )
+    out = src.withWatermark("ts", "30 minutes").dropDuplicatesWithinWatermark(["k"])
+    q = (
+        out.writeStream.outputMode("append").format("memory")
+        .queryName("tf_dedup_boundaries").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    got = sorted((r.k, str(r.ts)) for r in spark.table("tf_dedup_boundaries").collect())
+    assert got == [
+        ("A", "2024-01-01 10:00:00"),
+        ("A", "2024-01-01 10:31:00"),
+        ("K", "2024-01-01 10:05:00"),
+        ("M", "2024-01-01 11:00:00"),
+        ("N", "2024-01-01 11:05:00"),
+        ("P", "2024-01-01 10:31:00"),
+    ], got
+    dropped = sum(
+        o["numRowsDroppedByWatermark"]
+        for p in q.recentProgress
+        for o in p.get("stateOperators", [])
+    )
+    assert dropped == 1, dropped  # exactly L — the == boundary drop

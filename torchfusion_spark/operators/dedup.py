@@ -1662,6 +1662,16 @@ def url_incremental_query(spark):
             if start is not None:
                 with open(marker, "w") as f:
                     f.write(f"{os.path.basename(path)}\n{start}")
+        else:
+            # touch-on-probe (code-review r13 second pass): the 4x age
+            # backstop for live-pid/legacy-marker dirs reads dir mtime as
+            # "idleness", but a probe skips the build and would otherwise
+            # never refresh it — an ACTIVE owner that cannot upgrade its
+            # marker (pre-r13 code) must still look active to the sweep.
+            try:
+                os.utime(path)
+            except OSError:
+                pass
         batch = f"(SELECT * FROM documents WHERE {batch_pred}) __url_batch_src"
         return dedup_url_incremental(spark, batch, path)
 
@@ -1871,8 +1881,9 @@ def connected_components_star(pairs, max_iter: int = 20):
     # unpersist the final edge checkpoint mid-read — localCheckpoint
     # lineage is unrecoverable). The cost of keeping the record is a
     # BOUNDED leak: at most one superseded group per *idle* pool thread,
-    # reaped the moment that thread draws any new staging nonce or
-    # exits; the race it prevents is wrong results. Only the FAILURE
+    # reaped by a later call's whole-prefix supersede sweep once this
+    # thread's record is overwritten by its next nonce draw (or the
+    # thread exits); the race it prevents is wrong results. Only the FAILURE
     # path below clears the record eagerly — after a raise nothing can
     # reference the group.
     from torchfusion_spark.session import release_staged_group

@@ -371,11 +371,20 @@ def dedup_minhash_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     from torchfusion_spark.session import memo_lock, release_staged_group
 
     with memo_lock(spark, "ccs_star"):
-        prev = getattr(spark, "_tf_ccs_last_nonce", None)
-        if prev is not None:
-            release_staged_group(spark, f"ccs_{prev}_")
+        # sweep the whole family prefix, not just the immediately-previous
+        # nonce (code-review r13 second pass): a single-nonce release that
+        # gets SKIPPED while the issuing thread's in-flight record still
+        # protects it was never retried — each skip orphaned one
+        # checkpointed edge group for the session's lifetime. The prefix
+        # sweep retries every unprotected superseded group on every call,
+        # so the leak is bounded at one group per thread record (reaped
+        # once that thread draws a new nonce or exits) — the km_/bpe_
+        # altitude. _protected_nonces shields OTHER live threads' groups
+        # (mid-loop or completed-but-not-yet-collected); the caller's own
+        # previous group is releasable by the materialize-before-reinvoke
+        # contract all registry/bench/gate flows follow.
+        release_staged_group(spark, "ccs_")
         out = dedup.connected_components_star(dedup.minhash_lsh(spark))
-        spark._tf_ccs_last_nonce = out._tf_cc_nonce
         return out
 
 

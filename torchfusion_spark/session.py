@@ -283,8 +283,12 @@ def finish_staging_nonce(spark, nonce: int) -> None:
     unpersist the completed call's final checkpoint mid-collect, and
     localCheckpoint lineage truncation is unrecoverable. The accepted
     tradeoff across all three iterative families is the BOUNDED leak:
-    at most one superseded group per idle pool thread, reaped when that
-    thread draws its next staging nonce or exits. Guarded on the nonce
+    at most one superseded group per idle pool thread — provided every
+    family's supersede-release sweeps its WHOLE prefix (km_/bpe_/ccs_
+    all do), so a release skipped under protection is retried by the
+    next call once the protecting record is overwritten or its thread
+    exits; a single-nonce release would orphan each skipped group
+    forever (code-review r13 second pass). Guarded on the nonce
     still being the thread's CURRENT record: the same thread may have
     drawn a newer nonce since, and that one is someone else's
     in-flight state."""

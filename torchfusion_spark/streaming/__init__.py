@@ -619,8 +619,9 @@ def _late_variant_frames(spark, sf_dir: str, variant: str):
     (batch 2, ts+10h — far past the 30-min delay, so the orig-age
     spectrum splits three ways with a wide re-accept band: late-dropped
     (origs older than 10.5h before batch-0's max) / dup-dropped (origs
-    within 30min of it, plus every X dup) / EVICTED-then-re-accepted
-    (the ~10h band between). Any offset <= the delay could never
+    within 60min of it — live iff orig + delay > max0 - delay, i.e. 2x
+    the delay — plus every X dup) / EVICTED-then-re-accepted (the ~9.5h
+    band between). Any offset <= the delay could never
     re-accept: a dup whose orig expired within the delay is itself
     always late — that inequality IS dropDuplicatesWithinWatermark's
     guarantee)."""
