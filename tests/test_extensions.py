@@ -2649,12 +2649,16 @@ def test_drop_prev_unkeyed_is_per_thread(spark, tmp_path):
     spark.__dict__.pop("_tf_url_unkeyed_prev", None)
 
 
-def test_star_supersede_reaps_completed_sibling_thread_group(spark):
-    """ADVICE r13 #3: once connected_components_star RETURNS, its nonce's
-    in-flight record is cleared, so a supersede-release issued from a
-    DIFFERENT thread (pooled bench threads alternating calls) reaps the
-    superseded final edge checkpoint instead of protecting it for the
-    life of the owning thread."""
+def test_star_supersede_protects_live_owner_then_reaps(spark):
+    """The REVISED staging-lifecycle contract (code-review r13, revising
+    ADVICE r13 #3): a completed star-CC call's nonce record persists
+    while its thread lives, so a sibling's whole-prefix supersede sweep
+    must SKIP the final edge checkpoint — the owner may still be
+    between return and collect() (clearing at completion reopened the
+    code-review r12 unpersist-mid-collect race). The group becomes
+    reapable the moment the owner thread exits (or draws a new nonce):
+    the next sweep reclaims it — the bounded-leak half of the
+    tradeoff."""
     import threading
 
     from torchfusion_spark.operators.dedup import connected_components_star
@@ -2667,22 +2671,27 @@ def test_star_supersede_reaps_completed_sibling_thread_group(spark):
     def owner():
         chain = spark.createDataFrame([(0, 1), (1, 2)], "id_a bigint, id_b bigint")
         out = connected_components_star(chain, max_iter=8)
-        out.count()  # materialized: supersede semantics apply from here
+        out.count()
         nonce.append(out._tf_cc_nonce)
         done.set()
-        release_me.wait(timeout=60)  # stay ALIVE while the sibling releases
+        release_me.wait(timeout=60)  # stay ALIVE while the sibling sweeps
 
     t = threading.Thread(target=owner)
     t.start()
     try:
         assert done.wait(timeout=120)
         n = nonce[0]
-        assert n not in spark.__dict__.get("_tf_thread_nonces", {}).values()
+        # record persists while the owner lives — that IS the protection
+        assert n in spark.__dict__.get("_tf_thread_nonces", {}).values()
         pool = spark.__dict__.get("_tf_ck_pool", {})
-        assert any(s.startswith(f"ccs_{n}_") for s in pool)  # one live slot remains
-        released = release_staged_group(spark, f"ccs_{n}_")  # sibling supersede
-        assert released == 1
-        assert not any(s.startswith(f"ccs_{n}_") for s in pool)
+        assert any(s.startswith(f"ccs_{n}_") for s in pool)  # one live slot
+        release_staged_group(spark, "ccs_")  # sibling whole-prefix sweep
+        # ...skips the live owner's group
+        assert any(s.startswith(f"ccs_{n}_") for s in pool)
     finally:
         release_me.set()
         t.join()
+    # owner thread gone -> unprotected -> the next sweep reaps it
+    release_staged_group(spark, "ccs_")
+    pool = spark.__dict__.get("_tf_ck_pool", {})
+    assert not any(s.startswith(f"ccs_{n}_") for s in pool)
