@@ -400,3 +400,183 @@ def test_late_dedup_exact_boundaries(spark, tmp_path):
         for o in p.get("stateOperators", [])
     )
     assert dropped == 1, dropped  # exactly L — the == boundary drop
+
+
+# ---------------------------------------------------------------------------
+# Randomized watermark-model fuzzers: the registry witnesses pin the probed
+# split-watermark semantics on ONE deterministic replay construction; these
+# drive arbitrary small batch sequences (boundary-rich 5-minute ts grid,
+# repeated keys across batches) through real availableNow streams and check
+# them against a full Python state machine of the probed model — a model
+# error that happens to cancel out on the registry construction cannot hide.
+# ---------------------------------------------------------------------------
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_DELAY_MIN = 30
+
+
+@st.composite
+def stream_batches(draw):
+    n_batches = draw(st.integers(2, 4))
+    batches = []
+    for b in range(n_batches):
+        n = draw(st.integers(0, 6))
+        rows, used = [], set()
+        for _ in range(n):
+            k = draw(st.sampled_from("ABCDEFGH"))
+            if k in used:
+                continue  # <=1 occurrence per key per batch: within-batch
+                # dup survivor order is partition-dependent, not a model
+            used.add(k)
+            # 5-minute grid over 3 hours: boundary collisions are common
+            rows.append((k, 5 * draw(st.integers(0, 36))))
+        batches.append(rows)
+    return batches
+
+
+def _write_stream_batches(tmpdir, batches):
+    import os
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    base = pd.Timestamp("2024-01-01 08:00:00")
+    for b, rows in enumerate(batches):
+        df = pd.DataFrame(
+            [(k, base + pd.Timedelta(minutes=m)) for k, m in rows], columns=["k", "ts"]
+        )
+        t = pa.Table.from_pandas(df)
+        t = t.set_column(
+            t.schema.get_field_index("ts"), "ts", t.column("ts").cast(pa.timestamp("us"))
+        )
+        pq.write_table(t, f"{tmpdir}/b{b}.parquet")
+        os.utime(f"{tmpdir}/b{b}.parquet", (1_000_000_000 + b, 1_000_000_000 + b))
+
+
+def _wm_during(batches):
+    """wm (minutes, None = unset) in effect DURING each batch b = max event
+    time over batches < b, minus the delay — plus one more entry for the
+    final no-data batch."""
+    wms, mx = [], None
+    for b in range(len(batches) + 1):
+        wms.append(None if mx is None else mx - _DELAY_MIN)
+        if b < len(batches) and batches[b]:
+            m = max(m for _, m in batches[b])
+            mx = m if mx is None else max(mx, m)
+    return wms
+
+
+def _dedup_model(batches):
+    """The probed dropDuplicatesWithinWatermark state machine: late filter
+    of batch b = wm during b-1 (ts <= wm drops); state live iff expiry
+    (accept ts + delay) > that same wm; duplicates never refresh expiry;
+    accepted rows emit immediately."""
+    wms = _wm_during(batches)
+    state: dict = {}
+    out = []
+    for b, rows in enumerate(batches):
+        pw = wms[b - 1] if b >= 1 else None
+        # evictions strictly before batch b: strongest is end of b-1,
+        # which used wm_during[b-1] (== pw); apply lazily at lookup
+        for k, m in rows:
+            if pw is not None and m <= pw:
+                continue  # late
+            if k in state and not (pw is not None and state[k] <= pw):
+                continue  # duplicate of a live key
+            state[k] = m + _DELAY_MIN
+            out.append((k, m))
+    return sorted(out)
+
+
+def _agg_model(batches, window_min=10):
+    """The probed append-mode windowed-agg model: late filter of batch b
+    drops rows whose WINDOW END <= wm during b-1; final no-data batch
+    emits windows with end <= max(all) - delay; counts = kept rows."""
+    wms = _wm_during(batches)
+    kept: dict = {}
+    for b, rows in enumerate(batches):
+        pw = wms[b - 1] if b >= 1 else None
+        for _k, m in rows:
+            ws = (m // window_min) * window_min
+            if pw is not None and ws + window_min <= pw:
+                continue
+            kept[ws] = kept.get(ws, 0) + 1
+    final_wm = wms[len(batches)]
+    if final_wm is None:
+        return []
+    return sorted(
+        (ws, n) for ws, n in kept.items() if ws + window_min <= final_wm
+    )
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(batches=stream_batches())
+def test_model_fuzz_drop_duplicates_within_watermark(spark, tmp_path_factory, batches):
+    import pandas as pd
+
+    d = str(tmp_path_factory.mktemp("ddw_fuzz"))
+    _write_stream_batches(d, batches)
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    src = (
+        spark.readStream.schema("k string, ts timestamp")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(d)
+    )
+    out = src.withWatermark("ts", f"{_DELAY_MIN} minutes").dropDuplicatesWithinWatermark(["k"])
+    q = (
+        out.writeStream.outputMode("append").format("memory")
+        .queryName("tf_ddw_fuzz").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    base = pd.Timestamp("2024-01-01 08:00:00")
+    got = sorted(
+        (r.k, int((pd.Timestamp(r.ts) - base).total_seconds() // 60))
+        for r in spark.table("tf_ddw_fuzz").collect()
+    )
+    assert got == _dedup_model(batches), (batches, got)
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(batches=stream_batches())
+def test_model_fuzz_windowed_agg_eviction(spark, tmp_path_factory, batches):
+    import pandas as pd
+
+    d = str(tmp_path_factory.mktemp("agg_fuzz"))
+    _write_stream_batches(d, batches)
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    src = (
+        spark.readStream.schema("k string, ts timestamp")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(d)
+    )
+    agg = (
+        src.withWatermark("ts", f"{_DELAY_MIN} minutes")
+        .groupBy(F.window("ts", "10 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("ws"), "n")
+    )
+    q = (
+        agg.writeStream.outputMode("append").format("memory")
+        .queryName("tf_agg_fuzz").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    base = pd.Timestamp("2024-01-01 08:00:00")
+    got = sorted(
+        (int((pd.Timestamp(r.ws) - base).total_seconds() // 60), r.n)
+        for r in spark.table("tf_agg_fuzz").collect()
+    )
+    assert got == _agg_model(batches), (batches, got)
