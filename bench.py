@@ -98,6 +98,9 @@ HEADLINE = [
     # round-13 addition: hybrid retrieval fusion (RRF over the BM25 +
     # dense cosine top-k lists) — reads both staged relations
     "retrieval_rrf_fusion",
+    # round-13 addition: RAG context assembly over the fused hits (lead
+    # chunks, greedy char-budget prefix, ordered rebuild + content hash)
+    "pipeline_rag_context",
     # round-7 addition: DSIR importance weighting — same staged relation
     "sample_dsir_importance",
     # round-7 addition: Gopher quality-rule filter — the cheapest shape

@@ -2708,3 +2708,93 @@ def test_differential_nb_classifier(spark, duck, restore_documents, case):
         q = _cut_bucket(avg, cuts, desc=True)
         ref.append((d, lg, n, l, tr, avg, pred, q, 1 if q <= 2 else 0))
     assert got == ref, (case, got, ref)
+
+
+def _rag_python_ref(docs, vecs):
+    """Independent recompute of the context assembly over the fused
+    ranking from :func:`_rrf_python_ref`: lead chunk = first CHUNK_SIZE
+    characters, greedy prefix cut at RAG_CONTEXT_BUDGET chars, ordered
+    single-space join, md5-56 fingerprint."""
+    import hashlib
+
+    from torchfusion_spark.operators.retrieval import RAG_CONTEXT_BUDGET
+    from torchfusion_spark.operators.textstats import CHUNK_SIZE
+
+    fused = _rrf_python_ref(docs, vecs)  # (q, doc, bm, dn, score, rank) ordered
+    text_of = {d: t for d, t in docs}
+    out = []
+    for q in sorted({r[0] for r in fused}):
+        hits = [r for r in fused if r[0] == q]
+        hits.sort(key=lambda r: r[5])
+        prior, kept = 0, []
+        for _q, dd, _bm, _dn, _s, rank in hits:
+            t = text_of.get(dd)
+            if t is None:
+                continue  # NULL text: no context, no budget charge
+            chunk = t[:CHUNK_SIZE]
+            if prior < RAG_CONTEXT_BUDGET:
+                kept.append((rank, chunk))
+            prior += len(chunk)
+        # NOTE prior accumulates over ALL non-null hits in rank order; a
+        # hit is kept iff the chars consumed BEFORE it are under budget —
+        # mirror the SQL exactly: prior_chars is the running sum over the
+        # PRECEDING kept-universe rows (hits relation = non-null only)
+        if not kept:
+            continue
+        ctx = " ".join(c for _, c in kept)
+        out.append((
+            q,
+            len(kept),
+            min(r for r, _ in kept),
+            sum(len(c) for _, c in kept),
+            len(ctx),
+            int(hashlib.md5(ctx.encode("utf-8")).hexdigest()[:14], 16),
+        ))
+    return out
+
+
+@settings(
+    max_examples=30,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(case=rrf_corpus_inputs())
+def test_differential_rag_context(spark, duck, restore_documents, case):
+    import pandas as pd
+
+    from torchfusion_spark.operators.retrieval import rag_context_sql
+
+    docs, vecs = _rrf_make_corpus(*case)
+    # longer texts so the char budget actually cuts (the rrf corpus's
+    # short docs would all fit): inflate non-empty texts deterministically
+    docs = [(d, (t * 40)[:500] if t else t) for d, t in docs]
+    doc_rows = [(d, t, "en", "s", len(t) if t else 0) for d, t in docs]
+    vec_rows = [(i, v, 0) for i, v in vecs]
+    pdf = pd.DataFrame(
+        doc_rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
+    ).astype({"doc_id": "int64", "text": "string", "lang": "string",
+              "source": "string", "n_chars": "int64"})
+    edf = pd.DataFrame(vec_rows, columns=["vec_id", "embedding", "label"]).astype(
+        {"vec_id": "int64", "embedding": "object", "label": "int32"}
+    )
+    spark.createDataFrame(
+        doc_rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    ).createOrReplaceTempView("documents")
+    spark.createDataFrame(
+        vec_rows, "vec_id bigint, embedding array<float>, label int"
+    ).createOrReplaceTempView("embeddings")
+    duck.execute(
+        "CREATE OR REPLACE VIEW documents AS SELECT CAST(doc_id AS BIGINT) AS doc_id, "
+        "CAST(text AS VARCHAR) AS text, CAST(lang AS VARCHAR) AS lang, "
+        "CAST(source AS VARCHAR) AS source, CAST(n_chars AS BIGINT) AS n_chars FROM pdf"
+    )
+    duck.execute(
+        "CREATE OR REPLACE VIEW embeddings AS "
+        "SELECT vec_id, CAST(embedding AS FLOAT[]) AS embedding, label FROM edf"
+    )
+    got = [tuple(r) for r in spark.sql(rag_context_sql("spark")).collect()]
+    want = [tuple(r) for r in duck.execute(rag_context_sql("duck")).fetchall()]
+    assert got == want, (case, got, want)
+    ref = _rag_python_ref(docs, vecs)
+    assert got == ref, (case, got, ref)

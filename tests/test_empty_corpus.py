@@ -74,6 +74,7 @@ DOC_OPS = [
     "corpus_source_filter",
     "text_bm25_topk",
     "retrieval_rrf_fusion",
+    "pipeline_rag_context",
     "text_lm_perplexity",
     "sample_dsir_importance",
     "corpus_strip_dup_spans",

@@ -47,6 +47,7 @@ NULL_OPS = [
     "sim_near_dup_collapse",    # NULL embeddings excluded at norm_cte before bucketing
     "text_lm_perplexity",       # per-lang cuts joined null-safely; NULL-lang group kept (ADVICE r10)
     "retrieval_rrf_fusion",     # BM25 side NULL-text-pruned tf; dense side NULL-emb-pruned norms
+    "pipeline_rag_context",     # NULL-text hits contribute no context and no budget charge
     "pipeline_pretrain_corpus",  # full composition over NULL text/source/lang
 ]
 

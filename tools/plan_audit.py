@@ -57,6 +57,7 @@ _EXPECTED = {
     "join_full_outer": {"sort_merge_join"},  # Spark can't broadcast a FULL OUTER side
     "sim_cosine_topk": {"bnl_join"},  # broadcast query side × candidates
     "retrieval_rrf_fusion": {"bnl_join"},  # dense side = the sim_cosine_topk shape
+    "pipeline_rag_context": {"bnl_join"},  # embeds the fusion (same dense side)
     "sim_cosine_near_dup": {"bnl_join"},  # gated exact verifier (vec_id cap)
     "events_asof_join": {"bnl_join"},  # banded join, band side broadcast
     "events_range_join": {"bnl_join"},  # banded range join

@@ -34,6 +34,7 @@ LLM-pipeline extension, not reference parity.
 
 from __future__ import annotations
 
+from torchfusion_spark.operators import sqlgen as G
 from torchfusion_spark.operators import textstats
 from torchfusion_spark.operators.similarity import _staged_norms, cosine_topk_sql
 from torchfusion_spark.operators.textstats import bm25_topk_sql
@@ -107,6 +108,94 @@ def rrf_fusion(spark):
             spark,
             lambda trel: spark.sql(
                 rrf_fusion_sql("spark", tf_rel=trel, norm_rel=nrel)
+            ),
+        ),
+    )
+
+
+RAG_CONTEXT_BUDGET = 600  # context char budget per query (~3 lead chunks)
+
+
+def rag_context_sql(
+    d: str,
+    *,
+    budget: int = RAG_CONTEXT_BUDGET,
+    tf_rel: str | None = None,
+    norm_rel: str | None = None,
+) -> str:
+    """RAG context assembly — the serving-prep stage after fusion: for
+    each query take the RRF hits in fused order, attach each hit doc's
+    LEAD CHUNK (its first ``textstats.CHUNK_SIZE`` characters — the
+    opening window of the same chunking the retrieval/embedding prep
+    uses), keep hits greedily while the chars consumed BEFORE a hit are
+    under ``budget`` (the ``corpus_token_budget`` running-prefix
+    discipline — exact BIGINT running sum, reproducible cut), and emit
+    the assembled context's length + portable content hash per query.
+
+    Determinism: inclusion is an integer prefix-sum compare over unique
+    (query, fused_rank) keys; assembly is the strip-dup-spans ordered
+    rebuild (Spark sort-struct array_join / DuckDB string_agg ORDER BY)
+    with a fixed single-space separator, fingerprinted with the repo's
+    md5-56 — no float anywhere.
+
+    Scale shape: the fused relation is |Q|·k rows and BROADCASTS onto
+    ONE documents scan (corpus side never shuffles); the prefix-sum
+    window partitions by query_id over ≤ k rows each; the final rollup
+    is |Q| rows. NULL-text hits contribute no context and no budget
+    charge (a retrievable-but-undecodable doc cannot be packed)."""
+    from torchfusion_spark.operators import textstats
+
+    fused = rrf_fusion_sql(d, tf_rel=tf_rel, norm_rel=norm_rel)
+    size = textstats.CHUNK_SIZE
+    hint = "/*+ BROADCAST(f) */ " if d == "spark" else ""
+    if d == "spark":
+        rebuild = (
+            "array_join(transform(array_sort(collect_list("
+            "struct(fused_rank, chunk))), x -> x.chunk), ' ')"
+        )
+    else:
+        rebuild = "string_agg(chunk, ' ' ORDER BY fused_rank)"
+    return f"""
+    WITH fused AS (
+        SELECT query_id, doc_id, fused_rank FROM ({fused})),
+    hits AS (
+        SELECT {hint}f.query_id, f.doc_id, f.fused_rank,
+               substr(doc.text, 1, {size}) AS chunk,
+               CAST(length(substr(doc.text, 1, {size})) AS BIGINT) AS chunk_len
+        FROM fused f JOIN documents doc ON f.doc_id = doc.doc_id
+        WHERE doc.text IS NOT NULL),
+    budgeted AS (
+        SELECT query_id, doc_id, fused_rank, chunk, chunk_len,
+               COALESCE(SUM(chunk_len) OVER (
+                   PARTITION BY query_id ORDER BY fused_rank
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                 0) AS prior_chars
+        FROM hits),
+    kept AS (SELECT * FROM budgeted WHERE prior_chars < {budget}),
+    assembled AS (
+        SELECT query_id,
+               CAST(COUNT(*) AS BIGINT) AS n_docs_used,
+               CAST(MIN(fused_rank) AS BIGINT) AS best_rank,
+               CAST(SUM(chunk_len) AS BIGINT) AS chunk_chars,
+               {rebuild} AS context
+        FROM kept GROUP BY query_id)
+    SELECT query_id, n_docs_used, best_rank, chunk_chars,
+           CAST(length(context) AS BIGINT) AS context_chars,
+           {G.hash56('context', d)} AS context_hash
+    FROM assembled
+    ORDER BY query_id
+    """
+
+
+def rag_context(spark):
+    """Staged Spark path — same nested-memo discipline as
+    :func:`rrf_fusion` (sim_norms → unigrams lock order)."""
+    return _staged_norms(
+        spark,
+        lambda nrel: textstats._staged_unigrams(
+            spark,
+            lambda trel: spark.sql(
+                rag_context_sql("spark", tf_rel=trel, norm_rel=nrel)
             ),
         ),
     )

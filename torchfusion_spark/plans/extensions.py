@@ -799,6 +799,20 @@ def retrieval_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "pipeline_rag_context",
+    retrieval.rag_context_sql("duck"),
+    doc="RAG context assembly (the serving-prep stage after fusion): RRF "
+    "hits in fused order, each hit contributing its lead chunk (the "
+    "chunk_overlap opening window), greedy char-budget prefix cut via an "
+    "exact BIGINT running sum, ordered rebuild + portable content hash "
+    "per query; the |Q|*k fused relation broadcasts onto ONE documents "
+    "scan — the corpus side never shuffles",
+)
+def pipeline_rag_context(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return retrieval.rag_context(spark)
+
+
+@query(
     "text_lm_perplexity",
     textstats.lm_perplexity_sql("duck"),
     doc="CCNet-style LM quality scoring: add-one-smoothed unigram LM "

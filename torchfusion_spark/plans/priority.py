@@ -37,6 +37,7 @@ PRIORITY: list[str] = [
     "multimodal_frame_dedup",
     "stream_late_eviction",
     "stream_late_dedup",
+    "pipeline_rag_context",
     # -- the 28 r08-vintage re-certs (5 rounds stale) --
     "q17_small_quantity_revenue",
     "corpus_pack_sequences",
