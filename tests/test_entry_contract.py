@@ -76,22 +76,22 @@ def test_priority_order_is_total_and_stable():
     if vintage:
         head = max(50, len(uncertified | vintage))
         assert (uncertified | vintage) <= set(names[:head])
-    # round-13 rotation policy, PINNED to the artifact state it was rotated
-    # against (the r01..r12 union: 0 uncertified, 28 names at r08, 50 at
-    # r10, 50 at r11, 50 at r12): budget slots go to uncertified newcomers
-    # registered this round, then the 28 r08-vintage names, then the oldest
-    # r10 block — checked as "no certified name outside the top-50 has
+    # round-14 rotation policy, PINNED to the artifact state it was rotated
+    # against (the r01..r13 union: 0 uncertified, 33 names at r10, 50 at
+    # r11, 50 at r12, 50 at r13): budget slots go to uncertified newcomers
+    # registered this round, then the 33 r10-vintage names, then the oldest
+    # r11 block — checked as "no certified name outside the top-50 has
     # staler evidence than any certified name inside it". The clause SKIPS
-    # once CORRECTNESS_r13 lands (the r14 rotation re-pins): the r7 version
+    # once CORRECTNESS_r14 lands (the r15 rotation re-pins): the r7 version
     # instead predicted the post-landing vintage state and got it wrong,
     # going red the moment the driver dropped r07 into the tree (VERDICT r7
     # item 1) — rotation meta-tests must assert against the evidence they
     # were rotated on, never against a forecast.
     max_round = max(latest.values(), default=0)
-    if max_round == 12:
-        stale_pre10 = {n for n in names if latest.get(n, 99) <= 9}
-        head = max(50, len(uncertified | stale_pre10))
-        assert (uncertified | stale_pre10) <= set(names[:head])
+    if max_round == 13:
+        stale_pre11 = {n for n in names if latest.get(n, 99) <= 10}
+        head = max(50, len(uncertified | stale_pre11))
+        assert (uncertified | stale_pre11) <= set(names[:head])
         in_top = [latest[n] for n in names[:50] if n in latest]
         out_top = [latest[n] for n in names[50:] if n in latest]
         if in_top and out_top:

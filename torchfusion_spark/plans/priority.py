@@ -9,21 +9,22 @@ valuable queries first.
 
 Ordering policy (documented so the ranking is auditable, not gamed) --
 ROTATED each round so the budget certifies the weakest evidence first.
-Round 13 (rotated against the CORRECTNESS_r01..r12 union): r12 certified
-its top 50 exactly (zero overlap with r11), so every registry name has a
-current-testdata green row and the latest-green vintages are 28 names at
-r08, 50 at r10, 50 at r11 and 50 at r12. The weakest-first order is
+Round 14 (rotated against the CORRECTNESS_r01..r13 union): r13 certified
+its top 50 exactly (zero overlap with r12 -- the 5 new registrations, the
+28 r08-vintage names, and the r10 head), so every registry name has a
+current-testdata green row and the latest-green vintages are 33 names at
+r10, 50 at r11, 50 at r12 and 50 at r13. The weakest-first order is
 therefore:
 
-1. new r13 registrations (uncertified -- no CORRECTNESS row at all) go to
+1. new r14 registrations (uncertified -- no CORRECTNESS row at all) go to
    rank 1 as they land, ahead of every re-cert;
-2. the 28 r08-vintage names in their prior internal order -- after this
-   round the minimum latest-green vintage becomes r10;
-3. the r10 block (prior internal order); its head fills the remainder of
+2. the 33 remaining r10-vintage names in their prior internal order --
+   after this round the minimum latest-green vintage becomes r11;
+3. the r11 block (prior internal order); its head fills the remainder of
    the 50-row budget;
-4. the r11 block (prior internal order);
-5. the 50 names r12 just certified (freshest evidence last), keeping
-   their r12 rank order.
+4. the r12 block (prior internal order);
+5. the 50 names r13 just certified (freshest evidence last), keeping
+   their r13 rank order.
 
 The suffix after the prefix is the canonical registry name used everywhere
 else (bench.py, tools/verify_local.py, tests).
@@ -32,59 +33,7 @@ else (bench.py, tools/verify_local.py, tests).
 from __future__ import annotations
 
 PRIORITY: list[str] = [
-    # -- new r13 registrations (uncertified) --
-    "retrieval_rrf_fusion",
-    "multimodal_frame_dedup",
-    "stream_late_eviction",
-    "stream_late_dedup",
-    "pipeline_rag_context",
-    # -- the 28 r08-vintage re-certs (5 rounds stale) --
-    "q17_small_quantity_revenue",
-    "corpus_pack_sequences",
-    "q13_customer_distribution",
-    "q19_disjunctive_predicates",
-    "q20_potential_promotion",
-    "q4_order_priority",
-    "q5_local_supplier_volume",
-    "q2_min_cost_supplier",
-    "q21_waiting_supplier",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q12_priority_by_status",
-    "events_histogram",
-    "events_winsorize",
-    "events_anomaly_zscore",
-    "text_top_tokens",
-    "text_repetition",
-    "text_entropy",
-    "text_fingerprint",
-    "text_pii_redact",
-    "text_dup_gram_fraction",
-    "text_winnow_fingerprint",
-    "text_decontaminate",
-    "corpus_token_budget",
-    "corpus_mixture_plan",
-    "corpus_shuffle_shards",
-    "sample_weighted_topk",
-    "sample_group_quota",
-    # -- the r10 block (prior internal order); head fills the budget --
-    "text_quality_classifier",
-    "pipeline_quality_ensemble",
-    "corpus_bpe_train",
-    "corpus_bpe_apply",
-    "sample_upsample_epochs",
-    "sample_train_split",
-    "multimodal_resize",
-    "multimodal_frame_sample",
-    "corpus_bpe_pairs",
-    "text_decontaminate_bloom",
-    "sim_cosine_near_dup",
-    "sim_ivf_topk",
-    "sim_kmeans",
-    "sim_cosine_near_dup_lsh",
-    "sim_semantic_dedup",
-    "dedup_containment",
-    "pipeline_dedup_canonical",
+    # -- the 33 r10-vintage re-certs (4 rounds stale; oldest evidence first) --
     "stream_sliding_counts",
     "stream_session_window",
     "stream_dedup_counts",
@@ -169,7 +118,7 @@ PRIORITY: list[str] = [
     "agg_rollup",
     "agg_grouping_sets",
     "agg_stats",
-    # -- the r12-certified 50 (freshest evidence last) --
+    # -- the r12 block (prior internal order) --
     "dedup_minhash_clusters_star",
     "multimodal_dedup",
     "agg_median",
@@ -220,6 +169,57 @@ PRIORITY: list[str] = [
     "sim_quantize_int8",
     "corpus_chunk_overlap",
     "q14_promo_revenue",
+    # -- the 50 names r13 just certified (freshest evidence last) --
+    "retrieval_rrf_fusion",
+    "multimodal_frame_dedup",
+    "stream_late_eviction",
+    "stream_late_dedup",
+    "pipeline_rag_context",
+    "q17_small_quantity_revenue",
+    "corpus_pack_sequences",
+    "q13_customer_distribution",
+    "q19_disjunctive_predicates",
+    "q20_potential_promotion",
+    "q4_order_priority",
+    "q5_local_supplier_volume",
+    "q2_min_cost_supplier",
+    "q21_waiting_supplier",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q12_priority_by_status",
+    "events_histogram",
+    "events_winsorize",
+    "events_anomaly_zscore",
+    "text_top_tokens",
+    "text_repetition",
+    "text_entropy",
+    "text_fingerprint",
+    "text_pii_redact",
+    "text_dup_gram_fraction",
+    "text_winnow_fingerprint",
+    "text_decontaminate",
+    "corpus_token_budget",
+    "corpus_mixture_plan",
+    "corpus_shuffle_shards",
+    "sample_weighted_topk",
+    "sample_group_quota",
+    "text_quality_classifier",
+    "pipeline_quality_ensemble",
+    "corpus_bpe_train",
+    "corpus_bpe_apply",
+    "sample_upsample_epochs",
+    "sample_train_split",
+    "multimodal_resize",
+    "multimodal_frame_sample",
+    "corpus_bpe_pairs",
+    "text_decontaminate_bloom",
+    "sim_cosine_near_dup",
+    "sim_ivf_topk",
+    "sim_kmeans",
+    "sim_cosine_near_dup_lsh",
+    "sim_semantic_dedup",
+    "dedup_containment",
+    "pipeline_dedup_canonical",
 ]
 
 
