@@ -868,6 +868,33 @@ def test_decontaminate_bloom_matches_exact(spark, tables):
     assert bloom == exact
 
 
+def test_frame_fingerprints_rejects_unpackable_doc_ids(spark):
+    """ADVICE r13 #1: the frame key packs doc_id*2^20+frame_idx into one
+    BIGINT, and a NEGATIVE doc_id unpacks to different docs under Spark
+    DIV (truncate toward zero) vs DuckDB // (floor) — silently and
+    gate-invisibly. The fan-out must raise loudly instead, exactly like
+    the frame_idx overflow cliff."""
+    import pytest
+
+    from torchfusion_spark.operators.multimodal import frame_fingerprints
+
+    bad = spark.createDataFrame(
+        [(-1, bytearray(b"0123456789abcdef" * 16))], "doc_id bigint, payload binary"
+    )
+    with pytest.raises(Exception, match="outside the packable range"):
+        frame_fingerprints(bad).collect()
+    big = spark.createDataFrame(
+        [(1 << 43, bytearray(b"0123456789abcdef" * 16))], "doc_id bigint, payload binary"
+    )
+    with pytest.raises(Exception, match="outside the packable range"):
+        frame_fingerprints(big).collect()
+    ok = spark.createDataFrame(
+        [(0, bytearray(b"0123456789abcdef" * 16)), (None, bytearray(b"xy"))],
+        "doc_id bigint, payload binary",
+    )
+    assert frame_fingerprints(ok).count() > 0  # boundary 0 and NULL ids pass
+
+
 def test_multimodal_null_text_rows(spark, tables, tmp_path):
     """Round-6 review: a documents row with NULL text must flow through
     all three multimodal operators with SQL semantics (NULL n_bytes /

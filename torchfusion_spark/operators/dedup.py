@@ -1663,11 +1663,16 @@ def url_incremental_query(spark):
                 with open(marker, "w") as f:
                     f.write(f"{os.path.basename(path)}\n{start}")
         else:
-            # touch-on-probe (code-review r13 second pass): the 4x age
-            # backstop for live-pid/legacy-marker dirs reads dir mtime as
-            # "idleness", but a probe skips the build and would otherwise
-            # never refresh it — an ACTIVE owner that cannot upgrade its
-            # marker (pre-r13 code) must still look active to the sweep.
+            # touch-on-probe (code-review r13 second pass): the sweep's
+            # no-procfs branch reads dir mtime as "idleness" with a 7-day
+            # backstop, but a probe skips the build and would otherwise
+            # never refresh it — an ACTIVE owner on a procfs-less host
+            # must still look active to that mtime check. (This branch
+            # only runs when the marker already carries a start time, so
+            # it cannot defend PRE-r13 owners — those never execute this
+            # code, and one idling >28 days remains sweepable by design:
+            # the 4x bound is the accepted plausibility cutoff, ADVICE
+            # r13 #4.)
             try:
                 os.utime(path)
             except OSError:

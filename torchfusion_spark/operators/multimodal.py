@@ -411,7 +411,12 @@ def frame_fingerprints(df: DataFrame) -> DataFrame:
     downstream BIGINT packing (doc·FRAME_KEY_MULT+idx) — a payload with
     >= 2^20 sampled frames would silently collide into the next doc's
     key space on BOTH engines (gate-invisible), so the cliff raises
-    loudly here instead (code-review r13)."""
+    loudly here instead (code-review r13). doc_id has the mirror-image
+    cliffs (ADVICE r13 #1): a NEGATIVE doc_id makes Spark's DIV
+    (truncate-toward-zero) and DuckDB's // (floor) unpack the key to
+    DIFFERENT docs — silently and gate-invisibly on corpora where only
+    one engine's rows land in a capped bucket — and a doc_id >= 2^43
+    overflows the BIGINT product; both raise loudly here too."""
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -419,6 +424,13 @@ def frame_fingerprints(df: DataFrame) -> DataFrame:
             for did, b in zip(pdf["doc_id"], pdf["payload"]):
                 if b is None or len(b) == 0:
                     continue
+                if did is not None and (did < 0 or did >= (1 << 43)):
+                    raise ValueError(
+                        f"doc_id {did} outside the packable range [0, 2^43): "
+                        "negative ids unpack differently under Spark DIV "
+                        "(truncate) vs DuckDB // (floor), and ids >= 2^43 "
+                        "overflow doc_id*FRAME_KEY_MULT — remap ids upstream"
+                    )
                 bb = bytes(b)
                 for idx, _off, fb in _iter_frames(bb):
                     if idx >= FRAME_KEY_MULT:

@@ -661,17 +661,21 @@ def _late_batches_build(spark, sf_dir, root, final, key, tid, variant="agg") -> 
         return final
     os.makedirs(root, exist_ok=True)
     # best-effort hygiene for dead corpora keys (test tmp dirs churn the
-    # key): only dirs untouched for 7 days — touch-on-reuse above keeps
-    # any active key perpetually fresh, so the age backstop cannot sweep
-    # a dir a live session still resolves plans from (the ADVICE r12
-    # url-index lesson applied from day one)
+    # key). Unlike url_index dirs these are content-keyed with NO pid, so
+    # they are legitimately shared across processes and a dead-builder-pid
+    # probe proves nothing about live READERS — the only sound sweep
+    # criterion is age. Touch-on-reuse above fires at plan-RESOLUTION
+    # time, not at collect time, so a long-lived foreign session that
+    # resolved a replay plan and went quiet can exceed 7 idle days while
+    # still referencing its corpus (ADVICE r13 #2); use the url-index 4x
+    # plausibility bound (28 idle days) instead of the bare week.
     import time as _time
 
     for e in os.listdir(root):
         if e.startswith("late_stream_") and e != f"late_stream_{key}":
             p = os.path.join(root, e)
             try:
-                if os.path.getmtime(p) < _time.time() - 7 * 86400:
+                if os.path.getmtime(p) < _time.time() - 4 * 7 * 86400:
                     import shutil as _sh
 
                     _sh.rmtree(p, ignore_errors=True)
