@@ -153,6 +153,12 @@ HEADLINE = [
     # round-13 addition: frame-level perceptual dedup (sampled-frame
     # aHash → packed-key banded tail → containment-shape doc verdict)
     "multimodal_frame_dedup",
+    # round-14 addition: C4-style line-level boilerplate removal (the
+    # third dedup granularity; map-combinable line-hash rollup +
+    # broadcast anti-join probe) — benched from day one; the LINE
+    # relation is session-staged, so the benched cost is the rollup,
+    # probe and per-doc rebuild
+    "corpus_strip_boilerplate_lines",
 ]
 
 # Streaming witnesses carry round-over-round timing accountability but are
@@ -229,6 +235,7 @@ def main() -> None:
         from torchfusion_spark.operators.dedup import (
             _staged_containment,
             _staged_hx,
+            _staged_lines,
             _staged_substring_grams,
             minhash_clusters,
             url_incremental_query,
@@ -259,7 +266,7 @@ def main() -> None:
         # so none serializes behind a full pool.
         from concurrent.futures import ThreadPoolExecutor
 
-        with ThreadPoolExecutor(max_workers=8) as pool:
+        with ThreadPoolExecutor(max_workers=10) as pool:
             roots = [
                 pool.submit(_staged_hx, spark),  # shared shingle+md5 relation
                 pool.submit(_staged_norms, spark),  # __sim_norms
@@ -272,6 +279,8 @@ def main() -> None:
                 pool.submit(_staged_phash, spark),
                 # per-frame aHash fingerprints (multimodal_frame_dedup)
                 pool.submit(_staged_frame_phash, spark),
+                # ordered line stream (corpus_strip_boilerplate_lines)
+                pool.submit(_staged_lines, spark),
                 # one-time persisted URL seen-set (VERDICT r11 item 5):
                 # the builder writes the index parquet eagerly and
                 # returns the probe plan unexecuted — exactly the

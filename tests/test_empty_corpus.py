@@ -78,6 +78,7 @@ DOC_OPS = [
     "text_lm_perplexity",
     "sample_dsir_importance",
     "corpus_strip_dup_spans",
+    "corpus_strip_boilerplate_lines",
     "text_decontaminate_spans",
     "text_gopher_rules",
     "dedup_url_canonical",

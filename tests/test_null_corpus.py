@@ -49,6 +49,7 @@ NULL_OPS = [
     "retrieval_rrf_fusion",     # BM25 side NULL-text-pruned tf; dense side NULL-emb-pruned norms
     "pipeline_rag_context",     # NULL-text hits contribute no context and no budget charge
     "pipeline_pretrain_corpus",  # full composition over NULL text/source/lang
+    "corpus_strip_boilerplate_lines",  # NULL text → 0-line row fingerprinting ''
 ]
 
 

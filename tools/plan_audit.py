@@ -217,6 +217,11 @@ _EXPECTED_AT_SCALE = {
     "text_decontaminate_spans": {"sort_merge_join"},  # shares the strip
     # tail: the token-stream ANTI join and base ⋈ rebuilt-text grow with
     # the corpus on both sides (the benchmark probe side stays broadcast)
+    "corpus_strip_boilerplate_lines": {"sort_merge_join"},  # base ⋈
+    # rebuilt-text: two doc-keyed relations that both grow with the
+    # corpus — the co-partitioned doc_id join IS the 100 TB plan (the
+    # hot-line probe side keeps its BROADCAST anti-join; measured at
+    # sf1: 1 broadcast + this one SMJ)
     "pipeline_quality_gate": {"sort_merge_join"},  # gopher ⋈ url-keeper:
     # two doc-keyed relations that both grow with the corpus — the
     # co-partitioned doc_id join IS the 100 TB plan (the source gate

@@ -212,6 +212,20 @@ def corpus_strip_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "corpus_strip_boilerplate_lines",
+    dedup.strip_boilerplate_lines_sql("duck"),
+    doc="C4/RefinedWeb line-level boilerplate removal — the third dedup "
+    "granularity: drop EVERY occurrence of any line repeated >= 3 times "
+    "corpus-wide (the nav-bar/cookie-banner killer), rebuild each doc "
+    "from its kept lines in order; map-combinable line-hash rollup + "
+    "broadcast anti-join probe — the corpus side never shuffles on the "
+    "probe and a hot line costs one count, never pairs",
+)
+def corpus_strip_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.strip_boilerplate_lines(spark)
+
+
+@query(
     "text_decontaminate_spans",
     textstats.decontaminate_spans_sql("duck"),
     doc="span-level benchmark decontamination: strip exactly the benchmark-"

@@ -33,6 +33,8 @@ else (bench.py, tools/verify_local.py, tests).
 from __future__ import annotations
 
 PRIORITY: list[str] = [
+    # -- new r14 registrations (uncertified) --
+    "corpus_strip_boilerplate_lines",
     # -- the 33 r10-vintage re-certs (4 rounds stale; oldest evidence first) --
     "stream_sliding_counts",
     "stream_session_window",
