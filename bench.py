@@ -177,6 +177,10 @@ STREAMING = [
     # dedup state-eviction paths benched
     "stream_late_eviction",
     "stream_late_dedup",
+    # round-14 addition: the event-time TIMER path (session-timeout state
+    # machine — ListState-shaped group state + event-time timeout) — the
+    # state/throughput row covers the timer-driven eviction path
+    "stream_session_timeout",
 ]
 
 

@@ -173,6 +173,11 @@ def test_streams_on_empty_source(spark, tables, tmp_path, restore_real_tables):
     assert le.count() == 0  # zero-batch replay: no windows finalized
     ld = streaming.late_dedup(spark, deg)
     assert ld.count() == 0  # zero rows: nothing to dedup or emit
+    stt = streaming.stateful_session_timeout(spark, deg)
+    assert stt.count() == 0  # no rows -> no sessions, no timers to fire
+    assert stt.columns == [
+        "user_id", "session_start", "session_end", "n_events", "total_cents",
+    ]
     eo = streaming.exactly_once_sink(spark, deg, str(tmp_path / "deg_sink"))
     assert eo.count() == 0
     assert eo.columns == ["window_start", "event_type", "n", "cents", "batch"]

@@ -580,3 +580,126 @@ def test_model_fuzz_windowed_agg_eviction(spark, tmp_path_factory, batches):
         for r in spark.table("tf_agg_fuzz").collect()
     )
     assert got == _agg_model(batches), (batches, got)
+
+
+# ---------------------------------------------------------------------------
+# Session-timeout (event-time TIMER path) model fuzzer — VERDICT r13 item 5.
+# Drives random batch sequences (repeated keys, within-batch duplicates,
+# boundary-rich 5-minute grid) through the REAL applyInPandasWithState
+# session machine and checks against a full Python model of its rules:
+# accept iff ts > wm (wm during batch b = max event time over batches < b,
+# minus delay — the operator's one-behind visible watermark, NOT the
+# built-ins' two-behind late-filter wm), sessionize by gap, emit iff
+# session_end + gap < final wm (strict, matching the probed strict timer).
+# ---------------------------------------------------------------------------
+
+_SESS_GAP_MIN = 20
+
+
+@st.composite
+def session_batches(draw):
+    n_batches = draw(st.integers(2, 4))
+    batches = []
+    for _b in range(n_batches):
+        n = draw(st.integers(0, 6))
+        rows = []
+        for _ in range(n):
+            k = draw(st.integers(1, 4))
+            m = 5 * draw(st.integers(0, 36))
+            c = draw(st.integers(-2, 5))
+            rows.append((k, m, c))  # repeats and ties allowed — the merge
+            # and the model must agree on them too
+        batches.append(rows)
+    return batches
+
+
+def _write_session_batches(tmpdir, batches):
+    import os
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    base = pd.Timestamp("2024-01-01 08:00:00")
+    for b, rows in enumerate(batches):
+        df = pd.DataFrame(
+            [(k, base + pd.Timedelta(minutes=m), c) for k, m, c in rows],
+            columns=["user_id", "ts", "cents"],
+        )
+        t = pa.Table.from_pandas(df)
+        t = t.set_column(
+            t.schema.get_field_index("ts"), "ts", t.column("ts").cast(pa.timestamp("us"))
+        )
+        t = t.set_column(
+            t.schema.get_field_index("user_id"), "user_id",
+            t.column("user_id").cast(pa.int64()),
+        )
+        t = t.set_column(
+            t.schema.get_field_index("cents"), "cents", t.column("cents").cast(pa.int64())
+        )
+        pq.write_table(t, f"{tmpdir}/b{b}.parquet")
+        os.utime(f"{tmpdir}/b{b}.parquet", (1_000_000_000 + b, 1_000_000_000 + b))
+
+
+def _session_model(batches, gap=_SESS_GAP_MIN):
+    """Python state machine of the session-timeout operator's rules. The
+    incremental machine (batch-wise merge + mid-stream timer emission) is
+    equivalent to global sessionization of the accepted set: an accepted
+    row has ts > wm(batch) >= every wm that already closed a session >
+    that session's end + gap, so it can never reach a closed session."""
+    wms = _wm_during([[(k, m) for k, m, _c in rows] for rows in batches])
+    acc = []
+    for b, rows in enumerate(batches):
+        wm = wms[b]
+        for k, m, c in rows:
+            if wm is None or m > wm:
+                acc.append((k, m, c))
+    final_wm = wms[len(batches)]
+    out = []
+    for k in sorted({a[0] for a in acc}):
+        pts = sorted((m, c) for kk, m, c in acc if kk == k)
+        sessions, cur = [], None
+        for m, c in pts:
+            if cur is not None and m <= cur[1] + gap:
+                cur[1] = max(cur[1], m)
+                cur[2] += 1
+                cur[3] += c
+            else:
+                if cur is not None:
+                    sessions.append(cur)
+                cur = [m, m, 1, c]
+        if cur is not None:
+            sessions.append(cur)
+        for s in sessions:
+            if final_wm is not None and s[1] + gap < final_wm:
+                out.append((k, s[0], s[1], s[2], s[3]))
+    return sorted(out)
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(batches=session_batches())
+def test_model_fuzz_session_timeout(spark, tmp_path_factory, batches):
+    import pandas as pd
+
+    from torchfusion_spark.streaming import _run_session_timeout
+
+    d = str(tmp_path_factory.mktemp("sess_fuzz"))
+    _write_session_batches(d, batches)
+    out = _run_session_timeout(spark, d, gap_min=_SESS_GAP_MIN, delay_min=_DELAY_MIN)
+    base = pd.Timestamp("2024-01-01 08:00:00").value // 1000  # epoch µs
+    got = sorted(
+        (
+            r.user_id,
+            (r.session_start - base) // 60_000_000,
+            (r.session_end - base) // 60_000_000,
+            r.n_events,
+            r.total_cents,
+        )
+        for r in out.collect()
+    )
+    assert got == _session_model(batches), (batches, got)

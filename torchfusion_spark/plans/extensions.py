@@ -474,6 +474,23 @@ def stream_late_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_session_timeout",
+    streaming.session_timeout_oracle_sql(),
+    doc="event-time TIMER witness: per-user session-timeout state machine "
+    "(open sessions in explicit group state, an event-time timeout at "
+    "min(session_end)+gap, sessions closed and emitted when the watermark "
+    "strictly passes end+gap — the probed strict-timer rule) over a "
+    "3-batch tercile replay with 1-in-8 one-batch-late stragglers; the "
+    "oracle re-derives batch assignment, the ms-floored one-behind "
+    "watermark, the late rule (ts <= wm drops) and the strict emission "
+    "rule in exact BIGINT µs — the sessionization idiom 100 TB streaming "
+    "state machines run on registered timers",
+)
+def stream_session_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return streaming.stateful_session_timeout(spark, sf_dir)
+
+
+@query(
     "stream_stateful_user_stats",
     streaming.STATEFUL_USER_STATS_ORACLE,
     doc="custom stateful streaming operator via applyInPandasWithState: "

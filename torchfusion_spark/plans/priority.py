@@ -35,6 +35,7 @@ from __future__ import annotations
 PRIORITY: list[str] = [
     # -- new r14 registrations (uncertified) --
     "corpus_strip_boilerplate_lines",
+    "stream_session_timeout",
     # -- the 33 r10-vintage re-certs (4 rounds stale; oldest evidence first) --
     "stream_sliding_counts",
     "stream_session_window",

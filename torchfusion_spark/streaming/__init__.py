@@ -572,6 +572,11 @@ LATE_WINDOW_MIN = 10
 LATE_SHIFTS_MIN = (0, 45, 90)  # per-batch backdating (minutes)
 LATE_DUP_X_MIN = 5  # dedup variant: batch-1 dup offset (state always live)
 LATE_DUP_Y_MIN = 600  # dedup variant: batch-2 dup offset (>> delay: 3-way split)
+SESSION_GAP_MIN = 360  # session variant: inactivity gap (fixture median
+# per-user spacing ~440 min, quartile ~180 — the gap sits between, so the
+# replay exercises both merges and splits)
+SESSION_DELAY_MIN = 30  # session variant: watermark delay
+SESSION_STRAG_MOD = 8  # 1-in-8 events arrive one batch late (stragglers)
 
 
 def _late_batches_dir(spark: SparkSession, sf_dir: str, variant: str = "agg") -> str:
@@ -593,6 +598,11 @@ def _late_batches_dir(spark: SparkSession, sf_dir: str, variant: str = "agg") ->
     ev_path = os.path.join(sf_dir, "events.parquet")
     st = os.stat(ev_path)
     recipe = f"{LATE_DELAY_MIN}|{LATE_SHIFTS_MIN}|{LATE_DUP_X_MIN}|{LATE_DUP_Y_MIN}"
+    if variant == "session":
+        # EVERY generator parameter folds into the content key (the r13
+        # stale-scratch lesson: a changed constant must never reuse the
+        # old corpus) — variant-scoped so the agg/dedup keys are stable
+        recipe += f"|{SESSION_GAP_MIN}|{SESSION_DELAY_MIN}|{SESSION_STRAG_MOD}"
     key = hashlib.md5(
         f"{os.path.abspath(sf_dir)}|{st.st_mtime_ns}|{st.st_size}|{variant}|{recipe}|v2".encode()
     ).hexdigest()[:16]
@@ -636,6 +646,34 @@ def _late_variant_frames(spark, sf_dir: str, variant: str):
 
     if variant == "agg":
         return [org(b, shift, []) for b, shift in enumerate(LATE_SHIFTS_MIN)]
+    if variant == "session":
+        # time-ordered ingest with stragglers: batch b = the b-th tercile
+        # of the event-time range, except STRAGGLERS (1-in-8 by portable
+        # event_id hash) which arrive one batch LATE with their original
+        # timestamp — the realistic replay for a sessionizing state
+        # machine (in-order bulk + a late tail the watermark may reject).
+        # Batch assignment is exact BIGINT µs arithmetic the oracle
+        # re-derives verbatim from the raw events table.
+        lined = ev.selectExpr(
+            "user_id",
+            "ts",
+            "CAST(ROUND(value * 100) AS BIGINT) AS cents",
+            "unix_micros(ts) AS e",
+            "CAST(conv(substr(md5(CAST(event_id AS STRING)), 1, 14), 16, 10) AS BIGINT)"
+            f" % {SESSION_STRAG_MOD} AS strag",
+        ).crossJoin(
+            ev.selectExpr("MIN(unix_micros(ts)) AS mn", "MAX(unix_micros(ts)) AS mx")
+        ).selectExpr(
+            "user_id",
+            "ts",
+            "cents",
+            "LEAST(LEAST((e - mn) * 3 DIV (mx - mn + 1), 2)"
+            " + IF(strag = 0, 1, 0), 2) AS b",
+        )
+        return [
+            lined.where(F.col("b") == b).select("user_id", "ts", "cents")
+            for b in range(3)
+        ]
     assert variant == "dedup", variant
 
     def dup(residue, plus_min):
@@ -837,4 +875,188 @@ def late_dedup_oracle_sql() -> str:
       AND (src.is_dup = 0
            OR (pw.prev_wm IS NOT NULL AND src.e0 + {d_us} <= pw.prev_wm))
     ORDER BY event_id, ts
+    """
+
+
+# ---------------------------------------------------------------------------
+# Event-time TIMER witness (VERDICT r13 item 5): the session-timeout state
+# machine — per-user open sessions held in explicit state, closed and
+# EMITTED when the event-time watermark passes session_end + gap. This is
+# the idiom a 100 TB sessionization pipeline runs on registered timers.
+# Probed semantics this witness pins (tests/test_streaming.py fuzzer):
+#   * applyInPandasWithState does NOT pre-filter late rows — the operator
+#     owns its late rule (probe: ts < wm AND ts == wm both reached
+#     update());
+#   * the watermark visible in batch N (getCurrentWatermarkMs) is
+#     max event-ms over batches < N minus the delay — one batch fresher
+#     than the built-in operators' late-filter watermark;
+#   * event-time timers fire STRICTLY (timer < wm fires; == does not);
+#   * the watermark advances on ALL input rows (the wm node sees rows
+#     before the operator drops them), and availableNow ends with a
+#     final no-data batch at max(ts)-delay that fires remaining timers.
+# The operator's own rules (mirrored exactly by the oracle): accept iff
+# ts > wm (== drops), sessions merge on gaps <= gap, a session closes
+# and emits iff session_end + gap < wm (strict — matching the probed
+# strict timer so the registered timer at (end+gap) ms fires exactly
+# when emission is due). The Spark-side watermark is milliseconds, so
+# the oracle floors max-event µs to ms before subtracting the delay.
+# ---------------------------------------------------------------------------
+
+
+def stateful_session_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-timeout sessionization over the 3-batch tercile replay
+    (in-order bulk + 1-in-8 stragglers one batch late): per-user open
+    sessions in explicit group state (parallel-array struct), an
+    event-time timeout registered at min(session_end)+gap, closed
+    sessions emitted with exact integer (epoch-µs bounds, count, cent
+    total). Second-generation API note: ``transformWithStateInPandas``
+    timers (registerTimer/handleExpiredTimer) need the protobuf state
+    server, absent in this runtime — the ``GroupStateTimeout
+    .EventTimeTimeout`` path below implements the identical state
+    machine (same rules, same oracle), the same dual-path discipline as
+    :func:`stateful_cents`."""
+    d = _late_batches_dir(spark, sf_dir, variant="session")
+    return _run_session_timeout(spark, d)
+
+
+def _run_session_timeout(
+    spark: SparkSession,
+    batches_dir: str,
+    gap_min: int = SESSION_GAP_MIN,
+    delay_min: int = SESSION_DELAY_MIN,
+) -> DataFrame:
+    """The session-timeout pipeline over an arbitrary replayed batch dir —
+    factored from :func:`stateful_session_timeout` so the randomized model
+    fuzzer drives the REAL operator on its own corpora."""
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    gap_us = gap_min * 60_000_000
+    src = (
+        spark.readStream.schema("user_id bigint, ts timestamp, cents bigint")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(batches_dir)
+    )
+
+    def update(key, pdfs, state: GroupState):
+        wm_us = max(state.getCurrentWatermarkMs(), 0) * 1000
+        sess = []
+        if state.exists:
+            st = state.get
+            sess = [list(t) for t in zip(st[0], st[1], st[2], st[3])]
+        for pdf in pdfs:  # empty on a timeout invocation
+            for ts, c in zip(pdf["ts"], pdf["cents"]):
+                e = int(ts.value) // 1000  # pandas ns → epoch µs
+                if e > wm_us:  # the operator's own late rule: == drops
+                    sess.append([e, e, 1, int(c)])
+        sess.sort(key=lambda s: (s[0], s[1]))
+        merged: list = []
+        for s in sess:
+            if merged and s[0] <= merged[-1][1] + gap_us:
+                m = merged[-1]
+                m[1] = max(m[1], s[1])
+                m[2] += s[2]
+                m[3] += s[3]
+            else:
+                merged.append(s)
+        done = [s for s in merged if s[1] + gap_us < wm_us]  # strict: == stays
+        live = [s for s in merged if s[1] + gap_us >= wm_us]
+        if live:
+            state.update((
+                [s[0] for s in live],
+                [s[1] for s in live],
+                [s[2] for s in live],
+                [s[3] for s in live],
+            ))
+            # ms-floored timer fires (strictly) exactly when the strict
+            # µs emission rule first holds; >= wm by the live filter, so
+            # setTimeoutTimestamp's not-behind-watermark check passes
+            state.setTimeoutTimestamp(min(s[1] + gap_us for s in live) // 1000)
+        elif state.exists:
+            state.remove()
+        if done:
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]] * len(done),
+                    "session_start": [s[0] for s in done],
+                    "session_end": [s[1] for s in done],
+                    "n_events": [s[2] for s in done],
+                    "total_cents": [s[3] for s in done],
+                }
+            )
+
+    out = src.withWatermark("ts", f"{delay_min} minutes").groupBy(
+        "user_id"
+    ).applyInPandasWithState(
+        update,
+        outputStructType=(
+            "user_id bigint, session_start bigint, session_end bigint, "
+            "n_events bigint, total_cents bigint"
+        ),
+        stateStructType=(
+            "starts array<bigint>, lasts array<bigint>, "
+            "ns array<bigint>, cents array<bigint>"
+        ),
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+    name = "tf_stream_session_timeout"
+    # every emitted row is a closed session, emitted exactly once — the
+    # update-mode memory sink content IS the answer (no latest-per-key)
+    return _run_to_memory(spark, out, name, "update").orderBy("user_id", "session_start")
+
+
+def session_timeout_oracle_sql() -> str:
+    """DuckDB recompute of the session-timeout machine in exact BIGINT
+    arithmetic: re-derive the tercile/straggler batch assignment from
+    the raw events table, apply the per-batch late rule against the
+    ms-floored watermark of the PRIOR batches, sessionize survivors by
+    gaps-and-islands (arrival order is irrelevant to the final session
+    partition — an emitted session can never absorb a later-accepted
+    row, because acceptance requires ts > wm > closed end + gap), and
+    emit exactly the sessions the final watermark strictly passed."""
+    gap_us = SESSION_GAP_MIN * 60_000_000
+    d_ms = SESSION_DELAY_MIN * 60_000
+    return f"""
+    WITH base AS (
+        SELECT user_id, epoch_us(ts) AS e,
+               CAST(ROUND(value * 100) AS BIGINT) AS cents,
+               CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 14)) AS BIGINT)
+                   % {SESSION_STRAG_MOD} AS strag
+        FROM events WHERE ts IS NOT NULL),
+    bounds AS (SELECT MIN(e) AS mn, MAX(e) AS mx FROM base),
+    src AS (
+        SELECT user_id, e, cents,
+               LEAST(LEAST((e - mn) * 3 // (mx - mn + 1), 2)
+                     + CASE WHEN strag = 0 THEN 1 ELSE 0 END, 2) AS b
+        FROM base, bounds),
+    m AS (SELECT b, MAX(e) AS mx FROM src GROUP BY b),
+    wm AS (
+        SELECT s.b,
+               ((SELECT MAX(m.mx) // 1000 FROM m WHERE m.b < s.b) - {d_ms}) * 1000 AS wm_us
+        FROM (SELECT DISTINCT b FROM src) s),
+    acc AS (
+        SELECT src.user_id, src.e, src.cents
+        FROM src JOIN wm ON src.b = wm.b
+        WHERE wm.wm_us IS NULL OR src.e > wm.wm_us),
+    isl AS (
+        SELECT user_id, e, cents,
+               SUM(CASE WHEN prev IS NULL OR e - prev > {gap_us} THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY user_id ORDER BY e
+                         ROWS UNBOUNDED PRECEDING) AS sid
+        FROM (SELECT user_id, e, cents,
+                     LAG(e) OVER (PARTITION BY user_id ORDER BY e) AS prev
+              FROM acc)),
+    sess AS (
+        SELECT user_id, sid, MIN(e) AS session_start, MAX(e) AS session_end,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(cents) AS BIGINT) AS total_cents
+        FROM isl GROUP BY user_id, sid),
+    fw AS (SELECT ((MAX(e) // 1000) - {d_ms}) * 1000 AS wm_us FROM src)
+    SELECT user_id, session_start, session_end, n_events, total_cents
+    FROM sess, fw
+    WHERE sess.session_end + {gap_us} < fw.wm_us
+    ORDER BY user_id, session_start
     """
