@@ -2899,3 +2899,339 @@ def test_differential_strip_boilerplate_lines(spark, duck, restore_documents, ca
     assert got == want, (case, got, want)
     ref = _line_python_ref(docs)
     assert got == ref, (case, got, ref)
+
+
+# ---------------------------------------------------------------------------
+# Similarity/ANN-family fuzzers (VERDICT r13 item 4): sim_kmeans,
+# sim_ivf_topk, sim_semantic_dedup, sim_quantize_int8, sim_near_dup_collapse
+# share the 6dp-L2/DECIMAL disciplines but had no differential generators —
+# and both the r12 lockstep bug and the r13 harness catches came exactly
+# where fuzzers hadn't looked. Random float32 corpora with duplicates, zero
+# vectors, NULL embeddings, and sub-k counts, run on BOTH dialects AND
+# recomputed fully in plain Python (Lloyd, IVF probe, greedy SemDeDup,
+# anchor collapse, per-row quantization).
+# ---------------------------------------------------------------------------
+
+
+@st.composite
+def ann_corpus_inputs(draw):
+    seed = draw(st.integers(0, 10_000))
+    n_vecs = draw(st.integers(1, 22))
+    return seed, n_vecs
+
+
+def _ann_make_vecs(seed: int, n_vecs: int):
+    """(vec_id, embedding|None) rows: float32 values, ~1/8 NULL rows, ~1/8
+    zero vectors, ~1/4 duplicates of an earlier row (tie pressure)."""
+    import numpy as np
+
+    from torchfusion_spark.operators.sqlgen import EMB_DIM
+
+    rng = np.random.default_rng(seed)
+    rows = []
+    for i in range(n_vecs):
+        kind = int(rng.integers(0, 8))
+        if kind == 0:
+            v = None
+        elif kind == 1:
+            v = [0.0] * EMB_DIM
+        elif kind in (2, 3) and any(r[1] is not None for r in rows):
+            v = next(r[1] for r in reversed(rows) if r[1] is not None)
+        else:
+            v = [float(np.float32(x)) for x in np.round(rng.standard_normal(EMB_DIM), 3)]
+        rows.append((i, v))
+    return rows
+
+
+def _register_vecs(spark, duck, rows):
+    import pandas as pd
+
+    vec_rows = [(i, v, 0) for i, v in rows]
+    edf = pd.DataFrame(vec_rows, columns=["vec_id", "embedding", "label"]).astype(
+        {"vec_id": "int64", "embedding": "object", "label": "int32"}
+    )
+    spark.createDataFrame(
+        vec_rows, "vec_id bigint, embedding array<float>, label int"
+    ).createOrReplaceTempView("embeddings")
+    duck.execute(
+        "CREATE OR REPLACE VIEW embeddings AS "
+        "SELECT CAST(vec_id AS BIGINT) AS vec_id, "
+        "CAST(embedding AS FLOAT[]) AS embedding, label FROM edf"
+    )
+    return edf  # keep alive for duck's replacement scan
+
+
+def _r6(x):
+    """ROUND(double, 6) as both engines compute it on continuous data
+    (exact-halfway cases have measure zero for random float32 folds)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    if x != x:  # NaN passes through: both engines round NaN to NaN
+        return x
+    return float(Decimal(x).quantize(Decimal("1e-6"), ROUND_HALF_UP))
+
+
+def _fold_dot(a, b):
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc += x * y
+    return acc
+
+
+def _norms_py(rows):
+    """norm_cte: NULL and zero-norm embeddings excluded (cosine is
+    undefined at norm 0 — the r14 fuzzer finding); (vec_id, v, nrm)
+    with v the float32→double values and nrm the left-fold sqrt."""
+    import math
+
+    return [
+        (i, v, math.sqrt(_fold_dot(v, v)))
+        for i, v in rows
+        if v is not None and _fold_dot(v, v) > 0
+    ]
+
+
+
+
+@settings(
+    max_examples=40,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(case=ann_corpus_inputs())
+def test_differential_sim_quantize_int8(spark, duck, restore_documents, case):
+    import math
+
+    from torchfusion_spark.operators.similarity import quantize_int8_sql
+
+    rows = _ann_make_vecs(*case)
+    edf = _register_vecs(spark, duck, rows)  # noqa: F841
+    got = [tuple(r) for r in spark.sql(quantize_int8_sql("spark")).collect()]
+    want = [tuple(r) for r in duck.execute(quantize_int8_sql("duck")).fetchall()]
+    assert got == want, (case, got[:3], want[:3])
+
+    ref = []
+    for i, v in rows:
+        if v is None:
+            # greatest() ignores NULLs on both engines: scale = 1e-12/127
+            # (rounds to 0.0); the reconstruction stays NULL
+            ref.append((i, 0.0, None, None))
+            continue
+        scale = max(max(abs(x) for x in v), 1e-12) / 127.0
+        r = [math.floor(x / scale + 0.5) * scale for x in v]
+        nv, nr = math.sqrt(_fold_dot(v, v)), math.sqrt(_fold_dot(r, r))
+        cos = _fold_dot(v, r) / max(nv * nr, 1e-12)
+        err = max(abs(x - y) for x, y in zip(v, r))
+        ref.append((i, _r6(scale), _r6(cos), _r6(err)))
+    assert got == ref, (case, got[:3], ref[:3])
+
+
+def _buckets_py(norms):
+    """sign-LSH bucket per (vec_id, v, nrm) row — 8 seeded planes."""
+    from torchfusion_spark.operators.sqlgen import PLANES
+
+    out = {}
+    for i, v, _n in norms:
+        b = 0
+        for p, plane in enumerate(PLANES):
+            if _fold_dot(v, plane) > 0:
+                b += 1 << p
+        out[i] = b
+    return out
+
+
+@settings(
+    max_examples=40,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(case=ann_corpus_inputs())
+def test_differential_sim_near_dup_collapse(spark, duck, restore_documents, case):
+    from torchfusion_spark.operators.similarity import (
+        near_dup_collapse,
+        near_dup_collapse_sql,
+    )
+
+    rows = _ann_make_vecs(*case)
+    edf = _register_vecs(spark, duck, rows)  # noqa: F841
+    got = [tuple(r) for r in near_dup_collapse(spark).collect()]
+    want = [tuple(r) for r in duck.execute(near_dup_collapse_sql("duck")).fetchall()]
+    assert got == want, (case, got[:4], want[:4])
+
+    norms = _norms_py(rows)
+    bucket = _buckets_py(norms)
+    by_id = {i: (v, n) for i, v, n in norms}
+    anchors = {}
+    for i, _v, _n in norms:
+        b = bucket[i]
+        anchors[b] = min(anchors.get(b, i), i)
+    groups: dict = {}
+    for i, v, n in norms:
+        a = anchors[bucket[i]]
+        av, an = by_id[a]
+        cos = _r6(_fold_dot(v, av) / (n * an))
+        canon = a if cos >= 0.30 else i
+        g = groups.setdefault(canon, [[], []])
+        g[0].append(bucket[i])
+        g[1].append(cos)
+    ref = sorted(
+        (canon, min(bs), len(bs), len(bs) - 1, min(cs))
+        for canon, (bs, cs) in groups.items()
+    )
+    assert got == ref, (case, got[:4], ref[:4])
+
+
+def _assign_py(norms, n_centroids=16):
+    """_assign_body: nearest centroid by 6dp-rounded cosine DESC, c_id
+    tie-break; centroids = first n_centroids rows of the norm relation
+    (zero norms already excluded, so cosines are finite)."""
+    cents = [(i, v, n) for i, v, n in norms if i < n_centroids]
+    out = {}
+    for i, v, n in norms:
+        best = None
+        for c_id, cv, cn in cents:
+            key = (-_r6(_fold_dot(v, cv) / (n * cn)), c_id)
+            if best is None or key < best:
+                best = key
+        if best is not None:
+            out[i] = best[1]
+    return out
+
+
+@settings(
+    max_examples=40,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(case=ann_corpus_inputs())
+def test_differential_sim_semantic_dedup(spark, duck, restore_documents, case):
+    from torchfusion_spark.operators.similarity import semantic_dedup, semantic_dedup_sql
+
+    rows = _ann_make_vecs(*case)
+    edf = _register_vecs(spark, duck, rows)  # noqa: F841
+    got = [tuple(r) for r in semantic_dedup(spark).collect()]
+    want = [tuple(r) for r in duck.execute(semantic_dedup_sql("duck")).fetchall()]
+    assert got == want, (case, got[:4], want[:4])
+
+    norms = _norms_py(rows)
+    by_id = {i: (v, n) for i, v, n in norms}
+    assign = _assign_py(norms)
+    dropped = set()
+    ids = sorted(assign)
+    for x, a in enumerate(ids):
+        for b in ids[x + 1:]:
+            if assign[a] != assign[b]:
+                continue
+            va, na = by_id[a]
+            vb, nb = by_id[b]
+            if _r6(_fold_dot(va, vb) / (na * nb)) >= 0.42:
+                dropped.add(b)
+    ref = sorted((i, assign[i], i not in dropped) for i in ids)
+    assert got == ref, (case, got[:4], ref[:4])
+
+
+@settings(
+    max_examples=40,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(case=ann_corpus_inputs())
+def test_differential_sim_ivf_topk(spark, duck, restore_documents, case):
+    from torchfusion_spark.operators.similarity import ivf_topk, ivf_topk_sql
+
+    rows = _ann_make_vecs(*case)
+    edf = _register_vecs(spark, duck, rows)  # noqa: F841
+    got = [tuple(r) for r in ivf_topk(spark).collect()]
+    want = [tuple(r) for r in duck.execute(ivf_topk_sql("duck")).fetchall()]
+    assert got == want, (case, got[:4], want[:4])
+
+    norms = _norms_py(rows)
+    by_id = {i: (v, n) for i, v, n in norms}
+    assign = _assign_py(norms, n_centroids=16)
+    cents = [(i, v, n) for i, v, n in norms if i < 16]
+    ref = []
+    for q_id, qv, qn in ((i, v, n) for i, v, n in norms if i < 4):
+        ranked = sorted(
+            (-_r6(_fold_dot(qv, cv) / (qn * cn)), c_id) for c_id, cv, cn in cents
+        )
+        probed = {c_id for _s, c_id in ranked[:4]}
+        cands = sorted(
+            (-_r6(_fold_dot(qv, by_id[cand][0]) / (qn * by_id[cand][1])), cand)
+            for cand, c in assign.items()
+            if c in probed and cand != q_id
+        )
+        ref.extend((q_id, cand, -negcos) for negcos, cand in cands[:10])
+    assert got == ref, (case, got[:6], ref[:6])
+
+
+def _dec9(x):
+    """CAST(double AS DECIMAL(18,9)) — HALF_UP at 9dp on the exact binary
+    value, the DECIMAL-sum discipline's per-term quantization."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return Decimal(x).quantize(Decimal("1e-9"), ROUND_HALF_UP)
+
+
+def _fold_l2sq(a, b):
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc += (x - y) * (x - y)
+    return acc
+
+
+@settings(
+    max_examples=40,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(case=ann_corpus_inputs())
+def test_differential_sim_kmeans(spark, duck, restore_documents, case):
+    from torchfusion_spark.operators.similarity import KMEANS_ITERS, KMEANS_K, kmeans, kmeans_sql
+
+    rows = _ann_make_vecs(*case)
+    edf = _register_vecs(spark, duck, rows)  # noqa: F841
+    got = [tuple(r) for r in kmeans(spark).collect()]
+    want = [tuple(r) for r in duck.execute(kmeans_sql("duck")).fetchall()]
+    assert got == want, (case, got[:4], want[:4])
+
+    # plain-Python Lloyd with the exact disciplines: init = first k rows
+    # of the norm relation, assignment by (round6(L2²), c_id), update =
+    # round6(double(DECIMAL(18,9)-sum) / count) per (centroid, dim)
+    norms = _norms_py(rows)
+    pts = [(i, v) for i, v, _n in norms]
+    cents = {i: v for i, v, _n in norms if i < KMEANS_K}
+    assign = {}
+    for _ in range(KMEANS_ITERS):
+        assign = {}
+        for i, v in pts:
+            best = min(
+                ((_r6(_fold_l2sq(v, cv)), c_id) for c_id, cv in cents.items()),
+                default=None,
+            )
+            if best is not None:
+                assign[i] = best[1]
+        upd: dict = {}
+        for i, v in pts:
+            if i not in assign:
+                continue
+            c = assign[i]
+            for dim, val in enumerate(v, 1):
+                s, n = upd.get((c, dim), (0, 0))
+                upd[(c, dim)] = (s + _dec9(val), n + 1)
+        cents = {}
+        for (c, dim), (s, n) in sorted(upd.items()):
+            cents.setdefault(c, []).append(_r6(float(s) / n))
+    sizes: dict = {}
+    for c in assign.values():
+        sizes[c] = sizes.get(c, 0) + 1
+    ref = sorted(
+        (c, dim, cval, sizes[c])
+        for c, vals in cents.items()
+        for dim, cval in enumerate(vals, 1)
+    )
+    assert got == ref, (case, got[:4], ref[:4])

@@ -43,10 +43,17 @@ def norm_cte(d: str, rel: str = "embeddings") -> str:
     participate in no similarity op, and leaving it in diverges the
     engines downstream (the iterative k-means trainer and the unrolled
     oracle order NULL similarities differently — observed as a 64-vs-512
-    row split on a NULL-bearing corpus)."""
+    row split on a NULL-bearing corpus). ZERO vectors are excluded for
+    the same structural reason (r14 ANN fuzzer finding): cosine is
+    undefined at norm 0, and under ANSI mode the division doesn't go
+    NaN — it raises DIVIDE_BY_ZERO at runtime, crashing every cosine
+    operator on any corpus containing one all-zero embedding (the
+    fixture corpus has none, so the hash gate never saw it). A
+    direction-less vector participates in no similarity op; callers
+    needing zero rows handle them upstream like NULLs."""
     return (
-        f"SELECT vec_id, v, {_norm('v', d)} AS nrm FROM "
-        f"(SELECT vec_id, {_vec(d)} AS v FROM {rel}) WHERE v IS NOT NULL"
+        f"SELECT vec_id, v, nrm FROM (SELECT vec_id, v, {_norm('v', d)} AS nrm FROM "
+        f"(SELECT vec_id, {_vec(d)} AS v FROM {rel}) WHERE v IS NOT NULL) WHERE nrm > 0"
     )
 
 
