@@ -256,14 +256,46 @@ def test_capped_bucket_stats_observability(spark, tables):
     )
 
     from torchfusion_spark.operators.multimodal import phash_capped_bucket_stats
+    from torchfusion_spark.operators.similarity import lsh_capped_bucket_stats
 
     assert simhash_capped_bucket_stats(spark).count() == 0
     assert minhash_capped_bucket_stats(spark).count() == 0
     assert phash_capped_bucket_stats(spark).count() == 0
+    assert lsh_capped_bucket_stats(spark).count() == 0
     # the surface reports when a cap WOULD bite: tighten max_bucket to 1
     # and the boilerplate-free corpus still has some 2+ buckets
     assert simhash_capped_bucket_stats(spark, max_bucket=1).count() > 0
     assert phash_capped_bucket_stats(spark, max_bucket=1).count() > 0
+    assert lsh_capped_bucket_stats(spark, max_bucket=1).count() > 0
+
+
+def test_lsh_pair_cap_bites_identically_on_both_engines(spark, tables):
+    """The r14 hot-bucket cap on sim_cosine_near_dup_lsh, exercised at a
+    cap that BITES (max_bucket=1 excludes every 2+ bucket): both dialects
+    of the capped SQL must agree exactly — a wrong partition key, a <=/<
+    slip, or a dropped column in the sized/ok CTEs would silently change
+    recall and never surface at fixture scale where the default cap is a
+    no-op (code-review r14)."""
+    import duckdb
+
+    from torchfusion_spark.operators.similarity import cosine_near_dup_lsh_sql
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{tables}/embeddings.parquet')"
+    )
+    for cap in (1, 3, 1_000_000):
+        got = [tuple(r) for r in spark.sql(
+            cosine_near_dup_lsh_sql("spark", max_bucket=cap)
+        ).collect()]
+        want = [tuple(r) for r in con.execute(
+            cosine_near_dup_lsh_sql("duck", max_bucket=cap)
+        ).fetchall()]
+        assert got == want, cap
+    # the tightest cap really bites: strictly fewer pairs than uncapped
+    tight = spark.sql(cosine_near_dup_lsh_sql("spark", max_bucket=1)).count()
+    loose = spark.sql(cosine_near_dup_lsh_sql("spark", max_bucket=1_000_000)).count()
+    assert tight < loose
 
 
 def test_staged_lifecycle_no_storage_leak(spark, tables):

@@ -1,0 +1,110 @@
+"""One-shot sf3 DuckDB baseline with an explicit per-query budget.
+
+The stock ``duckdb_baseline.py`` methodology (warm + min of N timed runs)
+is right at sf0.1/sf1 but unbounded at the sf3 skew point: two oracles are
+recursive-CTE transitive closures that are super-quadratic in the
+3,000-member hot cluster (a single evaluation exceeded 20 minutes), and
+re-running the two ~10-minute linear monsters three times spends half an
+hour re-learning one number. This runner publishes the same JSON shape
+with the budget made explicit per query:
+
+  * method "min2": warm + min of 2 timed runs (identical to the stock
+    tool at runs=2) — every query whose first timed run is < 60s;
+  * method "n1": one timed run — queries over 60s (run-to-run spread on
+    a 10-minute single-threaded scan is noise against a 3x trend table);
+  * method "salvaged": the value measured by the stock tool's clean
+    first pass this round (nothing else running), re-used instead of
+    re-paying ~30 minutes: dedup_minhash_lsh, events_range_join;
+  * method "skipped": pipeline_dedup_canonical and
+    dedup_minhash_clusters_star — their DuckDB oracles are recursive-CTE
+    closures whose cost at sf3 exceeds any reasonable session budget;
+    their sf1 points (Spark 0.2-0.3x of DuckDB, Spark ahead) stand.
+
+Usage: python tools/duck_sf3_runner.py [sf_dir] [out.json]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from tools.verify_local import duck_connection  # noqa: E402
+
+SALVAGED = {
+    # measured by tools/duckdb_baseline.py's clean first pass this round
+    # (one process, quiet box); oracles unchanged at HEAD
+    "dedup_minhash_lsh": 636.910,
+    "events_range_join": 506.242,
+}
+SKIPPED = {
+    "pipeline_dedup_canonical": "recursive-CTE closure oracle; single "
+    "evaluation > 20 min at sf3 — sf1 point stands",
+    "dedup_minhash_clusters_star": "same recursive-CTE closure; same budget",
+}
+FAST_CUTOFF_SEC = 60.0
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/.scratch/sf3"
+    out_path = sys.argv[2] if len(sys.argv) > 2 else "/root/repo/.scratch/duck_sf3.json"
+
+    from bench import HEADLINE, parse_sf
+    from torchfusion_spark.plans import REGISTRY
+
+    con = duck_connection(sf_dir)
+    timings: dict[str, float] = {}
+    methods: dict[str, str] = {}
+    errors: dict[str, str] = {}
+    for name in HEADLINE:
+        q = REGISTRY[name]
+        if q.oracle is None:
+            continue
+        if name in SALVAGED:
+            timings[name] = SALVAGED[name]
+            methods[name] = "salvaged"
+            print(f"{name:32s} {SALVAGED[name]:9.3f}s salvaged", file=sys.stderr)
+            continue
+        if name in SKIPPED:
+            methods[name] = "skipped"
+            print(f"{name:32s}    SKIPPED {SKIPPED[name]}", file=sys.stderr)
+            continue
+        try:
+            t0 = time.perf_counter()
+            con.execute(q.oracle).fetchall()
+            t1 = time.perf_counter() - t0
+            if t1 < FAST_CUTOFF_SEC:
+                t0 = time.perf_counter()
+                con.execute(q.oracle).fetchall()
+                t2 = time.perf_counter() - t0
+                timings[name] = round(min(t1, t2), 4)
+                methods[name] = "min2"
+            else:
+                timings[name] = round(t1, 4)
+                methods[name] = "n1"
+        except Exception as exc:  # noqa: BLE001 — isolate, record, continue
+            errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+            print(f"{name:32s} FAILED {errors[name]}", file=sys.stderr)
+            continue
+        print(f"{name:32s} {timings[name]:9.3f}s {methods[name]}", file=sys.stderr)
+
+    out = {
+        "engine": "duckdb",
+        "sf": parse_sf(sf_dir),
+        "runs": "budgeted (see methods)",
+        "total_sec": round(sum(timings.values()), 4),
+        "queries": timings,
+        "methods": methods,
+        "skipped": SKIPPED,
+        **({"errors": errors} if errors else {}),
+    }
+    with open(out_path, "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps({"total_sec": out["total_sec"], "n": len(timings)}))
+
+
+if __name__ == "__main__":
+    main()

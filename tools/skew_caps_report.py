@@ -199,7 +199,23 @@ def main() -> None:
 
     from pyspark.sql import functions as F
 
-    pair_rows = similarity.cosine_near_dup_lsh(spark).count()
+    # r14 hot-bucket cap on the pair-enumerating LSH query (the sf3 sweep
+    # measured the uncapped join growing 10× on a 3× corpus): the shared
+    # observer + report shape, like every other capped family
+    lsh_cap_rows = similarity.lsh_capped_bucket_stats(spark).collect()
+    report["caps"]["sim_cosine_near_dup_lsh"] = dedup.capped_bucket_report(
+        lsh_cap_rows, similarity.LSH_MAX_BUCKET
+    )
+    report["caps"]["sim_cosine_near_dup_lsh"]["note"] = (
+        "capped buckets are excluded from the pair join entirely (one "
+        "bucket per vector: no other band recovers them); the collapse "
+        "operator is the sanctioned path for those buckets"
+    )
+
+    # the collapse-vs-enumerate witness measures the UNCAPPED pair growth
+    # on purpose — capping here would hide exactly the C(n,2) blow-up the
+    # section exists to demonstrate (code-review r14)
+    pair_rows = similarity.cosine_near_dup_lsh(spark, max_bucket=10**9).count()
     # one execution for all three collapse stats (count + hot-cluster
     # row) — count() then orderBy().first() would run the collapse plan
     # twice (code-review r08)

@@ -538,14 +538,17 @@ def simhash_capped_bucket_stats(spark, bits: int = 32, max_bucket: int = SIMHASH
     )
 
 
-def capped_bucket_stats(spark, rel: str, band_keys: list[str], max_bucket: int):
+def capped_bucket_stats(
+    spark, rel: str, band_keys: list[str], max_bucket: int, carry: str = "doc_id"
+):
     """ONE spelling for every banded family's cap observer (SimHash,
-    MinHash, the multimodal payload fingerprint): the (band, bkey, bsz)
-    buckets the hot-band cap EXCLUDES from the candidate join, over the
-    family's own staged relation and band-key expressions — a future
+    MinHash, the multimodal payload fingerprint, the embedding sign-LSH
+    buckets — ``carry`` names the family's id column): the (band, bkey,
+    bsz) buckets the hot-band cap EXCLUDES from the candidate join, over
+    the family's own staged relation and band-key expressions — a future
     cap-semantics fix lands in every observer at once (code-review
     r12)."""
-    exploded = G.band_explode(rel, band_keys, "spark")
+    exploded = G.band_explode(rel, band_keys, "spark", carry=carry)
     return spark.sql(f"""
     SELECT band, bkey, CAST(COUNT(*) AS BIGINT) AS bsz
     FROM ({exploded})
@@ -1372,6 +1375,7 @@ def strip_boilerplate_lines_body_sql(
     lines_rel: str,
     threshold: int = LINE_DUP_THRESHOLD,
     docs_rel: str = "documents",
+    w: int = LINE_W,
 ) -> str:
     """Corpus-wide line-frequency filter over a (doc_id, line_no, line,
     hx) relation: rollup line-hash occurrence counts, drop EVERY
@@ -1387,7 +1391,7 @@ def strip_boilerplate_lines_body_sql(
     aggregation collapses each executor's occurrences before the ONE
     hash-key shuffle; a nav-bar line in a billion docs crosses the wire
     as one (hx, count) row per map task, never as rows). The hot set —
-    lines with count >= {{threshold}} — is boilerplate-sized, orders of
+    lines repeated at least ``threshold`` times — is boilerplate-sized, orders of
     magnitude smaller than the corpus, so the Spark side BROADCASTS it
     into a LEFT ANTI JOIN probe: the corpus-sized line stream never
     shuffles on the probe. Reconstruction is a per-doc aggregate whose
@@ -1403,7 +1407,9 @@ def strip_boilerplate_lines_body_sql(
         )
     toks = G.split_ws(G.lower_ascii("text"), d)
     n = G.arr_size("toks", d)
-    nlines = G.intdiv(f"{n} + {LINE_W - 1}", str(LINE_W), d)
+    nlines = G.intdiv(f"{n} + {w - 1}", str(w), d)  # same w as lines_rel —
+    # the base arithmetic and the line relation must never disagree on
+    # the lining width (code-review r14)
     if d == "spark":
         rebuild = (
             "array_join(transform(array_sort(collect_list(struct(line_no, line))), "
@@ -1438,48 +1444,72 @@ def strip_boilerplate_lines_body_sql(
     """
 
 
-def strip_boilerplate_lines_sql(d: str, threshold: int = LINE_DUP_THRESHOLD) -> str:
+def strip_boilerplate_lines_sql(
+    d: str, threshold: int = LINE_DUP_THRESHOLD, w: int = LINE_W
+) -> str:
     """Relational (oracle) composition: lines CTE inline. DuckDB gets a
     MATERIALIZED lines CTE (it is referenced by both the rollup and the
     probe — the engine-inlining discipline, mirrored by the Spark
-    builder's staged view)."""
+    builder's staged view). ``w`` plumbs through BOTH the lines relation
+    and the body's base arithmetic, mirroring the Spark path, so a
+    non-default lining width stays hash-gateable (code-review r14)."""
     mat = "MATERIALIZED " if d == "duck" else ""
-    body = strip_boilerplate_lines_body_sql(d, "lines_rel", threshold)
+    body = strip_boilerplate_lines_body_sql(d, "lines_rel", threshold, w=w)
     return body.replace(
         "WITH hot AS",
-        f"WITH lines_rel AS {mat}({lines_rel_sql(d)}),\n    hot AS",
+        f"WITH lines_rel AS {mat}({lines_rel_sql(d, w)}),\n    hot AS",
         1,
     )
 
 
-def _staged_lines(spark, w: int = LINE_W) -> str:
+def _staged_lines(spark, w: int = LINE_W, then=None):
     """The (doc_id, line_no, line, hx) relation staged once per (session,
     docs-view identity, w): the plan references it on both the rollup
     and the anti-join probe side and Catalyst inlines CTEs — without
     staging the tokenize+md5 lining pass runs twice (the
-    ``_staged_substring_grams`` discipline)."""
+    ``_staged_substring_grams`` discipline).
+
+    ``then`` is invoked INSIDE the memo lock (the ``_staged_hx``
+    discipline): a consumer resolving its plan from ``__tf_lines`` after
+    release races a concurrent docs-view swap, binding the hot set to
+    one corpus and the base CTE to the other (ADVICE r08 TOCTOU class;
+    code-review r14 caught this staging helper shipping without it)."""
     from torchfusion_spark.session import memo_lock, staged_cache
 
-    key = (_docs_key(spark), w)
+    key = _docs_key(spark)
+    # view/slot/memo-attr are all w-scoped (the semantic_dedup
+    # parameter-scoped-names discipline): two widths alternating in one
+    # session must not unpersist each other's staged relation mid-collect
+    # (code-review r14)
+    view = f"__tf_lines_{w}"
     with memo_lock(spark, "lines"):
-        if getattr(spark, "_tf_lines_key", object()) != key:
+        if getattr(spark, f"_tf_lines_key_{w}", object()) != key:
             g = staged_cache(
                 spark,
-                "tf_lines",
+                f"tf_lines_{w}",
                 spark.sql(lines_rel_sql("spark", w, docs_rel=_staged_docs(spark))),
             )
             g.count()
-            g.createOrReplaceTempView("__tf_lines")
-            spark._tf_lines_key = key
-    return "__tf_lines"
+            g.createOrReplaceTempView(view)
+            setattr(spark, f"_tf_lines_key_{w}", key)
+        if then is not None:
+            return then(view)
+    return view
 
 
-def strip_boilerplate_lines(spark, threshold: int = LINE_DUP_THRESHOLD):
-    """Spark path: staged line stream, then the shared body SQL; the
-    per-doc n_lines pass reads the raw table (light arithmetic — the
-    scan-split discipline of ``_strip_tail_sql``)."""
-    return spark.sql(
-        strip_boilerplate_lines_body_sql("spark", _staged_lines(spark), threshold)
+def strip_boilerplate_lines(
+    spark, threshold: int = LINE_DUP_THRESHOLD, w: int = LINE_W
+):
+    """Spark path: staged line stream, then the shared body SQL (resolved
+    inside the memo lock — see ``_staged_lines``); the per-doc n_lines
+    pass reads the raw table (light arithmetic — the scan-split
+    discipline of ``_strip_tail_sql``)."""
+    return _staged_lines(
+        spark,
+        w,
+        then=lambda rel: spark.sql(
+            strip_boilerplate_lines_body_sql("spark", rel, threshold, w=w)
+        ),
     )
 
 

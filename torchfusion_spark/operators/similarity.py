@@ -175,9 +175,28 @@ def lsh_bucket_expr(v: str, d: str) -> str:
     return " + ".join(terms)
 
 
-def cosine_near_dup_lsh_sql(d: str, threshold: float = 0.30, rel: str | None = None) -> str:
+LSH_MAX_BUCKET = 256  # hot-bucket cap for the pair-enumerating query; the
+# collapse operator (O(N) anchor compare) is the sanctioned path for the
+# buckets this excludes — r14: the uncapped join grew 10× on a 3× corpus
+# (sf1→sf3 skew rehearsal), the exact quadratic the family discipline bans
+
+
+def cosine_near_dup_lsh_sql(
+    d: str, threshold: float = 0.30, rel: str | None = None,
+    max_bucket: int = LSH_MAX_BUCKET,
+) -> str:
     """Near-dup pairs restricted to equal LSH bucket (the scale path);
     same planes on both dialects, so identical candidate sets.
+
+    Hot-bucket cap (r14, measured at the sf3 skew point): buckets larger
+    than ``max_bucket`` are excluded from the pair join entirely — with
+    ONE bucket per vector there is no other band to recover recall
+    through, and the sanctioned answer for a boilerplate-sized bucket is
+    :func:`near_dup_collapse` (one anchor row instead of C(n,2) pairs),
+    exactly the SCALE.md collapse-not-enumerate division of labor. The
+    bucket-size count shuffles on the same bucket key as the join (no
+    extra exchange); the oracle applies the identical cap, so the gate
+    checks the capped semantics exactly.
 
     When ``rel`` is given it must already provide (vec_id, v, nrm, bucket)
     — the staged Spark path materializes buckets once instead of
@@ -191,11 +210,16 @@ def cosine_near_dup_lsh_sql(d: str, threshold: float = 0.30, rel: str | None = N
         )
     mat = "MATERIALIZED " if d == "duck" else ""
     return f"""
-    WITH n AS {mat}({n_rel})
+    WITH n AS {mat}({n_rel}),
+    sized AS (
+        SELECT vec_id, v, nrm, bucket,
+               COUNT(*) OVER (PARTITION BY bucket) AS bsz
+        FROM n),
+    ok AS (SELECT vec_id, v, nrm, bucket FROM sized WHERE bsz <= {max_bucket})
     SELECT id_a, id_b, bucket, cosine FROM (
         SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.bucket AS bucket,
                ROUND({_dot('a.v', 'b.v', d)} / (a.nrm * b.nrm), 6) AS cosine
-        FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+        FROM ok a JOIN ok b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
     WHERE cosine >= {threshold}
     ORDER BY id_a, id_b
     """
@@ -214,7 +238,8 @@ def near_dup_collapse_sql(d: str, threshold: float = 0.30, rel: str | None = Non
     ``threshold`` of the anchor collapses into the anchor's cluster;
     everything else stays its own singleton. Output is GROUP BY
     canonical id: ≤ N rows no matter how hot a bucket is — the skewed-
-    rehearsal bucket where ``sim_cosine_near_dup_lsh`` emits 581k pairs
+    rehearsal bucket whose UNCAPPED pair enumeration is ~581k rows (the
+    r14 cap now excludes it from ``sim_cosine_near_dup_lsh`` entirely)
     emits ONE row here.
 
     Scale shape: anchors are one per bucket (≤ 2^8 with 8 planes; still
@@ -471,10 +496,30 @@ def _staged_buckets(spark, then):
     return _staged_norms(spark, build)
 
 
-def cosine_near_dup_lsh(spark, threshold: float = 0.30):
+def cosine_near_dup_lsh(
+    spark, threshold: float = 0.30, max_bucket: int = LSH_MAX_BUCKET
+):
     return _staged_buckets(
         spark,
-        lambda rel: spark.sql(cosine_near_dup_lsh_sql("spark", threshold, rel=rel)),
+        lambda rel: spark.sql(
+            cosine_near_dup_lsh_sql("spark", threshold, rel=rel, max_bucket=max_bucket)
+        ),
+    )
+
+
+def lsh_capped_bucket_stats(spark, max_bucket: int = LSH_MAX_BUCKET):
+    """Embedding sign-LSH twin of ``dedup.simhash_capped_bucket_stats``:
+    the single-band buckets the r14 hot-bucket cap excludes from the
+    pair-enumerating query (the collapse operator owns those buckets) —
+    built on the shared observer so the cap semantics and report shape
+    cannot drift from the other families."""
+    from torchfusion_spark.operators.dedup import capped_bucket_stats
+
+    return _staged_buckets(
+        spark,
+        lambda rel: capped_bucket_stats(
+            spark, rel, ["bucket"], max_bucket, carry="vec_id"
+        ),
     )
 
 

@@ -166,7 +166,10 @@ def sim_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sim_cosine_near_dup_lsh",
     similarity.cosine_near_dup_lsh_sql("duck"),
     doc="sign-LSH (8 hyperplanes) bucketed cosine near-dup — the 100TB path; "
-    "Spark side materializes buckets once (self-join would recompute them 2×)",
+    "Spark side materializes buckets once (self-join would recompute them 2×); "
+    "r14: buckets over 256 rows are excluded from the pair join (identical "
+    "cap in the oracle) — hot buckets belong to sim_near_dup_collapse, and "
+    "the uncapped join measured 10× on a 3× corpus at the sf3 skew point",
 )
 def sim_cosine_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_near_dup_lsh(spark)

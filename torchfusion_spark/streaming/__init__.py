@@ -601,8 +601,9 @@ def _late_batches_dir(spark: SparkSession, sf_dir: str, variant: str = "agg") ->
     if variant == "session":
         # EVERY generator parameter folds into the content key (the r13
         # stale-scratch lesson: a changed constant must never reuse the
-        # old corpus) — variant-scoped so the agg/dedup keys are stable
-        recipe += f"|{SESSION_GAP_MIN}|{SESSION_DELAY_MIN}|{SESSION_STRAG_MOD}"
+        # old corpus) — variant-scoped so the agg/dedup keys are stable;
+        # c0 = the cents-COALESCE derivation version (code-review r14)
+        recipe += f"|{SESSION_GAP_MIN}|{SESSION_DELAY_MIN}|{SESSION_STRAG_MOD}|c0"
     key = hashlib.md5(
         f"{os.path.abspath(sf_dir)}|{st.st_mtime_ns}|{st.st_size}|{variant}|{recipe}|v2".encode()
     ).hexdigest()[:16]
@@ -657,7 +658,12 @@ def _late_variant_frames(spark, sf_dir: str, variant: str):
         lined = ev.selectExpr(
             "user_id",
             "ts",
-            "CAST(ROUND(value * 100) AS BIGINT) AS cents",
+            # COALESCE at derivation: the replay contract delivers
+            # non-NULL cents (a NULL event value counts as 0), so the
+            # processor never meets the Arrow nullable-int64→float64 NaN
+            # (code-review r14) and the oracle's SUM needs no NULL-vs-0
+            # split on all-NULL sessions
+            "COALESCE(CAST(ROUND(value * 100) AS BIGINT), 0) AS cents",
             "unix_micros(ts) AS e",
             "CAST(conv(substr(md5(CAST(event_id AS STRING)), 1, 14), 16, 10) AS BIGINT)"
             f" % {SESSION_STRAG_MOD} AS strag",
@@ -950,7 +956,10 @@ def _run_session_timeout(
             for ts, c in zip(pdf["ts"], pdf["cents"]):
                 e = int(ts.value) // 1000  # pandas ns → epoch µs
                 if e > wm_us:  # the operator's own late rule: == drops
-                    sess.append([e, e, 1, int(c)])
+                    # the replay contract coalesces cents at derivation;
+                    # a NaN (Arrow nullable int64 → float64) from a
+                    # foreign source still counts the event, as 0 cents
+                    sess.append([e, e, 1, 0 if c != c else int(c)])
         sess.sort(key=lambda s: (s[0], s[1]))
         merged: list = []
         for s in sess:
@@ -1022,7 +1031,7 @@ def session_timeout_oracle_sql() -> str:
     return f"""
     WITH base AS (
         SELECT user_id, epoch_us(ts) AS e,
-               CAST(ROUND(value * 100) AS BIGINT) AS cents,
+               COALESCE(CAST(ROUND(value * 100) AS BIGINT), 0) AS cents,
                CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 14)) AS BIGINT)
                    % {SESSION_STRAG_MOD} AS strag
         FROM events WHERE ts IS NOT NULL),
