@@ -76,24 +76,36 @@ def test_priority_order_is_total_and_stable():
     if vintage:
         head = max(50, len(uncertified | vintage))
         assert (uncertified | vintage) <= set(names[:head])
-    # round-14 rotation policy, PINNED to the artifact state it was rotated
-    # against (the r01..r13 union: 0 uncertified, 33 names at r10, 50 at
-    # r11, 50 at r12, 50 at r13): budget slots go to uncertified newcomers
-    # registered this round, then the 33 r10-vintage names, then the oldest
-    # r11 block — checked as "no certified name outside the top-50 has
-    # staler evidence than any certified name inside it". The clause SKIPS
-    # once CORRECTNESS_r14 lands (the r15 rotation re-pins): the r7 version
-    # instead predicted the post-landing vintage state and got it wrong,
-    # going red the moment the driver dropped r07 into the tree (VERDICT r7
-    # item 1) — rotation meta-tests must assert against the evidence they
-    # were rotated on, never against a forecast.
+    # round-15 rotation policy, PINNED to the artifact state it was rotated
+    # against (the r01..r14 union: 0 uncertified, 35 names at r11, 50 at
+    # r12, 50 at r13, 50 at r14): budget slots go to uncertified newcomers
+    # registered this round, then the SEMANTICS_CHANGED set (certified
+    # green only on pre-change semantics — the r14 LSH cap), then the 35
+    # r11-vintage names, then the oldest r12 head — checked as "no
+    # certified name outside the top-50 has staler evidence than any
+    # certified name inside it", with SEMANTICS_CHANGED names excluded
+    # from the monotonicity comparison (their green rounds are fresh but
+    # their evidence is stale by construction; they must sit in the head
+    # instead). The clause SKIPS once CORRECTNESS_r15 lands (the r16
+    # rotation re-pins): the r7 version instead predicted the post-landing
+    # vintage state and got it wrong, going red the moment the driver
+    # dropped r07 into the tree (VERDICT r7 item 1) — rotation meta-tests
+    # must assert against the evidence they were rotated on, never against
+    # a forecast.
+    from torchfusion_spark.plans.priority import SEMANTICS_CHANGED
+
     max_round = max(latest.values(), default=0)
-    if max_round == 13:
-        stale_pre11 = {n for n in names if latest.get(n, 99) <= 10}
-        head = max(50, len(uncertified | stale_pre11))
-        assert (uncertified | stale_pre11) <= set(names[:head])
-        in_top = [latest[n] for n in names[:50] if n in latest]
-        out_top = [latest[n] for n in names[50:] if n in latest]
+    if max_round == 14:
+        stale_pre12 = {n for n in names if latest.get(n, 99) <= 11}
+        promoted = uncertified | SEMANTICS_CHANGED | stale_pre12
+        head = max(50, len(promoted))
+        assert promoted <= set(names[:head])
+        in_top = [
+            latest[n] for n in names[:50] if n in latest and n not in SEMANTICS_CHANGED
+        ]
+        out_top = [
+            latest[n] for n in names[50:] if n in latest and n not in SEMANTICS_CHANGED
+        ]
         if in_top and out_top:
             assert min(out_top) >= max(in_top)
 

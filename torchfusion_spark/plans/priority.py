@@ -9,22 +9,30 @@ valuable queries first.
 
 Ordering policy (documented so the ranking is auditable, not gamed) --
 ROTATED each round so the budget certifies the weakest evidence first.
-Round 14 (rotated against the CORRECTNESS_r01..r13 union): r13 certified
-its top 50 exactly (zero overlap with r12 -- the 5 new registrations, the
-28 r08-vintage names, and the r10 head), so every registry name has a
-current-testdata green row and the latest-green vintages are 33 names at
-r10, 50 at r11, 50 at r12 and 50 at r13. The weakest-first order is
-therefore:
+Round 15 (rotated against the CORRECTNESS_r01..r14 union): r14 certified
+its top 50 exactly (the 2 new registrations, the 33 r10-vintage names and
+the 15-name r11 head), so every registry name has a current-testdata green
+row and the latest-green vintages are 35 names at r11, 50 at r12, 50 at
+r13 and 50 at r14. The weakest-first order is therefore:
 
-1. new r14 registrations (uncertified -- no CORRECTNESS row at all) go to
+1. new r15 registrations (uncertified -- no CORRECTNESS row at all) go to
    rank 1 as they land, ahead of every re-cert;
-2. the 33 remaining r10-vintage names in their prior internal order --
-   after this round the minimum latest-green vintage becomes r11;
-3. the r11 block (prior internal order); its head fills the remainder of
+2. SEMANTICS-CHANGED queries rank with the uncertified head (rotation
+   policy addition, r15): a query whose registered result semantics
+   changed after its latest green row is certified evidence for the OLD
+   semantics, so it re-enters the budget like a new registration.
+   ``sim_cosine_near_dup_lsh`` gained the LSH_MAX_BUCKET=256 hot-bucket
+   cap in r14 (commit 8d428e0) after its r13 row certified the uncapped
+   plan -- and at fixture scale the cap is a no-op, so only a fresh
+   driver row on the capped code path retires the flag;
+3. the 35 remaining r11-vintage names in their prior internal order --
+   after this round the minimum latest-green vintage becomes r12;
+4. the r12 block (prior internal order); its head fills the remainder of
    the 50-row budget;
-4. the r12 block (prior internal order);
-5. the 50 names r13 just certified (freshest evidence last), keeping
-   their r13 rank order.
+5. the r13 block (prior internal order, minus the semantics-changed name
+   promoted to the head);
+6. the 50 names r14 just certified (freshest evidence last), keeping
+   their r14 rank order.
 
 The suffix after the prefix is the canonical registry name used everywhere
 else (bench.py, tools/verify_local.py, tests).
@@ -32,60 +40,17 @@ else (bench.py, tools/verify_local.py, tests).
 
 from __future__ import annotations
 
+# Queries whose registered semantics changed AFTER their latest green
+# CORRECTNESS row (so that row certifies the old semantics). Ranked with
+# the uncertified head; drop a name from this set once a driver row lands
+# on the new semantics.
+SEMANTICS_CHANGED: frozenset[str] = frozenset({"sim_cosine_near_dup_lsh"})
+
 PRIORITY: list[str] = [
-    # -- new r14 registrations (uncertified) --
-    "corpus_strip_boilerplate_lines",
-    "stream_session_timeout",
-    # -- the 33 r10-vintage re-certs (4 rounds stale; oldest evidence first) --
-    "stream_sliding_counts",
-    "stream_session_window",
-    "stream_dedup_counts",
-    "stream_static_join",
-    "stream_stream_join",
-    "stream_stateful_cents",
-    "stream_stateful_user_stats",
-    "select_distinct",
-    "sort_limit_offset",
-    "filter_like_family",
-    "values_inline_table",
-    "fn_cast_try_cast",
-    "fn_conditional",
-    "fn_math",
-    "fn_string_basics",
-    "fn_array_ops",
-    "fn_struct_map",
-    "fn_json",
-    "join_left_outer",
-    "join_right_outer",
-    "join_semi",
-    "join_theta",
-    "join_using",
-    "setop_union_all",
-    "setop_intersect_all",
-    "subq_correlated_scalar",
-    "subq_not_in",
-    "lateral_subquery",
-    "cte_recursive",
-    "agg_distinct_count",
-    "agg_approx",
-    "agg_collect_set",
-    "agg_cube",
-    # -- the r11 block (prior internal order) --
-    "dedup_url_incremental",
-    "pipeline_pretrain_corpus",
-    "win_running_sum",
-    "win_lag_lead",
-    "win_range_interval_frame",
-    "win_groups_frame_rewrite",
-    "pivot_status_by_priority",
-    "unpivot_stack",
-    "udaf_grouped_agg",
-    "udtf_word_positions",
-    "q1_pricing_summary",
-    "q6_revenue_forecast",
-    "sample_hash_stratified",
-    "skew_salted_agg",
-    "skew_salted_join",
+    # -- new r15 registrations (uncertified) go here, ahead of the head --
+    # -- semantics-changed re-certification (see SEMANTICS_CHANGED) --
+    "sim_cosine_near_dup_lsh",
+    # -- the 35 r11-vintage re-certs (4 rounds stale; oldest evidence first) --
     "text_quality_stats",
     "pipeline_corpus_clean",
     "argmax_embeddings",
@@ -172,7 +137,7 @@ PRIORITY: list[str] = [
     "sim_quantize_int8",
     "corpus_chunk_overlap",
     "q14_promo_revenue",
-    # -- the 50 names r13 just certified (freshest evidence last) --
+    # -- the r13 block (prior internal order, minus the promoted name) --
     "retrieval_rrf_fusion",
     "multimodal_frame_dedup",
     "stream_late_eviction",
@@ -219,10 +184,60 @@ PRIORITY: list[str] = [
     "sim_cosine_near_dup",
     "sim_ivf_topk",
     "sim_kmeans",
-    "sim_cosine_near_dup_lsh",
     "sim_semantic_dedup",
     "dedup_containment",
     "pipeline_dedup_canonical",
+    # -- the 50 names r14 just certified (freshest evidence last) --
+    "corpus_strip_boilerplate_lines",
+    "stream_session_timeout",
+    "stream_sliding_counts",
+    "stream_session_window",
+    "stream_dedup_counts",
+    "stream_static_join",
+    "stream_stream_join",
+    "stream_stateful_cents",
+    "stream_stateful_user_stats",
+    "select_distinct",
+    "sort_limit_offset",
+    "filter_like_family",
+    "values_inline_table",
+    "fn_cast_try_cast",
+    "fn_conditional",
+    "fn_math",
+    "fn_string_basics",
+    "fn_array_ops",
+    "fn_struct_map",
+    "fn_json",
+    "join_left_outer",
+    "join_right_outer",
+    "join_semi",
+    "join_theta",
+    "join_using",
+    "setop_union_all",
+    "setop_intersect_all",
+    "subq_correlated_scalar",
+    "subq_not_in",
+    "lateral_subquery",
+    "cte_recursive",
+    "agg_distinct_count",
+    "agg_approx",
+    "agg_collect_set",
+    "agg_cube",
+    "dedup_url_incremental",
+    "pipeline_pretrain_corpus",
+    "win_running_sum",
+    "win_lag_lead",
+    "win_range_interval_frame",
+    "win_groups_frame_rewrite",
+    "pivot_status_by_priority",
+    "unpivot_stack",
+    "udaf_grouped_agg",
+    "udtf_word_positions",
+    "q1_pricing_summary",
+    "q6_revenue_forecast",
+    "sample_hash_stratified",
+    "skew_salted_agg",
+    "skew_salted_join",
 ]
 
 
