@@ -249,6 +249,7 @@ def main() -> None:
         from torchfusion_spark.operators.textstats import (
             _staged_bloom,
             _staged_labels,
+            _staged_pack_t,
             _staged_unigrams,
         )
 
@@ -285,6 +286,10 @@ def main() -> None:
                 pool.submit(_staged_frame_phash, spark),
                 # ordered line stream (corpus_strip_boilerplate_lines)
                 pool.submit(_staged_lines, spark),
+                # (lang, shard)-partitioned tokenized pack input
+                # (corpus_pack_sequences — r15: staging replaces the
+                # doubled documents scan the CTE inlining paid)
+                pool.submit(_staged_pack_t, spark),
                 # one-time persisted URL seen-set (VERDICT r11 item 5):
                 # the builder writes the index parquet eagerly and
                 # returns the probe plan unexecuted — exactly the

@@ -1685,7 +1685,20 @@ def test_differential_pack_sequences_prefix_sum(spark, duck, restore_documents, 
         pdf, "doc_id bigint, lang string, text string, source string, n_chars bigint"
     ).createOrReplaceTempView("documents")
     duck.execute("CREATE OR REPLACE VIEW documents AS SELECT * FROM pdf")
-    got = [tuple(r) for r in spark.sql(pack_sequences_sql("spark", seq_len, shards)).collect()]
+    # the registry path: staged (lang, shard)-partitioned input relation
+    # (the r15 single-scan plan), keyed on the swapped docs view per case
+    from torchfusion_spark.operators.textstats import _staged_pack_t
+
+    got = [
+        tuple(r)
+        for r in _staged_pack_t(
+            spark,
+            then=lambda t_rel: spark.sql(
+                pack_sequences_sql("spark", seq_len, shards, t_rel=t_rel)
+            ),
+            shards=shards,
+        ).collect()
+    ]
     want = [
         tuple(r)
         for r in duck.execute(pack_sequences_sql("duck", seq_len, shards)).fetchall()

@@ -924,10 +924,69 @@ SEQ_LEN = 512  # tokens per packed training sequence
 PACK_SHARDS = 8  # per-language parallelism of the prefix-sum
 
 
+def pack_t_sql(
+    d: str, shards: int = PACK_SHARDS, rel: str = "documents",
+    n_toks: str | None = None, key: str | None = None, order_tail: str = "doc_id",
+) -> str:
+    """The tokenized pack input relation (doc_id, lang, n_tokens, h,
+    shard[, order-tail extras]) — the ONLY corpus-sized pass of
+    :func:`pack_sequences_sql`. Split out so the Spark registry builder
+    can stage it once (``_staged_pack_t``) instead of letting Catalyst's
+    CTE inlining re-scan + re-tokenize documents for the shard-total
+    rollup (the r14 bench showed two full parquet scans of ``text`` in
+    the plan — a doubled dominant scan at 100 TB)."""
+    str_t = "STRING" if d == "spark" else "VARCHAR"
+    h = G.hash56(key or f"CAST(doc_id AS {str_t})", d)
+    n_toks = n_toks or G.arr_size(G.split_ws("text", d), d)
+    extra = [c.strip() for c in order_tail.split(",") if c.strip() != "doc_id"]
+    xc = "".join(f", {c}" for c in extra)
+    return (
+        f"SELECT doc_id, lang, CAST({n_toks} AS BIGINT) AS n_tokens, h,"
+        f" h % {shards} AS shard{xc}\n        FROM (SELECT *, {h} AS h FROM {rel})"
+    )
+
+
+def _staged_pack_t(spark, then=None, shards: int = PACK_SHARDS) -> str:
+    """Session-staged pack input relation, hash-partitioned on the
+    prefix-sum window keys (lang, shard) BEFORE caching, so that over the
+    staged view (1) the per-(lang, shard) cumsum window needs no exchange
+    — the InMemoryTableScan already reports the required partitioning —
+    and (2) the shard-total rollup aggregates complete without exchange
+    on the same co-partitioned cache instead of re-scanning +
+    re-tokenizing documents (VERDICT r14 item 2: the pack ladder now pays
+    ONE corpus-sized shuffle — this staging repartition — plus the final
+    pack rollup's map-combined partials; the tiny (langs × shards) offset
+    relation broadcasts back).
+
+    Memo discipline is ``_staged_unigrams``'s: keyed on the docs-view
+    identity (plus the shard fan-out), memo-locked against the parallel
+    bench prewarm, ``then`` resolved INSIDE the lock (the TOCTOU class),
+    parameter-scoped slot/view names. Lock order: pack_t → docs
+    (acyclic with the sim_norms → unigrams → hx → docs chain)."""
+    from torchfusion_spark.operators import dedup
+    from torchfusion_spark.session import memo_lock, staged_cache
+
+    key = (dedup._docs_key(spark), shards)
+    view = f"__tf_pack_t_{shards}"
+    with memo_lock(spark, "pack_t"):
+        if getattr(spark, "_tf_pack_t_key", object()) != key:
+            npart = int(spark.conf.get("spark.sql.shuffle.partitions"))
+            t = spark.sql(
+                pack_t_sql("spark", shards=shards, rel=dedup._staged_docs(spark))
+            ).repartition(npart, "lang", "shard")
+            t = staged_cache(spark, f"pack_t_{shards}", t)
+            t.count()
+            t.createOrReplaceTempView(view)
+            spark._tf_pack_t_key = key
+        if then is not None:
+            return then(view)
+    return view
+
+
 def pack_sequences_sql(
     d: str, seq_len: int = SEQ_LEN, shards: int = PACK_SHARDS,
     rel: str = "documents", n_toks: str | None = None, key: str | None = None,
-    order_tail: str = "doc_id", lead_ctes: str = "",
+    order_tail: str = "doc_id", lead_ctes: str = "", t_rel: str | None = None,
 ) -> str:
     """Sequence packing for pretraining batches: concatenate each
     language's docs in deterministic hash order and chunk the token
@@ -951,6 +1010,9 @@ def pack_sequences_sql(
     counts precomputed, tie-break extended to the copy index); registry
     defaults are byte-identical. Columns named in ``order_tail`` beyond
     doc_id must exist in ``rel`` and are carried through ``t``.
+    ``t_rel`` (Spark builder path) swaps the inline tokenize CTE for the
+    pre-staged, (lang, shard)-partitioned relation ``_staged_pack_t``
+    builds — identical columns/values, so the oracle text is unchanged.
 
     NULL safety (r12 pack fuzzer, the ADVICE r10 #3 class): the
     shard-offset join is null-safe on ``lang`` so a NULL-lang doc packs
@@ -959,18 +1021,15 @@ def pack_sequences_sql(
     only by the fuzzer's plain-Python reference; and the presentation
     ORDER BY pins NULLS FIRST on both nullable keys (Spark's ASC
     default vs DuckDB's NULLS LAST)."""
-    str_t = "STRING" if d == "spark" else "VARCHAR"
-    h = G.hash56(key or f"CAST(doc_id AS {str_t})", d)
-    n_toks = n_toks or G.arr_size(G.split_ws("text", d), d)
     pack_id = G.intdiv("start_tok", str(seq_len), d)
     end_pack = G.intdiv("start_tok + n_tokens - 1", str(seq_len), d)
     first_doc = "min_by(doc_id, start_tok)" if d == "spark" else "arg_min(doc_id, start_tok)"
-    extra = [c.strip() for c in order_tail.split(",") if c.strip() != "doc_id"]
-    xc = "".join(f", {c}" for c in extra)
+    t_body = t_rel and f"SELECT * FROM {t_rel}" or pack_t_sql(
+        d, shards=shards, rel=rel, n_toks=n_toks, key=key, order_tail=order_tail
+    )
     return f"""
     WITH {lead_ctes}t AS (
-        SELECT doc_id, lang, CAST({n_toks} AS BIGINT) AS n_tokens, h, h % {shards} AS shard{xc}
-        FROM (SELECT *, {h} AS h FROM {rel})),
+        {t_body}),
     loc AS (
         SELECT doc_id, lang, shard, n_tokens,
                SUM(n_tokens) OVER (

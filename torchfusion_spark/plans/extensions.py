@@ -760,15 +760,24 @@ _sql_pair(
     "cut across engines/runs/partitionings",
 )
 
-_sql_pair(
+@query(
     "corpus_pack_sequences",
-    textstats.pack_sequences_sql,
+    textstats.pack_sequences_sql("duck"),
     doc="sequence packing for pretraining batches: concat-and-chunk pack "
     "assignment (pack_id = start_offset DIV seq_len) via a distributed "
     "two-level prefix sum — windowed cumsum per (lang, shard) then a tiny "
     "broadcast shard-offset relation, so no language-sized window "
-    "partition at 100 TB; BIGINT arithmetic, hash-order reproducible",
+    "partition at 100 TB; the tokenized input relation is session-staged "
+    "pre-partitioned on (lang, shard) so the window and the shard-total "
+    "rollup share ONE corpus-sized shuffle and documents is scanned/"
+    "tokenized once (r15; Catalyst's CTE inlining previously re-scanned "
+    "text for the rollup); BIGINT arithmetic, hash-order reproducible",
 )
+def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def _run(t_rel: str) -> DataFrame:
+        return spark.sql(textstats.pack_sequences_sql("spark", t_rel=t_rel))
+
+    return textstats._staged_pack_t(spark, then=_run)
 
 @query(
     "text_dup_gram_fraction",
