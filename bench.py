@@ -245,6 +245,7 @@ def main() -> None:
             url_incremental_query,
         )
         from torchfusion_spark.operators.multimodal import _staged_frame_phash, _staged_phash
+        from torchfusion_spark.plans.relational2 import _staged_li_by_order
         from torchfusion_spark.operators.similarity import _staged_norms
         from torchfusion_spark.operators.textstats import (
             _staged_bloom,
@@ -290,6 +291,9 @@ def main() -> None:
                 # (corpus_pack_sequences — r15: staging replaces the
                 # doubled documents scan the CTE inlining paid)
                 pool.submit(_staged_pack_t, spark),
+                # l_orderkey-bucketed lineitem projection (r15:
+                # q21's co-located zero-fact-shuffle plan)
+                pool.submit(_staged_li_by_order, spark),
                 # one-time persisted URL seen-set (VERDICT r11 item 5):
                 # the builder writes the index parquet eagerly and
                 # returns the probe plan unexecuted — exactly the
