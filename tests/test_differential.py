@@ -1091,6 +1091,173 @@ def event_rows(draw):
     return rows
 
 
+# --- plain-Python recomputes for the events family (VERDICT r14 item 4:
+# cross-engine equality alone cannot see a lockstep-agreed-wrong rule —
+# the r10/r12 NULL-join class — so every fuzzer also checks an
+# independent reference that re-derives the semantics from scratch) ---
+
+_US_PER_DAY = 86_400_000_000
+
+
+def _ep_us(ts) -> int:
+    """Exact epoch microseconds of a tz-naive datetime (integer, no
+    float round-trip)."""
+    import datetime as dt
+
+    return (ts - dt.datetime(1970, 1, 1)) // dt.timedelta(microseconds=1)
+
+
+def _tdiv(a: int, b: int) -> int:
+    """Truncate-toward-zero integer division — the semantics BOTH
+    engines give `intdiv` (Spark DIV and DuckDB //; probed: -7 // 2 is
+    -3 on DuckDB, not floor's -4)."""
+    q = abs(a) // b
+    return q if a >= 0 else -q
+
+
+def _round6(v: float | None) -> float | None:
+    """SQL ROUND(x, 6): half-away-from-zero on the double's shortest
+    decimal representation (what both engines' double→decimal paths
+    use), unlike Python's bankers' round()."""
+    import decimal
+
+    if v is None:
+        return None
+    d = decimal.Decimal(repr(float(v))).quantize(
+        decimal.Decimal("0.000001"), rounding=decimal.ROUND_HALF_UP
+    )
+    return float(d)
+
+
+def _ref_asof(rows) -> list[tuple]:
+    """(purchase_id, user_id, ts, prev_click_ts): per purchase, the max
+    click ts <= purchase ts for the same user; NULL-ts rows have no
+    event-time semantics on either side."""
+    clicks = {}
+    for _eid, user, ts, typ in rows:
+        if typ == "click" and ts is not None:
+            clicks.setdefault(user, set()).add(ts)
+    out = []
+    for eid, user, ts, typ in rows:
+        if typ == "purchase" and ts is not None:
+            cand = [c for c in clicks.get(user, ()) if c <= ts]
+            out.append((eid, user, ts, max(cand) if cand else None))
+    return sorted(out, key=lambda r: r[0])
+
+
+def _ref_funnel(rows) -> list[tuple]:
+    """(user_id, did_view, did_click_after, did_purchase_after): per-user
+    first-touch MIN per stage (NULL ts never a first touch), strict->
+    ordered flags with SQL three-valued logic collapsed by COALESCE —
+    i.e. a flag is 1 iff every operand exists and every comparison
+    holds. Users whose rows are all NULL-ts/typed still emit a row."""
+    users = {}
+    for _eid, user, ts, typ in rows:
+        users.setdefault(user, {})
+        if ts is not None and typ in ("view", "click", "purchase"):
+            cur = users[user].get(typ)
+            users[user][typ] = ts if cur is None else min(cur, ts)
+    out = []
+    for user in sorted(users):
+        tv = users[user].get("view")
+        tc = users[user].get("click")
+        tp = users[user].get("purchase")
+        did_view = int(tv is not None)
+        did_click = int(tv is not None and tc is not None and tc > tv)
+        did_purch = int(did_click == 1 and tp is not None and tp > tc)
+        out.append((user, did_view, did_click, did_purch))
+    return out
+
+
+def _ref_retention(rows) -> list[tuple]:
+    """(cohort_week, week_offset, n_users): truncating day/week division
+    on epoch micros (pre-1970 negatives truncate toward zero on both
+    engines), first-seen day per user, distinct users per cell."""
+    days = {}
+    for _eid, user, ts, _typ in rows:
+        if ts is not None:
+            days.setdefault(user, []).append(_tdiv(_ep_us(ts), _US_PER_DAY))
+    cells = {}
+    for user, ds in days.items():
+        d0 = min(ds)
+        for day in ds:
+            key = (_tdiv(d0, 7), _tdiv(day - d0, 7))
+            cells.setdefault(key, set()).add(user)
+    return sorted((cw, wo, len(us)) for (cw, wo), us in cells.items())
+
+
+def _ref_histogram(rows, width: int = 50) -> list[tuple]:
+    """(event_type, bin, n, bin_min, bin_max): bin = FLOOR(value/width)
+    (true floor, negative values floor away from zero), NULL values in
+    a NULL bin, NULL event_type kept as its own group, both NULLS
+    FIRST in the presentation order."""
+    import math
+
+    groups = {}
+    for _eid, typ, val in rows:
+        b = None if val is None else int(math.floor(val / width))
+        groups.setdefault((typ, b), []).append(val)
+    out = []
+    for (typ, b), vals in groups.items():
+        nn = [v for v in vals if v is not None]
+        out.append(
+            (
+                typ,
+                b,
+                len(vals),
+                _round6(min(nn)) if nn else None,
+                _round6(max(nn)) if nn else None,
+            )
+        )
+    key = lambda r: (r[0] is not None, r[0] or "", r[1] is not None, r[1] or 0)  # noqa: E731
+    return sorted(out, key=key)
+
+
+def _quantile_cont(sorted_vals: list[float], p: float) -> float:
+    """Linear-interpolated quantile at p*(n-1) — the formula Spark's
+    percentile() and DuckDB's quantile_cont() share."""
+    import math
+
+    pos = p * (len(sorted_vals) - 1)
+    f = math.floor(pos)
+    frac = pos - f
+    if frac == 0:
+        return sorted_vals[f]
+    return sorted_vals[f] + (sorted_vals[f + 1] - sorted_vals[f]) * frac
+
+
+def _ref_winsorize(rows) -> list[tuple]:
+    """(event_type, n, clipped_cents, n_clipped): per-type [p01, p99]
+    rounded to 6dp, values clipped then floor(v*100+0.5) cents summed.
+    The percentile join is a plain equi-join on event_type, so NULL-type
+    rows drop from the OUTPUT on both engines — the recompute PINS that
+    as the intended contract (the lockstep class made visible). NULL
+    values count in n, never in the cents sum or the clip count."""
+    import math
+
+    by_type = {}
+    for _eid, typ, val in rows:
+        if typ is not None:
+            by_type.setdefault(typ, []).append(val)
+    out = []
+    for typ in sorted(by_type):
+        vals = by_type[typ]
+        nn = sorted(v for v in vals if v is not None)
+        lo = _round6(_quantile_cont(nn, 0.01)) if nn else None
+        hi = _round6(_quantile_cont(nn, 0.99)) if nn else None
+        cents = None
+        n_clip = 0
+        for v in vals:
+            if v is None or lo is None:
+                continue
+            c = int(math.floor(min(max(v, lo), hi) * 100 + 0.5))
+            cents = c if cents is None else cents + c
+            if v < lo or v > hi:
+                n_clip += 1
+        out.append((typ, len(vals), cents, n_clip))
+    return out
+
+
 @pytest.fixture()
 def restore_events(spark, tables):
     """The events-view fuzzers clobber the view once per Hypothesis
@@ -1142,6 +1309,12 @@ def test_differential_events_value_edges(spark, restore_events, duck, rows):
         got = [tuple(r) for r in spark.sql(gen("spark")).collect()]
         want = [tuple(r) for r in duck.execute(gen("duck")).fetchall()]
         assert got == want, (gen.__name__, rows, got, want)
+        # independent recompute (r15): agreement alone can't see a
+        # lockstep-agreed-wrong rule
+        if gen is histogram_sql:
+            assert got == _ref_histogram(rows), (rows, got, _ref_histogram(rows))
+        elif gen is winsorize_sql:
+            assert got == _ref_winsorize(rows), (rows, got, _ref_winsorize(rows))
 
 
 @st.composite
@@ -1206,6 +1379,8 @@ def test_differential_event_time_edges(spark, restore_events, duck, rows):
         got = [tuple(r) for r in spark.sql(gen("spark")).collect()]
         want = [tuple(r) for r in duck.execute(gen("duck")).fetchall()]
         assert got == want, (gen.__name__, rows, got, want)
+        if gen is retention_sql:  # independent recompute (r15)
+            assert got == _ref_retention(rows), (rows, got, _ref_retention(rows))
 
 
 @settings(
@@ -1243,6 +1418,9 @@ def test_differential_asof_join_ties(spark, restore_events, duck, rows):
     got = [tuple(r) for r in asof_join(spark).collect()]
     want = [tuple(r) for r in duck.execute(ASOF_ORACLE).fetchall()]
     assert got == want, (rows, got, want)
+    # independent recompute (r15) over the remapped rows the view carries
+    mapped = [(r[0], r[1] % 2, r[2], types[(r[0] + len(r[3])) % 4]) for r in rows]
+    assert got == _ref_asof(mapped), (rows, got, _ref_asof(mapped))
 
 
 def test_zscore_null_values_are_outside_the_sample(spark, restore_events, duck):
@@ -1306,6 +1484,9 @@ def test_differential_funnel_ordering(spark, restore_events, duck, rows):
     got = [tuple(r) for r in funnel(spark).collect()]
     want = [tuple(r) for r in duck.execute(FUNNEL_ORACLE).fetchall()]
     assert got == want, (rows, got, want)
+    # independent recompute (r15) over the remapped rows the view carries
+    mapped = [(r[0], r[1] % 2, r[2], types[(r[0] + len(r[3])) % 4]) for r in rows]
+    assert got == _ref_funnel(mapped), (rows, got, _ref_funnel(mapped))
 
 
 @settings(

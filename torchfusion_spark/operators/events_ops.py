@@ -304,7 +304,15 @@ def winsorize_sql(d: str) -> str:
     rounded to 6dp on both dialects before clipping (interpolated doubles
     drift in the last ulp), and the clipped sum goes through
     floor(x*100+0.5) cents so float summation order can't shift the
-    hash."""
+    hash.
+
+    NULL-value rows count in ``n`` but are OUTSIDE the clipped sum (r15
+    events fuzzer + recompute): SQL ``greatest``/``least`` skip NULL
+    arguments on BOTH engines (Postgres semantics), so an unguarded
+    ``greatest(NULL, lo)`` silently clipped every NULL measurement to
+    the p01 bound and charged it ``lo`` cents — engines agreed, only
+    the independent Python reference could see it (the zscore
+    COUNT(value) rule, applied to the sum)."""
     q = "percentile(value, {p})" if d == "spark" else "quantile_cont(value, {p})"
     lo, hi = q.format(p="0.01"), q.format(p="0.99")
     return f"""
@@ -313,7 +321,9 @@ def winsorize_sql(d: str) -> str:
         FROM events GROUP BY event_type)
     SELECT e.event_type,
            CAST(COUNT(*) AS BIGINT) AS n,
-           CAST(SUM(CAST(FLOOR(least(greatest(e.value, p.lo), p.hi) * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           CAST(SUM(CASE WHEN e.value IS NOT NULL
+                    THEN CAST(FLOOR(least(greatest(e.value, p.lo), p.hi) * 100 + 0.5) AS BIGINT)
+                    END) AS BIGINT)
                AS clipped_cents,
            CAST(SUM(CASE WHEN e.value < p.lo OR e.value > p.hi THEN 1 ELSE 0 END) AS BIGINT)
                AS n_clipped

@@ -44,12 +44,22 @@ from __future__ import annotations
 # CORRECTNESS row (so that row certifies the old semantics). Ranked with
 # the uncertified head; drop a name from this set once a driver row lands
 # on the new semantics.
-SEMANTICS_CHANGED: frozenset[str] = frozenset({"sim_cosine_near_dup_lsh"})
+SEMANTICS_CHANGED: frozenset[str] = frozenset(
+    {
+        "sim_cosine_near_dup_lsh",
+        # r15: NULL-value rows were being clipped to p01 and charged lo
+        # cents by BOTH engines (greatest/least skip NULLs); fixed to
+        # exclude them from clipped_cents. Fixture events carry no NULL
+        # values, so the r13 green row never exercised the changed branch.
+        "events_winsorize",
+    }
+)
 
 PRIORITY: list[str] = [
     # -- new r15 registrations (uncertified) go here, ahead of the head --
     # -- semantics-changed re-certification (see SEMANTICS_CHANGED) --
     "sim_cosine_near_dup_lsh",
+    "events_winsorize",
     # -- the 35 r11-vintage re-certs (4 rounds stale; oldest evidence first) --
     "text_quality_stats",
     "pipeline_corpus_clean",
@@ -156,7 +166,6 @@ PRIORITY: list[str] = [
     "q8_market_share",
     "q12_priority_by_status",
     "events_histogram",
-    "events_winsorize",
     "events_anomaly_zscore",
     "text_top_tokens",
     "text_repetition",
