@@ -159,6 +159,11 @@ HEADLINE = [
     # relation is session-staged, so the benched cost is the rollup,
     # probe and per-doc rebuild
     "corpus_strip_boilerplate_lines",
+    # round-15 addition: the ANN recall audit (IVF recall@k vs exact
+    # top-k; capped-LSH pair recall overall and on the >=0.42 near-dup
+    # band) — the measured price of the r14 hot-bucket cap, benched from
+    # day one; reads the staged norms + bucket relations
+    "sim_ann_recall_audit",
 ]
 
 # Streaming witnesses carry round-over-round timing accountability but are

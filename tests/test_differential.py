@@ -3429,3 +3429,100 @@ def test_differential_sim_kmeans(spark, duck, restore_documents, case):
         for dim, cval in enumerate(vals, 1)
     )
     assert got == ref, (case, got[:4], ref[:4])
+
+
+@settings(
+    max_examples=40,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(case=ann_corpus_inputs())
+def test_differential_sim_ann_recall_audit(spark, duck, restore_documents, case):
+    """The r15 recall-audit witness on random hostile corpora (NULL/zero
+    vectors, duplicate rows forcing rounded-cosine ties): cross-engine
+    row equality through the STAGED Spark path, plus a full plain-Python
+    recompute of all four components (exact top-k, IVF probe, gated
+    exact pairs, capped LSH pairs) and the three recall rows — the audit
+    must measure recall, not merely agree about it."""
+    from torchfusion_spark.operators.similarity import (
+        EXACT_PAIRS_CAP,
+        LSH_MAX_BUCKET,
+        ann_recall_audit,
+        ann_recall_audit_sql,
+    )
+
+    rows = _ann_make_vecs(*case)
+    edf = _register_vecs(spark, duck, rows)  # noqa: F841
+    got = [tuple(r) for r in ann_recall_audit(spark).collect()]
+    want = [tuple(r) for r in duck.execute(ann_recall_audit_sql("duck")).fetchall()]
+    assert got == want, (case, got, want)
+
+    norms = _norms_py(rows)  # vec_id-ascending
+    by_id = {i: (v, n) for i, v, n in norms}
+
+    # exact top-k (k=10) on the 4-query set
+    et = set()
+    for q_id, qv, qn in ((i, v, n) for i, v, n in norms if i < 4):
+        cands = sorted(
+            (-_r6(_fold_dot(qv, v) / (qn * n)), i) for i, v, n in norms if i != q_id
+        )
+        et |= {(q_id, c) for _s, c in cands[:10]}
+    # IVF top-k — the sim_ivf_topk reference verbatim
+    assign = _assign_py(norms, n_centroids=16)
+    cents = [(i, v, n) for i, v, n in norms if i < 16]
+    iv = set()
+    for q_id, qv, qn in ((i, v, n) for i, v, n in norms if i < 4):
+        ranked = sorted(
+            (-_r6(_fold_dot(qv, cv) / (qn * cn)), c_id) for c_id, cv, cn in cents
+        )
+        probed = {c_id for _s, c_id in ranked[:4]}
+        cands = sorted(
+            (-_r6(_fold_dot(qv, by_id[c][0]) / (qn * by_id[c][1])), c)
+            for c, cc in assign.items()
+            if cc in probed and c != q_id
+        )
+        iv |= {(q_id, c) for _s, c in cands[:10]}
+    # gated exact pairs at threshold 0.30 with cosine kept for the hi band
+    ns = [r for r in norms if r[0] < EXACT_PAIRS_CAP]
+    ep = {}
+    for ai in range(len(ns)):
+        ia, va, na = ns[ai]
+        for bi in range(ai + 1, len(ns)):
+            ib, vb, nb = ns[bi]
+            c = _r6(_fold_dot(va, vb) / (na * nb))
+            if c >= 0.30:
+                ep[(ia, ib)] = c
+    # capped LSH pairs, restricted to the exact side's id universe
+    bucket = _buckets_py(norms)
+    bsz: dict = {}
+    for b in bucket.values():
+        bsz[b] = bsz.get(b, 0) + 1
+    ok = [r for r in norms if bsz[bucket[r[0]]] <= LSH_MAX_BUCKET]
+    lp = {}
+    for ai in range(len(ok)):
+        ia, va, na = ok[ai]
+        for bi in range(ai + 1, len(ok)):
+            ib, vb, nb = ok[bi]
+            if bucket[ia] != bucket[ib]:
+                continue
+            c = _r6(_fold_dot(va, vb) / (na * nb))
+            if c >= 0.30 and ia < EXACT_PAIRS_CAP and ib < EXACT_PAIRS_CAP:
+                lp[(ia, ib)] = c
+
+    def _row(method, exact, approx, hi=None):
+        if hi is not None:
+            exact = {p for p, c in exact.items() if c >= hi}
+            approx = {p for p in approx if ep.get(p, lp[p]) >= hi}
+        else:
+            exact, approx = set(exact), set(approx)
+        n_e, n_a, n_h = len(exact), len(approx), len(exact & approx)
+        rec = None if n_e == 0 else _r6(n_h / n_e)
+        return (method, n_e, n_a, n_h, rec)
+
+    ref = [
+        _row("ivf_topk", {p: 1 for p in et}, iv),
+        _row("near_dup_lsh", ep, lp),
+        _row("near_dup_lsh_hi", ep, lp, hi=0.42),
+    ]
+    assert got == ref, (case, got, ref)

@@ -99,6 +99,7 @@ EMB_OPS = [
     "sim_cosine_near_dup_lsh",
     "sim_near_dup_collapse",
     "sim_quantize_int8",
+    "sim_ann_recall_audit",
 ]
 EVENT_OPS = [
     "events_histogram",
@@ -109,7 +110,13 @@ EVENT_OPS = [
 
 # operators that legitimately emit rows from an empty corpus: global
 # aggregates (a COUNT/SUM over nothing is one row of zeros/NULLs)
-GLOBAL_AGG_OK = {"text_dup_gram_fraction", "corpus_token_budget"}
+GLOBAL_AGG_OK = {
+    "text_dup_gram_fraction",
+    "corpus_token_budget",
+    # the recall audit is a COUNT rollup: an empty corpus yields its 3
+    # method rows with zero counts and NULL (zero-guarded) recall
+    "sim_ann_recall_audit",
+}
 
 
 def _make_degenerate_dir(src: str, dst: str, n_rows: int) -> None:

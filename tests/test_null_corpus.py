@@ -50,6 +50,7 @@ NULL_OPS = [
     "pipeline_rag_context",     # NULL-text hits contribute no context and no budget charge
     "pipeline_pretrain_corpus",  # full composition over NULL text/source/lang
     "corpus_strip_boilerplate_lines",  # NULL text → 0-line row fingerprinting ''
+    "sim_ann_recall_audit",     # every component over the NULL-emb-pruned norms
 ]
 
 

@@ -105,6 +105,12 @@ _EXPECTED = {
     "sim_kmeans": {"sort_merge_join", "bnl_join"},
     "sim_ivf_topk": {"sort_merge_join", "bnl_join"},
     "sim_semantic_dedup": {"sort_merge_join", "bnl_join"},
+    # the recall audit composes sim_cosine_topk (bnl: broadcast query
+    # side), sim_ivf_topk (smj+bnl, whitelisted above), the GATED exact
+    # pair verifier (bnl, vec_id cap) and the capped LSH pair join; the
+    # FULL OUTER hit-count joins add SMJs over RESULT-sized relations
+    # (top-k lists and threshold pairs), never the corpus
+    "sim_ann_recall_audit": {"sort_merge_join", "bnl_join"},
     # -- global_window whitelist (detector added in r10 after the VERDICT
     # r9 scorer-NTILE fix; an unlisted global window = the scale-killer
     # class and must fail the audit). Every entry below is a window over

@@ -530,6 +530,114 @@ def near_dup_collapse(spark, threshold: float = 0.30):
     )
 
 
+def ann_recall_audit_sql(
+    d: str,
+    k: int = 10,
+    n_queries: int = 4,
+    threshold: float = 0.30,
+    max_bucket: int = LSH_MAX_BUCKET,
+    max_n: int = EXACT_PAIRS_CAP,
+    rel: str | None = None,
+    bucket_rel: str | None = None,
+) -> str:
+    """Recall audit for the two approximate-ANN paths (VERDICT r14
+    item 6): the r14 hot-bucket cap made exclusion the sanctioned
+    semantics for oversized LSH buckets, which silently prices recall —
+    this witness MEASURES that price, hash-checked like everything else.
+
+    Three rows: ``ivf_topk`` = recall@k of the IVF probe against the
+    exact brute-force top-k on the identical query set; ``near_dup_lsh``
+    = pair recall of the capped sign-LSH join against the exact pair
+    scan at the same threshold; ``near_dup_lsh_hi`` = the same recall
+    restricted to exact cosine >= ``hi`` = 0.42, the family's registered
+    near-dup threshold (``sim_cosine_near_dup`` / ``sim_semantic_dedup``)
+    — the near-duplicate band the single-band LSH actually targets (at
+    the 0.30 pair threshold the exact set is dominated by mildly-similar
+    pairs an 8-bit sign bucket is not meant to catch; the hi band is the
+    figure that says whether DEDUP recall is healthy). Both pair sides are restricted to
+    the exact side's gated id universe (vec_id < ``max_n``) so the
+    compared domains are identical at every scale. Hits come from ONE
+    FULL OUTER join per family with conditional counts (each component
+    relation referenced exactly ONCE — Catalyst inlines twice-referenced
+    CTEs, and the components are the expensive part), counts are exact
+    BIGINTs, and the recall division is zero-guarded (ANSI: an empty
+    exact side must yield NULL, not DIVIDE_BY_ZERO)."""
+    hi = 0.42
+    exact_tk = cosine_topk_sql(d, k, n_queries, rel=rel)
+    approx_tk = ivf_topk_sql(d, k, n_queries, rel=rel)
+    exact_pr = cosine_near_dup_sql(d, threshold, rel=rel, max_n=max_n)
+    approx_pr = cosine_near_dup_lsh_sql(
+        d, threshold, rel=bucket_rel, max_bucket=max_bucket
+    )
+    return f"""
+    WITH et AS (SELECT q_id, cand_id FROM ({exact_tk}) __et),
+    iv AS (SELECT q_id, cand_id FROM ({approx_tk}) __iv),
+    ep AS (SELECT id_a, id_b, cosine FROM ({exact_pr}) __ep),
+    lp AS (SELECT id_a, id_b, cosine FROM ({approx_pr}) __lp
+           WHERE id_a < {max_n} AND id_b < {max_n}),
+    tk AS (
+        SELECT COUNT(et.q_id) AS n_exact, COUNT(iv.q_id) AS n_approx,
+               COUNT(CASE WHEN et.q_id IS NOT NULL AND iv.q_id IS NOT NULL
+                          THEN 1 END) AS n_hit
+        FROM et FULL OUTER JOIN iv
+          ON et.q_id = iv.q_id AND et.cand_id = iv.cand_id),
+    pr AS (
+        SELECT COUNT(ep.id_a) AS n_exact, COUNT(lp.id_a) AS n_approx,
+               COUNT(CASE WHEN ep.id_a IS NOT NULL AND lp.id_a IS NOT NULL
+                          THEN 1 END) AS n_hit,
+               COUNT(CASE WHEN ep.cosine >= {hi} THEN 1 END) AS n_exact_hi,
+               COUNT(CASE WHEN lp.id_a IS NOT NULL
+                           AND COALESCE(ep.cosine, lp.cosine) >= {hi}
+                          THEN 1 END) AS n_approx_hi,
+               COUNT(CASE WHEN ep.id_a IS NOT NULL AND lp.id_a IS NOT NULL
+                           AND ep.cosine >= {hi} THEN 1 END) AS n_hit_hi
+        FROM ep FULL OUTER JOIN lp
+          ON ep.id_a = lp.id_a AND ep.id_b = lp.id_b)
+    SELECT method,
+           CAST(n_exact AS BIGINT) AS n_exact,
+           CAST(n_approx AS BIGINT) AS n_approx,
+           CAST(n_hit AS BIGINT) AS n_hit,
+           CASE WHEN n_exact = 0 THEN CAST(NULL AS DOUBLE)
+                ELSE ROUND(CAST(n_hit AS DOUBLE) / n_exact, 6) END AS recall
+    FROM (
+        SELECT 'ivf_topk' AS method, n_exact, n_approx, n_hit FROM tk
+        UNION ALL
+        SELECT 'near_dup_lsh' AS method, n_exact, n_approx, n_hit FROM pr
+        UNION ALL
+        SELECT 'near_dup_lsh_hi' AS method,
+               n_exact_hi AS n_exact, n_approx_hi AS n_approx,
+               n_hit_hi AS n_hit
+        FROM pr) __u
+    ORDER BY method
+    """
+
+
+def ann_recall_audit(
+    spark,
+    k: int = 10,
+    n_queries: int = 4,
+    threshold: float = 0.30,
+    max_bucket: int = LSH_MAX_BUCKET,
+):
+    """Staged Spark path: norms AND the LSH bucket relation resolve from
+    the session memos (both referenced by multiple components), inside
+    the norms lock like every other similarity consumer."""
+    return _staged_buckets(
+        spark,
+        lambda rel: spark.sql(
+            ann_recall_audit_sql(
+                "spark",
+                k,
+                n_queries,
+                threshold,
+                max_bucket,
+                rel="__sim_norms",
+                bucket_rel=rel,
+            )
+        ),
+    )
+
+
 def quantize_int8_sql(d: str) -> str:
     """Per-vector symmetric int8 quantization with reconstruction audit.
 

@@ -197,6 +197,20 @@ def sim_near_dup_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_topk(spark)
+
+
+@query(
+    "sim_ann_recall_audit",
+    similarity.ann_recall_audit_sql("duck"),
+    doc="recall audit for the approximate-ANN paths (r15): IVF top-k "
+    "recall@k vs the exact brute-force top-k on the same query set, and "
+    "capped sign-LSH pair recall vs the exact gated pair scan — the "
+    "measured price of the r14 hot-bucket exclusion, as a hash-checked "
+    "witness; components referenced once each (FULL OUTER hit counting), "
+    "zero-guarded recall division",
+)
+def sim_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.ann_recall_audit(spark)
 _sql_pair(
     "text_quality_stats",
     textstats.text_quality_sql,

@@ -57,6 +57,7 @@ SEMANTICS_CHANGED: frozenset[str] = frozenset(
 
 PRIORITY: list[str] = [
     # -- new r15 registrations (uncertified) go here, ahead of the head --
+    "sim_ann_recall_audit",
     # -- semantics-changed re-certification (see SEMANTICS_CHANGED) --
     "sim_cosine_near_dup_lsh",
     "events_winsorize",
