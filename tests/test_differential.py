@@ -3526,3 +3526,40 @@ def test_differential_sim_ann_recall_audit(spark, duck, restore_documents, case)
         _row("near_dup_lsh_hi", ep, lp, hi=0.42),
     ]
     assert got == ref, (case, got, ref)
+
+
+def test_session_window_exact_gap_boundary_merges(spark, restore_events, duck):
+    """r15 session-window model fuzzer finding, pinned directly: native
+    session_window (batch and streaming alike) MERGES an event arriving
+    at exactly session_end (inclusive boundary), while the pre-r15
+    oracle split there (gap >= 30 min → new session) — the fixture grid
+    never produces an exact-gap collision, so the hash gate certified
+    only the agreeing region. Both engines' oracles now use the strict
+    ``>`` split, matching the native rule and ``sessionize_sql``'s
+    long-standing spelling."""
+    import pandas as pd
+
+    from torchfusion_spark.operators.events_ops import (
+        SESSION_WINDOW_ORACLE,
+        session_window_agg,
+    )
+
+    pdf = pd.DataFrame(
+        {
+            "event_id": [0, 1],
+            "ts": pd.Series(
+                [pd.Timestamp("2024-01-01 08:00:00"), pd.Timestamp("2024-01-01 08:30:00")],
+                dtype="datetime64[us]",
+            ),
+            "user_id": [1, 1],
+            "event_type": "click",
+            "value": 1.0,
+            "props": "{}",
+        }
+    )
+    spark.createDataFrame(pdf).createOrReplaceTempView("events")
+    duck.execute("CREATE OR REPLACE VIEW events AS SELECT * FROM pdf")
+    got = [tuple(r) for r in session_window_agg(spark).collect()]
+    want = [tuple(r) for r in duck.execute(SESSION_WINDOW_ORACLE).fetchall()]
+    assert got == want
+    assert len(got) == 1 and got[0][3] == 2  # ONE merged session of 2 events

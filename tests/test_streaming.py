@@ -703,3 +703,255 @@ def test_model_fuzz_session_timeout(spark, tmp_path_factory, batches):
         for r in out.collect()
     )
     assert got == _session_model(batches), (batches, got)
+
+
+# ---------------------------------------------------------------------------
+# stream_session_window model fuzzer — VERDICT r14 item 5a. Complete-mode
+# session aggregation, probed semantics (r15): complete output retains ALL
+# state (no eviction) but the late filter still applies — drop iff
+# ts + gap <= the two-behind wm; kept rows sessionize with the
+# inclusive-boundary merge (exactly-gap still merges). The fuzzer drives
+# arbitrary batch sequences (repeated keys, same-instant duplicates,
+# boundary-exact gaps AND boundary-exact lateness) through the REAL shared
+# pipeline (streaming.session_window_stream — the registered plan) and
+# checks the full Python state machine.
+# ---------------------------------------------------------------------------
+
+_SW_GAP_MIN = 30
+
+
+@st.composite
+def session_window_batches(draw):
+    n_batches = draw(st.integers(2, 4))
+    batches = []
+    for _b in range(n_batches):
+        n = draw(st.integers(0, 6))
+        rows = []
+        for _ in range(n):
+            k = draw(st.sampled_from("AB"))
+            # 10-min grid over 5 hours: exact-gap splits (30 = gap) and
+            # same-instant duplicates are both common
+            rows.append((k, 10 * draw(st.integers(0, 30))))
+        batches.append(rows)
+    return batches
+
+
+def _sw_wm_during(batches):
+    """wm (minutes, None = unset) in effect during each batch for the
+    session-window op: same 30-min delay as the built-ins' fuzzers
+    (_DELAY_MIN), max event time over prior batches minus delay."""
+    return _wm_during(batches)
+
+
+def _session_window_model(batches):
+    """The probed complete-mode machine: late filter of batch b drops
+    rows with m + gap <= wm two-behind (wm from batches <= b-2, ALL rows
+    advance it); accepted rows sessionize per key with session_window's
+    INCLUSIVE-boundary merge — next start <= current end merges, an
+    event at exactly session_end extends the session (the probed native
+    rule the r15 oracle fix encodes); count counts ROWS (duplicates
+    included)."""
+    wms = _sw_wm_during(batches)
+    by_key: dict = {}
+    for b, rows in enumerate(batches):
+        pw = wms[b - 1] if b >= 1 else None
+        for k, m in rows:
+            if pw is not None and m + _SW_GAP_MIN <= pw:
+                continue  # late: provisional window end behind the wm
+            by_key.setdefault(k, []).append(m)
+    out = []
+    for k, ms in by_key.items():
+        ms.sort()
+        start, end, n = None, None, 0
+        for m in ms:
+            if start is None:
+                start, end, n = m, m + _SW_GAP_MIN, 1
+            elif m <= end:  # inclusive boundary: == gap still merges
+                end, n = max(end, m + _SW_GAP_MIN), n + 1
+            else:
+                out.append((k, start, end, n))
+                start, end, n = m, m + _SW_GAP_MIN, 1
+        if start is not None:
+            out.append((k, start, end, n))
+    return sorted(out)
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(batches=session_window_batches())
+def test_model_fuzz_session_window_merge(spark, tmp_path_factory, batches):
+    import pandas as pd
+
+    from torchfusion_spark.streaming import session_window_stream
+
+    d = str(tmp_path_factory.mktemp("sw_fuzz"))
+    _write_stream_batches(d, batches)
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    src = (
+        spark.readStream.schema("k string, ts timestamp")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(d)
+        .select(F.col("k").alias("user_id"), "ts")
+    )
+    agg = session_window_stream(src, f"{_SW_GAP_MIN} minutes")
+    q = (
+        agg.writeStream.outputMode("complete").format("memory")
+        .queryName("tf_sw_fuzz").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    base = pd.Timestamp("2024-01-01 08:00:00")
+    got = sorted(
+        (
+            r.user_id,
+            int((pd.Timestamp(r.session_start) - base).total_seconds() // 60),
+            int((pd.Timestamp(r.session_end) - base).total_seconds() // 60),
+            r.n_events,
+        )
+        for r in spark.table("tf_sw_fuzz").collect()
+    )
+    assert got == _session_window_model(batches), (batches, got)
+
+
+# ---------------------------------------------------------------------------
+# stream_stream_join model fuzzer — VERDICT r14 item 5b. Drives arbitrary
+# two-typed batch sequences through the REAL shared pipeline
+# (streaming.banded_stream_join — the registered banded plan) and checks a
+# full Python state machine of the probed join semantics (r15 probes,
+# documented on banded_stream_join): per-side watermarks (min-combined,
+# unset until the side has seen rows), two-behind late filter dropping
+# ts <= wm, click state evicted before matching when click_ts <= wm - 30.
+# ---------------------------------------------------------------------------
+
+_SSJ_DELAY_MIN = 60
+_SSJ_WINDOW_MIN = 30
+
+
+@st.composite
+def join_batches(draw):
+    n_batches = draw(st.integers(2, 4))
+    batches = []
+    for _b in range(n_batches):
+        n = draw(st.integers(0, 6))
+        rows = []
+        for _ in range(n):
+            k = draw(st.sampled_from("AB"))
+            typ = draw(st.sampled_from("cp"))
+            # 10-min grid over 5 hours: band boundaries (30-min bands),
+            # exact window-edge pairs and exact wm boundaries all land
+            rows.append((k, typ, 10 * draw(st.integers(0, 30))))
+        batches.append(rows)
+    return batches
+
+
+def _join_model(batches):
+    """The probed stream-stream inner-join state machine; rows are
+    (user, typ, minute), ids are (batch*100 + index). Emits sorted
+    (purchase_id, click_id)."""
+    def wm_during(b):
+        # two-behind: wm from batches <= b-2, min across sides, each side
+        # unset until it has seen rows (ALL rows advance wm, even ones
+        # the late filter then drops)
+        prior = batches[: max(b - 1, 0)]
+        cm = [m for rows in prior for _k, t, m in rows if t == "c"]
+        pm = [m for rows in prior for _k, t, m in rows if t == "p"]
+        if not cm or not pm:
+            return None
+        return min(max(cm), max(pm)) - _SSJ_DELAY_MIN
+
+    clicks: list = []  # (user, minute, id) accepted click state
+    purchases: list = []
+    out = []
+    for b, rows in enumerate(batches):
+        wm = wm_during(b)
+        new_c = [
+            (k, m, b * 100 + i)
+            for i, (k, t, m) in enumerate(rows)
+            if t == "c" and (wm is None or m > wm)
+        ]
+        new_p = [
+            (k, m, b * 100 + i)
+            for i, (k, t, m) in enumerate(rows)
+            if t == "p" and (wm is None or m > wm)
+        ]
+        live_c = [
+            (k, m, i) for k, m, i in clicks
+            if wm is None or m > wm - _SSJ_WINDOW_MIN
+        ]
+        live_p = [(k, m, i) for k, m, i in purchases if wm is None or m > wm]
+        # new purchases x (state + new) clicks; new clicks x state purchases
+        for pk, pm, pi in new_p:
+            for ck, cm, ci in live_c + new_c:
+                if pk == ck and pm - _SSJ_WINDOW_MIN <= cm <= pm:
+                    out.append((pi, ci))
+        for ck, cm, ci in new_c:
+            for pk, pm, pi in live_p:
+                if pk == ck and pm - _SSJ_WINDOW_MIN <= cm <= pm:
+                    out.append((pi, ci))
+        clicks = live_c + new_c
+        purchases = live_p + new_p
+    return sorted(out)
+
+
+def _write_join_batches(tmpdir, batches):
+    import os
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    base = pd.Timestamp("2024-01-01 08:00:00")
+    for b, rows in enumerate(batches):
+        df = pd.DataFrame(
+            [
+                (k, typ, b * 100 + i, base + pd.Timedelta(minutes=m))
+                for i, (k, typ, m) in enumerate(rows)
+            ],
+            columns=["k", "typ", "eid", "ts"],
+        )
+        t = pa.Table.from_pandas(df)
+        t = t.set_column(
+            t.schema.get_field_index("ts"), "ts", t.column("ts").cast(pa.timestamp("us"))
+        )
+        pq.write_table(t, f"{tmpdir}/b{b}.parquet")
+        os.utime(f"{tmpdir}/b{b}.parquet", (1_000_000_000 + b, 1_000_000_000 + b))
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(batches=join_batches())
+def test_model_fuzz_stream_stream_join(spark, tmp_path_factory, batches):
+    from torchfusion_spark.streaming import banded_stream_join
+
+    d = str(tmp_path_factory.mktemp("ssj_fuzz"))
+    _write_join_batches(d, batches)
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+    def side(typ):
+        return (
+            spark.readStream.schema("k string, typ string, eid bigint, ts timestamp")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(d)
+            .filter(F.col("typ") == typ)
+            .select(
+                F.col("k").alias("user_id"), "ts", F.col("eid").alias("event_id")
+            )
+        )
+
+    j = banded_stream_join(side("c"), side("p"))
+    q = (
+        j.writeStream.outputMode("append").format("memory")
+        .queryName("tf_ssj_fuzz").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    got = sorted(
+        (r.purchase_id, r.click_id) for r in spark.table("tf_ssj_fuzz").collect()
+    )
+    assert got == _join_model(batches), (batches, got)

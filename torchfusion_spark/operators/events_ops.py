@@ -58,8 +58,15 @@ def session_window_agg(spark: SparkSession) -> DataFrame:
     machinery Structured Streaming uses for streaming sessionization,
     applied in batch). Window end = last event ts + gap, per Spark's
     session-window semantics; the gaps-and-islands oracle reproduces
-    exactly that (new session when the gap is >= 30 min — session_window
-    merges windows that strictly overlap)."""
+    exactly that — new session when the gap is STRICTLY greater than
+    30 min. The boundary is inclusive (r15 session-window model fuzzer,
+    probed in batch AND streaming): an event at exactly session_end
+    still merges, i.e. windows [t, t+gap) and [t+gap, t+2·gap) become
+    ONE session — the pre-r15 oracle split there (``>=``), and since
+    the fixture grid never produces an exact-gap collision the hash
+    gate could not see the disagreement; note ``sessionize_sql`` (the
+    lag-gap operator) has always used the strict ``>`` rule, so the two
+    session families now agree at the boundary."""
     return (
         spark.table("events")
         .filter(F.col("ts").isNotNull())  # no event-time, no session (parity w/ oracle)
@@ -79,7 +86,7 @@ SESSION_WINDOW_ORACLE = f"""
 WITH gaps AS (
     SELECT user_id, ts,
            CASE WHEN lag(ts) OVER w IS NULL
-                     OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= {SESSION_GAP_S} * 1000000
+                     OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > {SESSION_GAP_S} * 1000000
                 THEN 1 ELSE 0 END AS new_session
     FROM events WHERE ts IS NOT NULL
     WINDOW w AS (PARTITION BY user_id ORDER BY ts)

@@ -52,6 +52,14 @@ SEMANTICS_CHANGED: frozenset[str] = frozenset(
         # exclude them from clipped_cents. Fixture events carry no NULL
         # values, so the r13 green row never exercised the changed branch.
         "events_winsorize",
+        # r15: the session-window ORACLE split sessions at a gap of
+        # exactly 30 min while native session_window (batch AND
+        # streaming, probed) merges at the inclusive boundary; oracle
+        # rule fixed >= -> >. The fixture grid never produces an
+        # exact-gap collision, so the green rows certified only the
+        # agreeing region of the old rule.
+        "events_session_window",
+        "stream_session_window",
     }
 )
 
@@ -61,6 +69,8 @@ PRIORITY: list[str] = [
     # -- semantics-changed re-certification (see SEMANTICS_CHANGED) --
     "sim_cosine_near_dup_lsh",
     "events_winsorize",
+    "events_session_window",
+    "stream_session_window",
     # -- the 35 r11-vintage re-certs (4 rounds stale; oldest evidence first) --
     "text_quality_stats",
     "pipeline_corpus_clean",
@@ -115,7 +125,6 @@ PRIORITY: list[str] = [
     "applyinpandas_spread",
     "q9_product_profit",
     "events_sessionize",
-    "events_session_window",
     "events_rollup_two_level",
     "events_range_join",
     "dedup_substring",
@@ -201,7 +210,6 @@ PRIORITY: list[str] = [
     "corpus_strip_boilerplate_lines",
     "stream_session_timeout",
     "stream_sliding_counts",
-    "stream_session_window",
     "stream_dedup_counts",
     "stream_static_join",
     "stream_stream_join",

@@ -382,9 +382,28 @@ def session_window_counts(spark: SparkSession, sf_dir: str, gap: str = "30 minut
     Run with availableNow over the bounded source; emits one row per
     (user, session) with start/end/count, identical to the batch
     gaps-and-islands oracle."""
-    agg = (
-        _event_stream(spark, sf_dir)
-        .withWatermark("ts", "30 minutes")
+    agg = session_window_stream(_event_stream(spark, sf_dir), gap)
+    name = "tf_stream_session_window"
+    return _run_to_memory(spark, agg, name, "complete").orderBy("user_id", "session_start")
+
+
+def session_window_stream(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """The ``stream_session_window`` aggregation over a caller-provided
+    (user_id, ts) stream — shared by the registry operator and the r15
+    model fuzzer, so the fuzzed plan IS the registered plan.
+
+    Probed complete-mode semantics the r15 model fuzzer encodes:
+    complete output retains ALL aggregation state (no eviction), but the
+    LATE FILTER still applies — a row in batch b is dropped iff its
+    provisional window end (ts + gap) <= the two-behind watermark (the
+    global wm computed from batches <= b-2; the windowed-agg drop rule,
+    boundary inclusive). Kept rows merge into state under
+    session_window's INCLUSIVE-boundary rule: windows merge iff next
+    start <= current end, so a gap of exactly ``gap`` still MERGES —
+    the committed oracle's ``>=`` split rule disagreed exactly there
+    and the fixture grid never exercised it (fixed r15)."""
+    return (
+        events.withWatermark("ts", "30 minutes")
         .groupBy("user_id", F.session_window("ts", gap).alias("w"))
         .agg(F.count(F.lit(1)).alias("n_events"))
         .select(
@@ -394,8 +413,6 @@ def session_window_counts(spark: SparkSession, sf_dir: str, gap: str = "30 minut
             "n_events",
         )
     )
-    name = "tf_stream_session_window"
-    return _run_to_memory(spark, agg, name, "complete").orderBy("user_id", "session_start")
 
 
 def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -421,11 +438,34 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     Run availableNow over the bounded source; oracle = the batch
     inequality join. At scale both sides shuffle once on (user, band)
     and state is bounded by the 30-minute window + watermark."""
+    clicks = _event_stream(spark, sf_dir).filter(F.col("event_type") == "click")
+    purchases = _event_stream(spark, sf_dir).filter(F.col("event_type") == "purchase")
+    j = banded_stream_join(clicks, purchases)
+    name = "tf_stream_stream_join"
+    return _run_to_memory(spark, j, name, "append").orderBy("purchase_id", "click_id")
+
+
+def banded_stream_join(clicks: DataFrame, purchases: DataFrame) -> DataFrame:
+    """The ``stream_stream_join`` pipeline over caller-provided streaming
+    sides, each shaped (user_id, ts, event_id) — shared by the registry
+    operator (event-stream sides) and the r15 model fuzzer (arbitrary
+    parquet batch sequences), so the fuzzed plan IS the registered plan.
+
+    Probed join semantics the model fuzzer encodes (r15, this harness):
+    each side's watermark derives only from ITS OWN rows (max event ts
+    minus the 60-min delay; a side that has seen no rows contributes no
+    watermark and the global wm stays unset — multipleWatermarkPolicy
+    'min'); the late filter in batch b uses the global wm computed from
+    batches <= b-2 (the built-ins' two-behind split, one staler than
+    ``applyInPandasWithState``'s visible wm) and drops rows with
+    ts <= wm; click-side state is evicted before matching when
+    click_ts <= wm - 30min (boundary probed exact: click at wm-30
+    evicted, wm-29 alive); a purchase's eviction boundary is
+    unobservable through the inner join (any future click it could
+    match implies purchase_ts > wm)."""
     band = "CAST(FLOOR(unix_timestamp({c}) / 1800) AS BIGINT)"
-    clicks = (
-        _event_stream(spark, sf_dir)
-        .filter(F.col("event_type") == "click")
-        .select(
+    c = (
+        clicks.select(
             F.col("user_id").alias("c_user"),
             F.col("ts").alias("click_ts"),
             F.col("event_id").alias("click_id"),
@@ -441,10 +481,8 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withWatermark("click_ts", "60 minutes")
     )
-    purchases = (
-        _event_stream(spark, sf_dir)
-        .filter(F.col("event_type") == "purchase")
-        .select(
+    p = (
+        purchases.select(
             F.col("user_id").alias("p_user"),
             F.col("ts").alias("purchase_ts"),
             F.col("event_id").alias("purchase_id"),
@@ -452,16 +490,14 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("p_band", F.expr(band.format(c="purchase_ts")))
         .withWatermark("purchase_ts", "60 minutes")
     )
-    j = purchases.join(
-        clicks,
+    return p.join(
+        c,
         F.expr(
             "p_user = c_user AND p_band = c_band AND click_ts <= purchase_ts "
             "AND click_ts >= purchase_ts - INTERVAL 30 MINUTES"
         ),
         "inner",
     ).select("purchase_id", "click_id", F.col("p_user").alias("user_id"))
-    name = "tf_stream_stream_join"
-    return _run_to_memory(spark, j, name, "append").orderBy("purchase_id", "click_id")
 
 
 def exactly_once_sink(
