@@ -64,6 +64,17 @@ def main() -> None:
         "(`tools/plan_audit.py`; `-` for streaming queries, whose plans exist",
         "per-microbatch). Regenerate: `python tools/gen_operators_md.py`.",
         "",
+        "Family contracts:",
+        "",
+        "- **similarity (`sim_*`)** — every surface reads the shared",
+        "  `norm_cte` relation, which DROPS NULL-vector and ZERO-NORM rows at",
+        "  the root: cosine is undefined at norm 0 and the ANSI division",
+        "  would raise (r14 structural fix), so a direction-less vector",
+        "  participates in no similarity op and emits no row anywhere in the",
+        "  family (`sim_semantic_dedup` / `sim_kmeans` included). The",
+        "  per-corpus exclusion counts are measured by",
+        "  `tools/skew_caps_report.py` (`similarity_norm_exclusions`).",
+        "",
         "| rank | query | family | oracle | shuffles | broadcasts | what it is |",
         "|---|---|---|---|---|---|---|",
     ]

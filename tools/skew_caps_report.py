@@ -202,6 +202,17 @@ def main() -> None:
     # r14 hot-bucket cap on the pair-enumerating LSH query (the sf3 sweep
     # measured the uncapped join growing 10× on a 3× corpus): the shared
     # observer + report shape, like every other capped family
+    ex = similarity.norm_excluded_stats(spark).first()
+    report["caps"]["similarity_norm_exclusions"] = {
+        "total_rows": ex.total,
+        "null_vectors": ex.null_vec,
+        "zero_norm_vectors": ex.zero_norm,
+        "kept_rows": ex.kept,
+        "note": "norm_cte drops NULL and zero-norm vectors at the root of "
+        "every similarity surface (r14 structural fix; ADVICE r14 #2 "
+        "visibility observer)",
+    }
+
     lsh_cap_rows = similarity.lsh_capped_bucket_stats(spark).collect()
     report["caps"]["sim_cosine_near_dup_lsh"] = dedup.capped_bucket_report(
         lsh_cap_rows, similarity.LSH_MAX_BUCKET

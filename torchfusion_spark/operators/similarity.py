@@ -638,6 +638,29 @@ def ann_recall_audit(
     )
 
 
+def norm_excluded_stats(spark):
+    """Observer for ``norm_cte``'s dropped-row contract (ADVICE r14 #2):
+    one row counting the embeddings rows every similarity surface
+    excludes at the root — NULL vectors and zero-norm vectors (cosine is
+    undefined at norm 0; under ANSI the division raises, r14 structural
+    fix) — mirroring the capped-bucket stats so the exclusion is VISIBLE
+    at scale instead of silently shrinking downstream row counts.
+    Consumed by tools/skew_caps_report.py (`similarity_norm_exclusions`);
+    kept = the staged norms relation's own count, so the report cannot
+    measure a different rule than the operators apply."""
+
+    def build(rel):
+        return spark.sql(
+            "SELECT t.total, t.null_vec, t.nonnull - k.kept AS zero_norm, k.kept "
+            "FROM (SELECT COUNT(*) AS total, "
+            "COUNT(CASE WHEN embedding IS NULL THEN 1 END) AS null_vec, "
+            "COUNT(embedding) AS nonnull FROM __sim_emb) t CROSS JOIN "
+            f"(SELECT COUNT(*) AS kept FROM {rel}) k"
+        )
+
+    return _staged_norms(spark, build)
+
+
 def quantize_int8_sql(d: str) -> str:
     """Per-vector symmetric int8 quantization with reconstruction audit.
 

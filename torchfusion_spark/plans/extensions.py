@@ -236,7 +236,13 @@ def corpus_strip_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     "corpus-wide (the nav-bar/cookie-banner killer), rebuild each doc "
     "from its kept lines in order; map-combinable line-hash rollup + "
     "broadcast anti-join probe — the corpus side never shuffles on the "
-    "probe and a hot line costs one count, never pairs",
+    "probe and a hot line costs one count, never pairs. FIXTURE CAVEAT "
+    "(ADVICE r14 #4): the single-paragraph fixture corpus has no real "
+    "newlines, so the registered 'lines' are LINE_W=3 token blocks "
+    "(dedup.LINE_W) and committed artifact numbers measure block "
+    "semantics, not '\\n'-line semantics; the downstream rollup/probe "
+    "body is line-rule-agnostic, but swapping lines_rel_sql to a real "
+    "split-on-newline explode changes every committed result",
 )
 def corpus_strip_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.strip_boilerplate_lines(spark)
