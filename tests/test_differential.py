@@ -3446,7 +3446,7 @@ def test_differential_sim_ann_recall_audit(spark, duck, restore_documents, case)
     exact pairs, capped LSH pairs) and the three recall rows — the audit
     must measure recall, not merely agree about it."""
     from torchfusion_spark.operators.similarity import (
-        EXACT_PAIRS_CAP,
+        AUDIT_PAIR_SAMPLE,
         LSH_MAX_BUCKET,
         ann_recall_audit,
         ann_recall_audit_sql,
@@ -3484,7 +3484,7 @@ def test_differential_sim_ann_recall_audit(spark, duck, restore_documents, case)
         )
         iv |= {(q_id, c) for _s, c in cands[:10]}
     # gated exact pairs at threshold 0.30 with cosine kept for the hi band
-    ns = [r for r in norms if r[0] < EXACT_PAIRS_CAP]
+    ns = [r for r in norms if r[0] < AUDIT_PAIR_SAMPLE]
     ep = {}
     for ai in range(len(ns)):
         ia, va, na = ns[ai]
@@ -3507,7 +3507,7 @@ def test_differential_sim_ann_recall_audit(spark, duck, restore_documents, case)
             if bucket[ia] != bucket[ib]:
                 continue
             c = _r6(_fold_dot(va, vb) / (na * nb))
-            if c >= 0.30 and ia < EXACT_PAIRS_CAP and ib < EXACT_PAIRS_CAP:
+            if c >= 0.30 and ia < AUDIT_PAIR_SAMPLE and ib < AUDIT_PAIR_SAMPLE:
                 lp[(ia, ib)] = c
 
     def _row(method, exact, approx, hi=None):

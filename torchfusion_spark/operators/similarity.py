@@ -530,13 +530,20 @@ def near_dup_collapse(spark, threshold: float = 0.30):
     )
 
 
+AUDIT_PAIR_SAMPLE = 4_096  # id-prefix universe for the pair-recall estimate:
+# C(4096,2) ≈ 8.4M exact pairs — a recall AUDIT is a sampled estimate by
+# design (measured: the 65536-id gate cap costs 225s at sf1 through the
+# fold-dot NLJ, which no per-round bench should pay); fixture corpora hold
+# <= 2000 vectors, so gate-scale results are identical to an uncapped scan
+
+
 def ann_recall_audit_sql(
     d: str,
     k: int = 10,
     n_queries: int = 4,
     threshold: float = 0.30,
     max_bucket: int = LSH_MAX_BUCKET,
-    max_n: int = EXACT_PAIRS_CAP,
+    max_n: int = AUDIT_PAIR_SAMPLE,
     rel: str | None = None,
     bucket_rel: str | None = None,
 ) -> str:
@@ -555,8 +562,10 @@ def ann_recall_audit_sql(
     the 0.30 pair threshold the exact set is dominated by mildly-similar
     pairs an 8-bit sign bucket is not meant to catch; the hi band is the
     figure that says whether DEDUP recall is healthy). Both pair sides are restricted to
-    the exact side's gated id universe (vec_id < ``max_n``) so the
-    compared domains are identical at every scale. Hits come from ONE
+    the same id-prefix SAMPLE universe (vec_id < ``max_n`` =
+    AUDIT_PAIR_SAMPLE): a recall audit is a sampled estimate by design —
+    the compared domains are identical at every scale and the exact
+    side stays ~8.4M pairs no matter the corpus. Hits come from ONE
     FULL OUTER join per family with conditional counts (each component
     relation referenced exactly ONCE — Catalyst inlines twice-referenced
     CTEs, and the components are the expensive part), counts are exact
