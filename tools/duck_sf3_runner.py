@@ -45,15 +45,23 @@ from tools.verify_local import duck_connection  # noqa: E402
 SALVAGE_NAMES = ("dedup_minhash_lsh", "events_range_join")
 
 
-def _load_salvage(path: str) -> tuple[dict[str, float], dict]:
+def _load_salvage(path: str, sf: float) -> tuple[dict[str, float], dict]:
     """(name -> seconds) for SALVAGE_NAMES present in the prior artifact,
     plus a provenance stamp (source path + its sf + method per query) for
-    the output JSON. Missing file / missing names → run live instead."""
+    the output JSON. Missing/corrupt file, missing names, or an sf
+    MISMATCH between the prior artifact and this run → run live instead
+    (code-review r15: an sf1 artifact passed as the salvage source would
+    otherwise silently inject sf1 wall-clock into the sf3 table)."""
     try:
         with open(path) as f:
             prior = json.load(f)
-    except OSError:
-        return {}, {"source": path, "note": "no prior artifact; ran live"}
+    except (OSError, ValueError):
+        return {}, {"source": path, "note": "no/corrupt prior artifact; ran live"}
+    if prior.get("sf") != sf:
+        return {}, {
+            "source": path,
+            "note": f"prior artifact sf={prior.get('sf')} != {sf}; ran live",
+        }
     qs = prior.get("queries", {})
     methods = prior.get("methods", {})
     vals = {n: qs[n] for n in SALVAGE_NAMES if n in qs}
@@ -74,8 +82,10 @@ FAST_CUTOFF_SEC = 60.0
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/.scratch/sf3"
     out_path = sys.argv[2] if len(sys.argv) > 2 else "/root/repo/.scratch/duck_sf3.json"
+    from bench import parse_sf as _psf
+
     salvage_path = sys.argv[3] if len(sys.argv) > 3 else out_path
-    salvaged, salvage_stamp = _load_salvage(salvage_path)
+    salvaged, salvage_stamp = _load_salvage(salvage_path, _psf(sf_dir))
 
     from bench import HEADLINE, parse_sf
     from torchfusion_spark.plans import REGISTRY

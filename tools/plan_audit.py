@@ -244,6 +244,11 @@ _EXPECTED_AT_SCALE = {
     "q18_large_volume_customer": {"sort_merge_join"},  # HAVING-survivor side is
     # fact-derived (grows with orders) — measured at sf1: AQE keeps the SMJ
     "sim_cosine_near_dup": {"cartesian"},          # gated exact verifier (vec_id cap)
+    # the recall audit embeds the gated exact verifier verbatim — the same
+    # vec_id-capped (AUDIT_PAIR_SAMPLE) inequality self-join plans as a
+    # CartesianProduct once the norms relation outgrows broadcast; every
+    # other join in the audit is result-sized
+    "sim_ann_recall_audit": {"cartesian"},
     # aqe-runtime: the probe/benchmark side is bounded by the benchmark
     # suite, not the corpus — statically estimated at table size (SMJ),
     # re-planned to broadcast by AQE once its true size is known

@@ -207,6 +207,7 @@ def main() -> None:
         "total_rows": ex.total,
         "null_vectors": ex.null_vec,
         "zero_norm_vectors": ex.zero_norm,
+        "null_norm_vectors": ex.null_norm,
         "kept_rows": ex.kept,
         "note": "norm_cte drops NULL and zero-norm vectors at the root of "
         "every similarity surface (r14 structural fix; ADVICE r14 #2 "

@@ -537,6 +537,18 @@ AUDIT_PAIR_SAMPLE = 4_096  # id-prefix universe for the pair-recall estimate:
 # <= 2000 vectors, so gate-scale results are identical to an uncapped scan
 
 
+def _unpivot_methods(d: str) -> str:
+    """2-row method selector exploded FROM the single ``pr`` row — the
+    per-dialect lateral spelling (Spark LATERAL VIEW / DuckDB UNNEST):
+    a 1×2 CROSS JOIN over VALUES planned as a CartesianProduct at sf1,
+    which is the audit's scale-killer flag class even when both sides
+    are literal-sized (r15 plan audit)."""
+    lits = "'near_dup_lsh', 'near_dup_lsh_hi'"
+    if d == "spark":
+        return f"LATERAL VIEW explode(array({lits})) __s AS method"
+    return f", UNNEST([{lits}]) AS __s(method)"
+
+
 def ann_recall_audit_sql(
     d: str,
     k: int = 10,
@@ -566,11 +578,16 @@ def ann_recall_audit_sql(
     AUDIT_PAIR_SAMPLE): a recall audit is a sampled estimate by design —
     the compared domains are identical at every scale and the exact
     side stays ~8.4M pairs no matter the corpus. Hits come from ONE
-    FULL OUTER join per family with conditional counts (each component
-    relation referenced exactly ONCE — Catalyst inlines twice-referenced
-    CTEs, and the components are the expensive part), counts are exact
-    BIGINTs, and the recall division is zero-guarded (ANSI: an empty
-    exact side must yield NULL, not DIVIDE_BY_ZERO)."""
+    FULL OUTER join per family with conditional counts, and each
+    component relation AND the aggregated ``pr`` row are referenced
+    exactly ONCE — Catalyst inlines twice-referenced CTEs, and a ``pr``
+    referenced by two UNION branches duplicated the whole pair subtree
+    (exact scan + LSH join run twice; caught by the r15 code-review
+    pass against the plan audit's component sums), so the two pair rows
+    unpivot from the single ``pr`` row via a per-dialect lateral
+    explode (a 1×2 VALUES cross join planned as a CartesianProduct).
+    Counts are exact BIGINTs, and the recall division is zero-guarded
+    (ANSI: an empty exact side must yield NULL, not DIVIDE_BY_ZERO)."""
     hi = 0.42
     exact_tk = cosine_topk_sql(d, k, n_queries, rel=rel)
     approx_tk = ivf_topk_sql(d, k, n_queries, rel=rel)
@@ -611,12 +628,14 @@ def ann_recall_audit_sql(
     FROM (
         SELECT 'ivf_topk' AS method, n_exact, n_approx, n_hit FROM tk
         UNION ALL
-        SELECT 'near_dup_lsh' AS method, n_exact, n_approx, n_hit FROM pr
-        UNION ALL
-        SELECT 'near_dup_lsh_hi' AS method,
-               n_exact_hi AS n_exact, n_approx_hi AS n_approx,
-               n_hit_hi AS n_hit
-        FROM pr) __u
+        SELECT method,
+               CASE method WHEN 'near_dup_lsh' THEN pr.n_exact
+                    ELSE pr.n_exact_hi END AS n_exact,
+               CASE method WHEN 'near_dup_lsh' THEN pr.n_approx
+                    ELSE pr.n_approx_hi END AS n_approx,
+               CASE method WHEN 'near_dup_lsh' THEN pr.n_hit
+                    ELSE pr.n_hit_hi END AS n_hit
+        FROM pr {_unpivot_methods(d)}) __u
     ORDER BY method
     """
 
@@ -659,11 +678,22 @@ def norm_excluded_stats(spark):
     measure a different rule than the operators apply."""
 
     def build(rel):
+        # zero_norm is counted EXACTLY (the norm expression re-evaluated
+        # once, report-time cost) rather than derived as nonnull - kept:
+        # an embedding array containing a NULL element folds to a NULL
+        # norm and is dropped by the same nrm > 0 filter, and the
+        # derived form misattributed those rows to zero_norm
+        # (code-review r15); they get their own null_norm column.
+        zn = (
+            f"COUNT(CASE WHEN {_norm(_vec('spark'), 'spark')} = 0 THEN 1 END)"
+        )
         return spark.sql(
-            "SELECT t.total, t.null_vec, t.nonnull - k.kept AS zero_norm, k.kept "
+            "SELECT t.total, t.null_vec, t.zero_norm, "
+            "t.nonnull - t.zero_norm - k.kept AS null_norm, k.kept "
             "FROM (SELECT COUNT(*) AS total, "
             "COUNT(CASE WHEN embedding IS NULL THEN 1 END) AS null_vec, "
-            "COUNT(embedding) AS nonnull FROM __sim_emb) t CROSS JOIN "
+            f"COUNT(embedding) AS nonnull, {zn} AS zero_norm "
+            "FROM __sim_emb) t CROSS JOIN "
             f"(SELECT COUNT(*) AS kept FROM {rel}) k"
         )
 

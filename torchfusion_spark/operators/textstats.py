@@ -1024,8 +1024,12 @@ def pack_sequences_sql(
     pack_id = G.intdiv("start_tok", str(seq_len), d)
     end_pack = G.intdiv("start_tok + n_tokens - 1", str(seq_len), d)
     first_doc = "min_by(doc_id, start_tok)" if d == "spark" else "arg_min(doc_id, start_tok)"
-    t_body = t_rel and f"SELECT * FROM {t_rel}" or pack_t_sql(
-        d, shards=shards, rel=rel, n_toks=n_toks, key=key, order_tail=order_tail
+    t_body = (
+        f"SELECT * FROM {t_rel}"
+        if t_rel is not None
+        else pack_t_sql(
+            d, shards=shards, rel=rel, n_toks=n_toks, key=key, order_tail=order_tail
+        )
     )
     return f"""
     WITH {lead_ctes}t AS (

@@ -604,6 +604,18 @@ def _staged_li_by_order(spark: SparkSession, then=None) -> str:
                 .select("l_orderkey", "l_suppkey", "l_returnflag")
                 .repartition(n, "l_orderkey")
             )
+            made = spark.__dict__.setdefault("_tf_li_by_order_paths", [])
+            if not made:  # first staging this session: register the sweep
+                atexit.register(
+                    lambda: [shutil.rmtree(p, ignore_errors=True) for p in made]
+                )
+            # record BEFORE the write so a mid-write failure's partial dir
+            # is still swept at exit (code-review r15); for the unkeyed
+            # always-rebuild sentinel, drop the superseded dir now — it can
+            # never be re-validated, the url-index unkeyed rule
+            if type(key) is object and len(made) > 1:
+                shutil.rmtree(made[-2], ignore_errors=True)
+            made.append(path)
             write_bucketed(
                 df,
                 "__tf_li_by_order",
@@ -612,12 +624,6 @@ def _staged_li_by_order(spark: SparkSession, then=None) -> str:
                 sort_cols=["l_orderkey"],
                 path=path,
             )
-            made = spark.__dict__.setdefault("_tf_li_by_order_paths", [])
-            if not made:  # first staging this session: register the sweep
-                atexit.register(
-                    lambda: [shutil.rmtree(p, ignore_errors=True) for p in made]
-                )
-            made.append(path)
             spark._tf_li_by_order_key = key
         if then is not None:
             return then("__tf_li_by_order")
