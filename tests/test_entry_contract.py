@@ -76,28 +76,28 @@ def test_priority_order_is_total_and_stable():
     if vintage:
         head = max(50, len(uncertified | vintage))
         assert (uncertified | vintage) <= set(names[:head])
-    # round-15 rotation policy, PINNED to the artifact state it was rotated
-    # against (the r01..r14 union: 0 uncertified, 35 names at r11, 50 at
-    # r12, 50 at r13, 50 at r14): budget slots go to uncertified newcomers
-    # registered this round, then the SEMANTICS_CHANGED set (certified
-    # green only on pre-change semantics — the r14 LSH cap), then the 35
-    # r11-vintage names, then the oldest r12 head — checked as "no
-    # certified name outside the top-50 has staler evidence than any
-    # certified name inside it", with SEMANTICS_CHANGED names excluded
-    # from the monotonicity comparison (their green rounds are fresh but
-    # their evidence is stale by construction; they must sit in the head
-    # instead). The clause SKIPS once CORRECTNESS_r15 lands (the r16
-    # rotation re-pins): the r7 version instead predicted the post-landing
-    # vintage state and got it wrong, going red the moment the driver
-    # dropped r07 into the tree (VERDICT r7 item 1) — rotation meta-tests
-    # must assert against the evidence they were rotated on, never against
-    # a forecast.
+    # round-16 rotation policy, PINNED to the artifact state it was rotated
+    # against (the r01..r15 union: 0 uncertified, 39 names at r12, 48 at
+    # r13, 49 at r14, 50 at r15): budget slots go to uncertified newcomers
+    # registered this round, then the SEMANTICS_CHANGED set (semantics
+    # changed after their latest green row — stale evidence by
+    # construction), then the 39 r12-vintage names, then the oldest r13
+    # head — checked as "no certified name outside the top-50 has staler
+    # evidence than any certified name inside it", with SEMANTICS_CHANGED
+    # names excluded from the monotonicity comparison (their green rounds
+    # are fresh but their evidence is stale by construction; they must sit
+    # in the head instead). The clause SKIPS once CORRECTNESS_r16 lands
+    # (the r17 rotation re-pins): the r7 version instead predicted the
+    # post-landing vintage state and got it wrong, going red the moment
+    # the driver dropped r07 into the tree (VERDICT r7 item 1) — rotation
+    # meta-tests must assert against the evidence they were rotated on,
+    # never against a forecast.
     from torchfusion_spark.plans.priority import SEMANTICS_CHANGED
 
     max_round = max(latest.values(), default=0)
-    if max_round == 14:
-        stale_pre12 = {n for n in names if latest.get(n, 99) <= 11}
-        promoted = uncertified | SEMANTICS_CHANGED | stale_pre12
+    if max_round == 15:
+        stale_oldest = {n for n in names if latest.get(n, 99) <= 12}
+        promoted = uncertified | SEMANTICS_CHANGED | stale_oldest
         head = max(50, len(promoted))
         assert promoted <= set(names[:head])
         in_top = [

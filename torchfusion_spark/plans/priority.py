@@ -9,34 +9,34 @@ valuable queries first.
 
 Ordering policy (documented so the ranking is auditable, not gamed) --
 ROTATED each round so the budget certifies the weakest evidence first.
-Round 15 (rotated against the CORRECTNESS_r01..r14 union): r14 certified
-its top 50 exactly (the 2 new registrations, the 33 r10-vintage names and
-the 15-name r11 head), so every registry name has a current-testdata green
-row and the latest-green vintages are 35 names at r11, 50 at r12, 50 at
-r13 and 50 at r14. The weakest-first order is therefore:
+Round 16 (rotated against the CORRECTNESS_r01..r15 union): r15 certified
+its top 50 exactly (the new recall-audit registration, the 4
+semantics-changed re-certs, the 35 r11-vintage names and the 10-name r12
+head), so every registry name has a current-testdata green row and the
+latest-green vintages are 39 names at r12, 48 at r13, 49 at r14 and 50 at
+r15. The weakest-first order is therefore:
 
-1. new r15 registrations (uncertified -- no CORRECTNESS row at all) go to
+1. new r16 registrations (uncertified -- no CORRECTNESS row at all) go to
    rank 1 as they land, ahead of every re-cert;
-2. SEMANTICS-CHANGED queries rank with the uncertified head (rotation
-   policy addition, r15): a query whose registered result semantics
-   changed after its latest green row is certified evidence for the OLD
-   semantics, so it re-enters the budget like a new registration.
-   ``sim_cosine_near_dup_lsh`` gained the LSH_MAX_BUCKET=256 hot-bucket
-   cap in r14 (commit 8d428e0) after its r13 row certified the uncapped
-   plan -- and at fixture scale the cap is a no-op, so only a fresh
-   driver row on the capped code path retires the flag;
-3. the 35 remaining r11-vintage names in their prior internal order --
-   after this round the minimum latest-green vintage becomes r12;
-4. the r12 block (prior internal order); its head fills the remainder of
+2. SEMANTICS-CHANGED queries rank with the uncertified head (policy since
+   r15): a query whose registered result semantics changed after its
+   latest green row is certified evidence for the OLD semantics, so it
+   re-enters the budget like a new registration. All four r15 flags
+   retired (each got a fresh green row on the new semantics in
+   CORRECTNESS_r15); the set refills as this round lands semantics
+   changes;
+3. the 39 remaining r12-vintage names in their prior internal order --
+   after this round the minimum latest-green vintage becomes r13;
+4. the r13 block (prior internal order); its head fills the remainder of
    the 50-row budget;
-5. the r13 block (prior internal order, minus the semantics-changed name
-   promoted to the head);
-6. the 50 names r14 just certified (freshest evidence last), keeping
-   their r14 rank order.
+5. the r14 block (prior internal order);
+6. the 50 names r15 just certified (freshest evidence last), keeping
+   their r15 rank order.
 
 The suffix after the prefix is the canonical registry name used everywhere
 else (bench.py, tools/verify_local.py, tests).
 """
+
 
 from __future__ import annotations
 
@@ -44,80 +44,11 @@ from __future__ import annotations
 # CORRECTNESS row (so that row certifies the old semantics). Ranked with
 # the uncertified head; drop a name from this set once a driver row lands
 # on the new semantics.
-SEMANTICS_CHANGED: frozenset[str] = frozenset(
-    {
-        "sim_cosine_near_dup_lsh",
-        # r15: NULL-value rows were being clipped to p01 and charged lo
-        # cents by BOTH engines (greatest/least skip NULLs); fixed to
-        # exclude them from clipped_cents. Fixture events carry no NULL
-        # values, so the r13 green row never exercised the changed branch.
-        "events_winsorize",
-        # r15: the session-window ORACLE split sessions at a gap of
-        # exactly 30 min while native session_window (batch AND
-        # streaming, probed) merges at the inclusive boundary; oracle
-        # rule fixed >= -> >. The fixture grid never produces an
-        # exact-gap collision, so the green rows certified only the
-        # agreeing region of the old rule.
-        "events_session_window",
-        "stream_session_window",
-    }
-)
+SEMANTICS_CHANGED: frozenset[str] = frozenset()
 
 PRIORITY: list[str] = [
-    # -- new r15 registrations (uncertified) go here, ahead of the head --
-    "sim_ann_recall_audit",
-    # -- semantics-changed re-certification (see SEMANTICS_CHANGED) --
-    "sim_cosine_near_dup_lsh",
-    "events_winsorize",
-    "events_session_window",
-    "stream_session_window",
-    # -- the 35 r11-vintage re-certs (4 rounds stale; oldest evidence first) --
-    "text_quality_stats",
-    "pipeline_corpus_clean",
-    "argmax_embeddings",
-    "argmax_constructed_array",
-    "torch_inference_classes",
-    "sim_cosine_topk",
-    "multimodal_features",
-    "dedup_exact",
-    "dedup_simhash",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_clusters",
-    "fn_time_bucket",
-    "fn_string_extras",
-    "fn_string_regex_hash",
-    "fn_datetime",
-    "fn_datetime_construct",
-    "fn_datetime_format",
-    "fn_bitwise",
-    "fn_array_higher_order",
-    "fn_explode_unnest",
-    "join_inner",
-    "join_anti",
-    "join_cross",
-    "join_full_outer",
-    "sort_nulls_ordering",
-    "cte_chained",
-    "subq_scalar",
-    "subq_in",
-    "setop_union_distinct",
-    "setop_intersect",
-    "setop_except",
-    "setop_except_all",
-    "agg_rollup",
-    "agg_grouping_sets",
-    "agg_stats",
-    # -- the r12 block (prior internal order) --
-    "dedup_minhash_clusters_star",
-    "multimodal_dedup",
-    "agg_median",
-    "agg_min_max_by",
-    "agg_minmax_first",
-    "agg_regression",
-    "agg_bool",
-    "agg_bitwise",
-    "agg_any_count_if",
-    "agg_string_agg",
+    # -- new r16 registrations (uncertified) go here, ahead of the head --
+    # -- the r12 block (39 names, prior internal order) --
     "win_ranking",
     "win_first_last",
     "win_percent_cume",
@@ -157,7 +88,7 @@ PRIORITY: list[str] = [
     "sim_quantize_int8",
     "corpus_chunk_overlap",
     "q14_promo_revenue",
-    # -- the r13 block (prior internal order, minus the promoted name) --
+    # -- the r13 block (48 names, prior internal order) --
     "retrieval_rrf_fusion",
     "multimodal_frame_dedup",
     "stream_late_eviction",
@@ -206,7 +137,7 @@ PRIORITY: list[str] = [
     "sim_semantic_dedup",
     "dedup_containment",
     "pipeline_dedup_canonical",
-    # -- the 50 names r14 just certified (freshest evidence last) --
+    # -- the r14 block (49 names, prior internal order) --
     "corpus_strip_boilerplate_lines",
     "stream_session_timeout",
     "stream_sliding_counts",
@@ -256,6 +187,57 @@ PRIORITY: list[str] = [
     "sample_hash_stratified",
     "skew_salted_agg",
     "skew_salted_join",
+    # -- the r15 block (50 names, prior internal order) --
+    "sim_ann_recall_audit",
+    "sim_cosine_near_dup_lsh",
+    "events_winsorize",
+    "events_session_window",
+    "stream_session_window",
+    "text_quality_stats",
+    "pipeline_corpus_clean",
+    "argmax_embeddings",
+    "argmax_constructed_array",
+    "torch_inference_classes",
+    "sim_cosine_topk",
+    "multimodal_features",
+    "dedup_exact",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_clusters",
+    "fn_time_bucket",
+    "fn_string_extras",
+    "fn_string_regex_hash",
+    "fn_datetime",
+    "fn_datetime_construct",
+    "fn_datetime_format",
+    "fn_bitwise",
+    "fn_array_higher_order",
+    "fn_explode_unnest",
+    "join_inner",
+    "join_anti",
+    "join_cross",
+    "join_full_outer",
+    "sort_nulls_ordering",
+    "cte_chained",
+    "subq_scalar",
+    "subq_in",
+    "setop_union_distinct",
+    "setop_intersect",
+    "setop_except",
+    "setop_except_all",
+    "agg_rollup",
+    "agg_grouping_sets",
+    "agg_stats",
+    "dedup_minhash_clusters_star",
+    "multimodal_dedup",
+    "agg_median",
+    "agg_min_max_by",
+    "agg_minmax_first",
+    "agg_regression",
+    "agg_bool",
+    "agg_bitwise",
+    "agg_any_count_if",
+    "agg_string_agg",
 ]
 
 
