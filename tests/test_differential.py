@@ -3222,7 +3222,8 @@ def test_differential_sim_quantize_int8(spark, duck, restore_documents, case):
 
 
 def _buckets_py(norms):
-    """sign-LSH bucket per (vec_id, v, nrm) row — 8 seeded planes."""
+    """Coarse band-0 sign-LSH bucket per (vec_id, v, nrm) row — the 8
+    seeded planes the collapse operator clusters on."""
     from torchfusion_spark.operators.sqlgen import PLANES
 
     out = {}
@@ -3232,6 +3233,29 @@ def _buckets_py(norms):
             if _fold_dot(v, plane) > 0:
                 b += 1 << p
         out[i] = b
+    return out
+
+
+def _mb_buckets_py(norms):
+    """Multi-band sign-LSH buckets (r16): one vec_id→bucket dict per
+    band, LSH_BAND_BITS sign bits over the shared seed-7 plane stream —
+    the pair-enumerating query's candidate key."""
+    from torchfusion_spark.operators.sqlgen import (
+        LSH_BANDS,
+        LSH_BAND_BITS,
+        PLANES_MB,
+    )
+
+    out = []
+    for band in range(LSH_BANDS):
+        d = {}
+        for i, v, _n in norms:
+            b = 0
+            for j in range(LSH_BAND_BITS):
+                if _fold_dot(v, PLANES_MB[band * LSH_BAND_BITS + j]) > 0:
+                    b += 1 << j
+            d[i] = b
+        out.append(d)
     return out
 
 
@@ -3493,39 +3517,46 @@ def test_differential_sim_ann_recall_audit(spark, duck, restore_documents, case)
             c = _r6(_fold_dot(va, vb) / (na * nb))
             if c >= 0.30:
                 ep[(ia, ib)] = c
-    # capped LSH pairs, restricted to the exact side's id universe
-    bucket = _buckets_py(norms)
-    bsz: dict = {}
-    for b in bucket.values():
-        bsz[b] = bsz.get(b, 0) + 1
-    ok = [r for r in norms if bsz[bucket[r[0]]] <= LSH_MAX_BUCKET]
+    # capped multi-band LSH pairs (union over bands, per-band cap),
+    # restricted to the exact side's id universe
     lp = {}
-    for ai in range(len(ok)):
-        ia, va, na = ok[ai]
-        for bi in range(ai + 1, len(ok)):
-            ib, vb, nb = ok[bi]
-            if bucket[ia] != bucket[ib]:
-                continue
-            c = _r6(_fold_dot(va, vb) / (na * nb))
-            if c >= 0.30 and ia < AUDIT_PAIR_SAMPLE and ib < AUDIT_PAIR_SAMPLE:
-                lp[(ia, ib)] = c
+    for bucket in _mb_buckets_py(norms):
+        bsz: dict = {}
+        for b in bucket.values():
+            bsz[b] = bsz.get(b, 0) + 1
+        ok = [r for r in norms if bsz[bucket[r[0]]] <= LSH_MAX_BUCKET]
+        for ai in range(len(ok)):
+            ia, va, na = ok[ai]
+            for bi in range(ai + 1, len(ok)):
+                ib, vb, nb = ok[bi]
+                if bucket[ia] != bucket[ib]:
+                    continue
+                c = _r6(_fold_dot(va, vb) / (na * nb))
+                if c >= 0.30 and ia < AUDIT_PAIR_SAMPLE and ib < AUDIT_PAIR_SAMPLE:
+                    lp[(ia, ib)] = c
+    base_only = len(set(lp) - set(ep))  # the lp ⊆ ep invariant: must be 0
 
-    def _row(method, exact, approx, hi=None):
+    def _row(method, exact, approx, hi=None, n_only=None):
         if hi is not None:
             exact = {p for p, c in exact.items() if c >= hi}
-            approx = {p for p in approx if ep.get(p, lp[p]) >= hi}
+            # no COALESCE fallback (r16 ADVICE fix): an lp-only pair has
+            # no exact cosine to band-attribute and is excluded here,
+            # surfacing in n_approx_only instead
+            approx = {p for p in approx if p in ep and ep[p] >= hi}
         else:
             exact, approx = set(exact), set(approx)
         n_e, n_a, n_h = len(exact), len(approx), len(exact & approx)
+        only = len(approx - exact) if n_only is None else n_only
         rec = None if n_e == 0 else _r6(n_h / n_e)
-        return (method, n_e, n_a, n_h, rec)
+        return (method, n_e, n_a, n_h, only, rec)
 
     ref = [
         _row("ivf_topk", {p: 1 for p in et}, iv),
         _row("near_dup_lsh", ep, lp),
-        _row("near_dup_lsh_hi", ep, lp, hi=0.42),
+        _row("near_dup_lsh_hi", ep, lp, hi=0.42, n_only=base_only),
     ]
     assert got == ref, (case, got, ref)
+    assert base_only == 0, case
 
 
 def test_session_window_exact_gap_boundary_merges(spark, restore_events, duck):

@@ -1805,8 +1805,10 @@ def test_near_dup_collapse_bounds_planted_mega_cluster(spark, tables):
     n_clone, seed = 50, 7
     rng = np.random.default_rng(seed)
     base = rng.normal(size=64)
-    # perturbations far below the test-pinned 0.52 sign margin of this
-    # seed's base vector against every LSH plane — all clones share a bucket
+    # perturbations far below the test-pinned 0.158 sign margin of this
+    # seed's base vector against every one of the 64 multi-band LSH
+    # planes (0.52 over the 8 collapse planes) — all clones share every
+    # band's bucket
     vecs = [(i, (base + rng.normal(scale=1e-4, size=64)).astype("float32").tolist())
             for i in range(n_clone)]
     vecs += [(1000 + i, rng.normal(size=64).astype("float32").tolist()) for i in range(5)]

@@ -219,9 +219,11 @@ def main() -> None:
         lsh_cap_rows, similarity.LSH_MAX_BUCKET
     )
     report["caps"]["sim_cosine_near_dup_lsh"]["note"] = (
-        "capped buckets are excluded from the pair join entirely (one "
-        "bucket per vector: no other band recovers them); the collapse "
-        "operator is the sanctioned path for those buckets"
+        "per-(band, bucket) cells of the r16 multi-band key over the cap "
+        "are excluded from that band's pair join (another band can still "
+        "recover the pair); with 16-bit bands an oversized cell is a "
+        "genuine near-identical cluster, and the collapse operator is "
+        "the sanctioned path for clusters past the cap"
     )
 
     # the collapse-vs-enumerate witness measures the UNCAPPED pair growth

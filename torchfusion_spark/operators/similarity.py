@@ -8,11 +8,14 @@ decimals before thresholding/ranking so last-ulp noise can't flip a
 comparison.
 
 Scale design: brute force is O(Q×N) with the query side broadcast —
-right for small Q or as a per-bucket verifier. The LSH variant buckets
-rows by 8 hyperplane sign bits (fixed, seeded planes shared with the
-oracle) so the self-join only touches same-bucket pairs: at 100 TB the
-shuffle key is the bucket id and the quadratic term is divided by ~2^8
-(more planes / multi-probe as N grows).
+right for small Q or as a per-bucket verifier. The LSH variant (r16:
+multi-band) buckets rows by LSH_BANDS bands of LSH_BAND_BITS hyperplane
+sign bits (fixed, seeded planes shared with the oracle) so the
+self-join only touches same-(band, bucket) pairs: at 100 TB the shuffle
+key is (band, bucket), background buckets hold ~N/2^bits rows, and the
+per-band hot-bucket cap bounds candidate pairs at (cap/2)·N per band —
+add bits as N grows (the r ≈ log2(N/cap) knob documented at
+LSH_MAX_BUCKET).
 """
 
 from __future__ import annotations
@@ -167,7 +170,13 @@ def cosine_near_dup_sql(
 
 
 def lsh_bucket_expr(v: str, d: str) -> str:
-    """Bucket id = 8 sign bits of dot(v, plane_p), fixed seeded planes."""
+    """Bucket id = 8 sign bits of dot(v, plane_p), fixed seeded planes.
+
+    This COARSE single-band bucket (256 buckets at any corpus size) is
+    the collapse operator's clustering key — coarse is right there: one
+    anchor per bucket, O(N) compares, mega coverage. The pair-enumerating
+    query uses the fine multi-band keys from
+    :func:`lsh_band_bucket_exprs` instead (r16)."""
     terms = []
     for p, plane in enumerate(G.PLANES):
         lit = G.array_lit(plane, d)
@@ -175,52 +184,106 @@ def lsh_bucket_expr(v: str, d: str) -> str:
     return " + ".join(terms)
 
 
-LSH_MAX_BUCKET = 256  # hot-bucket cap for the pair-enumerating query; the
-# collapse operator (O(N) anchor compare) is the sanctioned path for the
-# buckets this excludes — r14: the uncapped join grew 10× on a 3× corpus
-# (sf1→sf3 skew rehearsal), the exact quadratic the family discipline bans
+MB_COLS = [f"mb{i}" for i in range(G.LSH_BANDS)]
+
+
+def lsh_band_bucket_exprs(v: str, d: str) -> list[str]:
+    """Per-band bucket ids for the multi-band sign-LSH (r16): band i is
+    LSH_BAND_BITS sign bits of dot(v, plane_p) over planes
+    [i·bits, (i+1)·bits) of the shared seed-7 stream — the MinHash
+    banding shape (``dedup.py`` band_exprs) applied to hyperplane
+    signs. Band 0's low 8 bits are therefore the legacy single-band
+    bucket (PLANES == PLANES_MB[:8], asserted in sqlgen)."""
+    exprs = []
+    for band in range(G.LSH_BANDS):
+        terms = []
+        for j in range(G.LSH_BAND_BITS):
+            plane = G.PLANES_MB[band * G.LSH_BAND_BITS + j]
+            lit = G.array_lit(plane, d)
+            terms.append(f"(CASE WHEN {_dot(v, lit, d)} > 0 THEN {1 << j} ELSE 0 END)")
+        exprs.append(" + ".join(terms))
+    return exprs
+
+
+LSH_MAX_BUCKET = 4096  # per-(band, bucket) hot cap for the pair-enumerating
+# query. r16 re-derivation (SCALE.md recall table): with 16-bit bands the
+# expected BACKGROUND bucket is N/65536 rows — the cap never engages on
+# noise below N ≈ 268M vectors — so a bucket over the cap is a genuine
+# near-identical cluster, whose C(n,2) pair set is the OUTPUT being
+# quadratic, not the plan: clusters ≤ 4096 members enumerate (≤ 8.4M
+# pairs each, ≤ (cap/2)·N per band corpus-wide — linear in N), larger
+# ones belong to :func:`near_dup_collapse` (one anchor row). The r14
+# 10×-on-3×-corpus blowup came from FIXED 8-bit buckets crowding with
+# corpus growth (avg bucket N/256 crossed the cap at sf3), which the
+# 16-bit keys remove; at 100 TB the knob is more bits, never a wider cap.
 
 
 def cosine_near_dup_lsh_sql(
     d: str, threshold: float = 0.30, rel: str | None = None,
     max_bucket: int = LSH_MAX_BUCKET,
 ) -> str:
-    """Near-dup pairs restricted to equal LSH bucket (the scale path);
-    same planes on both dialects, so identical candidate sets.
+    """Near-dup pairs restricted to equal (band, bucket) under the
+    multi-band sign-LSH (the scale path); same planes on both dialects,
+    so identical candidate sets.
 
-    Hot-bucket cap (r14, measured at the sf3 skew point): buckets larger
-    than ``max_bucket`` are excluded from the pair join entirely — with
-    ONE bucket per vector there is no other band to recover recall
-    through, and the sanctioned answer for a boilerplate-sized bucket is
-    :func:`near_dup_collapse` (one anchor row instead of C(n,2) pairs),
-    exactly the SCALE.md collapse-not-enumerate division of labor. The
-    bucket-size count shuffles on the same bucket key as the join (no
-    extra exchange); the oracle applies the identical cap, so the gate
-    checks the capped semantics exactly.
+    r16 re-plan (VERDICT r15 item 2): the r14 single-band 8-bit key
+    measured 2.4–5.7% pair recall in the ≥0.42 near-dup band it targets
+    (`sim_ann_recall_audit`) — the planted near-identical clusters land
+    in hot buckets the cap excludes, and with one band there is no other
+    route to recover them. Now: LSH_BANDS bands × LSH_BAND_BITS sign
+    bits (64 seed-7 hyperplanes), candidate pairs = union over bands of
+    same-(band, bucket) pairs, per-band hot-bucket cap. Measured on the
+    skewed rehearsal corpora: ≥0.42-band pair recall 0.057/0.024 →
+    0.926/0.926 at sf1/sf3 with candidate pairs linear-bounded by
+    (cap/2)·N per band.
 
-    When ``rel`` is given it must already provide (vec_id, v, nrm, bucket)
-    — the staged Spark path materializes buckets once instead of
-    recomputing the 8 plane dots on both sides of the self-join."""
+    Plan shape: the bucket-size window shuffles the exploded relation on
+    (band, bucket) — the same key the self-join uses, no extra exchange
+    — and the per-pair GROUP BY dedup (a pair can collide in several
+    bands) is map-combinable. Cosine is computed per band collision and
+    MIN-aggregated: the value is identical across bands (same fold, same
+    rounding), so MIN is deterministic and avoids a re-join against the
+    vector relation.
+
+    When ``rel`` is given it must already provide
+    (vec_id, v, nrm, mb0..mb{bands-1}) — the staged Spark path
+    materializes the 64 plane dots once instead of recomputing them on
+    both sides of the self-join."""
     if rel:
         n_rel = f"SELECT * FROM {rel}"
     else:
+        cols = ", ".join(
+            f"{e} AS {c}" for c, e in zip(MB_COLS, lsh_band_bucket_exprs("v", d))
+        )
         n_rel = (
-            f"SELECT vec_id, v, nrm, {lsh_bucket_expr('v', d)} AS bucket "
+            f"SELECT vec_id, v, nrm, {cols} "
             f"FROM (SELECT * FROM ({norm_cte(d)}))"
         )
     mat = "MATERIALIZED " if d == "duck" else ""
+    exploded = G.band_explode("n", MB_COLS, d, carry="vec_id, v, nrm")
+    enc = 1 << 20  # band·2^20 + bucket (bucket < 2^16): MIN picks the
+    # lowest colliding band deterministically, decomposed below
+    idiv = "DIV" if d == "spark" else "//"
     return f"""
     WITH n AS {mat}({n_rel}),
+    e AS ({exploded}),
     sized AS (
-        SELECT vec_id, v, nrm, bucket,
-               COUNT(*) OVER (PARTITION BY bucket) AS bsz
-        FROM n),
-    ok AS (SELECT vec_id, v, nrm, bucket FROM sized WHERE bsz <= {max_bucket})
-    SELECT id_a, id_b, bucket, cosine FROM (
-        SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.bucket AS bucket,
+        SELECT vec_id, v, nrm, band, bkey,
+               COUNT(*) OVER (PARTITION BY band, bkey) AS bsz
+        FROM e),
+    ok AS (SELECT vec_id, v, nrm, band, bkey FROM sized WHERE bsz <= {max_bucket}),
+    cand AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.band AS band, a.bkey AS bkey,
                ROUND({_dot('a.v', 'b.v', d)} / (a.nrm * b.nrm), 6) AS cosine
-        FROM ok a JOIN ok b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+        FROM ok a JOIN ok b
+          ON a.band = b.band AND a.bkey = b.bkey AND a.vec_id < b.vec_id)
+    SELECT id_a, id_b,
+           CAST(MIN(band * {enc} + bkey) {idiv} {enc} AS INT) AS band,
+           CAST(MIN(band * {enc} + bkey) % {enc} AS INT) AS bucket,
+           MIN(cosine) AS cosine
+    FROM cand
     WHERE cosine >= {threshold}
+    GROUP BY id_a, id_b
     ORDER BY id_a, id_b
     """
 
@@ -469,23 +532,31 @@ def semantic_dedup(spark, threshold: float = 0.42, n_centroids: int = 16):
 
 
 def _staged_buckets(spark, then):
-    """Stage the sign-LSH bucketed relation (vec_id, v, nrm, bucket) once
-    per (session, embeddings identity) and resolve ``then`` against it
-    inside the norms memo lock — shared by the pair-enumerating LSH query
-    and the cluster-collapse query, which run back-to-back in gate order
-    and would otherwise recompute the 8 plane dots twice. Memoized under
-    the norms key: the norms lock is already held here, so the check-act
-    is race-free, and a corpus swap invalidates both relations together."""
+    """Stage the sign-LSH bucketed relation
+    (vec_id, v, nrm, bucket, mb0..mb{bands-1}) once per (session,
+    embeddings identity) and resolve ``then`` against it inside the norms
+    memo lock — shared by the pair-enumerating LSH query (the fine
+    multi-band mb* keys), the cluster-collapse query (the coarse band-0
+    ``bucket``) and the recall audit, which run back-to-back in gate
+    order and would otherwise recompute the 64+8 plane dots repeatedly.
+    Memoized under the norms key: the norms lock is already held here, so
+    the check-act is race-free, and a corpus swap invalidates both
+    relations together."""
     from torchfusion_spark.session import staged_cache
 
     def build(rel):
         key = spark._tf_sim_norms_key
         if getattr(spark, "_tf_sim_buckets_key", object()) != key:
+            mb_cols = ", ".join(
+                f"{e} AS {c}"
+                for c, e in zip(MB_COLS, lsh_band_bucket_exprs("v", "spark"))
+            )
             b = staged_cache(
                 spark,
                 "sim_buckets",
                 spark.sql(
-                    f"SELECT vec_id, v, nrm, {lsh_bucket_expr('v', 'spark')} AS bucket FROM {rel}"
+                    f"SELECT vec_id, v, nrm, {lsh_bucket_expr('v', 'spark')} AS bucket, "
+                    f"{mb_cols} FROM {rel}"
                 ),
             )
             b.count()
@@ -509,16 +580,17 @@ def cosine_near_dup_lsh(
 
 def lsh_capped_bucket_stats(spark, max_bucket: int = LSH_MAX_BUCKET):
     """Embedding sign-LSH twin of ``dedup.simhash_capped_bucket_stats``:
-    the single-band buckets the r14 hot-bucket cap excludes from the
-    pair-enumerating query (the collapse operator owns those buckets) —
-    built on the shared observer so the cap semantics and report shape
-    cannot drift from the other families."""
+    the (band, bucket) cells of the multi-band key whose size exceeds
+    the per-band hot cap — exactly what the pair-enumerating query
+    excludes (the collapse operator owns those clusters) — built on the
+    shared observer so the cap semantics and report shape cannot drift
+    from the other families."""
     from torchfusion_spark.operators.dedup import capped_bucket_stats
 
     return _staged_buckets(
         spark,
         lambda rel: capped_bucket_stats(
-            spark, rel, ["bucket"], max_bucket, carry="vec_id"
+            spark, rel, MB_COLS, max_bucket, carry="vec_id"
         ),
     )
 
@@ -570,10 +642,11 @@ def ann_recall_audit_sql(
     scan at the same threshold; ``near_dup_lsh_hi`` = the same recall
     restricted to exact cosine >= ``hi`` = 0.42, the family's registered
     near-dup threshold (``sim_cosine_near_dup`` / ``sim_semantic_dedup``)
-    — the near-duplicate band the single-band LSH actually targets (at
-    the 0.30 pair threshold the exact set is dominated by mildly-similar
-    pairs an 8-bit sign bucket is not meant to catch; the hi band is the
-    figure that says whether DEDUP recall is healthy). Both pair sides are restricted to
+    — the near-duplicate band the LSH actually targets (at the 0.30
+    pair threshold the exact set is dominated by mildly-similar pairs a
+    sign bucket is not meant to catch; the hi band is the figure that
+    says whether DEDUP recall is healthy — this row is what drove the
+    r16 multi-band re-plan). Both pair sides are restricted to
     the same id-prefix SAMPLE universe (vec_id < ``max_n`` =
     AUDIT_PAIR_SAMPLE): a recall audit is a sampled estimate by design —
     the compared domains are identical at every scale and the exact
@@ -587,7 +660,19 @@ def ann_recall_audit_sql(
     unpivot from the single ``pr`` row via a per-dialect lateral
     explode (a 1×2 VALUES cross join planned as a CartesianProduct).
     Counts are exact BIGINTs, and the recall division is zero-guarded
-    (ANSI: an empty exact side must yield NULL, not DIVIDE_BY_ZERO)."""
+    (ANSI: an empty exact side must yield NULL, not DIVIDE_BY_ZERO).
+
+    ``n_approx_only`` (r16, ADVICE) makes the lp ⊆ ep invariant
+    observable instead of silently assumed: every capped-LSH pair is
+    necessarily in the exact gated scan (same id universe, same
+    threshold, same 6dp rounding), so the pair rows must report 0 — a
+    nonzero count means the two cosine spellings diverged. For
+    ``ivf_topk`` the column is the probe's false-positive count
+    (approx candidates outside the exact top-k), i.e. k·|Q| − n_hit
+    when both sides are full. The hi pair row reports the SAME lp-only
+    count as the base row (an lp-only pair has no exact cosine to
+    band-attribute; the column is the anomaly detector, not a band
+    statistic)."""
     hi = 0.42
     exact_tk = cosine_topk_sql(d, k, n_queries, rel=rel)
     approx_tk = ivf_topk_sql(d, k, n_queries, rel=rel)
@@ -604,16 +689,19 @@ def ann_recall_audit_sql(
     tk AS (
         SELECT COUNT(et.q_id) AS n_exact, COUNT(iv.q_id) AS n_approx,
                COUNT(CASE WHEN et.q_id IS NOT NULL AND iv.q_id IS NOT NULL
-                          THEN 1 END) AS n_hit
+                          THEN 1 END) AS n_hit,
+               COUNT(CASE WHEN iv.q_id IS NOT NULL AND et.q_id IS NULL
+                          THEN 1 END) AS n_approx_only
         FROM et FULL OUTER JOIN iv
           ON et.q_id = iv.q_id AND et.cand_id = iv.cand_id),
     pr AS (
         SELECT COUNT(ep.id_a) AS n_exact, COUNT(lp.id_a) AS n_approx,
                COUNT(CASE WHEN ep.id_a IS NOT NULL AND lp.id_a IS NOT NULL
                           THEN 1 END) AS n_hit,
+               COUNT(CASE WHEN lp.id_a IS NOT NULL AND ep.id_a IS NULL
+                          THEN 1 END) AS n_approx_only,
                COUNT(CASE WHEN ep.cosine >= {hi} THEN 1 END) AS n_exact_hi,
-               COUNT(CASE WHEN lp.id_a IS NOT NULL
-                           AND COALESCE(ep.cosine, lp.cosine) >= {hi}
+               COUNT(CASE WHEN lp.id_a IS NOT NULL AND ep.cosine >= {hi}
                           THEN 1 END) AS n_approx_hi,
                COUNT(CASE WHEN ep.id_a IS NOT NULL AND lp.id_a IS NOT NULL
                            AND ep.cosine >= {hi} THEN 1 END) AS n_hit_hi
@@ -623,10 +711,12 @@ def ann_recall_audit_sql(
            CAST(n_exact AS BIGINT) AS n_exact,
            CAST(n_approx AS BIGINT) AS n_approx,
            CAST(n_hit AS BIGINT) AS n_hit,
+           CAST(n_approx_only AS BIGINT) AS n_approx_only,
            CASE WHEN n_exact = 0 THEN CAST(NULL AS DOUBLE)
                 ELSE ROUND(CAST(n_hit AS DOUBLE) / n_exact, 6) END AS recall
     FROM (
-        SELECT 'ivf_topk' AS method, n_exact, n_approx, n_hit FROM tk
+        SELECT 'ivf_topk' AS method, n_exact, n_approx, n_hit, n_approx_only
+        FROM tk
         UNION ALL
         SELECT method,
                CASE method WHEN 'near_dup_lsh' THEN pr.n_exact
@@ -634,7 +724,8 @@ def ann_recall_audit_sql(
                CASE method WHEN 'near_dup_lsh' THEN pr.n_approx
                     ELSE pr.n_approx_hi END AS n_approx,
                CASE method WHEN 'near_dup_lsh' THEN pr.n_hit
-                    ELSE pr.n_hit_hi END AS n_hit
+                    ELSE pr.n_hit_hi END AS n_hit,
+               pr.n_approx_only AS n_approx_only
         FROM pr {_unpivot_methods(d)}) __u
     ORDER BY method
     """

@@ -31,6 +31,22 @@ N_PLANES = 8
 EMB_DIM = 64
 PLANES = np.round(np.random.default_rng(7).standard_normal((N_PLANES, EMB_DIM)), 6).tolist()
 
+# multi-band sign-LSH (r16): LSH_BANDS bands × LSH_BAND_BITS sign bits =
+# 64 hyperplanes drawn from the SAME seed-7 stream. numpy fills C-order
+# from one generator stream, so PLANES — the 8-plane prefix the
+# collapse operator's coarse band-0 bucket keeps using — is exactly
+# PLANES_MB[:N_PLANES] (asserted below as executable documentation).
+# 16 bits/band keeps the expected *background* bucket at N/65536 rows, so
+# the hot-bucket cap engages only on genuine near-dup clusters until
+# N ≈ cap·2^16 ≈ 268M vectors; past that, add bits (the documented
+# r ≈ log2(N/cap) scale knob), never widen the cap.
+LSH_BANDS = 4
+LSH_BAND_BITS = 16
+PLANES_MB = np.round(
+    np.random.default_rng(7).standard_normal((LSH_BANDS * LSH_BAND_BITS, EMB_DIM)), 6
+).tolist()
+assert PLANES == PLANES_MB[:N_PLANES]
+
 
 def hash56(expr: str, d: str) -> str:
     """Portable 56-bit string hash: md5 hex prefix as integer."""

@@ -165,11 +165,13 @@ def sim_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "sim_cosine_near_dup_lsh",
     similarity.cosine_near_dup_lsh_sql("duck"),
-    doc="sign-LSH (8 hyperplanes) bucketed cosine near-dup — the 100TB path; "
-    "Spark side materializes buckets once (self-join would recompute them 2×); "
-    "r14: buckets over 256 rows are excluded from the pair join (identical "
-    "cap in the oracle) — hot buckets belong to sim_near_dup_collapse, and "
-    "the uncapped join measured 10× on a 3× corpus at the sf3 skew point",
+    doc="multi-band sign-LSH (r16: 4 bands × 16 sign bits, 64 hyperplanes) "
+    "bucketed cosine near-dup — the 100TB path; candidate pairs = union over "
+    "bands of same-(band,bucket) pairs, per-band hot cap 4096 (identical in "
+    "the oracle), map-combinable pair-dedup GROUP BY; Spark side stages the "
+    "64 plane dots once. Oversized buckets are genuine near-identical "
+    "clusters and belong to sim_near_dup_collapse; measured ≥0.42-band pair "
+    "recall 0.057/0.024 → 0.926/0.926 at sf1/sf3 (sim_ann_recall_audit)",
 )
 def sim_cosine_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_near_dup_lsh(spark)
@@ -202,12 +204,13 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "sim_ann_recall_audit",
     similarity.ann_recall_audit_sql("duck"),
-    doc="recall audit for the approximate-ANN paths (r15): IVF top-k "
-    "recall@k vs the exact brute-force top-k on the same query set, and "
-    "capped sign-LSH pair recall vs the exact gated pair scan — the "
-    "measured price of the r14 hot-bucket exclusion, as a hash-checked "
+    doc="recall audit for the approximate-ANN paths (r15; r16 adds the "
+    "n_approx_only invariant column and audits the multi-band LSH): IVF "
+    "top-k recall@k vs the exact brute-force top-k on the same query set, "
+    "and capped multi-band sign-LSH pair recall vs the exact gated pair "
+    "scan — the measured price of hot-bucket exclusion, as a hash-checked "
     "witness; components referenced once each (FULL OUTER hit counting), "
-    "zero-guarded recall division",
+    "zero-guarded recall division, lp⊆ep observable as n_approx_only=0",
 )
 def sim_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ann_recall_audit(spark)

@@ -44,10 +44,25 @@ from __future__ import annotations
 # CORRECTNESS row (so that row certifies the old semantics). Ranked with
 # the uncertified head; drop a name from this set once a driver row lands
 # on the new semantics.
-SEMANTICS_CHANGED: frozenset[str] = frozenset()
+SEMANTICS_CHANGED: frozenset[str] = frozenset(
+    {
+        # r16: the pair finder moved from the single-band 8-bit key to
+        # 4×16-bit multi-band sign-LSH with a per-band cap of 4096 (new
+        # output schema and values; VERDICT r15 item 2) — the r15 green
+        # row certified the single-band semantics.
+        "sim_cosine_near_dup_lsh",
+        # r16: the audit gained the n_approx_only invariant column
+        # (ADVICE fix: the dead COALESCE arm removed) and now audits the
+        # multi-band pair finder — schema and values both changed.
+        "sim_ann_recall_audit",
+    }
+)
 
 PRIORITY: list[str] = [
     # -- new r16 registrations (uncertified) go here, ahead of the head --
+    # -- semantics-changed re-certification (see SEMANTICS_CHANGED) --
+    "sim_cosine_near_dup_lsh",
+    "sim_ann_recall_audit",
     # -- the r12 block (39 names, prior internal order) --
     "win_ranking",
     "win_first_last",
@@ -187,9 +202,8 @@ PRIORITY: list[str] = [
     "sample_hash_stratified",
     "skew_salted_agg",
     "skew_salted_join",
-    # -- the r15 block (50 names, prior internal order) --
-    "sim_ann_recall_audit",
-    "sim_cosine_near_dup_lsh",
+    # -- the r15 block (prior internal order; minus the two semantics-
+    # changed names promoted to the head) --
     "events_winsorize",
     "events_session_window",
     "stream_session_window",
