@@ -240,6 +240,7 @@ def main() -> None:
     # plan. The build cost is still reported (staging_warm_sec below) —
     # it is paid once per session, amortized across every family query.
     staging_warm = time.perf_counter()
+    staging_components: dict = {}
     try:
         from torchfusion_spark.operators.dedup import (
             _staged_containment,
@@ -277,34 +278,53 @@ def main() -> None:
         # so none serializes behind a full pool.
         from concurrent.futures import ThreadPoolExecutor
 
+        # Per-relation itemization (VERDICT r15 item 4): each component's
+        # number is its own wall-clock UNDER the concurrent schedule
+        # (threads share the local[32] scheduler, so components overlap
+        # and the sum exceeds staging_warm_sec — the per-row figure says
+        # which relations dominate the bill, the total says what a cold
+        # session actually pays).
+        def _timed(name, fn, *a):
+            t0 = time.perf_counter()
+            fn(*a)
+            staging_components[name] = round(time.perf_counter() - t0, 4)
+
         with ThreadPoolExecutor(max_workers=10) as pool:
             roots = [
-                pool.submit(_staged_hx, spark),  # shared shingle+md5 relation
-                pool.submit(_staged_norms, spark),  # __sim_norms
-                pool.submit(_staged_substring_grams, spark),  # positional grams
-                pool.submit(_staged_unigrams, spark),  # BM25/LM term freqs
-                pool.submit(_staged_labels, spark),  # classifier Gopher labels
+                # shared shingle+md5 relation
+                pool.submit(_timed, "hx_shingles", _staged_hx, spark),
+                # __sim_norms (+ the multi-band LSH bucket columns ride
+                # the same memo chain on first use)
+                pool.submit(_timed, "sim_norms", _staged_norms, spark),
+                # positional grams
+                pool.submit(_timed, "substring_grams", _staged_substring_grams, spark),
+                # BM25/LM term freqs
+                pool.submit(_timed, "unigrams", _staged_unigrams, spark),
+                # classifier Gopher labels
+                pool.submit(_timed, "quality_labels", _staged_labels, spark),
                 # payload aHash fingerprints (multimodal_dedup's staged
                 # relation — the r03/r06 contract: staging_warm_sec covers
                 # every session-staged relation the headline set uses)
-                pool.submit(_staged_phash, spark),
+                pool.submit(_timed, "payload_phash", _staged_phash, spark),
                 # per-frame aHash fingerprints (multimodal_frame_dedup)
-                pool.submit(_staged_frame_phash, spark),
+                pool.submit(_timed, "frame_phash", _staged_frame_phash, spark),
                 # ordered line stream (corpus_strip_boilerplate_lines)
-                pool.submit(_staged_lines, spark),
+                pool.submit(_timed, "doc_lines", _staged_lines, spark),
                 # (lang, shard)-partitioned tokenized pack input
                 # (corpus_pack_sequences — r15: staging replaces the
                 # doubled documents scan the CTE inlining paid)
-                pool.submit(_staged_pack_t, spark),
-                # l_orderkey-bucketed lineitem projection (r15:
-                # q21's co-located zero-fact-shuffle plan)
-                pool.submit(_staged_li_by_order, spark),
+                pool.submit(_timed, "pack_tokens", _staged_pack_t, spark),
+                # l_orderkey-bucketed per-(order,supp) rollup (r15/r16:
+                # q21's co-located zero-fact-shuffle plan; r16 persists
+                # it across sessions, so a warm .scratch makes this row
+                # registration-only)
+                pool.submit(_timed, "li_by_order", _staged_li_by_order, spark),
                 # one-time persisted URL seen-set (VERDICT r11 item 5):
                 # the builder writes the index parquet eagerly and
                 # returns the probe plan unexecuted — exactly the
                 # session-staged build this pass exists to charge to
                 # staging_warm_sec instead of the query's cold number
-                pool.submit(url_incremental_query, spark),
+                pool.submit(_timed, "url_index", url_incremental_query, spark),
             ]
             roots[0].result()  # hx must land before its three consumers
             deps = [
@@ -315,9 +335,11 @@ def main() -> None:
                 # cluster labels are one (pipeline_dedup_canonical reads
                 # them); leaving the CC loop to the first timed run hid
                 # a ~4s cold cost in `spread`
-                pool.submit(minhash_clusters, spark),
-                pool.submit(_staged_bloom, spark),  # 64 KB benchmark filter
-                pool.submit(_staged_containment, spark),  # inverted index
+                pool.submit(_timed, "minhash_clusters", minhash_clusters, spark),
+                # 64 KB benchmark filter
+                pool.submit(_timed, "bloom_filter", _staged_bloom, spark),
+                # inverted index
+                pool.submit(_timed, "containment_index", _staged_containment, spark),
             ]
             for fut in roots + deps:
                 fut.result()
@@ -404,6 +426,10 @@ def main() -> None:
         "queries_ok": len(timings) + len(streaming_timings),
         "queries_failed": len(errors),
         "staging_warm_sec": staging_warm,
+        # per-relation build wall-clock under the concurrent prewarm
+        # schedule (components overlap; see the _timed note) — VERDICT
+        # r15 item 4's itemization
+        "staging_components": dict(sorted(staging_components.items())),
         **({"staging_error": staging_error} if staging_error else {}),
         "streaming": {
             "queries": streaming_timings,

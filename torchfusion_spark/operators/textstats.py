@@ -966,11 +966,16 @@ def _staged_pack_t(spark, then=None, shards: int = PACK_SHARDS) -> str:
     from torchfusion_spark.operators import dedup
     from torchfusion_spark.session import memo_lock, staged_cache
 
-    key = (dedup._docs_key(spark), shards)
+    # the partition count is part of the staged LAYOUT (the cumsum
+    # window's exchange-free property holds only for the partitioning the
+    # cache was built with): fold it into the memo key so a mid-session
+    # conf change re-stages instead of silently reusing the stale layout
+    # (ADVICE r15 #2)
+    npart = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    key = (dedup._docs_key(spark), shards, npart)
     view = f"__tf_pack_t_{shards}"
     with memo_lock(spark, "pack_t"):
         if getattr(spark, "_tf_pack_t_key", object()) != key:
-            npart = int(spark.conf.get("spark.sql.shuffle.partitions"))
             t = spark.sql(
                 pack_t_sql("spark", shards=shards, rel=dedup._staged_docs(spark))
             ).repartition(npart, "lang", "shard")
