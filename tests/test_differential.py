@@ -2232,22 +2232,25 @@ def chunk_texts(draw):
     derandomize=True,
     suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
 )
-@given(texts=chunk_texts())
-def test_differential_chunk_overlap_windows(spark, duck, restore_documents, texts):
+@given(texts=chunk_texts(), size=st.integers(2, 64), overlap_frac=st.integers(0, 90))
+def test_differential_chunk_overlap_windows(
+    spark, duck, restore_documents, texts, size, overlap_frac
+):
     """Overlapping character-window chunking on RANDOM docs (NULL/empty
     texts, unicode substr boundaries, docs shorter than one window and
-    longer than several): cross-engine equality plus a plain-Python
-    reference of the window arithmetic, trailing-partial rule and
-    empty-doc single-empty-chunk rule."""
+    longer than several) AND random (size, overlap) geometry (r16,
+    VERDICT item 5 — the registered defaults only exercise one stride):
+    cross-engine equality plus a plain-Python reference of the window
+    arithmetic, trailing-partial rule and empty-doc single-empty-chunk
+    rule."""
     import hashlib
 
     import pandas as pd
 
-    from torchfusion_spark.operators.textstats import (
-        CHUNK_OVERLAP,
-        CHUNK_SIZE,
-        chunk_overlap_sql,
-    )
+    from torchfusion_spark.operators.textstats import chunk_overlap_sql
+
+    CHUNK_SIZE = size
+    CHUNK_OVERLAP = size * overlap_frac // 100  # always < size
 
     pdf = pd.DataFrame(
         {
@@ -2262,8 +2265,14 @@ def test_differential_chunk_overlap_windows(spark, duck, restore_documents, text
         pdf, "doc_id bigint, text string, lang string, source string, n_chars bigint"
     ).createOrReplaceTempView("documents")
     duck.execute("CREATE OR REPLACE VIEW documents AS SELECT * FROM pdf")
-    got = [tuple(r) for r in spark.sql(chunk_overlap_sql("spark")).collect()]
-    want = [tuple(r) for r in duck.execute(chunk_overlap_sql("duck")).fetchall()]
+    got = [
+        tuple(r)
+        for r in spark.sql(chunk_overlap_sql("spark", CHUNK_SIZE, CHUNK_OVERLAP)).collect()
+    ]
+    want = [
+        tuple(r)
+        for r in duck.execute(chunk_overlap_sql("duck", CHUNK_SIZE, CHUNK_OVERLAP)).fetchall()
+    ]
     assert got == want, (texts, got, want)
 
     stride = CHUNK_SIZE - CHUNK_OVERLAP
@@ -3594,3 +3603,215 @@ def test_session_window_exact_gap_boundary_merges(spark, restore_events, duck):
     want = [tuple(r) for r in duck.execute(SESSION_WINDOW_ORACLE).fetchall()]
     assert got == want
     assert len(got) == 1 and got[0][3] == 2  # ONE merged session of 2 events
+
+
+# ---------------------------------------------------------------------------
+# Sampling / mixture family (VERDICT r15 item 5): greedy budget fill,
+# integer target allocation and hash-bucket membership are the
+# lockstep-prone shapes — cross-engine equality on hostile corpora
+# (NULL text, NULL lang/source groups, multi-space tokens) PLUS a full
+# plain-Python recompute of each operator's semantics. First run found
+# the mixture plan's least(NULL, target) full-allocation bug (fixed in
+# mixture_plan_sql; the winsorize greatest/least class, third round in a
+# row a recompute's first pass over an unfuzzed family caught one).
+# ---------------------------------------------------------------------------
+
+
+def _h56_doc(doc_id) -> int:
+    import hashlib
+
+    return int(hashlib.md5(str(doc_id).encode()).hexdigest()[:14], 16)
+
+
+def _ntok(t):
+    """The token rule: split on single space, empties KEPT; '' -> 1."""
+    return None if t is None else len(t.split(" "))
+
+
+@st.composite
+def mixture_corpus_inputs(draw):
+    wild = st.text(
+        alphabet=st.characters(blacklist_categories=("Cs", "Cc"), blacklist_characters="'\\\""),
+        min_size=0,
+        max_size=24,
+    )
+    texty = st.one_of(st.none(), st.just(""), st.just("a  b c "), wild)
+    n = draw(st.integers(1, 8))
+    docs = [
+        (
+            i,
+            draw(texty),
+            draw(st.sampled_from([None, "en", "fr"])),
+            draw(st.sampled_from([None, "web", "book"])),
+        )
+        for i in range(n)
+    ]
+    return docs
+
+
+def _register_mixture_docs(spark, duck, docs):
+    import pandas as pd
+
+    pdf = pd.DataFrame(docs, columns=["doc_id", "text", "lang", "source"])
+    pdf["n_chars"] = [len(t) if t else 0 for t in pdf["text"]]
+    spark.createDataFrame(
+        pdf, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    ).createOrReplaceTempView("documents")
+    # all-NULL pandas string columns bind as INT32 without the pinning
+    # CASTs (the engine-disciplines duck-view rule)
+    duck.execute(
+        "CREATE OR REPLACE VIEW documents AS SELECT "
+        "CAST(doc_id AS BIGINT) AS doc_id, CAST(text AS VARCHAR) AS text, "
+        "CAST(lang AS VARCHAR) AS lang, CAST(source AS VARCHAR) AS source, "
+        "CAST(n_chars AS BIGINT) AS n_chars FROM pdf"
+    )
+    return pdf
+
+
+def _lang_sort_key(val):
+    return (val is not None, val if val is not None else "")
+
+
+@settings(
+    max_examples=40,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(docs=mixture_corpus_inputs(), budget=st.integers(0, 12))
+def test_differential_corpus_token_budget(spark, duck, restore_documents, docs, budget):
+    """Greedy per-language token-budget fill: the NULL-text subtleties
+    are the point — SUM OVER skips NULL n_tokens, so a NULL-text doc
+    inherits the running total (kept, n_tokens NULL) unless it leads its
+    partition (cum NULL -> dropped)."""
+    from torchfusion_spark.operators.textstats import token_budget_sql
+
+    pdf = _register_mixture_docs(spark, duck, docs)  # noqa: F841
+    got = [tuple(r) for r in spark.sql(token_budget_sql("spark", budget=budget)).collect()]
+    want = [tuple(r) for r in duck.execute(token_budget_sql("duck", budget=budget)).fetchall()]
+    assert got == want, (docs, budget, got, want)
+
+    by_lang: dict = {}
+    for d, t, lang, _s in docs:
+        by_lang.setdefault(lang, []).append((d, t))
+    ref = []
+    for lang, ds in by_lang.items():
+        cum = None
+        for d, t in sorted(ds, key=lambda r: (_h56_doc(r[0]), r[0])):
+            n = _ntok(t)
+            if n is not None:
+                cum = (cum or 0) + n
+            if cum is not None and cum <= budget:
+                ref.append((d, lang, n, cum))
+    ref.sort(key=lambda r: (_lang_sort_key(r[1]), r[3], r[0]))
+    assert got == ref, (docs, budget, got, ref)
+
+
+@settings(
+    max_examples=40,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(docs=mixture_corpus_inputs(), quota=st.integers(1, 4))
+def test_differential_sample_group_quota(spark, duck, restore_documents, docs, quota):
+    """Per-group quota by deterministic hash rank, NULL lang its own
+    window partition on both engines."""
+    from torchfusion_spark.operators.textstats import group_quota_sample_sql
+
+    pdf = _register_mixture_docs(spark, duck, docs)  # noqa: F841
+    got = [tuple(r) for r in spark.sql(group_quota_sample_sql("spark", quota=quota)).collect()]
+    want = [
+        tuple(r) for r in duck.execute(group_quota_sample_sql("duck", quota=quota)).fetchall()
+    ]
+    assert got == want, (docs, quota, got, want)
+
+    by_lang: dict = {}
+    for d, _t, lang, _s in docs:
+        by_lang.setdefault(lang, []).append(d)
+    ref = []
+    for lang, ds in by_lang.items():
+        for rk, d in enumerate(sorted(ds, key=lambda x: (_h56_doc(x), x)), start=1):
+            if rk <= quota:
+                ref.append((d, lang, rk))
+    ref.sort(key=lambda r: (_lang_sort_key(r[1]), r[2]))
+    assert got == ref, (docs, quota, got, ref)
+
+
+@settings(
+    max_examples=40,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(docs=mixture_corpus_inputs(), budget=st.integers(0, 40))
+def test_differential_corpus_mixture_plan(spark, duck, restore_documents, docs, budget):
+    """Balanced integer allocation across sources: the recompute pins
+    the fixed NULL-availability rule (all-NULL-text source plans 0, not
+    the full target) and the integer DIV target arithmetic."""
+    from torchfusion_spark.operators.textstats import mixture_plan_sql
+
+    pdf = _register_mixture_docs(spark, duck, docs)  # noqa: F841
+    got = [tuple(r) for r in spark.sql(mixture_plan_sql("spark", budget=budget)).collect()]
+    want = [tuple(r) for r in duck.execute(mixture_plan_sql("duck", budget=budget)).fetchall()]
+    assert got == want, (docs, budget, got, want)
+
+    by_src: dict = {}
+    for _d, t, _lang, src in docs:
+        by_src.setdefault(src, []).append(_ntok(t))
+    n_src = len(by_src)
+    target = budget // n_src
+    ref = []
+    for src, toks in by_src.items():
+        nn = [t for t in toks if t is not None]
+        avail = sum(nn) if nn else None
+        planned = min(avail if avail is not None else 0, target)
+        rate = round(planned / avail, 6) if avail is not None else None
+        ref.append((src, avail, target, planned, rate))
+    ref.sort(key=lambda r: _lang_sort_key(r[0]))
+    assert got == ref, (docs, budget, got, ref)
+
+
+@settings(
+    max_examples=40,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(
+    docs=mixture_corpus_inputs(),
+    pct_train=st.integers(0, 100),
+    pct_val_room=st.integers(0, 100),
+)
+def test_differential_sample_train_split(
+    spark, duck, restore_documents, docs, pct_train, pct_val_room
+):
+    """Hash-bucket split membership + per-(split, lang) rollup; NULL
+    texts make total_tokens NULL only when a whole group is NULL-text
+    (SUM skips NULLs) — the recompute checks the group arithmetic, not
+    just engine agreement."""
+    from torchfusion_spark.operators.textstats import train_split_sql
+
+    pct_val = pct_val_room * (100 - pct_train) // 100
+    pdf = _register_mixture_docs(spark, duck, docs)  # noqa: F841
+    got = [
+        tuple(r)
+        for r in spark.sql(train_split_sql("spark", pct_train, pct_val)).collect()
+    ]
+    want = [
+        tuple(r)
+        for r in duck.execute(train_split_sql("duck", pct_train, pct_val)).fetchall()
+    ]
+    assert got == want, (docs, pct_train, pct_val, got, want)
+
+    groups: dict = {}
+    for d, t, lang, _s in docs:
+        b = _h56_doc(d) % 100
+        split = "train" if b < pct_train else ("val" if b < pct_train + pct_val else "test")
+        groups.setdefault((split, lang), []).append(_ntok(t))
+    ref = []
+    for (split, lang), toks in groups.items():
+        nn = [t for t in toks if t is not None]
+        ref.append((split, lang, len(toks), sum(nn) if nn else None))
+    ref.sort(key=lambda r: (r[0], _lang_sort_key(r[1])))
+    assert got == ref, (docs, pct_train, pct_val, got, ref)

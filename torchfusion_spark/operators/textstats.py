@@ -1329,6 +1329,15 @@ def mixture_plan_sql(d: str, budget: int = MIXTURE_BUDGET) -> str:
     the first aggregation."""
     n_toks = G.arr_size(G.split_ws("text", d), d)
     target = G.intdiv(str(budget), "n_src", d)
+    # r16 (sampling-family fuzzer finding, the winsorize greatest/least
+    # class again): SQL least() SKIPS NULL arguments on BOTH engines, so
+    # a source whose docs are all NULL-text (available_tokens = NULL)
+    # silently got planned_tokens = target — a full allocation of tokens
+    # that don't exist, invisible to the cross-engine hash gate. The
+    # COALESCE pins the no-countable-tokens source to planned 0;
+    # available_tokens stays NULL (the faithful inventory) and keep_rate
+    # stays NULL (unknown denominator).
+    planned = f"least(COALESCE(available_tokens, 0), {target})"
     return f"""
     WITH avail AS (
         SELECT source, CAST(SUM({n_toks}) AS BIGINT) AS available_tokens
@@ -1336,9 +1345,8 @@ def mixture_plan_sql(d: str, budget: int = MIXTURE_BUDGET) -> str:
     w AS (SELECT source, available_tokens, COUNT(*) OVER () AS n_src FROM avail)
     SELECT source, available_tokens,
            CAST({target} AS BIGINT) AS target_tokens,
-           CAST(least(available_tokens, {target}) AS BIGINT) AS planned_tokens,
-           ROUND(CAST(least(available_tokens, {target}) AS DOUBLE)
-                 / available_tokens, 6) AS keep_rate
+           CAST({planned} AS BIGINT) AS planned_tokens,
+           ROUND(CAST({planned} AS DOUBLE) / available_tokens, 6) AS keep_rate
     FROM w ORDER BY source NULLS FIRST
     """
 

@@ -55,6 +55,12 @@ SEMANTICS_CHANGED: frozenset[str] = frozenset(
         # (ADVICE fix: the dead COALESCE arm removed) and now audits the
         # multi-band pair finder — schema and values both changed.
         "sim_ann_recall_audit",
+        # r16 sampling-family fuzzer finding (the winsorize least/
+        # greatest NULL class): a source with only NULL-text docs got
+        # planned_tokens = target on BOTH engines (least skips NULLs);
+        # fixed to plan 0. Fixture corpora have no NULL-only source, so
+        # the green rows never exercised the changed branch.
+        "corpus_mixture_plan",
     }
 )
 
@@ -63,6 +69,7 @@ PRIORITY: list[str] = [
     # -- semantics-changed re-certification (see SEMANTICS_CHANGED) --
     "sim_cosine_near_dup_lsh",
     "sim_ann_recall_audit",
+    "corpus_mixture_plan",
     # -- the r12 block (39 names, prior internal order) --
     "win_ranking",
     "win_first_last",
@@ -132,7 +139,6 @@ PRIORITY: list[str] = [
     "text_winnow_fingerprint",
     "text_decontaminate",
     "corpus_token_budget",
-    "corpus_mixture_plan",
     "corpus_shuffle_shards",
     "sample_weighted_topk",
     "sample_group_quota",
