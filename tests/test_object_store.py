@@ -122,3 +122,101 @@ def test_device_validation_rejects_unknown():
 
     with pytest.raises(tf_config.TorchConfigError, match="not supported"):
         tf_config.validate("torchfusion.device", "tpu")
+
+
+# ---------------------------------------------------------------------------
+# Live-S3 integration (VERDICT r15 item 7, closing SURVEY §2 B2's
+# "untested-live" qualifier when an endpoint exists): parity-PLUS over the
+# reference's permanently-#[ignore]d MinIO test (src/lib.rs:199-267).
+# Auto-skips without TF_S3_TEST_ENDPOINT — CI without object storage runs
+# the mocked suite above; a deployment with MinIO (e.g.
+# `TF_S3_TEST_ENDPOINT=http://localhost:9000 pytest tests/test_object_store.py`)
+# exercises the real network path end to end.
+# ---------------------------------------------------------------------------
+
+_LIVE_ENDPOINT = __import__("os").environ.get("TF_S3_TEST_ENDPOINT")
+
+live_s3 = pytest.mark.skipif(
+    not _LIVE_ENDPOINT,
+    reason="live S3/MinIO integration needs TF_S3_TEST_ENDPOINT "
+    "(plus optional TF_S3_TEST_ACCESS_KEY/TF_S3_TEST_SECRET_KEY, "
+    "default minioadmin/minioadmin)",
+)
+
+
+@pytest.fixture()
+def live_bucket(monkeypatch):
+    """A real bucket on the configured endpoint with fresh creds wired
+    into both the boto3 env chain and the returned kwargs."""
+    import os
+    import uuid
+
+    boto3 = pytest.importorskip("boto3")
+    access = os.environ.get("TF_S3_TEST_ACCESS_KEY", "minioadmin")
+    secret = os.environ.get("TF_S3_TEST_SECRET_KEY", "minioadmin")
+    monkeypatch.setenv("AWS_ENDPOINT_URL", _LIVE_ENDPOINT)
+    monkeypatch.setenv("AWS_ACCESS_KEY_ID", access)
+    monkeypatch.setenv("AWS_SECRET_ACCESS_KEY", secret)
+    client = boto3.client(
+        "s3",
+        endpoint_url=_LIVE_ENDPOINT,
+        aws_access_key_id=access,
+        aws_secret_access_key=secret,
+    )
+    bucket = f"tf-it-{uuid.uuid4().hex[:12]}"
+    client.create_bucket(Bucket=bucket)
+    yield client, bucket, access, secret
+    for obj in client.list_objects_v2(Bucket=bucket).get("Contents", []):
+        client.delete_object(Bucket=bucket, Key=obj["Key"])
+    client.delete_bucket(Bucket=bucket)
+
+
+@live_s3
+def test_live_model_bytes_round_trip(live_bucket):
+    """The reference test's model-fetch half: model bytes PUT to the
+    store come back byte-identical through fetch_bytes's s3:// arm via
+    the endpoint override."""
+    from torchfusion_spark.models.registry import fetch_bytes
+
+    client, bucket, _a, _s = live_bucket
+    payload = b"\x93NUMPY-model-bytes\x00" * 64
+    client.put_object(Bucket=bucket, Key="simple/model.npz", Body=payload)
+    assert fetch_bytes(f"s3://{bucket}/simple/model.npz") == payload
+
+
+@live_s3
+def test_live_external_table_read(spark, tables, live_bucket):
+    """The reference test's external-table half: parquet PUT to the
+    store reads back through an s3a:// external table after
+    configure_s3. Sub-skips with an actionable message when the
+    hadoop-aws jars are absent (classpath prerequisite documented on
+    configure_s3) — the model-bytes test above still covers the network
+    path."""
+    from torchfusion_spark.sources import configure_s3
+
+    try:
+        spark._jvm.java.lang.Class.forName("org.apache.hadoop.fs.s3a.S3AFileSystem")
+    except Exception:
+        pytest.skip("hadoop-aws jars not on the classpath (configure_s3 docs)")
+
+    client, bucket, access, secret = live_bucket
+    local = spark.table("nation").toPandas()
+    import io
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    buf = io.BytesIO()
+    pq.write_table(pa.Table.from_pandas(local), buf)
+    client.put_object(Bucket=bucket, Key="nation/part-0.parquet", Body=buf.getvalue())
+
+    configure_s3(spark, endpoint=_LIVE_ENDPOINT, access_key=access, secret_key=secret)
+    spark.sql("DROP TABLE IF EXISTS s3_nation")
+    spark.sql(
+        f"CREATE TABLE s3_nation USING parquet LOCATION 's3a://{bucket}/nation/'"
+    )
+    try:
+        got = {r.n_nationkey for r in spark.table("s3_nation").collect()}
+        assert got == set(local["n_nationkey"])
+    finally:
+        spark.sql("DROP TABLE IF EXISTS s3_nation")
