@@ -89,11 +89,17 @@ def growth(records: list[dict]) -> dict:
 
 
 def main() -> None:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    argv = sys.argv[1:]
     out = None
-    if "--out" in sys.argv:
-        out = sys.argv[sys.argv.index("--out") + 1]
-    records = [run_scale(d) for d in args]
+    if "--out" in argv:
+        i = argv.index("--out")
+        out = argv[i + 1]
+        del argv[i : i + 2]
+    records = []
+    for d in argv:
+        records.append(run_scale(d))
+        # progress is salvageable if a later scale dies
+        print(json.dumps(records[-1]), file=sys.stderr, flush=True)
     records.sort(key=lambda r: r["input_rows"])
     payload = {"scales": records, "growth": growth(records)}
     print(json.dumps(payload, indent=2))
