@@ -169,6 +169,33 @@ def cosine_near_dup_sql(
     """
 
 
+def _plane_ref(idx: int, d: str) -> str:
+    """How a bucket expression names hyperplane ``idx``.
+
+    Spark: the inline array literal (codegen folds it — free). DuckDB:
+    a COLUMN reference ``__pl{idx}`` into the 1-row :func:`planes_rel_duck`
+    relation the enclosing FROM must cross-join — measured r16: a
+    constant list literal INSIDE a DuckDB lambda is re-built per element
+    evaluation (~1ms per 64-dim plane dot, 29s to bucket 500 rows; the
+    r15 single-band oracle already paid 15.2s at sf0.1 for the same
+    reason), while a captured column VALUE is indexed at list-extract
+    speed. The products and fold order are bit-identical either way, so
+    the hash gate is untouched."""
+    if d == "spark":
+        return G.array_lit(G.PLANES_MB[idx], "spark")
+    return f"__pl{idx}"
+
+
+def planes_rel_duck(n_planes: int = G.LSH_BANDS * G.LSH_BAND_BITS) -> str:
+    """The 1-row (``__pl0``..) hyperplane relation for DuckDB bucket
+    arms; PLANES == PLANES_MB[:8], so the 8-plane coarse key reuses the
+    first eight columns."""
+    cols = ", ".join(
+        f"{G.array_lit(G.PLANES_MB[i], 'duck')} AS __pl{i}" for i in range(n_planes)
+    )
+    return f"SELECT {cols}"
+
+
 def lsh_bucket_expr(v: str, d: str) -> str:
     """Bucket id = 8 sign bits of dot(v, plane_p), fixed seeded planes.
 
@@ -176,11 +203,13 @@ def lsh_bucket_expr(v: str, d: str) -> str:
     the collapse operator's clustering key — coarse is right there: one
     anchor per bucket, O(N) compares, mega coverage. The pair-enumerating
     query uses the fine multi-band keys from
-    :func:`lsh_band_bucket_exprs` instead (r16)."""
+    :func:`lsh_band_bucket_exprs` instead (r16). The DuckDB arm
+    references :func:`planes_rel_duck` columns (see ``_plane_ref``)."""
     terms = []
-    for p, plane in enumerate(G.PLANES):
-        lit = G.array_lit(plane, d)
-        terms.append(f"(CASE WHEN {_dot(v, lit, d)} > 0 THEN {1 << p} ELSE 0 END)")
+    for p in range(G.N_PLANES):
+        terms.append(
+            f"(CASE WHEN {_dot(v, _plane_ref(p, d), d)} > 0 THEN {1 << p} ELSE 0 END)"
+        )
     return " + ".join(terms)
 
 
@@ -198,9 +227,8 @@ def lsh_band_bucket_exprs(v: str, d: str) -> list[str]:
     for band in range(G.LSH_BANDS):
         terms = []
         for j in range(G.LSH_BAND_BITS):
-            plane = G.PLANES_MB[band * G.LSH_BAND_BITS + j]
-            lit = G.array_lit(plane, d)
-            terms.append(f"(CASE WHEN {_dot(v, lit, d)} > 0 THEN {1 << j} ELSE 0 END)")
+            ref = _plane_ref(band * G.LSH_BAND_BITS + j, d)
+            terms.append(f"(CASE WHEN {_dot(v, ref, d)} > 0 THEN {1 << j} ELSE 0 END)")
         exprs.append(" + ".join(terms))
     return exprs
 
@@ -255,9 +283,10 @@ def cosine_near_dup_lsh_sql(
         cols = ", ".join(
             f"{e} AS {c}" for c, e in zip(MB_COLS, lsh_band_bucket_exprs("v", d))
         )
+        planes = f" CROSS JOIN ({planes_rel_duck()}) __planes" if d == "duck" else ""
         n_rel = (
             f"SELECT vec_id, v, nrm, {cols} "
-            f"FROM (SELECT * FROM ({norm_cte(d)}))"
+            f"FROM (SELECT * FROM ({norm_cte(d)})){planes}"
         )
     mat = "MATERIALIZED " if d == "duck" else ""
     exploded = G.band_explode("n", MB_COLS, d, carry="vec_id, v, nrm")
@@ -315,9 +344,14 @@ def near_dup_collapse_sql(d: str, threshold: float = 0.30, rel: str | None = Non
     if rel:
         n_rel = f"SELECT * FROM {rel}"
     else:
+        planes = (
+            f" CROSS JOIN ({planes_rel_duck(G.N_PLANES)}) __planes"
+            if d == "duck"
+            else ""
+        )
         n_rel = (
             f"SELECT vec_id, v, nrm, {lsh_bucket_expr('v', d)} AS bucket "
-            f"FROM (SELECT * FROM ({norm_cte(d)}))"
+            f"FROM (SELECT * FROM ({norm_cte(d)})){planes}"
         )
     mat = "MATERIALIZED " if d == "duck" else ""
     hint = "/*+ BROADCAST(av) */" if d == "spark" else ""
