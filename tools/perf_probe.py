@@ -1,0 +1,138 @@
+"""Per-query perf probe for the optimization rounds (guide §1).
+
+Times individual registry queries (best of N with per-run breakdown,
+bench-identical `.count()` action by default, optional noop-sink action
+for §1.4 cross-checks) and writes `.explain("formatted")` output to
+plans/<tag>/<query>_<suffix>.txt so plan claims in OPTIMIZATION_r*.md
+are reviewable offline.
+
+Usage:
+  python tools/perf_probe.py [--sf SF_DIR] [--runs N] [--noop]
+                             [--plans-dir plans/r16 --suffix before]
+                             query [query ...]
+  python tools/perf_probe.py --headline          # the whole bench set
+
+Unlike bench.py this does NOT prewarm staging by default (pass
+--prewarm to replicate the bench's staged-relation prewarm), so a cold
+first run shows exactly which staged builds a query triggers.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("queries", nargs="*")
+    ap.add_argument("--sf", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    ap.add_argument("--runs", type=int, default=2)
+    ap.add_argument("--noop", action="store_true", help="time a noop-sink write instead of count()")
+    ap.add_argument("--plans-dir", default=None, help="write explain('formatted') here")
+    ap.add_argument("--suffix", default="before")
+    ap.add_argument("--headline", action="store_true")
+    ap.add_argument("--prewarm", action="store_true", help="run the bench's staging prewarm first")
+    args = ap.parse_args()
+
+    from torchfusion_spark.plans import REGISTRY
+    from torchfusion_spark.session import session
+
+    spark = session(app_name="torchfusion_perf_probe")
+
+    names = list(args.queries)
+    if args.headline:
+        import bench
+
+        names = bench.HEADLINE + names
+
+    from torchfusion_spark.sources import load_tables
+
+    load_tables(spark, args.sf)
+
+    if args.prewarm:
+        _prewarm(spark)
+
+    rows = []
+    for name in names:
+        q = REGISTRY[name]
+        runs = []
+        for i in range(args.runs):
+            spark.sparkContext.setJobDescription(f"probe:{name}:run{i}")
+            t0 = time.perf_counter()
+            df = q.builder(spark, args.sf)
+            if args.noop:
+                df.write.format("noop").mode("overwrite").save()
+            else:
+                df.count()
+            runs.append(time.perf_counter() - t0)
+        spark.sparkContext.setJobDescription(None)
+        if args.plans_dir:
+            os.makedirs(args.plans_dir, exist_ok=True)
+            df = q.builder(spark, args.sf)
+            plan = df._sc._jvm.PythonSQLUtils.explainString(
+                df._jdf.queryExecution(), "formatted"
+            )
+            with open(os.path.join(args.plans_dir, f"{name}_{args.suffix}.txt"), "w") as f:
+                f.write(plan)
+        rows.append((name, runs))
+        print(f"{min(runs):8.3f}  " + " ".join(f"{r:7.3f}" for r in runs) + f"  {name}", flush=True)
+
+    print("\nbest-of-N sum:", round(sum(min(r) for _, r in rows), 3))
+    spark.stop()
+
+
+def _prewarm(spark) -> None:
+    """The bench's staged-relation prewarm, verbatim imports."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from torchfusion_spark.operators.dedup import (
+        _staged_containment,
+        _staged_hx,
+        _staged_lines,
+        _staged_substring_grams,
+        minhash_clusters,
+        url_incremental_query,
+    )
+    from torchfusion_spark.operators.multimodal import _staged_frame_phash, _staged_phash
+    from torchfusion_spark.operators.similarity import _staged_norms
+    from torchfusion_spark.operators.textstats import (
+        _staged_bloom,
+        _staged_labels,
+        _staged_pack_t,
+        _staged_unigrams,
+    )
+    from torchfusion_spark.plans.relational2 import _staged_li_by_order
+
+    t0 = time.perf_counter()
+    with ThreadPoolExecutor(max_workers=10) as pool:
+        roots = [
+            pool.submit(_staged_hx, spark),
+            pool.submit(_staged_norms, spark),
+            pool.submit(_staged_substring_grams, spark),
+            pool.submit(_staged_unigrams, spark),
+            pool.submit(_staged_labels, spark),
+            pool.submit(_staged_phash, spark),
+            pool.submit(_staged_frame_phash, spark),
+            pool.submit(_staged_lines, spark),
+            pool.submit(_staged_pack_t, spark),
+            pool.submit(_staged_li_by_order, spark),
+            pool.submit(url_incremental_query, spark),
+        ]
+        roots[0].result()
+        deps = [
+            pool.submit(minhash_clusters, spark),
+            pool.submit(_staged_bloom, spark),
+            pool.submit(_staged_containment, spark),
+        ]
+        for fut in roots + deps:
+            fut.result()
+    print(f"prewarm: {time.perf_counter() - t0:.3f}s", flush=True)
+
+
+if __name__ == "__main__":
+    main()
