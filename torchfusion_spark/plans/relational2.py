@@ -570,84 +570,41 @@ def _li_osr_df(spark: SparkSession, n: int):
     )
 
 
-def _li_osr_source_key(spark: SparkSession) -> str | None:
-    """Cross-session freshness key for the staged q21 rollup: md5 over
-    the sorted (path, size, mtime_ns) of the lineitem view's backing
-    LOCAL parquet files — the ``_docs_key`` discipline made
-    content-derived so a SECOND process can trust a build it didn't run
-    (VERDICT r15 item 4; session attributes and plan semantic hashes
-    don't survive the process boundary, file signatures do). Returns
-    None when the view is not local-file-backed (in-memory test views,
-    remote object stores) — those fall back to the session-scoped
-    pid-path below, which carries no cross-session reuse."""
-    import hashlib
-    import os
-
-    try:
-        files = spark.table("lineitem").inputFiles()
-    except Exception:  # noqa: BLE001 — un-analyzable view → no content key
-        return None
-    if not files:
-        return None
-    sig = []
-    for uri in sorted(files):
-        if not uri.startswith("file:"):
-            return None
-        p = "/" + uri[len("file:"):].lstrip("/")
-        try:
-            st = os.stat(p)
-        except OSError:
-            return None
-        sig.append(f"{p}:{st.st_size}:{st.st_mtime_ns}")
-    return hashlib.md5("\n".join(sig).encode()).hexdigest()[:16]
-
-
-def _li_osr_register(spark: SparkSession, path: str, n: int, schema_ddl: str) -> None:
-    """(Re-)register the persisted bucketed dir as the external table —
-    the piece a reusing session needs: parquet files alone don't carry
-    bucket metadata, so a plain read would re-shuffle; the CLUSTERED
-    BY/SORTED BY DDL restores the exchange-free reader."""
-    spark.sql("DROP TABLE IF EXISTS __tf_li_by_order")
-    spark.sql(
-        f"CREATE TABLE __tf_li_by_order ({schema_ddl}) USING parquet "
-        f"CLUSTERED BY (l_orderkey) SORTED BY (l_orderkey) INTO {n} BUCKETS "
-        f"LOCATION '{path}'"
-    )
-
-
 def _staged_li_by_order(spark: SparkSession, then=None) -> str:
     """The per-(l_orderkey, l_suppkey) 'R'-row rollup of lineitem as an
     EXTERNAL bucketed table on ``l_orderkey`` (``sinks.write_bucketed``,
     data under the gitignored ``.scratch`` like the URL index) — the
     co-located materialized-rollup layout at 100 TB: q21's order-level
     aggregation and any orderkey-equi-join read their bucket co-located
-    and never shuffle the fact. r16 (VERDICT r15 items 3–4): the staged
-    grain moved from the raw 3-column projection to the per-(orderkey,
-    suppkey) pre-aggregate — query time is ONE rollup over the bucketed
-    read — and the table PERSISTS across sessions: when the lineitem
-    view is local-parquet-backed, the dir is keyed by a content
-    signature (:func:`_li_osr_source_key`) + bucket count, built into a
-    pid-scoped temp dir and atomically renamed into place (a concurrent
-    loser deletes its temp and reuses the winner's), marked with
-    ``_TF_BUILT`` recording the schema — a second session re-registers
-    the DDL and skips the build entirely. Content-keyed dirs are NOT
-    swept at exit (they are the reuse artifact); dead ``.tmp{pid}``
-    leftovers and content dirs idle > 7 days are swept at build time.
+    and never shuffle the fact, and the staged grain is the
+    per-(orderkey, suppkey) pre-aggregate, so query time is ONE rollup
+    over the bucketed read (VERDICT r15 item 3).
 
-    Non-file-backed views (the differential tests' in-memory swaps)
-    fall back to a session-scoped pid path: memo-keyed on (tables
-    generation, lineitem semantic hash, shuffle partitions — the ADVICE
-    r15 #2 fix: the bucket count is baked into the layout, so a conf
-    change mid-session must re-stage), swept at exit, and the
-    immediately superseded dir is dropped AFTER the new write succeeds
-    (ADVICE r15 #1: deleting before the write could orphan the live
-    data on a mid-write failure; one superseded generation therefore
-    never outlives the build that replaced it). Memo discipline is
-    ``_staged_pack_t``'s: memo-locked against the parallel bench
-    prewarm, ``then`` resolved INSIDE the lock (the TOCTOU class)."""
+    SESSION-scoped on purpose (r16, optimization-round rules): the r15
+    build persisted this dir across sessions keyed on the lineitem
+    parquet content signature, letting a second bench invocation skip
+    the build entirely — precomputation across runs keyed on the test
+    corpus, which the optimization rounds explicitly disallow ("every
+    bench/oracle invocation must compute from the parquet inputs").
+    Every process now builds its own pid-scoped dir, swept at exit like
+    the URL index's; the build cost lands in ``staging_warm_sec`` where
+    the bench reports it, and the within-session memo still makes every
+    q21 call after the first registration-free. At 100 TB the same
+    rollup is a real persisted warehouse table maintained by ingest —
+    the cross-run reuse belongs to that layer, not to a benchmarked
+    staging pass.
+
+    Memo key = (tables generation, lineitem semantic hash, shuffle
+    partitions — ADVICE r15 #2: the bucket count is baked into the
+    layout, so a conf change mid-session must re-stage). An
+    un-analyzable lineitem view (in-memory test swaps) draws the
+    always-rebuild sentinel; only that unkeyed case drops the
+    immediately superseded dir eagerly — AFTER the replacement write
+    succeeds (ADVICE r15 #1 ordering) — because keyed re-stages may
+    still have resolved-but-uncollected plans reading the old dir (the
+    exit sweep collects those)."""
     import atexit
     import hashlib
-    import json
     import os
     import shutil
 
@@ -660,45 +617,6 @@ def _staged_li_by_order(spark: SparkSession, then=None) -> str:
         ".scratch",
     )
     with memo_lock(spark, "li_by_order"):
-        ckey = _li_osr_source_key(spark)
-        if ckey is not None:
-            memo_key = ("liosr_v2", ckey, n)
-            if getattr(spark, "_tf_li_by_order_key", object()) != memo_key:
-                path = os.path.join(base, f"li_osr_{ckey}_n{n}")
-                marker = os.path.join(path, "_TF_BUILT")
-                if not os.path.exists(marker):
-                    # a marker-less final dir is a corrupted/interrupted
-                    # leftover (the marker lands inside tmp BEFORE the
-                    # atomic rename): clear it or the rename below can
-                    # never succeed
-                    shutil.rmtree(path, ignore_errors=True)
-                    _li_osr_sweep(base, keep=os.path.basename(path))
-                    tmp = f"{path}.tmp{os.getpid()}"
-                    shutil.rmtree(tmp, ignore_errors=True)
-                    df = _li_osr_df(spark, n)
-                    schema_ddl = ", ".join(
-                        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
-                    )
-                    write_bucketed(
-                        df, "__tf_li_osr_build", ["l_orderkey"], n,
-                        sort_cols=["l_orderkey"], path=tmp,
-                    )
-                    spark.sql("DROP TABLE IF EXISTS __tf_li_osr_build")
-                    with open(os.path.join(tmp, "_TF_BUILT"), "w") as f:
-                        json.dump({"schema": schema_ddl, "n": n}, f)
-                    try:
-                        os.rename(tmp, path)
-                    except OSError:
-                        # a concurrent process won the rename: use theirs
-                        shutil.rmtree(tmp, ignore_errors=True)
-                meta = json.load(open(marker))
-                _li_osr_register(spark, path, int(meta["n"]), meta["schema"])
-                spark._tf_li_by_order_key = memo_key
-            if then is not None:
-                return then("__tf_li_by_order")
-            return "__tf_li_by_order"
-
-        # ---- session-scoped fallback (no content key) ----
         try:
             key = (
                 getattr(spark, "_tf_tables_loaded", None),
@@ -740,44 +658,6 @@ def _staged_li_by_order(spark: SparkSession, then=None) -> str:
         if then is not None:
             return then("__tf_li_by_order")
     return "__tf_li_by_order"
-
-
-def _li_osr_sweep(base: str, keep: str) -> None:
-    """Build-time hygiene for the content-keyed dirs: dead-pid ``.tmp``
-    leftovers go unconditionally; other ``li_osr_*`` dirs (superseded
-    corpus signatures) go after 7 idle days — they are cross-session
-    reuse artifacts, so a live sibling process may still be reading a
-    different signature's dir and an mtime backstop is the only safe
-    eviction (the url-index sweep's no-procfs rule)."""
-    import os
-    import re
-    import shutil
-    import time
-
-    try:
-        names = os.listdir(base)
-    except OSError:
-        return
-    for name in names:
-        if not name.startswith("li_osr_") or name == keep:
-            continue
-        full = os.path.join(base, name)
-        m = re.search(r"\.tmp(\d+)$", name)
-        if m:
-            try:
-                os.kill(int(m.group(1)), 0)
-                continue  # owner alive: their build is in flight
-            except ProcessLookupError:
-                shutil.rmtree(full, ignore_errors=True)
-            except OSError:
-                continue
-            continue
-        try:
-            idle = time.time() - os.path.getmtime(full)
-        except OSError:
-            continue
-        if idle > 7 * 24 * 3600:
-            shutil.rmtree(full, ignore_errors=True)
 
 
 @query(
