@@ -20,6 +20,8 @@ LSH_MAX_BUCKET).
 
 from __future__ import annotations
 
+import itertools
+
 from torchfusion_spark.operators import sqlgen as G
 
 
@@ -525,9 +527,116 @@ def cosine_topk(spark, k: int = 10, n_queries: int = 8):
     )
 
 
-def cosine_near_dup(spark, threshold: float = 0.42):
+_PAIR_BLOCK_MAX = 512  # rows of the larger-id side per mapInArrow block
+_PAIR_CHUNK = 8192  # smaller-id columns per accumulator chunk (bounds memory)
+
+
+def exact_pair_rows(spark, rel: str, threshold: float, max_n: int):
+    """Arrow-native exact pair scan (r16, guide §4.2): the same rows as
+    ``cosine_near_dup_sql``'s Spark arm, computed by NumPy under
+    ``mapInArrow`` instead of a BroadcastNestedLoopJoin projection.
+
+    Why: the fold-dot is a CodegenFallback higher-order function —
+    interpreted per pair — and no JVM spelling of a 64-term dot runs
+    compiled inside the pair join's consume path (an unrolled sum
+    crosses HotSpot's huge-method limit; measured in
+    OPTIMIZATION_r16.md). This is guide §4.2's case exactly: Spark does
+    distribution, NumPy does the batch arithmetic.
+
+    Bit-exactness: the SQL fold is ``((0 + a[0]·b[0]) + a[1]·b[1]) + …``
+    — here the accumulator loops over dims (``acc += Mb[:,d] · Mi[:,d]``),
+    so each pair's products and additions happen in the identical IEEE
+    op order (NumPy's elementwise ·/+ are correctly-rounded IEEE doubles
+    and never fused), the norm product and division reuse the staged
+    ``nrm`` values, and the authoritative ``ROUND(…, 6) >= threshold``
+    filter runs in Spark SQL on the raw double — NumPy only PREFILTERS
+    with a 1e-6 slack (half-up rounding moves a value by at most 5e-7,
+    so no qualifying pair can be dropped; NaN cosines are kept via the
+    ``~(cos < t)`` form because Spark orders NaN above every double).
+    Verified row-identical to the SQL arm by the oracle gate and the
+    similarity fuzzers.
+
+    The collect is the ``connected_components`` bounded-read class: at
+    most ``max_n`` ≤ EXACT_PAIRS_CAP rows of (id, 64 doubles, nrm) — the
+    registered queries cap the scan universe by design (the audit at
+    AUDIT_PAIR_SAMPLE, the exact near-dup at EXACT_PAIRS_CAP), so the
+    matrix is ≤ ~34 MB at any corpus scale and broadcasts once. Blocks
+    of the larger-id side fan out across the cluster; each task slices
+    the broadcast matrix, so the quadratic work is evenly spread."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from torchfusion_spark.session import default_parallelism
+
+    schema = "id_a bigint, id_b bigint, cosine_raw double"
+    rows = spark.sql(
+        f"SELECT vec_id, v, nrm FROM {rel} WHERE vec_id < {max_n}"
+    ).collect()
+    rows.sort(key=lambda r: r.vec_id)
+    out_schema = schema
+    if len(rows) < 2:
+        pairs = spark.createDataFrame([], out_schema)
+    else:
+        ids = np.array([r.vec_id for r in rows], dtype=np.int64)
+        M = np.array([r.v for r in rows], dtype=np.float64)
+        nr = np.array([r.nrm for r in rows], dtype=np.float64)
+        bc = spark.sparkContext.broadcast((ids, M, nr))
+        n = len(rows)
+        bs = min(_PAIR_BLOCK_MAX, max(16, -(-n // (4 * default_parallelism()))))
+        nblocks = -(-n // bs)
+        lo = threshold - 1e-6
+        chunk = _PAIR_CHUNK
+
+        def op(batches):
+            import numpy as np
+            import pyarrow as pa
+
+            ids, M, nr = bc.value
+            dim = M.shape[1]
+            for batch in batches:
+                for blk in batch.column(0).to_pylist():
+                    j0, j1 = blk * bs, min((blk + 1) * bs, len(ids))
+                    if j0 >= j1:
+                        continue
+                    Mb, nb = M[j0:j1], nr[j0:j1]
+                    for i0 in range(0, j1, chunk):
+                        i1 = min(i0 + chunk, j1)
+                        acc = np.zeros((j1 - j0, i1 - i0))
+                        for d in range(dim):
+                            acc += Mb[:, d : d + 1] * M[i0:i1, d][None, :]
+                        cos = acc / (nr[i0:i1][None, :] * nb[:, None])
+                        tri = (i0 + np.arange(i1 - i0))[None, :] < (
+                            j0 + np.arange(j1 - j0)
+                        )[:, None]
+                        keep = tri & ~(cos < lo)
+                        rj, ci = np.nonzero(keep)
+                        if len(rj) == 0:
+                            continue
+                        yield pa.RecordBatch.from_arrays(
+                            [
+                                pa.array(ids[i0 + ci], type=pa.int64()),
+                                pa.array(ids[j0 + rj], type=pa.int64()),
+                                pa.array(cos[rj, ci], type=pa.float64()),
+                            ],
+                            names=["id_a", "id_b", "cosine_raw"],
+                        )
+
+        blocks = spark.range(0, nblocks, 1, min(default_parallelism(), nblocks))
+        pairs = blocks.mapInArrow(op, out_schema)
+    return (
+        pairs.select(
+            "id_a", "id_b", F.expr("ROUND(cosine_raw, 6)").alias("cosine")
+        )
+        .where(F.expr(f"cosine >= {threshold}"))
+    )
+
+
+def cosine_near_dup(spark, threshold: float = 0.42, max_n: int = EXACT_PAIRS_CAP):
     return _staged_norms(
-        spark, lambda rel: spark.sql(cosine_near_dup_sql("spark", threshold, rel=rel))
+        spark,
+        lambda rel: exact_pair_rows(spark, rel, threshold, max_n).orderBy(
+            "id_a", "id_b"
+        ),
     )
 
 
@@ -664,6 +773,7 @@ def ann_recall_audit_sql(
     max_n: int = AUDIT_PAIR_SAMPLE,
     rel: str | None = None,
     bucket_rel: str | None = None,
+    exact_rel: str | None = None,
 ) -> str:
     """Recall audit for the two approximate-ANN paths (VERDICT r14
     item 6): the r14 hot-bucket cap made exclusion the sanctioned
@@ -710,7 +820,14 @@ def ann_recall_audit_sql(
     hi = 0.42
     exact_tk = cosine_topk_sql(d, k, n_queries, rel=rel)
     approx_tk = ivf_topk_sql(d, k, n_queries, rel=rel)
-    exact_pr = cosine_near_dup_sql(d, threshold, rel=rel, max_n=max_n)
+    # ``exact_rel`` (r16): the Spark arm passes the Arrow-computed exact
+    # pair relation (:func:`exact_pair_rows` — row-identical to the SQL
+    # arm, see its bit-exactness note) as a temp view; the oracle keeps
+    # the relational spelling.
+    if exact_rel is not None:
+        exact_pr = f"SELECT id_a, id_b, cosine FROM {exact_rel}"
+    else:
+        exact_pr = cosine_near_dup_sql(d, threshold, rel=rel, max_n=max_n)
     approx_pr = cosine_near_dup_lsh_sql(
         d, threshold, rel=bucket_rel, max_bucket=max_bucket
     )
@@ -774,10 +891,18 @@ def ann_recall_audit(
 ):
     """Staged Spark path: norms AND the LSH bucket relation resolve from
     the session memos (both referenced by multiple components), inside
-    the norms lock like every other similarity consumer."""
-    return _staged_buckets(
-        spark,
-        lambda rel: spark.sql(
+    the norms lock like every other similarity consumer. The exact pair
+    side is the Arrow scan (:func:`exact_pair_rows`), registered as a
+    per-call temp view the audit SQL splices in — per-call because the
+    scan is part of the audited computation (no caching across calls),
+    nonce-named so concurrent audits cannot clobber each other's view."""
+
+    def build(rel):
+        view = f"__audit_ep_{next(_audit_ep_nonce)}"
+        exact_pair_rows(
+            spark, "__sim_norms", threshold, AUDIT_PAIR_SAMPLE
+        ).createOrReplaceTempView(view)
+        return spark.sql(
             ann_recall_audit_sql(
                 "spark",
                 k,
@@ -786,9 +911,14 @@ def ann_recall_audit(
                 max_bucket,
                 rel="__sim_norms",
                 bucket_rel=rel,
+                exact_rel=view,
             )
-        ),
-    )
+        )
+
+    return _staged_buckets(spark, build)
+
+
+_audit_ep_nonce = itertools.count()
 
 
 def norm_excluded_stats(spark):
