@@ -216,7 +216,13 @@ def sig_rel_sql(d: str, hs_rel: str) -> str:
 MAX_BUCKET = 64  # candidate join per bucket ≤ C(64,2) = 2016 pairs
 
 
-def minhash_body_sql(d: str, sig_rel: str, threshold: float, max_bucket: int = MAX_BUCKET) -> str:
+def minhash_body_sql(
+    d: str,
+    sig_rel: str,
+    threshold: float,
+    max_bucket: int = MAX_BUCKET,
+    ordered: bool = True,
+) -> str:
     """The pipeline downstream of the signature relation
     ``sig_rel(doc_id, hx, sig)``: 8 band keys exploded → bucket
     self-join candidates → Jaccard verification over the hashed shingle
@@ -256,7 +262,7 @@ def minhash_body_sql(d: str, sig_rel: str, threshold: float, max_bucket: int = M
             JOIN {sig_rel} x ON x.doc_id = id_a
             JOIN {sig_rel} y ON y.doc_id = id_b))
     WHERE jaccard >= {threshold}
-    ORDER BY id_a, id_b
+    {"ORDER BY id_a, id_b" if ordered else ""}
     """
 
 
@@ -280,7 +286,7 @@ def minhash_lsh_sql(d: str, threshold: float = 0.6) -> str:
     )
 
 
-def minhash_lsh(spark, threshold: float = 0.6):
+def minhash_lsh(spark, threshold: float = 0.6, ordered: bool = True):
     """Spark-side staged execution: materialize the signature relation
     (doc_id, hx, sig) ONCE (it is ~1% of the input; at 100 TB this is
     persist-to-disk or a checkpoint), then run the band/verify pipeline
@@ -320,7 +326,7 @@ def minhash_lsh(spark, threshold: float = 0.6):
         # release would let a concurrent docs-view swap replace
         # __minhash_sig between the memo check and spark.sql, binding the
         # plan to the other corpus's signatures (ADVICE r08 TOCTOU)
-        return spark.sql(minhash_body_sql("spark", "__minhash_sig", threshold))
+        return spark.sql(minhash_body_sql("spark", "__minhash_sig", threshold, ordered=ordered))
 
 
 _DOCS_LOCK = threading.Lock()
@@ -829,7 +835,12 @@ def minhash_clusters(spark, threshold: float = 0.6):
     key = (_docs_key(spark), threshold)
     with memo_lock(spark, "minhash_clusters"):
         if getattr(spark, "_tf_clusters_key", object()) != key:
-            cc = connected_components(minhash_lsh(spark, threshold))
+            # ordered=False (r16): the pair relation's global ORDER BY is
+            # pure waste as CC input — a range-partition sort (plus the
+            # range partitioner's boundary-sampling pass, which re-executes
+            # the whole pair join once) feeding a loop that immediately
+            # re-shuffles the edges; the label output is identical.
+            cc = connected_components(minhash_lsh(spark, threshold, ordered=False))
             labels = staged_cache(spark, "minhash_clusters", cc)
             labels.count()
             # the cached labels now hold the data — THIS call's CC edge/label

@@ -424,7 +424,10 @@ def dedup_minhash_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
         # previous group is releasable by the materialize-before-reinvoke
         # contract all registry/bench/gate flows follow.
         release_staged_group(spark, "ccs_")
-        out = dedup.connected_components_star(dedup.minhash_lsh(spark))
+        # ordered=False (r16): see minhash_clusters — the CC input needs
+        # no global sort, and the range partitioner's sampling pass would
+        # re-execute the pair join once just to pick sort boundaries.
+        out = dedup.connected_components_star(dedup.minhash_lsh(spark, ordered=False))
         return out
 
 
