@@ -440,6 +440,7 @@ def simhash_body_sql(
     bits: int = 32,
     max_hamming: int = 2,
     max_bucket: int = SIMHASH_MAX_BUCKET,
+    ordered: bool = True,
 ) -> str:
     """Near-dup pairs from the signature relation: 8-bit band collision
     candidates via an EXPLODED equi-join, Hamming-distance verification.
@@ -481,7 +482,7 @@ def simhash_body_sql(
     SELECT id_a, id_b, CAST({ham} AS INT) AS hamming
     FROM cand
     WHERE {ham} <= {max_hamming}
-    ORDER BY id_a, id_b
+    {"ORDER BY id_a, id_b" if ordered else ""}
     """
 
 

@@ -481,7 +481,11 @@ def frame_dedup_tail_sql(d: str, fp_rel: str, max_hamming: int = FRAME_MAX_HAMMI
     m = FRAME_KEY_MULT
     div = "DIV" if d == "spark" else "//"
     mat = "MATERIALIZED " if d == "duck" else ""
-    body = simhash_body_sql(d, "fsig", PHASH_BITS, max_hamming)
+    # ordered=False (r16): the pair relation is an INTERMEDIATE here —
+    # its global sort would cost a range exchange (plus the range
+    # partitioner's sampling re-execution of the banded join) feeding a
+    # rollup that destroys order anyway; the doc verdict is unchanged.
+    body = simhash_body_sql(d, "fsig", PHASH_BITS, max_hamming, ordered=False)
     return f"""
     WITH fp AS {mat}(SELECT * FROM {fp_rel}),
     fsig AS (

@@ -55,6 +55,7 @@ def rrf_fusion_sql(
     rrf_k: int = RRF_K,
     tf_rel: str | None = None,
     norm_rel: str | None = None,
+    ordered: bool = True,
 ) -> str:
     """Dual-dialect RRF over the BM25 and cosine top-k generators.
 
@@ -62,9 +63,13 @@ def rrf_fusion_sql(
     — the per-ranker ranks ride along NULL-able so a consumer can see
     which ranker(s) surfaced each document.
     """
-    bm = bm25_topk_sql(d, k=k_in, tf_rel=tf_rel, with_rank=True)
+    # the rank lists are INTERMEDIATES under the fusion rollup —
+    # ordered=False drops their global sorts (r16; rows identical, and a
+    # sort's range-sampling pass would re-execute each ranker once)
+    bm = bm25_topk_sql(d, k=k_in, tf_rel=tf_rel, with_rank=True, ordered=False)
     dn = cosine_topk_sql(
-        d, k=k_in, rel=norm_rel, query_pred=_DENSE_QUERY_PRED, with_rank=True
+        d, k=k_in, rel=norm_rel, query_pred=_DENSE_QUERY_PRED, with_rank=True,
+        ordered=False,
     )
     contrib = f"CAST(ROUND(CAST(1 AS DOUBLE) / ({rrf_k} + rnk), 9) AS DECIMAL(18,9))"
     return f"""
@@ -89,7 +94,7 @@ def rrf_fusion_sql(
                                   ORDER BY rrf DESC, doc_id) AS rn
         FROM fused)
     WHERE rn <= {k_out}
-    ORDER BY query_id, fused_rank
+    {"ORDER BY query_id, fused_rank" if ordered else ""}
     """
 
 
@@ -145,7 +150,9 @@ def rag_context_sql(
     charge (a retrievable-but-undecodable doc cannot be packed)."""
     from torchfusion_spark.operators import textstats
 
-    fused = rrf_fusion_sql(d, tf_rel=tf_rel, norm_rel=norm_rel)
+    # embedded fusion is an intermediate under the context rollup —
+    # unordered for the same range-sampling reason as the rank lists
+    fused = rrf_fusion_sql(d, tf_rel=tf_rel, norm_rel=norm_rel, ordered=False)
     size = textstats.CHUNK_SIZE
     hint = "/*+ BROADCAST(f) */ " if d == "spark" else ""
     if d == "spark":

@@ -112,8 +112,15 @@ def cosine_topk_sql(
     rel: str | None = None,
     query_pred: str | None = None,
     with_rank: bool = False,
+    ordered: bool = True,
 ) -> str:
     """Exact top-k cosine neighbors for each query vector (brute force).
+
+    ``ordered=False`` (r16) drops the final global ORDER BY for embedded
+    uses (the recall audit's hit join, the RRF fusion's rank lists): an
+    intermediate's sort costs a range exchange — whose boundary-sampling
+    pass re-executes the subtree once — feeding consumers that destroy
+    order anyway. Rows are identical.
 
     Spark plan: tiny query side → broadcast nested-loop against the full
     table, then per-query TopK window. No shuffle of the big side.
@@ -141,7 +148,7 @@ def cosine_topk_sql(
                ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, cand_id) AS rn
         FROM sims)
     WHERE rn <= {k}
-    ORDER BY q_id, cosine DESC, cand_id
+    {"ORDER BY q_id, cosine DESC, cand_id" if ordered else ""}
     """
 
 
@@ -250,7 +257,7 @@ LSH_MAX_BUCKET = 4096  # per-(band, bucket) hot cap for the pair-enumerating
 
 def cosine_near_dup_lsh_sql(
     d: str, threshold: float = 0.30, rel: str | None = None,
-    max_bucket: int = LSH_MAX_BUCKET,
+    max_bucket: int = LSH_MAX_BUCKET, ordered: bool = True,
 ) -> str:
     """Near-dup pairs restricted to equal (band, bucket) under the
     multi-band sign-LSH (the scale path); same planes on both dialects,
@@ -315,7 +322,7 @@ def cosine_near_dup_lsh_sql(
     FROM cand
     WHERE cosine >= {threshold}
     GROUP BY id_a, id_b
-    ORDER BY id_a, id_b
+    {"ORDER BY id_a, id_b" if ordered else ""}
     """
 
 
@@ -419,6 +426,7 @@ def ivf_topk_sql(
     n_centroids: int = 16,
     n_probe: int = 4,
     rel: str | None = None,
+    ordered: bool = True,
 ) -> str:
     """IVF-style approximate top-k: partition vectors into inverted lists
     by nearest centroid, probe only the ``n_probe`` closest lists per
@@ -463,7 +471,7 @@ def ivf_topk_sql(
         SELECT q_id, cand_id, cosine,
                ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, cand_id) AS rk
         FROM sims) WHERE rk <= {k}
-    ORDER BY q_id, cosine DESC, cand_id
+    {"ORDER BY q_id, cosine DESC, cand_id" if ordered else ""}
     """
 
 
@@ -818,8 +826,11 @@ def ann_recall_audit_sql(
     band-attribute; the column is the anomaly detector, not a band
     statistic)."""
     hi = 0.42
-    exact_tk = cosine_topk_sql(d, k, n_queries, rel=rel)
-    approx_tk = ivf_topk_sql(d, k, n_queries, rel=rel)
+    # every SQL component here is an INTERMEDIATE under the hit joins —
+    # ordered=False drops their global sorts (r16; rows identical, and a
+    # sort's range-sampling pass would re-execute each subtree once)
+    exact_tk = cosine_topk_sql(d, k, n_queries, rel=rel, ordered=False)
+    approx_tk = ivf_topk_sql(d, k, n_queries, rel=rel, ordered=False)
     # ``exact_rel`` (r16): the Spark arm passes the Arrow-computed exact
     # pair relation (:func:`exact_pair_rows` — row-identical to the SQL
     # arm, see its bit-exactness note) as a temp view; the oracle keeps
@@ -829,7 +840,7 @@ def ann_recall_audit_sql(
     else:
         exact_pr = cosine_near_dup_sql(d, threshold, rel=rel, max_n=max_n)
     approx_pr = cosine_near_dup_lsh_sql(
-        d, threshold, rel=bucket_rel, max_bucket=max_bucket
+        d, threshold, rel=bucket_rel, max_bucket=max_bucket, ordered=False
     )
     return f"""
     WITH et AS (SELECT q_id, cand_id FROM ({exact_tk}) __et),

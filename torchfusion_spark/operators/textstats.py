@@ -1496,7 +1496,11 @@ def _staged_unigrams(spark, then=None) -> str:
 
 
 def bm25_topk_sql(
-    d: str, k: int = BM25_TOP_K, tf_rel: str | None = None, with_rank: bool = False
+    d: str,
+    k: int = BM25_TOP_K,
+    tf_rel: str | None = None,
+    with_rank: bool = False,
+    ordered: bool = True,
 ) -> str:
     """Okapi BM25 top-k retrieval for a fixed literal query set.
 
@@ -1565,7 +1569,7 @@ def bm25_topk_sql(
                                   ORDER BY score DESC, doc_id) AS rn
         FROM agg)
     WHERE rn <= {k}
-    ORDER BY query_id, rn
+    {"ORDER BY query_id, rn" if ordered else ""}
     """
 
 
