@@ -878,14 +878,20 @@ def test_frame_fingerprints_rejects_unpackable_doc_ids(spark):
 
     from torchfusion_spark.operators.multimodal import frame_fingerprints
 
+    # coalesce(1): createDataFrame fans 1 row across default-parallelism
+    # slices, and the raising task races ~31 empty siblings' python-worker
+    # teardown — the job-abort reason is then sometimes the teardown's
+    # CancelledKeyException instead of the ValueError this test asserts
+    # (observed flaky under load, r16). One partition = one task = the
+    # raise is the only possible failure reason.
     bad = spark.createDataFrame(
         [(-1, bytearray(b"0123456789abcdef" * 16))], "doc_id bigint, payload binary"
-    )
+    ).coalesce(1)
     with pytest.raises(Exception, match="outside the packable range"):
         frame_fingerprints(bad).collect()
     big = spark.createDataFrame(
         [(1 << 43, bytearray(b"0123456789abcdef" * 16))], "doc_id bigint, payload binary"
-    )
+    ).coalesce(1)
     with pytest.raises(Exception, match="outside the packable range"):
         frame_fingerprints(big).collect()
     ok = spark.createDataFrame(

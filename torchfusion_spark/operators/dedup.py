@@ -314,6 +314,11 @@ def minhash_lsh(spark, threshold: float = 0.6, ordered: bool = True):
             # with containment/decontaminate — the shingle+md5 pass is the
             # dominant cost of every shingle-based operator and previously ran
             # a second time here over a private docs view
+            # (r16 note: a NumPy-under-mapInArrow spelling of the signature
+            # fold was measured SLOWER than this SQL fold — warm noop-sink
+            # 0.59s vs 0.21s at sf0.1, plus ~10s cold Python-worker spin-up —
+            # because the hx array column must round-trip the Arrow boundary
+            # for the Jaccard verify; the JVM fold stays)
             sig = staged_cache(
                 spark,
                 "minhash_sig",
@@ -2055,23 +2060,29 @@ def connected_components_star(pairs, max_iter: int = 20):
 
     e = ck(sym(pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))))
     prev = sig(e)
+    # per-u neighborhood minimum via a window, not groupBy+join (r16,
+    # guide §2.2): the aggregate-then-equi-join spelling shuffles the
+    # edge set TWICE per star step (once into the groupBy, once into the
+    # join) plus the tiny mins side; MIN(v) OVER (PARTITION BY u) is one
+    # hash exchange on the same key with identical per-row results.
+    from pyspark.sql import Window
+
+    by_u = Window.partitionBy("u")
     for _ in range(max_iter):
         # large-star: (v, m) for v > u, m = min(N(u) ∪ {u})
-        mins = e.groupBy("u").agg(F.min("v").alias("mv"))
         large = (
-            e.join(mins, "u")
-            .withColumn("m", F.least(F.col("u"), F.col("mv")))
+            e.withColumn("m", F.least(F.col("u"), F.min("v").over(by_u)))
             .filter(F.col("v") > F.col("u"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
         )
         e = ck(sym(large))
-        # small-star over the smaller-or-equal neighborhood
-        es = e.filter(F.col("v") < F.col("u"))
-        smins = es.groupBy("u").agg(F.min("v").alias("m"))
+        # small-star over the smaller-or-equal neighborhood; the second
+        # union branch emits (u, m) once per es row instead of once per
+        # distinct u — sym()'s DISTINCT collapses the copies, same set
+        es = e.filter(F.col("v") < F.col("u")).withColumn("m", F.min("v").over(by_u))
         small = (
-            es.join(smins, "u")
-            .select(F.col("v").alias("u"), F.col("m").alias("v"))
-            .union(smins.select("u", F.col("m").alias("v")))
+            es.select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(es.select("u", F.col("m").alias("v")))
         )
         e = ck(sym(small))
         cur = sig(e)
