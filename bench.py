@@ -315,9 +315,8 @@ def main() -> None:
                 # doubled documents scan the CTE inlining paid)
                 pool.submit(_timed, "pack_tokens", _staged_pack_t, spark),
                 # l_orderkey-bucketed per-(order,supp) rollup (r15/r16:
-                # q21's co-located zero-fact-shuffle plan; r16 persists
-                # it across sessions, so a warm .scratch makes this row
-                # registration-only)
+                # q21's co-located zero-fact-shuffle plan; session-scoped —
+                # every run pays the build here, visible in this row)
                 pool.submit(_timed, "li_by_order", _staged_li_by_order, spark),
                 # one-time persisted URL seen-set (VERDICT r11 item 5):
                 # the builder writes the index parquet eagerly and

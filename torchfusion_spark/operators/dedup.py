@@ -765,8 +765,12 @@ def connected_components(pairs, max_iter: int = 25):
 
     spark = pairs.sparkSession
     nonce = staging_nonce(spark)
-    fwd = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
-    edges = fwd.union(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    # one-pass symmetrize (r16, guide §2.4/§1.2): stack() emits both edge
+    # directions from a SINGLE execution of the upstream plan — the
+    # fwd.union(fwd.swapped) spelling planned the (un-materialized) pair
+    # subtree once per union branch, so the first checkpoint re-ran the
+    # whole banded LSH self-join + Jaccard verify twice
+    edges = pairs.selectExpr("stack(2, id_a, id_b, id_b, id_a) AS (src, dst)")
     # slots share the cc_{nonce}_ prefix so a consumer can release exactly
     # this call's scratch (release_staged_group(spark, f"cc_{nonce}_"))
     # without dropping a concurrent call's live checkpoints; the nonce is
@@ -2043,10 +2047,14 @@ def connected_components_star(pairs, max_iter: int = 20):
         return out
 
     def sym(e):
+        # one-pass symmetrize (r16): stack() emits both directions from a
+        # single execution of e's plan; the self-union spelling ran the
+        # un-materialized upstream subtree once PER BRANCH — for the LSH
+        # callers that re-executed the banded pair join twice inside the
+        # first checkpoint (measured 2.5–2.9s of the query's 4.7s wall
+        # at sf0.1), and re-ran each round's window chain twice
         return (
-            e.filter("u <> v")
-            .union(e.filter("u <> v").select(F.col("v").alias("u"), F.col("u").alias("v")))
-            .distinct()
+            e.filter("u <> v").selectExpr("stack(2, u, v, v, u) AS (u, v)").distinct()
         )
 
     def sig(e):
@@ -2076,14 +2084,12 @@ def connected_components_star(pairs, max_iter: int = 20):
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
         )
         e = ck(sym(large))
-        # small-star over the smaller-or-equal neighborhood; the second
-        # union branch emits (u, m) once per es row instead of once per
-        # distinct u — sym()'s DISTINCT collapses the copies, same set
+        # small-star over the smaller-or-equal neighborhood; emits (v, m)
+        # and (u, m) per es row in one stack() pass (the (u, m) arm fires
+        # once per es row instead of once per distinct u — sym()'s
+        # DISTINCT collapses the copies, same set)
         es = e.filter(F.col("v") < F.col("u")).withColumn("m", F.min("v").over(by_u))
-        small = (
-            es.select(F.col("v").alias("u"), F.col("m").alias("v"))
-            .union(es.select("u", F.col("m").alias("v")))
-        )
+        small = es.selectExpr("stack(2, v, m, u, m) AS (u, v)")
         e = ck(sym(small))
         cur = sig(e)
         if cur == prev:

@@ -699,8 +699,8 @@ def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     rollup, the order rollup and every downstream orderkey requirement
     run co-located — ZERO fact shuffles at query time; the one fact
     shuffle left in the family is the staging write itself, paid once
-    per snapshot (r16: and persisted across sessions — see
-    ``_staged_li_by_order``). r16 moves the first aggregation level INTO
+    per session (scope notes in ``_staged_li_by_order``). r16 moves the
+    first aggregation level INTO
     the staged table (VERDICT r15 item 3b): the stage stores the
     per-(orderkey, suppkey) 'R'-row rollup, so query time is ONE
     exchange-free groupBy(orderkey) over the bucketed read — computing
