@@ -756,8 +756,11 @@ def connected_components(pairs, max_iter: int = 25):
     Per-round checkpoints are slot-tracked (``staged_checkpoint`` with a
     per-call nonce) over TWO alternating label slots: round r's labels
     land in slot r%2, releasing round r-2's blocks — rounds r and r-1
-    must both stay live because the convergence check joins them. A long
-    loop therefore holds two label generations instead of ``max_iter``.
+    must both stay live because round r's plan reads round r-1's blocks
+    up to the moment its checkpoint materializes. A long loop therefore
+    holds two label generations instead of ``max_iter``. The changed-
+    label count and the initial edge count ride the checkpoint actions
+    as ``observe()`` metrics (r16) — no separate count job per round.
     """
     from pyspark.sql import functions as F
 
@@ -775,8 +778,18 @@ def connected_components(pairs, max_iter: int = 25):
     # this call's scratch (release_staged_group(spark, f"cc_{nonce}_"))
     # without dropping a concurrent call's live checkpoints; the nonce is
     # exposed on the returned DataFrame as _tf_cc_nonce (ADVICE r04)
-    edges = staged_checkpoint(spark, f"cc_{nonce}_edges", edges.distinct())
-    if edges.count() <= SMALL_GRAPH_EDGES:
+    # observe() folds the small-graph edge count into the checkpoint
+    # action itself (r16, guide §1.2: one fewer job per call — the count
+    # previously re-scanned the materialized blocks as its own action)
+    from pyspark.sql import Observation
+
+    obs_e = Observation()
+    edges = staged_checkpoint(
+        spark,
+        f"cc_{nonce}_edges",
+        edges.distinct().observe(obs_e, F.count(F.lit(1)).alias("n")),
+    )
+    if obs_e.get["n"] <= SMALL_GRAPH_EDGES:
         out = _cc_single_task(edges)
         out._tf_cc_nonce = nonce
         return out
@@ -794,6 +807,20 @@ def connected_components(pairs, max_iter: int = 25):
             .agg(F.min("dcomp").alias("ncomp"))
             .select(F.col("src").alias("node"), "ncomp")
         )
+        # the changed-label count is observed DURING the checkpoint action
+        # (r16, guide §1.2): the old spelling re-joined the new labels
+        # against the old ones as a separate per-round count job — two
+        # extra scans plus a join exchange per round, computing a number
+        # the checkpoint's own rows already contain
+        joined = labels.join(nbr, "node", "left").withColumn(
+            "newcomp",
+            F.least(F.col("comp"), F.coalesce(F.col("ncomp"), F.col("comp"))),
+        )
+        obs_r = Observation()
+        joined = joined.observe(
+            obs_r,
+            F.count(F.when(F.col("newcomp") != F.col("comp"), 1)).alias("changed"),
+        )
         new_labels = staged_checkpoint(
             spark,
             # letter suffix, NOT a digit: release_staged_group treats any
@@ -802,17 +829,9 @@ def connected_components(pairs, max_iter: int = 25):
             # this slot un-releasable whenever some thread's live staging
             # nonce happens to equal the generation (code-review r12)
             f"cc_{nonce}_labels{'AB'[rnd % 2]}",
-            labels.join(nbr, "node", "left").select(
-                "node",
-                F.least(F.col("comp"), F.coalesce(F.col("ncomp"), F.col("comp"))).alias("comp"),
-            ),
+            joined.select("node", F.col("newcomp").alias("comp")),
         )
-        changed = (
-            new_labels.select(F.col("node"), F.col("comp").alias("ncomp2"))
-            .join(labels, "node")
-            .filter(F.col("ncomp2") != F.col("comp"))
-            .count()
-        )
+        changed = obs_r.get["changed"]
         labels = new_labels
         if changed == 0:
             break
@@ -2031,6 +2050,7 @@ def connected_components_star(pairs, max_iter: int = 20):
     nothing references anymore (the current edge set is a checkpointed
     leaf independent of its ancestors), so a long loop holds two edge
     generations instead of ~3 per round until driver GC."""
+    from pyspark.sql import Observation
     from pyspark.sql import functions as F
 
     from torchfusion_spark.session import staged_checkpoint, staging_nonce
@@ -2039,12 +2059,29 @@ def connected_components_star(pairs, max_iter: int = 20):
     nonce = staging_nonce(spark)
     n_ck = 0
 
-    def ck(df):
+    def ck_sig(df):
+        """Checkpoint ``df`` and return (checkpoint, (count, xor-hash)).
+
+        The termination signature rides the checkpoint action as
+        ``observe()`` metrics (r16, guide §1.2): the old spelling
+        re-scanned the materialized blocks as a separate per-round
+        collect job. bit_xor: order-independent and overflow-free (SUM
+        of xxhash64 trips ANSI ARITHMETIC_OVERFLOW)."""
         nonlocal n_ck
+        obs = Observation()
         # letter suffix, not a digit — see connected_components' labels slot
-        out = staged_checkpoint(spark, f"ccs_{nonce}_e{'AB'[n_ck % 2]}", df)
+        out = staged_checkpoint(
+            spark,
+            f"ccs_{nonce}_e{'AB'[n_ck % 2]}",
+            df.observe(
+                obs,
+                F.count(F.lit(1)).alias("n"),
+                F.expr("bit_xor(xxhash64(u, v))").alias("h"),
+            ),
+        )
         n_ck += 1
-        return out
+        m = obs.get
+        return out, (m["n"], m["h"])
 
     def sym(e):
         # one-pass symmetrize (r16): stack() emits both directions from a
@@ -2057,17 +2094,7 @@ def connected_components_star(pairs, max_iter: int = 20):
             e.filter("u <> v").selectExpr("stack(2, u, v, v, u) AS (u, v)").distinct()
         )
 
-    def sig(e):
-        # bit_xor: order-independent and overflow-free (SUM of xxhash64
-        # trips ANSI ARITHMETIC_OVERFLOW)
-        r = e.select(
-            F.count(F.lit(1)).alias("n"),
-            F.expr("bit_xor(xxhash64(u, v))").alias("h"),
-        ).collect()[0]
-        return (r.n, r.h)
-
-    e = ck(sym(pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))))
-    prev = sig(e)
+    e, prev = ck_sig(sym(pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))))
     # per-u neighborhood minimum via a window, not groupBy+join (r16,
     # guide §2.2): the aggregate-then-equi-join spelling shuffles the
     # edge set TWICE per star step (once into the groupBy, once into the
@@ -2083,15 +2110,20 @@ def connected_components_star(pairs, max_iter: int = 20):
             .filter(F.col("v") > F.col("u"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
         )
-        e = ck(sym(large))
+        # ONE checkpoint per round (r16, guide §1.2): the large-star
+        # output feeds the small-star step lazily inside the same plan —
+        # materializing it separately bought nothing (each round's plan
+        # is a short linear chain; lineage is truncated at the round
+        # boundary either way) and cost a second checkpoint pass + action
+        # round trip per round
+        e2 = sym(large)
         # small-star over the smaller-or-equal neighborhood; emits (v, m)
         # and (u, m) per es row in one stack() pass (the (u, m) arm fires
         # once per es row instead of once per distinct u — sym()'s
         # DISTINCT collapses the copies, same set)
-        es = e.filter(F.col("v") < F.col("u")).withColumn("m", F.min("v").over(by_u))
+        es = e2.filter(F.col("v") < F.col("u")).withColumn("m", F.min("v").over(by_u))
         small = es.selectExpr("stack(2, v, m, u, m) AS (u, v)")
-        e = ck(sym(small))
-        cur = sig(e)
+        e, cur = ck_sig(sym(small))
         if cur == prev:
             break
         prev = cur

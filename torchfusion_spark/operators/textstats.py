@@ -2469,6 +2469,16 @@ def _bpe_train_with_key(spark, rounds: int = BPE_TRAIN_ROUNDS):
     s.createOrReplaceTempView(view)
     merges = []
     for r in range(1, rounds + 1):
+        # NOTE (r16): fusing this per-round collect into the next
+        # checkpoint as an observe() metric on the top-pair subtree was
+        # prototyped and does NOT work — a CollectMetrics node consumed
+        # through a temp view never resolves its Observation (the
+        # listener matches the registered Dataset's own actions;
+        # verified empirically: the node IS in the executed plan, the
+        # Observation still blocks forever). The CC loops can use
+        # observe() because they attach it to the very DataFrame being
+        # checkpointed; here the observed values must come from a
+        # DIFFERENT subtree, so the ≤1-row collect stays.
         top = spark.sql(_bpe_top_sql(view)).collect()
         if not top:  # degenerate corpus: no adjacent pairs left
             break
