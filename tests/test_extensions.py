@@ -1798,6 +1798,48 @@ def test_url_canonical_dedup_matches_python_recompute(spark, tables):
     assert sum(rows[d].kept for d in hot_ids) == 1
 
 
+def test_exact_pair_rows_matches_sql_arm_bitwise(spark, tables):
+    """Focused pin for the r16 Arrow exact-pair scan (guide §4.2 re-plan
+    + the Arrow toPandas matrix fetch): the NumPy-under-mapInArrow pair
+    relation must reproduce the SQL fold arm ROW-FOR-ROW with EXACTLY
+    equal doubles — the dim-loop accumulation claims the SQL fold's IEEE
+    op order bit-for-bit, so any drift (fused multiply-add, reordered
+    accumulation, a lossy matrix transfer) must fail here, not at the
+    oracle gate."""
+    from torchfusion_spark.operators.similarity import (
+        cosine_near_dup_sql,
+        exact_pair_rows,
+        norm_cte,
+    )
+
+    rng = np.random.default_rng(13)
+    base = rng.normal(size=64)
+    vecs = [(i, (base + rng.normal(scale=1e-3, size=64)).tolist()) for i in range(6)]
+    vecs += [(10 + i, rng.normal(size=64).tolist()) for i in range(50)]
+    pdf = pd.DataFrame(vecs, columns=["vec_id", "embedding"])
+    orig = spark.table("embeddings")
+    try:
+        spark.createDataFrame(pdf).createOrReplaceTempView("embeddings")
+        spark.sql(norm_cte("spark")).createOrReplaceTempView("__t_pair_norms")
+
+        def key(rows):
+            return [(r.id_a, r.id_b, r.cosine) for r in rows]
+
+        # threshold -1.0 keeps EVERY pair: all C(56,2) cosines compared
+        # exactly; 0.42 additionally exercises the NumPy prefilter +
+        # authoritative Spark-side ROUND(...) >= t boundary together
+        for t in (-1.0, 0.42):
+            arrow = key(
+                exact_pair_rows(spark, "__t_pair_norms", t, 100_000)
+                .orderBy("id_a", "id_b")
+                .collect()
+            )
+            via_sql = key(spark.sql(cosine_near_dup_sql("spark", t)).collect())
+            assert arrow == via_sql and len(arrow) > 0
+    finally:
+        orig.createOrReplaceTempView("embeddings")
+
+
 def test_near_dup_collapse_bounds_planted_mega_cluster(spark, tables):
     """The collapse witness's reason to exist: a planted near-identical
     mega-cluster (the 100 TB boilerplate-embedding scenario) must come
