@@ -735,6 +735,34 @@ def _cc_single_task(edges):
     )
 
 
+def _observed(obs, fallback, timeout_s: float = 30.0) -> dict:
+    """Bounded read of an ``Observation``'s metrics (code-review r16).
+
+    The metrics ride the driver's shared listener bus, which silently
+    DROPS events when its queue overflows — ``Observation.get`` would
+    then block FOREVER, wedging the CC loop with no error after the
+    checkpoint action already succeeded (the pre-r16 ``collect()``
+    control reads were synchronous action results, immune to listener
+    loss). Poll the non-blocking JVM probe with exponential backoff up
+    to ``timeout_s``; on expiry recompute the same values synchronously
+    from the already-materialized checkpoint (``fallback`` — the exact
+    pre-r16 spelling, one extra job paid only in the event-drop case)."""
+    import time as _time
+
+    deadline = _time.monotonic() + timeout_s
+    wait = 0.001
+    while True:
+        try:
+            if not obs._jo.getOrEmpty().isEmpty():
+                return obs.get  # resolved — the blocking read returns at once
+        except Exception:  # noqa: BLE001 — probe API missing → fall back now
+            return fallback()
+        if _time.monotonic() >= deadline:
+            return fallback()
+        _time.sleep(wait)
+        wait = min(wait * 2, 0.05)
+
+
 def connected_components(pairs, max_iter: int = 25):
     """(id_a, id_b) near-dup pairs → (doc_id, component) where component
     is the minimum doc_id reachable through the pair graph.
@@ -789,7 +817,8 @@ def connected_components(pairs, max_iter: int = 25):
         f"cc_{nonce}_edges",
         edges.distinct().observe(obs_e, F.count(F.lit(1)).alias("n")),
     )
-    if obs_e.get["n"] <= SMALL_GRAPH_EDGES:
+    n_edges = _observed(obs_e, lambda: {"n": edges.count()})["n"]
+    if n_edges <= SMALL_GRAPH_EDGES:
         out = _cc_single_task(edges)
         out._tf_cc_nonce = nonce
         return out
@@ -831,7 +860,17 @@ def connected_components(pairs, max_iter: int = 25):
             f"cc_{nonce}_labels{'AB'[rnd % 2]}",
             joined.select("node", F.col("newcomp").alias("comp")),
         )
-        changed = obs_r.get["changed"]
+        changed = _observed(
+            obs_r,
+            # fallback: the pre-r16 re-join count over the two live
+            # checkpoints (both materialized at this point)
+            lambda _new=new_labels, _old=labels: {
+                "changed": _new.select(F.col("node"), F.col("comp").alias("ncomp2"))
+                .join(_old, "node")
+                .filter(F.col("ncomp2") != F.col("comp"))
+                .count()
+            },
+        )["changed"]
         labels = new_labels
         if changed == 0:
             break
@@ -839,7 +878,16 @@ def connected_components(pairs, max_iter: int = 25):
         # exhausting max_iter with changes still propagating would return
         # silently WRONG components (partially propagated labels) that the
         # memoizing callers then cache — fail loudly instead; the exact
-        # oracle would disagree anyway, but with no hint of the cause
+        # oracle would disagree anyway, but with no hint of the cause.
+        # Release this failed call's checkpoint group and in-flight nonce
+        # first (code-review r16 — the star loop's discipline): nothing
+        # can reference the group after the raise, and an unreleased one
+        # pins four localCheckpoint generations until this pool thread
+        # draws a new nonce.
+        from torchfusion_spark.session import finish_staging_nonce, release_staged_group
+
+        release_staged_group(spark, f"cc_{nonce}_")
+        finish_staging_nonce(spark, nonce)
         raise RuntimeError(
             f"connected_components: label propagation did not converge in "
             f"{max_iter} rounds ({changed} labels still changing) — the "
@@ -2080,7 +2128,18 @@ def connected_components_star(pairs, max_iter: int = 20):
             ),
         )
         n_ck += 1
-        m = obs.get
+        # bounded read with a synchronous recompute fallback — see
+        # :func:`_observed` (a dropped listener event must cost one extra
+        # job, never a wedged loop)
+        m = _observed(
+            obs,
+            lambda _e=out: _e.select(
+                F.count(F.lit(1)).alias("n"),
+                F.expr("bit_xor(xxhash64(u, v))").alias("h"),
+            )
+            .collect()[0]
+            .asDict(),
+        )
         return out, (m["n"], m["h"])
 
     def sym(e):
