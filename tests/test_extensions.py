@@ -1728,6 +1728,45 @@ def test_view_swap_invalidates_derived_staged_memos(spark, tables):
         orig_emb.createOrReplaceTempView("embeddings")
 
 
+def test_staged_assign_memoizes_and_invalidates(spark, tables):
+    """r16 change 10: the IVF centroid-assignment relation is staged once
+    per (session, embeddings identity, n_centroids) and shared by
+    semantic_dedup / ivf_topk / the recall audit — a second consumer must
+    memo-hit (no re-cache), the staged rows must equal the inline
+    assign_cte_sql arm, and an embeddings-view swap must rebuild."""
+    from torchfusion_spark.operators import similarity
+
+    orig_emb = spark.table("embeddings")
+    try:
+        similarity.ivf_topk(spark).collect()
+        pool = spark.__dict__["_tf_staged_pool"]
+        first = pool["sim_assign_16"]
+        # staged rows == the inline CTE arm on the same corpus
+        staged = sorted(
+            (r.vec_id, r.c_id) for r in spark.table("__sim_assign_16").collect()
+        )
+        inline = sorted(
+            (r.vec_id, r.c_id)
+            for r in spark.sql(
+                similarity.assign_cte_sql("spark", 16, rel="__sim_norms")
+            ).collect()
+        )
+        assert staged == inline and staged
+        # second consumer memo-hits: the cached DataFrame is not replaced
+        similarity.semantic_dedup(spark).collect()
+        assert pool["sim_assign_16"] is first
+        # embeddings swap invalidates: the slot is re-staged on next use
+        spark.createDataFrame(
+            [(i, [float(i + 1), 1.0]) for i in range(20)],
+            "vec_id bigint, embedding array<double>",
+        ).createOrReplaceTempView("embeddings")
+        similarity.ivf_topk(spark).collect()
+        assert pool["sim_assign_16"] is not first
+        assert spark.table("__sim_assign_16").count() == 20
+    finally:
+        orig_emb.createOrReplaceTempView("embeddings")
+
+
 def test_url_canonical_dedup_matches_python_recompute(spark, tables):
     """Pin the URL canonicalization semantics against a direct Python
     recompute (urllib-free, same rule list): all five constructed messy

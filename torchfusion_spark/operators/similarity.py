@@ -427,6 +427,7 @@ def ivf_topk_sql(
     n_probe: int = 4,
     rel: str | None = None,
     ordered: bool = True,
+    assign_rel: str | None = None,
 ) -> str:
     """IVF-style approximate top-k: partition vectors into inverted lists
     by nearest centroid, probe only the ``n_probe`` closest lists per
@@ -447,7 +448,16 @@ def ivf_topk_sql(
     hint = "/*+ BROADCAST(c) */" if d == "spark" else ""
     qhint = "/*+ BROADCAST(q, p) */" if d == "spark" else ""
     mat = "MATERIALIZED " if d == "duck" else ""
-    assign = _assign_body(d, "n", "c")
+    # ``assign_rel`` (r16): splice in the session-staged assignment
+    # relation instead of recomputing the centroid argmax inline — same
+    # rows by construction (the staged view IS assign_cte_sql over the
+    # same norms relation); used by the recall audit and the staged
+    # ivf_topk builder so the assign subtree's exchange+agg runs once
+    # per session, not once per consumer. Default None keeps the
+    # registered query text byte-identical.
+    assign = (
+        f"SELECT * FROM {assign_rel}" if assign_rel else _assign_body(d, "n", "c")
+    )
     return f"""
     WITH n AS {mat}(SELECT * FROM {n_rel}),
     c AS (SELECT vec_id AS c_id, v AS cv, nrm AS cn FROM n WHERE vec_id < {n_centroids}),
@@ -652,28 +662,33 @@ def cosine_near_dup(spark, threshold: float = 0.42, max_n: int = EXACT_PAIRS_CAP
     )
 
 
-def ivf_topk(spark, k: int = 10, n_queries: int = 4):
-    return _staged_norms(
-        spark, lambda rel: spark.sql(ivf_topk_sql("spark", k, n_queries, rel=rel))
-    )
+def _staged_assign(spark, rel: str, n_centroids: int = 16) -> str:
+    """Stage the nearest-centroid assignment relation (vec_id, v, nrm,
+    c_id) once per (session, embeddings identity, n_centroids) and return
+    its view name — shared by ``semantic_dedup``, the staged ``ivf_topk``
+    builder and the recall audit's IVF side (r16: each consumer used to
+    recompute the centroid argmax per call — one broadcast cross join +
+    a full-width exchange into the groupBy, ×3 consumers).
 
+    MUST be called inside the norms memo lock (every caller resolves via
+    ``_staged_norms``/``_staged_buckets``), so the memo check-act is
+    race-free and keyed like ``_staged_buckets``: a corpus swap
+    invalidates norms, buckets and assignments together.
 
-def semantic_dedup(spark, threshold: float = 0.42, n_centroids: int = 16):
-    """Staged Spark path: the assignment relation is referenced three
-    times (both pair sides + the verdict scan) — materialize it once.
-
-    The assignment view/slot is scoped by ``n_centroids``: the staged
-    similarity views are content-deterministic per parameter set, so two
-    concurrent calls with the same parameters replace a view with
-    identical content (harmless), and calls with DIFFERENT parameters use
-    different names — without the scope, a concurrent 4-centroid call
-    could swap the view out from under a 16-centroid call mid-query (the
-    ADVICE-r03 clobbering class; kmeans uses a nonce because its loop
-    state is content-nondeterministic mid-flight)."""
+    The view/slot is scoped by ``n_centroids``: the staged similarity
+    views are content-deterministic per parameter set, so two concurrent
+    calls with the same parameters replace a view with identical content
+    (harmless), and calls with DIFFERENT parameters use different names —
+    without the scope, a concurrent 4-centroid call could swap the view
+    out from under a 16-centroid call mid-query (the ADVICE-r03
+    clobbering class; kmeans uses a nonce because its loop state is
+    content-nondeterministic mid-flight)."""
     from torchfusion_spark.session import staged_cache
 
-    def build(rel):
-        view = f"__sim_assign_{n_centroids}"
+    view = f"__sim_assign_{n_centroids}"
+    key = (spark._tf_sim_norms_key, n_centroids)
+    memo = spark.__dict__.setdefault("_tf_sim_assign_keys", {})
+    if memo.get(n_centroids) != key:
         a = staged_cache(
             spark,
             f"sim_assign_{n_centroids}",
@@ -681,6 +696,28 @@ def semantic_dedup(spark, threshold: float = 0.42, n_centroids: int = 16):
         )
         a.count()
         a.createOrReplaceTempView(view)
+        memo[n_centroids] = key
+    return view
+
+
+def ivf_topk(spark, k: int = 10, n_queries: int = 4):
+    return _staged_norms(
+        spark,
+        lambda rel: spark.sql(
+            ivf_topk_sql(
+                "spark", k, n_queries, rel=rel, assign_rel=_staged_assign(spark, rel)
+            )
+        ),
+    )
+
+
+def semantic_dedup(spark, threshold: float = 0.42, n_centroids: int = 16):
+    """Staged Spark path: the assignment relation is referenced three
+    times (both pair sides + the verdict scan) — materialize it once
+    (and memoize it: see :func:`_staged_assign`)."""
+
+    def build(rel):
+        view = _staged_assign(spark, rel, n_centroids)
         return spark.sql(semantic_dedup_sql("spark", threshold, assign_rel=view))
 
     return _staged_norms(spark, build)
@@ -786,6 +823,7 @@ def ann_recall_audit_sql(
     rel: str | None = None,
     bucket_rel: str | None = None,
     exact_rel: str | None = None,
+    assign_rel: str | None = None,
 ) -> str:
     """Recall audit for the two approximate-ANN paths (VERDICT r14
     item 6): the r14 hot-bucket cap made exclusion the sanctioned
@@ -834,7 +872,9 @@ def ann_recall_audit_sql(
     # ordered=False drops their global sorts (r16; rows identical, and a
     # sort's range-sampling pass would re-execute each subtree once)
     exact_tk = cosine_topk_sql(d, k, n_queries, rel=rel, ordered=False)
-    approx_tk = ivf_topk_sql(d, k, n_queries, rel=rel, ordered=False)
+    approx_tk = ivf_topk_sql(
+        d, k, n_queries, rel=rel, ordered=False, assign_rel=assign_rel
+    )
     # ``exact_rel`` (r16): the Spark arm passes the Arrow-computed exact
     # pair relation (:func:`exact_pair_rows` — row-identical to the SQL
     # arm, see its bit-exactness note) as a temp view; the oracle keeps
@@ -927,6 +967,13 @@ def ann_recall_audit(
                 rel="__sim_norms",
                 bucket_rel=rel,
                 exact_rel=view,
+                # the IVF side reads the session-staged assignment like
+                # it already reads the staged norms/buckets (r16): the
+                # staged view is content-identical to the inline CTE;
+                # the audited computation — probe, candidate join,
+                # top-k, hit joins, and the per-call exact side — still
+                # runs fresh every call
+                assign_rel=_staged_assign(spark, "__sim_norms"),
             )
         )
 
