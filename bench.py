@@ -271,12 +271,23 @@ def main() -> None:
         # their tasks; phase 2 overlaps the three hx consumers. Safe
         # concurrently: each builder runs exactly once here and writes
         # a distinct staged_cache slot / memo attribute, so no two
-        # threads ever race on the same slot. Sequential wall was
-        # ~9.8s at sf0.1; this schedule measures ~5–6s — the same
-        # shape a real cluster would use (staging jobs submitted
-        # concurrently, FAIR-scheduled). Pool width covers every root
-        # so none serializes behind a full pool.
+        # threads ever race on the same slot.
+        #
+        # Pool width (r16, guide §2.6): a few jobs in flight fill the
+        # scheduler's tail without fighting for task slots. The r07
+        # width-10 pool (one thread per root) measured 5–6s at sf0.1 on
+        # a quiet host, but local-mode task dispatch pays a futex-wake
+        # chain per task, and on hosts with inflated thread-wake latency
+        # (32–500 µs measured this round) ten concurrent jobs thrash:
+        # interleaved fresh-session A/B at sf0.1 measured width 10 at
+        # {20, 79, 80, 133}s against width 5 at {28.0, 28.2, 35.4}s and
+        # width 3 at ~42s — width 5 keeps the overlap win with far
+        # lower variance. Parameterized for the same reason the core
+        # count is: a real cluster submitting staging jobs would size
+        # this to its scheduler, not to one sandbox's behaviour.
         from concurrent.futures import ThreadPoolExecutor
+
+        pool_width = int(os.environ.get("SPARK_GRAFT_STAGING_POOL", "5"))
 
         # Per-relation itemization (VERDICT r15 item 4): each component's
         # number is its own wall-clock UNDER the concurrent schedule
@@ -289,7 +300,7 @@ def main() -> None:
             fn(*a)
             staging_components[name] = round(time.perf_counter() - t0, 4)
 
-        with ThreadPoolExecutor(max_workers=10) as pool:
+        with ThreadPoolExecutor(max_workers=pool_width) as pool:
             roots = [
                 # shared shingle+md5 relation
                 pool.submit(_timed, "hx_shingles", _staged_hx, spark),

@@ -61,8 +61,13 @@ def main() -> None:
     for name in names:
         q = REGISTRY[name]
         runs = []
+        jobs = []
         for i in range(args.runs):
-            spark.sparkContext.setJobDescription(f"probe:{name}:run{i}")
+            # jobs/run via a per-run job group (statusTracker delta): the
+            # noise-immune companion metric — every job is a driver
+            # barrier whose cost scales with scheduler wake latency
+            group = f"probe_{name}_{i}"
+            spark.sparkContext.setJobGroup(group, f"probe:{name}:run{i}")
             t0 = time.perf_counter()
             df = q.builder(spark, args.sf)
             if args.noop:
@@ -70,6 +75,7 @@ def main() -> None:
             else:
                 df.count()
             runs.append(time.perf_counter() - t0)
+            jobs.append(len(spark.sparkContext.statusTracker().getJobIdsForGroup(group)))
         spark.sparkContext.setJobDescription(None)
         if args.plans_dir:
             os.makedirs(args.plans_dir, exist_ok=True)
@@ -80,7 +86,12 @@ def main() -> None:
             with open(os.path.join(args.plans_dir, f"{name}_{args.suffix}.txt"), "w") as f:
                 f.write(plan)
         rows.append((name, runs))
-        print(f"{min(runs):8.3f}  " + " ".join(f"{r:7.3f}" for r in runs) + f"  {name}", flush=True)
+        print(
+            f"{min(runs):8.3f}  "
+            + " ".join(f"{r:7.3f}" for r in runs)
+            + f"  jobs={'/'.join(str(j) for j in jobs)}  {name}",
+            flush=True,
+        )
 
     print("\nbest-of-N sum:", round(sum(min(r) for _, r in rows), 3))
     spark.stop()
@@ -109,7 +120,8 @@ def _prewarm(spark) -> None:
     from torchfusion_spark.plans.relational2 import _staged_li_by_order
 
     t0 = time.perf_counter()
-    with ThreadPoolExecutor(max_workers=10) as pool:
+    width = int(os.environ.get("SPARK_GRAFT_STAGING_POOL", "5"))
+    with ThreadPoolExecutor(max_workers=width) as pool:
         roots = [
             pool.submit(_staged_hx, spark),
             pool.submit(_staged_norms, spark),
