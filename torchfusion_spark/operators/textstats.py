@@ -1536,13 +1536,28 @@ def bm25_topk_sql(
         qsrc = f"SELECT * FROM (VALUES {vals}) t(query_id, term)"
     hint = "/*+ BROADCAST(qdf) */ " if d == "spark" else ""
     k1, b = BM25_K1, BM25_B
+    # Spark arm only (r16, guide §2.3): the per-term document-frequency
+    # rollup feeds a join against the LITERAL query-term set — only
+    # those terms' counts are ever read, so pre-filtering the tf scan to
+    # the term literals shrinks the df aggregation's exchange from
+    # vocab-sized to |query terms| with bit-identical qdf rows (COUNT
+    # per surviving tok is unchanged by dropping non-matching toks).
+    # At corpus scale this is the difference between shuffling every
+    # distinct token and shuffling the handful being queried. The duck
+    # arm keeps the declarative full rollup — the registered oracle
+    # text stays byte-identical.
+    if d == "spark":
+        terms = ", ".join(sorted({f"'{t}'" for _, t in BM25_QUERIES}))
+        df_src = f"(SELECT tok FROM {tfn} WHERE tok IN ({terms})) __df_t"
+    else:
+        df_src = tfn
     return f"""
     WITH {tf_cte}
     stats AS (
         SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
                CAST(SUM(tf) AS BIGINT) AS tot_tokens
         FROM {tfn}),
-    df AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM {tfn} GROUP BY tok),
+    df AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM {df_src} GROUP BY tok),
     q AS ({qsrc}),
     qdf AS (
         SELECT CAST(q.query_id AS BIGINT) AS query_id, q.term, df.df
