@@ -242,52 +242,11 @@ def main() -> None:
     staging_warm = time.perf_counter()
     staging_components: dict = {}
     try:
-        from torchfusion_spark.operators.dedup import (
-            _staged_containment,
-            _staged_hx,
-            _staged_lines,
-            _staged_substring_grams,
-            minhash_clusters,
-            url_incremental_query,
-        )
-        from torchfusion_spark.operators.multimodal import _staged_frame_phash, _staged_phash
-        from torchfusion_spark.plans.relational2 import _staged_li_by_order
-        from torchfusion_spark.operators.similarity import _staged_norms
-        from torchfusion_spark.operators.textstats import (
-            _staged_bloom,
-            _staged_labels,
-            _staged_pack_t,
-            _staged_unigrams,
-        )
-
-        # Dependency-aware parallel build (round-7): the staged
-        # relations are independent Spark jobs apart from the shared
-        # hashed-shingle relation (__tf_hx feeds minhash/containment/
-        # bloom). Phase 1 overlaps the seven roots — the shingle+md5
-        # pass, the embedding norms, the positional grams, the unigram
-        # term-frequency pass, the classifier's Gopher-label pass, the
-        # payload-fingerprint Arrow scan and the URL-index build scan
-        # different columns and the local[32] scheduler interleaves
-        # their tasks; phase 2 overlaps the three hx consumers. Safe
-        # concurrently: each builder runs exactly once here and writes
-        # a distinct staged_cache slot / memo attribute, so no two
-        # threads ever race on the same slot.
-        #
-        # Pool width (r16, guide §2.6): a few jobs in flight fill the
-        # scheduler's tail without fighting for task slots. The r07
-        # width-10 pool (one thread per root) measured 5–6s at sf0.1 on
-        # a quiet host, but local-mode task dispatch pays a futex-wake
-        # chain per task, and on hosts with inflated thread-wake latency
-        # (32–500 µs measured this round) ten concurrent jobs thrash:
-        # interleaved fresh-session A/B at sf0.1 measured width 10 at
-        # {20, 79, 80, 133}s against width 5 at {28.0, 28.2, 35.4}s and
-        # width 3 at ~42s — width 5 keeps the overlap win with far
-        # lower variance. Parameterized for the same reason the core
-        # count is: a real cluster submitting staging jobs would size
-        # this to its scheduler, not to one sandbox's behaviour.
-        from concurrent.futures import ThreadPoolExecutor
-
-        pool_width = int(os.environ.get("SPARK_GRAFT_STAGING_POOL", "5"))
+        # The staging schedule (builders, dependency phases, pool width
+        # and its rationale) lives in torchfusion_spark/staging.py — ONE
+        # copy shared with tools/perf_probe.py (code-review r16: the two
+        # hand-duplicated lists drifted).
+        from torchfusion_spark.staging import prewarm_staging
 
         # Per-relation itemization (VERDICT r15 item 4): each component's
         # number is its own wall-clock UNDER the concurrent schedule
@@ -300,59 +259,7 @@ def main() -> None:
             fn(*a)
             staging_components[name] = round(time.perf_counter() - t0, 4)
 
-        with ThreadPoolExecutor(max_workers=pool_width) as pool:
-            roots = [
-                # shared shingle+md5 relation
-                pool.submit(_timed, "hx_shingles", _staged_hx, spark),
-                # __sim_norms (+ the multi-band LSH bucket columns ride
-                # the same memo chain on first use)
-                pool.submit(_timed, "sim_norms", _staged_norms, spark),
-                # positional grams
-                pool.submit(_timed, "substring_grams", _staged_substring_grams, spark),
-                # BM25/LM term freqs
-                pool.submit(_timed, "unigrams", _staged_unigrams, spark),
-                # classifier Gopher labels
-                pool.submit(_timed, "quality_labels", _staged_labels, spark),
-                # payload aHash fingerprints (multimodal_dedup's staged
-                # relation — the r03/r06 contract: staging_warm_sec covers
-                # every session-staged relation the headline set uses)
-                pool.submit(_timed, "payload_phash", _staged_phash, spark),
-                # per-frame aHash fingerprints (multimodal_frame_dedup)
-                pool.submit(_timed, "frame_phash", _staged_frame_phash, spark),
-                # ordered line stream (corpus_strip_boilerplate_lines)
-                pool.submit(_timed, "doc_lines", _staged_lines, spark),
-                # (lang, shard)-partitioned tokenized pack input
-                # (corpus_pack_sequences — r15: staging replaces the
-                # doubled documents scan the CTE inlining paid)
-                pool.submit(_timed, "pack_tokens", _staged_pack_t, spark),
-                # l_orderkey-bucketed per-(order,supp) rollup (r15/r16:
-                # q21's co-located zero-fact-shuffle plan; session-scoped —
-                # every run pays the build here, visible in this row)
-                pool.submit(_timed, "li_by_order", _staged_li_by_order, spark),
-                # one-time persisted URL seen-set (VERDICT r11 item 5):
-                # the builder writes the index parquet eagerly and
-                # returns the probe plan unexecuted — exactly the
-                # session-staged build this pass exists to charge to
-                # staging_warm_sec instead of the query's cold number
-                pool.submit(_timed, "url_index", url_incremental_query, spark),
-            ]
-            roots[0].result()  # hx must land before its three consumers
-            deps = [
-                # builds __minhash_sig, the LSH pair relation AND the
-                # memoized cluster labels (the CC checkpoint chain) —
-                # VERDICT r06 item 3: staging_warm_sec must cover every
-                # session-staged relation the headline set uses, and the
-                # cluster labels are one (pipeline_dedup_canonical reads
-                # them); leaving the CC loop to the first timed run hid
-                # a ~4s cold cost in `spread`
-                pool.submit(_timed, "minhash_clusters", minhash_clusters, spark),
-                # 64 KB benchmark filter
-                pool.submit(_timed, "bloom_filter", _staged_bloom, spark),
-                # inverted index
-                pool.submit(_timed, "containment_index", _staged_containment, spark),
-            ]
-            for fut in roots + deps:
-                fut.result()
+        prewarm_staging(spark, timed=_timed)
     except Exception as exc:  # noqa: BLE001 — prewarm is best-effort, never
         # fatal, but never SILENT either: an aborted prewarm shifts the
         # unstaged relations' build cost into the first timed queries,

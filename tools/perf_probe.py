@@ -76,6 +76,11 @@ def main() -> None:
                 df.count()
             runs.append(time.perf_counter() - t0)
             jobs.append(len(spark.sparkContext.statusTracker().getJobIdsForGroup(group)))
+        # clear the GROUP, not just the description — setJobGroup set
+        # both, and a lingering thread-local group id would attribute any
+        # later job (e.g. a staged build fired by the --plans-dir
+        # re-build below) to the last run's count (code-review r16)
+        spark.sparkContext.setLocalProperty("spark.jobGroup.id", None)
         spark.sparkContext.setJobDescription(None)
         if args.plans_dir:
             os.makedirs(args.plans_dir, exist_ok=True)
@@ -98,51 +103,12 @@ def main() -> None:
 
 
 def _prewarm(spark) -> None:
-    """The bench's staged-relation prewarm, verbatim imports."""
-    from concurrent.futures import ThreadPoolExecutor
-
-    from torchfusion_spark.operators.dedup import (
-        _staged_containment,
-        _staged_hx,
-        _staged_lines,
-        _staged_substring_grams,
-        minhash_clusters,
-        url_incremental_query,
-    )
-    from torchfusion_spark.operators.multimodal import _staged_frame_phash, _staged_phash
-    from torchfusion_spark.operators.similarity import _staged_norms
-    from torchfusion_spark.operators.textstats import (
-        _staged_bloom,
-        _staged_labels,
-        _staged_pack_t,
-        _staged_unigrams,
-    )
-    from torchfusion_spark.plans.relational2 import _staged_li_by_order
+    """The bench's staged-relation prewarm — the shared schedule in
+    torchfusion_spark/staging.py (code-review r16: one copy, no drift)."""
+    from torchfusion_spark.staging import prewarm_staging
 
     t0 = time.perf_counter()
-    width = int(os.environ.get("SPARK_GRAFT_STAGING_POOL", "5"))
-    with ThreadPoolExecutor(max_workers=width) as pool:
-        roots = [
-            pool.submit(_staged_hx, spark),
-            pool.submit(_staged_norms, spark),
-            pool.submit(_staged_substring_grams, spark),
-            pool.submit(_staged_unigrams, spark),
-            pool.submit(_staged_labels, spark),
-            pool.submit(_staged_phash, spark),
-            pool.submit(_staged_frame_phash, spark),
-            pool.submit(_staged_lines, spark),
-            pool.submit(_staged_pack_t, spark),
-            pool.submit(_staged_li_by_order, spark),
-            pool.submit(url_incremental_query, spark),
-        ]
-        roots[0].result()
-        deps = [
-            pool.submit(minhash_clusters, spark),
-            pool.submit(_staged_bloom, spark),
-            pool.submit(_staged_containment, spark),
-        ]
-        for fut in roots + deps:
-            fut.result()
+    prewarm_staging(spark)
     print(f"prewarm: {time.perf_counter() - t0:.3f}s", flush=True)
 
 

@@ -686,9 +686,8 @@ def _staged_assign(spark, rel: str, n_centroids: int = 16) -> str:
     from torchfusion_spark.session import staged_cache
 
     view = f"__sim_assign_{n_centroids}"
-    key = (spark._tf_sim_norms_key, n_centroids)
     memo = spark.__dict__.setdefault("_tf_sim_assign_keys", {})
-    if memo.get(n_centroids) != key:
+    if memo.get(n_centroids) != spark._tf_sim_norms_key:
         a = staged_cache(
             spark,
             f"sim_assign_{n_centroids}",
@@ -696,16 +695,25 @@ def _staged_assign(spark, rel: str, n_centroids: int = 16) -> str:
         )
         a.count()
         a.createOrReplaceTempView(view)
-        memo[n_centroids] = key
+        memo[n_centroids] = spark._tf_sim_norms_key
     return view
 
 
-def ivf_topk(spark, k: int = 10, n_queries: int = 4):
+def ivf_topk(spark, k: int = 10, n_queries: int = 4, n_centroids: int = 16):
+    # n_centroids threads through BOTH the staged assign and the probe
+    # SQL (code-review r16): a staged view built for a different centroid
+    # count than the probe ranks would silently drop the extra lists'
+    # candidates — one value must control both.
     return _staged_norms(
         spark,
         lambda rel: spark.sql(
             ivf_topk_sql(
-                "spark", k, n_queries, rel=rel, assign_rel=_staged_assign(spark, rel)
+                "spark",
+                k,
+                n_queries,
+                n_centroids=n_centroids,
+                rel=rel,
+                assign_rel=_staged_assign(spark, rel, n_centroids),
             )
         ),
     )
@@ -824,6 +832,7 @@ def ann_recall_audit_sql(
     bucket_rel: str | None = None,
     exact_rel: str | None = None,
     assign_rel: str | None = None,
+    n_centroids: int = 16,
 ) -> str:
     """Recall audit for the two approximate-ANN paths (VERDICT r14
     item 6): the r14 hot-bucket cap made exclusion the sanctioned
@@ -873,7 +882,13 @@ def ann_recall_audit_sql(
     # sort's range-sampling pass would re-execute each subtree once)
     exact_tk = cosine_topk_sql(d, k, n_queries, rel=rel, ordered=False)
     approx_tk = ivf_topk_sql(
-        d, k, n_queries, rel=rel, ordered=False, assign_rel=assign_rel
+        d,
+        k,
+        n_queries,
+        n_centroids=n_centroids,
+        rel=rel,
+        ordered=False,
+        assign_rel=assign_rel,
     )
     # ``exact_rel`` (r16): the Spark arm passes the Arrow-computed exact
     # pair relation (:func:`exact_pair_rows` — row-identical to the SQL
@@ -943,6 +958,7 @@ def ann_recall_audit(
     n_queries: int = 4,
     threshold: float = 0.30,
     max_bucket: int = LSH_MAX_BUCKET,
+    n_centroids: int = 16,
 ):
     """Staged Spark path: norms AND the LSH bucket relation resolve from
     the session memos (both referenced by multiple components), inside
@@ -972,8 +988,10 @@ def ann_recall_audit(
                 # staged view is content-identical to the inline CTE;
                 # the audited computation — probe, candidate join,
                 # top-k, hit joins, and the per-call exact side — still
-                # runs fresh every call
-                assign_rel=_staged_assign(spark, "__sim_norms"),
+                # runs fresh every call. ONE n_centroids value controls
+                # the staged view and the probe SQL (code-review r16).
+                assign_rel=_staged_assign(spark, "__sim_norms", n_centroids),
+                n_centroids=n_centroids,
             )
         )
 
