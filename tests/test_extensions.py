@@ -1755,7 +1755,14 @@ def test_staged_assign_memoizes_and_invalidates(spark, tables):
         # second consumer memo-hits: the cached DataFrame is not replaced
         similarity.semantic_dedup(spark).collect()
         assert pool["sim_assign_16"] is first
-        # embeddings swap invalidates: the slot is re-staged on next use
+        # a sibling n_centroids staged on the same corpus
+        similarity.ivf_topk(spark, n_centroids=4).collect()
+        assert "sim_assign_4" in pool
+        # embeddings swap invalidates: the slot is re-staged on next use,
+        # and the sibling-n slot from the superseded corpus is RELEASED
+        # (code-review r16 second pass — staged_cache only unpersists on
+        # same-slot reuse, so without the purge sim_assign_4 would pin
+        # old-corpus executor storage for the session)
         spark.createDataFrame(
             [(i, [float(i + 1), 1.0]) for i in range(20)],
             "vec_id bigint, embedding array<double>",
@@ -1763,6 +1770,7 @@ def test_staged_assign_memoizes_and_invalidates(spark, tables):
         similarity.ivf_topk(spark).collect()
         assert pool["sim_assign_16"] is not first
         assert spark.table("__sim_assign_16").count() == 20
+        assert "sim_assign_4" not in pool
     finally:
         orig_emb.createOrReplaceTempView("embeddings")
 

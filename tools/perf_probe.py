@@ -58,15 +58,19 @@ def main() -> None:
         _prewarm(spark)
 
     rows = []
-    for name in names:
+    for occurrence, name in enumerate(names):
         q = REGISTRY[name]
         runs = []
         jobs = []
         for i in range(args.runs):
             # jobs/run via a per-run job group (statusTracker delta): the
             # noise-immune companion metric — every job is a driver
-            # barrier whose cost scales with scheduler wake latency
-            group = f"probe_{name}_{i}"
+            # barrier whose cost scales with scheduler wake latency.
+            # The occurrence index keeps the group unique when the same
+            # name is probed twice (e.g. --headline plus an explicit
+            # repeat) — a reused group id would report the UNION of both
+            # occurrences' jobs (code-review r16, second pass)
+            group = f"probe_{occurrence}_{name}_{i}"
             spark.sparkContext.setJobGroup(group, f"probe:{name}:run{i}")
             t0 = time.perf_counter()
             df = q.builder(spark, args.sf)

@@ -686,8 +686,28 @@ def _staged_assign(spark, rel: str, n_centroids: int = 16) -> str:
     from torchfusion_spark.session import staged_cache
 
     view = f"__sim_assign_{n_centroids}"
+    cur = spark._tf_sim_norms_key
     memo = spark.__dict__.setdefault("_tf_sim_assign_keys", {})
-    if memo.get(n_centroids) != spark._tf_sim_norms_key:
+    if memo.get(n_centroids) != cur:
+        # release sibling-n slots staged on a SUPERSEDED corpus
+        # (code-review r16, second pass): staged_cache only unpersists
+        # on same-slot reuse, so a 4-centroid relation from corpus A
+        # would otherwise stay persisted for the whole session once the
+        # view swaps to corpus B and only 16 is ever requested again —
+        # the ADVICE-r03 unbounded-executor-storage class. Safe without
+        # the slot lock: every _staged_assign caller holds the norms
+        # memo lock, and nothing else touches sim_assign_* slots.
+        for n, k in list(memo.items()):
+            if n != n_centroids and k != cur:
+                stale = spark.__dict__.get("_tf_staged_pool", {}).pop(
+                    f"sim_assign_{n}", None
+                )
+                if stale is not None:
+                    try:
+                        stale.unpersist()
+                    except Exception:  # noqa: BLE001 — release is best-effort
+                        pass
+                del memo[n]
         a = staged_cache(
             spark,
             f"sim_assign_{n_centroids}",
@@ -695,7 +715,7 @@ def _staged_assign(spark, rel: str, n_centroids: int = 16) -> str:
         )
         a.count()
         a.createOrReplaceTempView(view)
-        memo[n_centroids] = spark._tf_sim_norms_key
+        memo[n_centroids] = cur
     return view
 
 

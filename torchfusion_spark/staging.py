@@ -38,13 +38,15 @@ _DEFAULT_POOL_WIDTH = 5
 
 
 def staging_pool_width() -> int:
-    """$SPARK_GRAFT_STAGING_POOL, validated: int, at least 1, default 5."""
-    raw = os.environ.get("SPARK_GRAFT_STAGING_POOL", "")
+    """$SPARK_GRAFT_STAGING_POOL, validated: a positive int, else the
+    default 5 (non-int AND non-positive both fall back — a width-0
+    misconfig must not silently serialize the prewarm, which measured
+    ~100 s vs ~28 s at the default on the r16 host)."""
     try:
-        width = int(raw)
+        width = int(os.environ.get("SPARK_GRAFT_STAGING_POOL", ""))
     except ValueError:
         return _DEFAULT_POOL_WIDTH
-    return max(1, width) if raw else _DEFAULT_POOL_WIDTH
+    return width if width > 0 else _DEFAULT_POOL_WIDTH
 
 
 def prewarm_staging(spark, timed=None, width: int | None = None) -> None:
@@ -98,8 +100,6 @@ def prewarm_staging(spark, timed=None, width: int | None = None) -> None:
             # __sim_norms (+ the multi-band LSH bucket columns ride the
             # same memo chain on first use)
             pool.submit(run, "sim_norms", _staged_norms, spark),
-            # nearest-centroid assignment (ivf/semantic-dedup/audit)
-            pool.submit(run, "sim_assign", _assign16, spark),
             # positional grams
             pool.submit(run, "substring_grams", _staged_substring_grams, spark),
             # BM25/LM term freqs
@@ -131,5 +131,12 @@ def prewarm_staging(spark, timed=None, width: int | None = None) -> None:
             # inverted index
             pool.submit(run, "containment_index", _staged_containment, spark),
         ]
+        # phase 2 for the assign too (code-review r16, second pass): it
+        # resolves through the norms memo lock, so submitting it beside
+        # the sim_norms root parks a pool slot on that lock for the
+        # whole norms build AND charges the wait to sim_assign's
+        # itemized wall-clock — wait for norms, then submit
+        roots[1].result()
+        deps.append(pool.submit(run, "sim_assign", _assign16, spark))
         for fut in roots + deps:
             fut.result()
