@@ -71,7 +71,11 @@ def prewarm_staging(spark, timed=None, width: int | None = None) -> None:
         _staged_frame_phash,
         _staged_phash,
     )
-    from torchfusion_spark.operators.similarity import _staged_assign, _staged_norms
+    from torchfusion_spark.operators.similarity import (
+        _staged_assign,
+        _staged_buckets,
+        _staged_norms,
+    )
     from torchfusion_spark.operators.textstats import (
         _staged_bloom,
         _staged_labels,
@@ -87,6 +91,15 @@ def prewarm_staging(spark, timed=None, width: int | None = None) -> None:
         # land in staging_warm_sec, not in the first timed consumer's
         # cold run (code-review r16)
         return _staged_norms(s, lambda rel: _staged_assign(s, rel, 16))
+
+    def _buckets(s):
+        # the sign-LSH bucketed relation (vec_id, v, nrm, bucket, mb*) —
+        # shared by sim_cosine_near_dup_lsh, sim_near_dup_collapse and
+        # the recall audit; without this root its build billed 3 extra
+        # jobs and ~2s to the first consumer's cold run (r16 headline
+        # probe: 9 jobs run 1 vs 6 warm), the same r06-contract gap the
+        # assign had
+        return _staged_buckets(s, lambda rel: rel)
 
     run = timed if timed is not None else (lambda _name, fn, *a: fn(*a))
     if width is None:
@@ -138,5 +151,6 @@ def prewarm_staging(spark, timed=None, width: int | None = None) -> None:
         # itemized wall-clock — wait for norms, then submit
         roots[1].result()
         deps.append(pool.submit(run, "sim_assign", _assign16, spark))
+        deps.append(pool.submit(run, "sim_buckets", _buckets, spark))
         for fut in roots + deps:
             fut.result()
