@@ -202,7 +202,32 @@ def parse_sf(sf_dir: str) -> float:
     return float(m.group(1)) if m else 0.0
 
 
+def claim_stdout() -> int:
+    """Reserve the real stdout for the single JSON result line.
+
+    Round-15's BENCH artifact failed to parse at the driver boundary
+    (BENCH_r15.json parsed: null) even though the bench printed its line,
+    so per VERDICT r16 item 2 the contract is now enforced at the fd
+    level: fd 1 is redirected onto stderr for the WHOLE run — the JVM,
+    py4j, Ivy, any child process and any stray Python print() inherit
+    the redirect — and the saved real stdout fd is used exactly once,
+    by emit_result(). Call before the JVM starts so it inherits fd 1's
+    new target.
+    """
+    real_stdout = os.dup(1)
+    os.dup2(2, 1)
+    sys.stdout = sys.stderr
+    return real_stdout
+
+
+def emit_result(real_stdout: int, payload: dict) -> None:
+    """Write the one-line JSON contract to the reserved stdout fd."""
+    os.write(real_stdout, (json.dumps(payload) + "\n").encode())
+    os.close(real_stdout)
+
+
 def main() -> None:
+    real_stdout = claim_stdout()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = parse_sf(sf_dir)
 
@@ -411,7 +436,7 @@ def main() -> None:
     except Exception:  # noqa: BLE001 — the stdout line is the contract
         pass
 
-    print(json.dumps(payload))
+    emit_result(real_stdout, payload)
     spark.stop()
 
 

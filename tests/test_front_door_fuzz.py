@@ -21,6 +21,8 @@ import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
+from tests.fuzz_budget import examples
+
 # payload characters that historically break naive splitters
 _HOSTILE = st.text(
     alphabet=st.sampled_from(list("ab;'\"-/*` \t\n$")),
@@ -67,7 +69,7 @@ def _statement(draw):
 
 @pytest.mark.usefixtures("tables")
 @settings(
-    max_examples=60,
+    max_examples=examples(60),
     deadline=None,
     derandomize=True,
     suppress_health_check=[HealthCheck.function_scoped_fixture],

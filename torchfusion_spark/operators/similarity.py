@@ -707,6 +707,14 @@ def _staged_assign(spark, rel: str, n_centroids: int = 16) -> str:
                         stale.unpersist()
                     except Exception:  # noqa: BLE001 — release is best-effort
                         pass
+                # drop the stale temp view too (ADVICE r16): the slot
+                # release alone leaves __sim_assign_{n} resolvable, and a
+                # direct spark.table()/SQL reference after a corpus swap
+                # would silently recompute OLD-corpus rows
+                try:
+                    spark.catalog.dropTempView(f"__sim_assign_{n}")
+                except Exception:  # noqa: BLE001 — release is best-effort
+                    pass
                 del memo[n]
         a = staged_cache(
             spark,

@@ -1432,6 +1432,18 @@ BM25_QUERIES = [
 ]
 
 
+def _bm25_term_lit(t: str) -> str:
+    """Quote a BM25 query term as a SQL string literal — the ONE quoting
+    path for both splices that embed the term set (the VALUES query list
+    and the Spark-arm df prefilter's IN list, ADVICE r16): a term outside
+    the safe charset fails loudly here instead of breaking only one arm
+    and silently diverging Spark from the oracle text."""
+    assert t and all(c.isalnum() or c in "_-" for c in t), (
+        f"BM25 term {t!r} needs escaping — extend _bm25_term_lit first"
+    )
+    return f"'{t}'"
+
+
 def unigram_tf_sql(d: str, rel: str = "documents") -> str:
     """The (doc_id, lang, tok, tf, n_tok) per-document term-frequency
     relation both retrieval operators consume. Deliberately CTE-free
@@ -1528,7 +1540,7 @@ def bm25_topk_sql(
     tf_body = tf_rel or f"{mat}({unigram_tf_sql(d)})"
     tf_cte = f"tf AS {tf_body}," if tf_rel is None else ""
     tfn = tf_rel or "tf"
-    vals = ", ".join(f"({q}, '{t}')" for q, t in BM25_QUERIES)
+    vals = ", ".join(f"({q}, {_bm25_term_lit(t)})" for q, t in BM25_QUERIES)
     rank_col = ",\n           CAST(rn AS BIGINT) AS bm_rank" if with_rank else ""
     if d == "spark":
         qsrc = f"SELECT * FROM VALUES {vals} AS t(query_id, term)"
@@ -1547,7 +1559,7 @@ def bm25_topk_sql(
     # arm keeps the declarative full rollup — the registered oracle
     # text stays byte-identical.
     if d == "spark":
-        terms = ", ".join(sorted({f"'{t}'" for _, t in BM25_QUERIES}))
+        terms = ", ".join(sorted({_bm25_term_lit(t) for _, t in BM25_QUERIES}))
         df_src = f"(SELECT tok FROM {tfn} WHERE tok IN ({terms})) __df_t"
     else:
         df_src = tfn
@@ -1878,44 +1890,64 @@ def dsir_importance_sql(
 CLS_TRAIN_PCT = 80  # share of docs (by portable hash bucket) used for training
 
 
-def _staged_labels(spark, then=None) -> str:
-    """Session-staged (doc_id, label, is_train) relation for the quality
-    classifier (memo discipline identical to ``_staged_unigrams``): the
-    Gopher label pass is one full-corpus scan of array/regex codegen, and
-    the classifier references it three times (class counts, prior, final
-    score join) — Spark's CTE inlining would run it three times per
-    query. Reads the fanned-out docs view so the CPU-bound pass never
-    runs on one parquet split; keyed on the docs-view identity.
+def _build_labels_locked(spark, tfn: str, then=None) -> str:
+    """Build/resolve the staged (doc_id, label, is_train) relation GIVEN
+    the staged tf view, inside the cls_labels memo lock. MUST be called
+    while the unigrams memo lock is held (every caller nests
+    unigrams → cls_labels — the documented lock order, which is why this
+    does not resolve the tf view itself: ``memo_lock`` is non-reentrant),
+    so ``tfn`` stays pinned to its corpus for the duration and the label
+    memo keys on the unigram key — labels and tf can never record
+    different corpora as fresh.
 
-    Staged via ``staged_checkpoint``, not ``staged_cache``: the label SQL
-    embeds :func:`gopher_rules_sql`'s WITH chain, and a CTE inside a
-    cached view gets its CTERelationDef ids remapped on embedding so the
-    cache manager silently fails to substitute (the
-    ``unigram_tf_sql``/``containment`` lesson) — the audit showed three
-    full label recomputes from parquet per query under ``cache()``; the
-    checkpoint's LogicalRDD leaf cannot be bypassed.
+    r17 (guide §2.4): the label pass derives its word metrics from the
+    staged tf relation via :func:`cls_labels_from_tf_sql` instead of
+    re-tokenizing the corpus — the prewarm's second full tokenization
+    scan is gone; only the line/symbol residual reads raw text.
 
-    ``then`` is invoked INSIDE the memo lock (the ``_staged_unigrams``
-    / ``_staged_norms`` discipline); the classifier nests this builder
-    inside the unigrams lock so its final plan binds BOTH staged views
-    atomically — lock order is always unigrams → cls_labels, so the
-    nesting cannot deadlock."""
+    Staged via ``staged_checkpoint``, not ``staged_cache``: a CTE inside
+    a cached view gets its CTERelationDef ids remapped on embedding so
+    the cache manager silently fails to substitute (the
+    ``unigram_tf_sql``/``containment`` lesson); the checkpoint's
+    LogicalRDD leaf cannot be bypassed."""
     from torchfusion_spark.operators import dedup
     from torchfusion_spark.session import memo_lock, staged_checkpoint
 
-    key = dedup._docs_key(spark)
+    key = spark._tf_unigram_key
     with memo_lock(spark, "cls_labels"):
         if getattr(spark, "_tf_cls_label_key", object()) != key:
             lab = staged_checkpoint(
                 spark,
                 "cls_labels",
-                spark.sql(cls_labels_sql("spark", rel=dedup._staged_docs(spark))),
+                spark.sql(
+                    cls_labels_from_tf_sql(tfn, docs_rel=dedup._staged_docs(spark))
+                ),
             )
             lab.createOrReplaceTempView("__tf_cls_labels")
             spark._tf_cls_label_key = key
         if then is not None:
             return then("__tf_cls_labels")
     return "__tf_cls_labels"
+
+
+def _staged_labels(spark, then=None) -> str:
+    """Session-staged (doc_id, label, is_train) relation for the quality
+    classifier (memo discipline identical to ``_staged_unigrams``): the
+    classifier references it three times (class counts, prior, final
+    score join) — Spark's CTE inlining would run it three times per
+    query. Keyed on the docs-view identity (via the unigram key).
+
+    r17: resolves THROUGH ``_staged_unigrams`` — the label relation is
+    now derived from the staged tf rows (one corpus tokenization per
+    session instead of two; VERDICT r16 item 3), so the tf view must be
+    staged first and the build runs nested inside the unigrams lock, the
+    same unigrams → cls_labels order ``bind_tf_and_labels`` uses.
+
+    ``then`` is invoked INSIDE both memo locks (the ``_staged_unigrams``
+    / ``_staged_norms`` discipline)."""
+    return _staged_unigrams(
+        spark, then=lambda tfn: _build_labels_locked(spark, tfn, then=then)
+    )
 
 
 def bind_hx_and_bloom(spark, then):
@@ -2013,7 +2045,11 @@ def bind_tf_and_labels(spark, then):
                     return then(tfn, labn)
                 return None  # swap interleaved the two stagings — retry
 
-            return _staged_labels(spark, then=_check)
+            # _inner already runs inside the unigrams lock, so resolve the
+            # label build directly at the nested level (r17: _staged_labels
+            # itself now acquires the unigrams lock — re-entering here
+            # would deadlock on the non-reentrant memo lock)
+            return _build_labels_locked(spark, tfn, then=_check)
 
         out = _staged_unigrams(spark, then=_inner)
         if out is not None:
@@ -2021,6 +2057,95 @@ def bind_tf_and_labels(spark, then):
     raise RuntimeError(
         "documents view kept changing while binding staged tf + labels"
     )
+
+
+def cls_labels_from_tf_sql(
+    tf_rel: str, docs_rel: str = "documents", train_pct: int = CLS_TRAIN_PCT
+) -> str:
+    """Spark-arm ``cls_labels`` derived from the session-staged unigram-tf
+    relation instead of a second full-corpus tokenization pass (VERDICT
+    r16 item 3, guide §2.4 common-subexpression reuse): the staging
+    prewarm used to tokenize the corpus TWICE — once into ``__tf_unigrams``
+    and once inside :func:`gopher_rules_sql`'s label pass — and the two
+    builds were the top staging_components rows (9.5 s + 7.0 s at sf0.1
+    on a quiet host). The word-level Gopher metrics are exact functions
+    of the tf relation; only the line/symbol metrics still need the raw
+    text, and that residual scan does NO tokenize/array work.
+
+    Equivalence to ``cls_labels_sql('spark')`` row-for-row:
+
+    * both tokenizations are ``split_ws(lower_ascii(text))``; Gopher then
+      filters empty tokens while tf keeps them as rows, so
+      ``n_words  = SUM(tf)   FILTER (length(tok) > 0)``,
+      ``sum_len  = SUM(tf * length(tok))``  (empty tokens add 0),
+      ``n_alpha  = SUM(tf)   FILTER (tok RLIKE '[a-z]')``  ('' never
+      matches), reproduce ``arr_size``/``aggregate`` over the filtered
+      array exactly;
+    * tf rows are DISTINCT per (doc_id, tok), so counting rows whose tok
+      is in the doc's language marker list equals
+      ``arr_intersect_size(arr_distinct(toks), markers)``;
+    * the line/symbol metrics (n_sym, n_lines, n_bullet, n_ell) are
+      computed from the raw text with the byte-identical expressions;
+    * ``kept`` = the conjunction of the seven rule predicates — identical
+      to ``sum(rules) = 7`` because each rule is 1 iff its predicate is
+      TRUE (NULL predicates count 0 in both spellings);
+    * a NULL-text doc has no tf rows; the LEFT JOIN from the raw scan
+      leaves its word metrics NULL, every rule predicate evaluates to
+      not-TRUE, kept = 0 — exactly what ``gopher_rules_sql`` yields for
+      NULL arrays. kept = 1 requires n_words >= 50, so no doc absent
+      from tf can ever be labeled 1.
+
+    The registered oracle texts keep embedding :func:`cls_labels_sql`
+    verbatim; this is the Spark staging builder only, and the staged
+    rows are verified elementwise against the embedded spelling by
+    tests and the oracle gate."""
+    d = "spark"
+    # l.doc_id: the split bucket is computed in the final select, where a
+    # bare doc_id would be ambiguous between the joined sides
+    split_bucket = f"{G.hash56('CAST(l.doc_id AS STRING)', d)} % 100"
+    lines = "split(text, chr(10))"
+    n_sym = G.regex_count("text", "#|[.][.][.]", d)
+    n_bullet = G.arr_size(
+        G.afilter("lines", "l -> trim(l) LIKE '-%' OR trim(l) LIKE '*%'", d), d
+    )
+    n_ell = G.arr_size(G.afilter("lines", "l -> l LIKE '%...'", d), d)
+    stop_case = (
+        "CASE lang "
+        + " ".join(
+            f"WHEN '{lang}' THEN (CASE WHEN array_contains("
+            f"{G.array_lit([repr(w) for w in words], d)}, tok) THEN 1 ELSE 0 END)"
+            for lang, words in _LANG_MARKERS.items()
+        )
+        + " ELSE 0 END"
+    )
+    return f"""
+    WITH wm AS (
+        SELECT doc_id,
+               CAST(SUM(CASE WHEN length(tok) > 0 THEN tf ELSE 0 END) AS BIGINT) AS n_words,
+               CAST(SUM(tf * length(tok)) AS BIGINT) AS sum_len,
+               CAST(SUM(CASE WHEN tok RLIKE '[a-z]' THEN tf ELSE 0 END) AS BIGINT) AS n_alpha,
+               CAST(SUM({stop_case}) AS BIGINT) AS n_stop
+        FROM {tf_rel} GROUP BY doc_id),
+    lm AS (
+        SELECT doc_id,
+               CAST({n_sym} AS BIGINT) AS n_sym,
+               CAST({G.arr_size('lines', d)} AS BIGINT) AS n_lines,
+               CAST({n_bullet} AS BIGINT) AS n_bullet,
+               CAST({n_ell} AS BIGINT) AS n_ell
+        FROM (SELECT doc_id, text, {lines} AS lines FROM {docs_rel}))
+    SELECT l.doc_id,
+           CAST(CASE WHEN w.n_words BETWEEN 50 AND 100000
+                      AND 3 * w.n_words <= w.sum_len AND w.sum_len <= 10 * w.n_words
+                      AND 10 * l.n_sym <= w.n_words
+                      AND 10 * l.n_bullet <= 9 * l.n_lines
+                      AND 10 * l.n_ell <= 3 * l.n_lines
+                      AND 5 * w.n_alpha >= 4 * w.n_words
+                      AND w.n_stop >= 2
+                THEN 1 ELSE 0 END AS INT) AS label,
+           CAST(CASE WHEN {split_bucket} < {train_pct} THEN 1 ELSE 0 END
+                AS INT) AS is_train
+    FROM lm l LEFT JOIN wm w ON l.doc_id = w.doc_id
+    """
 
 
 def cls_labels_sql(

@@ -117,8 +117,6 @@ def prewarm_staging(spark, timed=None, width: int | None = None) -> None:
             pool.submit(run, "substring_grams", _staged_substring_grams, spark),
             # BM25/LM term freqs
             pool.submit(run, "unigrams", _staged_unigrams, spark),
-            # classifier Gopher labels
-            pool.submit(run, "quality_labels", _staged_labels, spark),
             # payload aHash fingerprints (multimodal_dedup)
             pool.submit(run, "payload_phash", _staged_phash, spark),
             # per-frame aHash fingerprints (multimodal_frame_dedup)
@@ -144,13 +142,31 @@ def prewarm_staging(spark, timed=None, width: int | None = None) -> None:
             # inverted index
             pool.submit(run, "containment_index", _staged_containment, spark),
         ]
+        # the label relation now derives from the staged tf rows (r17:
+        # one corpus tokenization per session, not two), so it resolves
+        # through the unigrams memo lock — submitted beside the unigrams
+        # root it would park a pool slot on that lock and charge the
+        # whole tf build to quality_labels' itemized wall (the ADVICE
+        # r16 misattribution class); wait for unigrams, then submit
+        roots[3].result()
+        deps.append(pool.submit(run, "quality_labels", _staged_labels, spark))
         # phase 2 for the assign too (code-review r16, second pass): it
         # resolves through the norms memo lock, so submitting it beside
         # the sim_norms root parks a pool slot on that lock for the
         # whole norms build AND charges the wait to sim_assign's
         # itemized wall-clock — wait for norms, then submit
         roots[1].result()
-        deps.append(pool.submit(run, "sim_assign", _assign16, spark))
-        deps.append(pool.submit(run, "sim_buckets", _buckets, spark))
+
+        def _sim_phase2(s):
+            # assign and buckets BOTH resolve through the norms memo
+            # lock, so submitted side by side one of them spends the
+            # other's whole build blocked on the lock and its itemized
+            # staging_components wall is misattributed (ADVICE r16).
+            # Chaining them on one pool slot keeps each row's number the
+            # build it names.
+            run("sim_assign", _assign16, s)
+            run("sim_buckets", _buckets, s)
+
+        deps.append(pool.submit(_sim_phase2, spark))
         for fut in roots + deps:
             fut.result()
