@@ -2557,18 +2557,43 @@ def bpe_train(spark, rounds: int = BPE_TRAIN_ROUNDS):
     return _bpe_train_with_key(spark, rounds)[1]
 
 
+_BPE_CKPT_EVERY = 4  # literal-merge chain depth before a re-checkpoint
+
+
 def _bpe_train_with_key(spark, rounds: int = BPE_TRAIN_ROUNDS):
     """Iterative BPE trainer: the same fragments as the
     oracle statement, executed as a checkpointed round loop so each
     round's symbol stream is materialized ONCE (Catalyst's CTE inlining
     makes the one-statement form exponential in rounds — see
-    :func:`bpe_train_sql`). Control plane per round is ONE collected
-    row (the corpus-wide top pair — the ``connected_components``
-    bounded-read class); its pair literals parameterize the next
-    round's merge, replacing the oracle's 1-row cross join. The round-0
+    :func:`bpe_train_sql`). The round-0
     stream snapshots the staged tf relation INSIDE the memo lock, so a
     concurrent docs-view swap cannot mix corpora mid-train; checkpoints
     are immutable, so later rounds are swap-proof by construction.
+
+    r17 (guide §1.2 — fewer driver barriers): the trained ARTIFACT is
+    the ≤rounds-row merge table; the final symbol stream is never
+    consumed. And with the top pair supplied as collected LITERALS, a
+    merge references its predecessor stream exactly ONCE, so the round
+    chain is LINEAR — the exponential CTE blow-up only exists in the
+    oracle's literal-free form, where ``t{r}`` and ``s{r}`` EACH
+    reference ``s{r-1}``. So the per-round intermediate checkpoints
+    are gone: only the round-0 stream is checkpointed (it is the one
+    relation every round re-reads), and each round is ONE bounded
+    collect of the top pair over the literal-merge lineage built so
+    far, with AQE disabled for the loop (see the inline comment).
+    Measured at sf0.1: 19 → 8 jobs/run at wall parity (~1.9 s warm),
+    merge table bit-identical. The re-executed merge windows all
+    partition by ``word``, so the re-run chain adds zero exchanges —
+    only mapper work bounded by rounds × vocab-stream size;
+    ``_BPE_CKPT_EVERY`` bounds the lineage depth for a caller passing
+    a large round budget. (Two fused single-action designs were
+    measured and REJECTED: an observe() metric on the top subtree
+    never resolves through a temp view — the listener matches only the
+    registered Dataset's own actions (r16 prototype) — and embedding
+    the 1-row top subquery in the checkpoint plan plus an accumulated
+    log-row union, the oracle statement's own shape, re-executes top
+    per reference: 17 jobs but 1.98 → 2.37 s warm, slower than the
+    barriers it removed.)
 
     Returns ``(trained_key, merge_df)`` — the docs-view key the round-0
     snapshot ACTUALLY bound, carried WITH the result instead of through
@@ -2607,28 +2632,42 @@ def _bpe_train_with_key(spark, rounds: int = BPE_TRAIN_ROUNDS):
 
     s = _staged_unigrams(spark, then=_s0)
     s.createOrReplaceTempView(view)
+    cur = view  # the current stream: the s0 view + an inline merge chain
+    depth = 0  # literal merges since the last checkpoint
     merges = []
-    for r in range(1, rounds + 1):
-        # NOTE (r16): fusing this per-round collect into the next
-        # checkpoint as an observe() metric on the top-pair subtree was
-        # prototyped and does NOT work — a CollectMetrics node consumed
-        # through a temp view never resolves its Observation (the
-        # listener matches the registered Dataset's own actions;
-        # verified empirically: the node IS in the executed plan, the
-        # Observation still blocks forever). The CC loops can use
-        # observe() because they attach it to the very DataFrame being
-        # checkpointed; here the observed values must come from a
-        # DIFFERENT subtree, so the ≤1-row collect stays.
-        top = spark.sql(_bpe_top_sql(view)).collect()
-        if not top:  # degenerate corpus: no adjacent pairs left
-            break
-        a, b, cnt = top[0].a, top[0].b, top[0].cnt
-        merges.append((r, a, b, a + b, cnt))
-        if r == rounds:
-            break
-        top_lit = _pair_lit_rel(a, b)
-        s = staged_checkpoint(spark, slot, spark.sql(_bpe_merge_sql(view, top_lit)))
-        s.createOrReplaceTempView(view)
+    # AQE off for the round loop only: every relation here is
+    # vocab-bounded (the corpus-sized tf rollup is staged upstream), so
+    # runtime re-optimization has nothing to decide, and its per-shuffle
+    # stage jobs are pure scheduling overhead on an iterative loop —
+    # measured at sf0.1: 16 → 8 jobs/run and 2.45 → 1.88 s warm with
+    # AQE off, plans static and sizes known-bounded at any corpus scale.
+    aqe_key = "spark.sql.adaptive.enabled"
+    aqe_old = spark.conf.get(aqe_key)
+    spark.conf.set(aqe_key, "false")
+    try:
+        for r in range(1, rounds + 1):
+            top = spark.sql(_bpe_top_sql(cur)).collect()
+            if not top:  # degenerate corpus: no adjacent pairs left
+                break
+            a, b, cnt = top[0].a, top[0].b, top[0].cnt
+            merges.append((r, a, b, a + b, cnt))
+            if r == rounds:
+                break
+            cur = f"({_bpe_merge_sql(cur, _pair_lit_rel(a, b))})"
+            depth += 1
+            if depth >= _BPE_CKPT_EVERY:
+                # bound lineage depth for large round budgets:
+                # re-checkpoint and restart the inline chain (the default
+                # 3-round trainer never reaches this — its deepest chain
+                # is 2 merges)
+                s = staged_checkpoint(
+                    spark, slot, spark.sql(f"SELECT * FROM {cur}")
+                )
+                s.createOrReplaceTempView(view)
+                cur = view
+                depth = 0
+    finally:
+        spark.conf.set(aqe_key, aqe_old)
     schema = StructType(
         [
             StructField("round", LongType(), False),
