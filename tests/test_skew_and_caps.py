@@ -502,3 +502,53 @@ def test_substring_dedup_span_semantics(spark, tables):
         exp.sort_values(["doc_id", "span_start"]).reset_index(drop=True).astype("int64"),
         want.astype("int64"),
     )
+
+
+def test_staged_ok_matches_inline_band_relation(spark, tables):
+    """r17: the banded pair joins read a STAGED capped band relation
+    (__minhash_ok / __simhash_ok / __mm_phash_ok / __mm_fphash_ok) so
+    the explode + bucket-size window run once per corpus instead of once
+    per self-join side. The staged relation must be row-identical to the
+    inline sized/ok CTE chain the oracle (and the pre-r17 Spark arm)
+    computes — an off-by-one in the cap predicate or a drift in the band
+    spelling would silently change the candidate set."""
+    from torchfusion_spark.operators import multimodal as mm
+    from torchfusion_spark.operators.dedup import (
+        MAX_BUCKET,
+        SIMHASH_MAX_BUCKET,
+        G,
+        _simhash_band_keys,
+        _staged_simhash_sig,
+        minhash_lsh,
+    )
+
+    minhash_lsh(spark)  # stages __minhash_sig + __minhash_ok
+    _staged_simhash_sig(spark)  # stages __simhash_sig + __simhash_ok
+    mm._staged_phash(spark)  # stages __mm_phash + __mm_phash_ok
+    mm._staged_frame_phash(spark)  # stages __mm_fphash + __mm_fphash_ok
+
+    def inline_ok(sig_view, band_keys, carry, cap):
+        band_rel = G.band_explode(sig_view, band_keys, "spark", carry=carry)
+        return spark.sql(
+            f"SELECT {carry}, band, bkey FROM ("
+            f"  SELECT {carry}, band, bkey,"
+            f"         COUNT(*) OVER (PARTITION BY band, bkey) AS bsz"
+            f"  FROM ({band_rel})) WHERE bsz <= {cap}"
+        )
+
+    fsig = (
+        f"(SELECT doc_id * {mm.FRAME_KEY_MULT} + frame_idx AS doc_id, "
+        f"simhash FROM __mm_fphash)"
+    )
+    cases = [
+        ("__minhash_ok", "__minhash_sig", G.band_exprs("sig", "spark"), "doc_id", MAX_BUCKET),
+        ("__simhash_ok", "__simhash_sig", _simhash_band_keys(4, "spark"), "doc_id, simhash", SIMHASH_MAX_BUCKET),
+        ("__mm_phash_ok", "__mm_phash", _simhash_band_keys(mm.PHASH_BITS // 8, "spark"), "doc_id, simhash", SIMHASH_MAX_BUCKET),
+        ("__mm_fphash_ok", fsig, _simhash_band_keys(mm.PHASH_BITS // 8, "spark"), "doc_id, simhash", SIMHASH_MAX_BUCKET),
+    ]
+    for staged_view, sig_view, band_keys, carry, cap in cases:
+        staged = spark.table(staged_view)
+        inline = inline_ok(sig_view, band_keys, carry, cap)
+        assert staged.count() == inline.count(), staged_view
+        assert staged.exceptAll(inline).count() == 0, staged_view
+        assert inline.exceptAll(staged).count() == 0, staged_view

@@ -216,12 +216,32 @@ def sig_rel_sql(d: str, hs_rel: str) -> str:
 MAX_BUCKET = 64  # candidate join per bucket ≤ C(64,2) = 2016 pairs
 
 
+def minhash_ok_sql(d: str, sig_rel: str, max_bucket: int = MAX_BUCKET) -> str:
+    """The capped banded relation (doc_id, band, bkey): band keys
+    exploded from the signature, hot buckets (> ``max_bucket``) dropped.
+    Factored out of :func:`minhash_body_sql` so the Spark arm can stage
+    it ONCE per corpus — the candidate self-join references it on both
+    sides, and Catalyst's CTE inlining otherwise duplicates the explode
+    + bucket-size window per side (measured: the two identical
+    (band, bkey) exchanges never unify via ReusedExchange across the
+    inlined copies, under broadcast OR sort-merge planning)."""
+    band_rel = G.band_explode(sig_rel, G.band_exprs("sig", d), d)
+    return f"""
+    SELECT doc_id, band, bkey FROM (
+        SELECT doc_id, band, bkey,
+               COUNT(*) OVER (PARTITION BY band, bkey) AS bsz
+        FROM ({band_rel}))
+    WHERE bsz <= {max_bucket}
+    """
+
+
 def minhash_body_sql(
     d: str,
     sig_rel: str,
     threshold: float,
     max_bucket: int = MAX_BUCKET,
     ordered: bool = True,
+    ok_rel: str | None = None,
 ) -> str:
     """The pipeline downstream of the signature relation
     ``sig_rel(doc_id, hx, sig)``: 8 band keys exploded → bucket
@@ -237,17 +257,31 @@ def minhash_body_sql(
     bands that aren't hot; only pairs whose EVERY shared band is hot are
     lost (near-identical boilerplate — which exact dedup upstream already
     removes). The oracle applies the same cap, so the gate checks the
-    capped semantics exactly."""
-    band_rel = G.band_explode(sig_rel, G.band_exprs("sig", d), d)
+    capped semantics exactly.
+
+    ``ok_rel`` (Spark arm only, r17): the name of a MATERIALIZED capped
+    banded relation (:func:`minhash_ok_sql`) to self-join directly. A
+    cached relation preserves its plan's (band, bkey) hash partitioning,
+    so BOTH self-join sides read it exchange-free and the explode +
+    bucket-size window run once per corpus instead of twice per query
+    (plan: 2 × [Exchange → Window] → 1 staged build; see
+    plans/r17/dedup_minhash_lsh_*). The oracle keeps the inline CTE
+    chain — DuckDB's MATERIALIZED CTEs evaluate once already."""
     inter = G.arr_intersect_size("x.hx", "y.hx", d)
     mat = "MATERIALIZED " if d == "duck" else ""
-    return f"""
+    if ok_rel is None:
+        band_rel = G.band_explode(sig_rel, G.band_exprs("sig", d), d)
+        prefix = f"""
     WITH bands AS {mat}({band_rel}),
     sized AS (
         SELECT doc_id, band, bkey,
                COUNT(*) OVER (PARTITION BY band, bkey) AS bsz
         FROM bands),
-    ok AS (SELECT doc_id, band, bkey FROM sized WHERE bsz <= {max_bucket}),
+    ok AS (SELECT doc_id, band, bkey FROM sized WHERE bsz <= {max_bucket}),"""
+    else:
+        prefix = f"""
+    WITH ok AS (SELECT doc_id, band, bkey FROM {ok_rel}),"""
+    return f"""{prefix}
     cand AS (
         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
         FROM ok a JOIN ok b
@@ -326,12 +360,33 @@ def minhash_lsh(spark, threshold: float = 0.6, ordered: bool = True):
             )
             sig.count()  # materialize before the self-join races both sides into the fill
             sig.createOrReplaceTempView("__minhash_sig")
+            # stage the capped banded relation beside the signature (r17):
+            # the candidate self-join reads it on BOTH sides, and the
+            # cached plan keeps its (band, bkey) hash partitioning, so the
+            # join needs no exchange at all — the explode + bucket-size
+            # window run once per corpus here (cost visible in the
+            # first-run/staging bill, same key/lock as the signature)
+            ok = staged_cache(
+                spark,
+                "minhash_ok",
+                spark.sql(minhash_ok_sql("spark", "__minhash_sig")),
+            )
+            ok.count()  # same fill-race rule as the signature
+            ok.createOrReplaceTempView("__minhash_ok")
             spark._tf_minhash_sig_key = key
         # resolve the returned plan INSIDE the memo lock: resolving after
         # release would let a concurrent docs-view swap replace
         # __minhash_sig between the memo check and spark.sql, binding the
         # plan to the other corpus's signatures (ADVICE r08 TOCTOU)
-        return spark.sql(minhash_body_sql("spark", "__minhash_sig", threshold, ordered=ordered))
+        return spark.sql(
+            minhash_body_sql(
+                "spark",
+                "__minhash_sig",
+                threshold,
+                ordered=ordered,
+                ok_rel="__minhash_ok",
+            )
+        )
 
 
 _DOCS_LOCK = threading.Lock()
@@ -439,6 +494,27 @@ def simhash_sig_sql(d: str, rel: str = "documents", bits: int = 32) -> str:
 SIMHASH_MAX_BUCKET = 256  # hot-band cap; recall recovered via other bands
 
 
+def simhash_ok_sql(
+    d: str, s_rel: str, bits: int = 32, max_bucket: int = SIMHASH_MAX_BUCKET
+) -> str:
+    """The capped banded relation (doc_id, simhash, band, bkey) for the
+    SimHash-shaped families — :func:`minhash_ok_sql`'s twin, factored
+    out so the Spark arm can stage it once per signature relation (the
+    pair self-join reads it on both sides; inlined CTE copies never
+    unify via ReusedExchange — see ``minhash_ok_sql``)."""
+    bands = bits // 8
+    band_rel = G.band_explode(
+        s_rel, _simhash_band_keys(bands, d), d, carry="doc_id, simhash"
+    )
+    return f"""
+    SELECT doc_id, simhash, band, bkey FROM (
+        SELECT doc_id, simhash, band, bkey,
+               COUNT(*) OVER (PARTITION BY band, bkey) AS bsz
+        FROM ({band_rel}))
+    WHERE bsz <= {max_bucket}
+    """
+
+
 def simhash_body_sql(
     d: str,
     s_rel: str,
@@ -446,6 +522,7 @@ def simhash_body_sql(
     max_hamming: int = 2,
     max_bucket: int = SIMHASH_MAX_BUCKET,
     ordered: bool = True,
+    ok_rel: str | None = None,
 ) -> str:
     """Near-dup pairs from the signature relation: 8-bit band collision
     candidates via an EXPLODED equi-join, Hamming-distance verification.
@@ -466,19 +543,28 @@ def simhash_body_sql(
     bands; with max_hamming=2 of 4 bands, >= 2 bands match, so only
     pairs whose EVERY matching band is hot are lost (near-identical
     boilerplate that upstream exact dedup already removed). The oracle
-    runs the identical capped SQL."""
-    bands = bits // 8
-    band_rel = G.band_explode(
-        s_rel, _simhash_band_keys(bands, d), d, carry="doc_id, simhash"
-    )
+    runs the identical capped SQL.
+
+    ``ok_rel`` (Spark arm only, r17): a MATERIALIZED capped banded
+    relation (:func:`simhash_ok_sql`) to self-join directly — same
+    staged-``ok`` discipline as :func:`minhash_body_sql`."""
     ham = f"bit_count({G.xor('sim_a', 'sim_b', d)})"
-    return f"""
+    if ok_rel is None:
+        bands = bits // 8
+        band_rel = G.band_explode(
+            s_rel, _simhash_band_keys(bands, d), d, carry="doc_id, simhash"
+        )
+        prefix = f"""
     WITH bands AS ({band_rel}),
     sized AS (
         SELECT doc_id, simhash, band, bkey,
                COUNT(*) OVER (PARTITION BY band, bkey) AS bsz
         FROM bands),
-    ok AS (SELECT doc_id, simhash, band, bkey FROM sized WHERE bsz <= {max_bucket}),
+    ok AS (SELECT doc_id, simhash, band, bkey FROM sized WHERE bsz <= {max_bucket}),"""
+    else:
+        prefix = f"""
+    WITH ok AS (SELECT doc_id, simhash, band, bkey FROM {ok_rel}),"""
+    return f"""{prefix}
     cand AS (
         SELECT DISTINCT a.doc_id AS id_a, a.simhash AS sim_a,
                         b.doc_id AS id_b, b.simhash AS sim_b
@@ -520,6 +606,16 @@ def _staged_simhash_sig(spark, bits: int = 32) -> str:
             )
             s.count()
             s.createOrReplaceTempView("__simhash_sig")
+            # capped banded relation staged beside the signature (r17,
+            # the __minhash_ok discipline): both pair-join sides read it
+            # exchange-free, explode + bucket-size window run once
+            ok = staged_cache(
+                spark,
+                "simhash_ok",
+                spark.sql(simhash_ok_sql("spark", "__simhash_sig", bits=bits)),
+            )
+            ok.count()
+            ok.createOrReplaceTempView("__simhash_ok")
             spark._tf_simhash_sig_key = key
     return "__simhash_sig"
 
@@ -527,9 +623,13 @@ def _staged_simhash_sig(spark, bits: int = 32) -> str:
 def simhash(spark, bits: int = 32, max_hamming: int = 2):
     """Staged Spark execution: signatures computed once over the fanned-out
     input (the CPU-heavy pass), cached, then the banded self-join runs
-    over the 12-byte-per-doc signature relation."""
+    over the 12-byte-per-doc signature relation (via the staged capped
+    banded relation — see ``_staged_simhash_sig``)."""
+    _staged_simhash_sig(spark, bits)
     return spark.sql(
-        simhash_body_sql("spark", _staged_simhash_sig(spark, bits), bits, max_hamming)
+        simhash_body_sql(
+            "spark", "__simhash_sig", bits, max_hamming, ok_rel="__simhash_ok"
+        )
     )
 
 

@@ -301,9 +301,21 @@ def _staged_phash(spark: SparkSession, then=None):
     key = _docs_key(spark)
     with memo_lock(spark, "mm_phash"):
         if getattr(spark, "_tf_mm_phash_key", object()) != key:
+            from torchfusion_spark.operators.dedup import simhash_ok_sql
+
             s = staged_cache(spark, "mm_phash", perceptual_hash(attach_payload(spark)))
             s.count()
             s.createOrReplaceTempView("__mm_phash")
+            # capped banded relation staged beside the fingerprints (r17,
+            # the __minhash_ok discipline): the pair self-join reads it on
+            # both sides exchange-free; explode + bucket window run once
+            ok = staged_cache(
+                spark,
+                "mm_phash_ok",
+                spark.sql(simhash_ok_sql("spark", "__mm_phash", bits=PHASH_BITS)),
+            )
+            ok.count()
+            ok.createOrReplaceTempView("__mm_phash_ok")
             spark._tf_mm_phash_key = key
         return then("__mm_phash") if then is not None else "__mm_phash"
 
@@ -320,7 +332,11 @@ def dedup_query(spark: SparkSession, max_hamming: int = PHASH_MAX_HAMMING) -> Da
 
     return _staged_phash(
         spark,
-        then=lambda rel: spark.sql(simhash_body_sql("spark", rel, PHASH_BITS, max_hamming)),
+        then=lambda rel: spark.sql(
+            simhash_body_sql(
+                "spark", rel, PHASH_BITS, max_hamming, ok_rel="__mm_phash_ok"
+            )
+        ),
     )
 
 
@@ -457,14 +473,35 @@ def _staged_frame_phash(spark: SparkSession, then=None):
     key = _docs_key(spark)
     with memo_lock(spark, "mm_fphash"):
         if getattr(spark, "_tf_mm_fphash_key", object()) != key:
+            from torchfusion_spark.operators.dedup import simhash_ok_sql
+
             s = staged_cache(spark, "mm_fphash", frame_fingerprints(attach_payload(spark)))
             s.count()
             s.createOrReplaceTempView("__mm_fphash")
+            # capped banded relation over the PACKED frame key (the tail's
+            # ``fsig`` spelling verbatim), staged beside the fingerprints
+            # (r17, the __minhash_ok discipline)
+            fsig = (
+                f"(SELECT doc_id * {FRAME_KEY_MULT} + frame_idx AS doc_id, "
+                f"simhash FROM __mm_fphash)"
+            )
+            ok = staged_cache(
+                spark,
+                "mm_fphash_ok",
+                spark.sql(simhash_ok_sql("spark", fsig, bits=PHASH_BITS)),
+            )
+            ok.count()
+            ok.createOrReplaceTempView("__mm_fphash_ok")
             spark._tf_mm_fphash_key = key
         return then("__mm_fphash") if then is not None else "__mm_fphash"
 
 
-def frame_dedup_tail_sql(d: str, fp_rel: str, max_hamming: int = FRAME_MAX_HAMMING) -> str:
+def frame_dedup_tail_sql(
+    d: str,
+    fp_rel: str,
+    max_hamming: int = FRAME_MAX_HAMMING,
+    ok_rel: str | None = None,
+) -> str:
     """The frame-pair → doc-verdict tail over a (doc_id, frame_idx,
     simhash) relation. Frames pack into one BIGINT key (doc*MULT+idx) so
     the banded-Hamming pair generator is the text-SimHash SQL VERBATIM —
@@ -485,7 +522,9 @@ def frame_dedup_tail_sql(d: str, fp_rel: str, max_hamming: int = FRAME_MAX_HAMMI
     # its global sort would cost a range exchange (plus the range
     # partitioner's sampling re-execution of the banded join) feeding a
     # rollup that destroys order anyway; the doc verdict is unchanged.
-    body = simhash_body_sql(d, "fsig", PHASH_BITS, max_hamming, ordered=False)
+    body = simhash_body_sql(
+        d, "fsig", PHASH_BITS, max_hamming, ordered=False, ok_rel=ok_rel
+    )
     return f"""
     WITH fp AS {mat}(SELECT * FROM {fp_rel}),
     fsig AS (
@@ -518,7 +557,10 @@ def frame_dedup_tail_sql(d: str, fp_rel: str, max_hamming: int = FRAME_MAX_HAMMI
 
 def frame_dedup_query(spark: SparkSession, max_hamming: int = FRAME_MAX_HAMMING) -> DataFrame:
     return _staged_frame_phash(
-        spark, then=lambda rel: spark.sql(frame_dedup_tail_sql("spark", rel, max_hamming))
+        spark,
+        then=lambda rel: spark.sql(
+            frame_dedup_tail_sql("spark", rel, max_hamming, ok_rel="__mm_fphash_ok")
+        ),
     )
 
 
