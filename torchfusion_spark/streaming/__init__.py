@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 
 
 @contextmanager
-def _scaled_state_partitions(spark: SparkSession):
+def _scaled_state_partitions(spark: SparkSession, python_state: bool = False):
     """Pin ``spark.sql.shuffle.partitions`` (= streaming state-store
     partition count, captured at query start) for the duration of a
     bounded availableNow run, then restore it.
@@ -31,15 +31,28 @@ def _scaled_state_partitions(spark: SparkSession):
     stores per micro-batch spends 3× longer on store setup than on data
     (measured 4.4s → 1.5s at sf0.01). Production streams set
     ``torchfusion.stream.statePartitions``; unset, local runs use
-    min(8, default_parallelism())."""
+    min(8, default_parallelism()).
+
+    ``python_state`` (r17): the ``applyInPandasWithState`` operators are
+    bound by the per-group Python work, which parallelizes with the
+    partition count, while the JVM-stateful operators are bound by
+    per-partition store setup, which does NOT — an interleaved paired
+    A/B at sf0.1 measured 8 vs 16 partitions as session_timeout
+    5.54 → 4.59 s and user_stats 1.65 → 1.49 s (Python state, 16 wins)
+    but stream_stream_join 2.87 → 4.89 s and the eviction/dedup
+    witnesses +0.3–2.0 s (JVM state, 8 wins). So the Python-state path
+    defaults to min(16, parallelism), overridable via
+    ``torchfusion.stream.pyStatePartitions``; the explicit
+    ``torchfusion.stream.statePartitions`` still overrides both."""
     from torchfusion_spark.session import default_parallelism
 
     key = "spark.sql.shuffle.partitions"
     old = spark.conf.get(key)
-    n = spark.conf.get(
-        "torchfusion.stream.statePartitions", str(min(8, default_parallelism()))
-    )
-    spark.conf.set(key, n)
+    default = min(16 if python_state else 8, default_parallelism())
+    n = spark.conf.get("torchfusion.stream.statePartitions", None)
+    if n is None and python_state:
+        n = spark.conf.get("torchfusion.stream.pyStatePartitions", None)
+    spark.conf.set(key, n if n is not None else str(default))
     try:
         yield
     finally:
@@ -80,9 +93,17 @@ def _record_state_metrics(spark: SparkSession, name: str, q) -> None:
         pass
 
 
-def _run_to_memory(spark: SparkSession, df: DataFrame, name: str, mode: str) -> DataFrame:
-    """Run a bounded availableNow stream into a named memory sink."""
-    with _scaled_state_partitions(spark):
+def _run_to_memory(
+    spark: SparkSession,
+    df: DataFrame,
+    name: str,
+    mode: str,
+    python_state: bool = False,
+) -> DataFrame:
+    """Run a bounded availableNow stream into a named memory sink.
+    ``python_state`` selects the applyInPandasWithState partition
+    default (see ``_scaled_state_partitions``)."""
+    with _scaled_state_partitions(spark, python_state=python_state):
         q = (
             df.writeStream.outputMode(mode)
             .format("memory")
@@ -215,7 +236,7 @@ def stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # report's key-derivation (strip tf_) joins cleanly against
     # streaming.queries (code-review r08)
     name = "tf_stream_stateful_user_stats"
-    latest = _run_to_memory(spark, out, name, "update")
+    latest = _run_to_memory(spark, out, name, "update", python_state=True)
     return _latest_per_user(latest)
 
 
@@ -300,7 +321,9 @@ def stateful_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
             outputMode="update",
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
-        latest = _run_to_memory(spark, out, "tf_stream_stateful_cents", "update")
+        latest = _run_to_memory(
+            spark, out, "tf_stream_stateful_cents", "update", python_state=True
+        )
         return _latest_per_user(latest)
 
     from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
@@ -337,7 +360,9 @@ def stateful_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
                 timeMode="None",
             )
         )
-        latest = _run_to_memory(spark, out, "tf_stream_stateful_cents", "update")
+        latest = _run_to_memory(
+            spark, out, "tf_stream_stateful_cents", "update", python_state=True
+        )
     finally:
         if prev is not None:
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
@@ -1050,7 +1075,9 @@ def _run_session_timeout(
     name = "tf_stream_session_timeout"
     # every emitted row is a closed session, emitted exactly once — the
     # update-mode memory sink content IS the answer (no latest-per-key)
-    return _run_to_memory(spark, out, name, "update").orderBy("user_id", "session_start")
+    return _run_to_memory(spark, out, name, "update", python_state=True).orderBy(
+        "user_id", "session_start"
+    )
 
 
 def session_timeout_oracle_sql() -> str:
