@@ -957,3 +957,38 @@ def test_model_fuzz_stream_stream_join(spark, tmp_path_factory, batches):
         (r.purchase_id, r.click_id) for r in spark.table("tf_ssj_fuzz").collect()
     )
     assert got == _join_model(batches), (batches, got)
+
+
+def test_scaled_state_partitions_split(spark):
+    """r17: the applyInPandasWithState path defaults to min(16,
+    parallelism) state partitions (per-group Python work parallelizes),
+    the JVM-stateful path keeps min(8, parallelism) (store-setup-bound);
+    torchfusion.stream.statePartitions overrides both and
+    torchfusion.stream.pyStatePartitions overrides the Python path only.
+    The context manager must restore the session's shuffle partitions on
+    exit either way."""
+    from torchfusion_spark.session import default_parallelism
+    from torchfusion_spark.streaming import _scaled_state_partitions
+
+    key = "spark.sql.shuffle.partitions"
+    before = spark.conf.get(key)
+    for conf_val, py_val, python_state, want in [
+        (None, None, False, min(8, default_parallelism())),
+        (None, None, True, min(16, default_parallelism())),
+        (None, "5", True, 5),
+        (None, "5", False, min(8, default_parallelism())),
+        ("3", "5", True, 3),
+        ("3", None, False, 3),
+    ]:
+        spark.conf.unset("torchfusion.stream.statePartitions")
+        spark.conf.unset("torchfusion.stream.pyStatePartitions")
+        if conf_val is not None:
+            spark.conf.set("torchfusion.stream.statePartitions", conf_val)
+        if py_val is not None:
+            spark.conf.set("torchfusion.stream.pyStatePartitions", py_val)
+        with _scaled_state_partitions(spark, python_state=python_state):
+            got = int(spark.conf.get(key))
+            assert got == want, (conf_val, py_val, python_state, got, want)
+        assert spark.conf.get(key) == before
+    spark.conf.unset("torchfusion.stream.statePartitions")
+    spark.conf.unset("torchfusion.stream.pyStatePartitions")
