@@ -522,10 +522,13 @@ def test_staged_ok_matches_inline_band_relation(spark, tables):
         minhash_lsh,
     )
 
+    from torchfusion_spark.operators import similarity as sim
+
     minhash_lsh(spark)  # stages __minhash_sig + __minhash_ok
     _staged_simhash_sig(spark)  # stages __simhash_sig + __simhash_ok
     mm._staged_phash(spark)  # stages __mm_phash + __mm_phash_ok
     mm._staged_frame_phash(spark)  # stages __mm_fphash + __mm_fphash_ok
+    sim._staged_buckets(spark, lambda rel: None)  # stages __sim_lsh_ok too
 
     def inline_ok(sig_view, band_keys, carry, cap):
         band_rel = G.band_explode(sig_view, band_keys, "spark", carry=carry)
@@ -545,6 +548,7 @@ def test_staged_ok_matches_inline_band_relation(spark, tables):
         ("__simhash_ok", "__simhash_sig", _simhash_band_keys(4, "spark"), "doc_id, simhash", SIMHASH_MAX_BUCKET),
         ("__mm_phash_ok", "__mm_phash", _simhash_band_keys(mm.PHASH_BITS // 8, "spark"), "doc_id, simhash", SIMHASH_MAX_BUCKET),
         ("__mm_fphash_ok", fsig, _simhash_band_keys(mm.PHASH_BITS // 8, "spark"), "doc_id, simhash", SIMHASH_MAX_BUCKET),
+        ("__sim_lsh_ok", "__sim_buckets", list(sim.MB_COLS), "vec_id, v, nrm", sim.LSH_MAX_BUCKET),
     ]
     for staged_view, sig_view, band_keys, carry, cap in cases:
         staged = spark.table(staged_view)

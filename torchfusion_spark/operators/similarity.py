@@ -258,6 +258,7 @@ LSH_MAX_BUCKET = 4096  # per-(band, bucket) hot cap for the pair-enumerating
 def cosine_near_dup_lsh_sql(
     d: str, threshold: float = 0.30, rel: str | None = None,
     max_bucket: int = LSH_MAX_BUCKET, ordered: bool = True,
+    ok_rel: str | None = None,
 ) -> str:
     """Near-dup pairs restricted to equal (band, bucket) under the
     multi-band sign-LSH (the scale path); same planes on both dialects,
@@ -285,31 +286,44 @@ def cosine_near_dup_lsh_sql(
     When ``rel`` is given it must already provide
     (vec_id, v, nrm, mb0..mb{bands-1}) — the staged Spark path
     materializes the 64 plane dots once instead of recomputing them on
-    both sides of the self-join."""
-    if rel:
-        n_rel = f"SELECT * FROM {rel}"
-    else:
-        cols = ", ".join(
-            f"{e} AS {c}" for c, e in zip(MB_COLS, lsh_band_bucket_exprs("v", d))
-        )
-        planes = f" CROSS JOIN ({planes_rel_duck()}) __planes" if d == "duck" else ""
-        n_rel = (
-            f"SELECT vec_id, v, nrm, {cols} "
-            f"FROM (SELECT * FROM ({norm_cte(d)})){planes}"
-        )
-    mat = "MATERIALIZED " if d == "duck" else ""
-    exploded = G.band_explode("n", MB_COLS, d, carry="vec_id, v, nrm")
+    both sides of the self-join.
+
+    ``ok_rel`` (Spark arm only, r17): a MATERIALIZED capped banded
+    relation (``sim_lsh_ok_sql``) to self-join directly — the
+    ``__minhash_ok`` discipline. The payoff is bigger here than in the
+    hash families: the exploded rows carry the 64-double vector ``v``
+    (needed for the per-collision cosine), so the inline spelling
+    shuffles ~512 B/row through the (band, bkey) window exchange TWICE
+    per query; the staged relation pays that once per corpus."""
     enc = 1 << 20  # band·2^20 + bucket (bucket < 2^16): MIN picks the
     # lowest colliding band deterministically, decomposed below
     idiv = "DIV" if d == "spark" else "//"
-    return f"""
+    if ok_rel:
+        prefix = f"""
+    WITH ok AS (SELECT vec_id, v, nrm, band, bkey FROM {ok_rel}),"""
+    else:
+        if rel:
+            n_rel = f"SELECT * FROM {rel}"
+        else:
+            cols = ", ".join(
+                f"{e} AS {c}" for c, e in zip(MB_COLS, lsh_band_bucket_exprs("v", d))
+            )
+            planes = f" CROSS JOIN ({planes_rel_duck()}) __planes" if d == "duck" else ""
+            n_rel = (
+                f"SELECT vec_id, v, nrm, {cols} "
+                f"FROM (SELECT * FROM ({norm_cte(d)})){planes}"
+            )
+        mat = "MATERIALIZED " if d == "duck" else ""
+        exploded = G.band_explode("n", MB_COLS, d, carry="vec_id, v, nrm")
+        prefix = f"""
     WITH n AS {mat}({n_rel}),
     e AS ({exploded}),
     sized AS (
         SELECT vec_id, v, nrm, band, bkey,
                COUNT(*) OVER (PARTITION BY band, bkey) AS bsz
         FROM e),
-    ok AS (SELECT vec_id, v, nrm, band, bkey FROM sized WHERE bsz <= {max_bucket}),
+    ok AS (SELECT vec_id, v, nrm, band, bkey FROM sized WHERE bsz <= {max_bucket}),"""
+    return f"""{prefix}
     cand AS (
         SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.band AS band, a.bkey AS bkey,
                ROUND({_dot('a.v', 'b.v', d)} / (a.nrm * b.nrm), 6) AS cosine
@@ -789,6 +803,29 @@ def _staged_buckets(spark, then):
             )
             b.count()
             b.createOrReplaceTempView("__sim_buckets")
+            # capped banded relation staged beside the buckets (r17, the
+            # __minhash_ok discipline): the pair self-join reads it on
+            # both sides exchange-free, and the 64-double vector payload
+            # crosses the (band, bkey) exchange once per corpus instead
+            # of twice per query
+            exploded = G.band_explode(
+                "__sim_buckets", MB_COLS, "spark", carry="vec_id, v, nrm"
+            )
+            ok = staged_cache(
+                spark,
+                "sim_lsh_ok",
+                spark.sql(
+                    f"""
+                    SELECT vec_id, v, nrm, band, bkey FROM (
+                        SELECT vec_id, v, nrm, band, bkey,
+                               COUNT(*) OVER (PARTITION BY band, bkey) AS bsz
+                        FROM ({exploded}))
+                    WHERE bsz <= {LSH_MAX_BUCKET}
+                    """
+                ),
+            )
+            ok.count()
+            ok.createOrReplaceTempView("__sim_lsh_ok")
             spark._tf_sim_buckets_key = key
         return then("__sim_buckets")
 
@@ -798,10 +835,16 @@ def _staged_buckets(spark, then):
 def cosine_near_dup_lsh(
     spark, threshold: float = 0.30, max_bucket: int = LSH_MAX_BUCKET
 ):
+    # the staged ok relation bakes in the default cap — a caller probing
+    # a different cap (the skew report's uncapped growth witness) takes
+    # the inline spelling
+    ok = "__sim_lsh_ok" if max_bucket == LSH_MAX_BUCKET else None
     return _staged_buckets(
         spark,
         lambda rel: spark.sql(
-            cosine_near_dup_lsh_sql("spark", threshold, rel=rel, max_bucket=max_bucket)
+            cosine_near_dup_lsh_sql(
+                "spark", threshold, rel=rel, max_bucket=max_bucket, ok_rel=ok
+            )
         ),
     )
 
@@ -861,6 +904,7 @@ def ann_recall_audit_sql(
     exact_rel: str | None = None,
     assign_rel: str | None = None,
     n_centroids: int = 16,
+    ok_rel: str | None = None,
 ) -> str:
     """Recall audit for the two approximate-ANN paths (VERDICT r14
     item 6): the r14 hot-bucket cap made exclusion the sanctioned
@@ -927,7 +971,8 @@ def ann_recall_audit_sql(
     else:
         exact_pr = cosine_near_dup_sql(d, threshold, rel=rel, max_n=max_n)
     approx_pr = cosine_near_dup_lsh_sql(
-        d, threshold, rel=bucket_rel, max_bucket=max_bucket, ordered=False
+        d, threshold, rel=bucket_rel, max_bucket=max_bucket, ordered=False,
+        ok_rel=ok_rel,
     )
     return f"""
     WITH et AS (SELECT q_id, cand_id FROM ({exact_tk}) __et),
@@ -1020,6 +1065,11 @@ def ann_recall_audit(
                 # the staged view and the probe SQL (code-review r16).
                 assign_rel=_staged_assign(spark, "__sim_norms", n_centroids),
                 n_centroids=n_centroids,
+                # the LSH pair side reads the staged capped band relation
+                # (r17) when the audit runs at the registered cap — the
+                # audited pair SET is identical (the staged relation is
+                # row-identical to the inline sized/ok chain)
+                ok_rel="__sim_lsh_ok" if max_bucket == LSH_MAX_BUCKET else None,
             )
         )
 
